@@ -1,0 +1,372 @@
+package graft
+
+import graft.functions.CrossEngine._
+import graft.gold.Gold
+import graft.operators.{Casting, Dedup, Rule, Upsert, Validation}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.ListMap
+
+/** One named query per operator in SURVEY.md §2, each with an ANSI-SQL
+  * twin the driver runs in DuckDB over the same parquet files.
+  *
+  * Cross-engine determinism rules applied throughout:
+  *   - double aggregates over fixed-decimal data use
+  *     [[graft.functions.CrossEngine]] fixed-point builders (float sums
+  *     are order-dependent, and cent data hits decimal halves where
+  *     engines' round() disagree) — the oracle SQL is generated from
+  *     the same spec so the two sides can never drift;
+  *   - dates are emitted as ISO strings (date objects deserialize
+  *     differently per reader);
+  *   - computed integers use the same width on both sides (Spark
+  *     count/sum are i64; DuckDB sum(BIGINT) is HUGEINT → cast);
+  *   - no arbitrary-winner semantics: dedup/top-k carry explicit
+  *     tie-breaks; rank() ties are kept identically on both sides;
+  *   - events.ts (parquet ns) is truncated to µs on read; oracles use
+  *     date/hour parts only.
+  */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revSql = "l_extendedprice * (1 - l_discount)"
+
+  /** Validation rules used by the error-histogram / rejected-rows
+    * queries (thresholds chosen to actually fire on the testdata). */
+  val lineitemRules: Seq[Rule] = Seq(
+    Rule(col("l_quantity") > 45, "QTY_ABOVE_MAX"),
+    Rule(col("l_discount") > 0.08, "DISCOUNT_ABOVE_MAX"),
+    Rule(col("l_tax") > 0.06, "TAX_ABOVE_MAX"))
+
+  private val lineitemRulesSql =
+    """CASE WHEN l_quantity > 45 THEN 'QTY_ABOVE_MAX' END,
+      | CASE WHEN l_discount > 0.08 THEN 'DISCOUNT_ABOVE_MAX' END,
+      | CASE WHEN l_tax > 0.06 THEN 'TAX_ABOVE_MAX' END""".stripMargin
+
+  final case class QueryDef(fn: Q, oracle: Option[String])
+
+  private def q(fn: Ctx => DataFrame, oracle: String): QueryDef =
+    QueryDef((s, dir) => fn(Ctx(s, dir)), Some(oracle).filter(_.nonEmpty))
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ── aggregations (SURVEY §2.4) ────────────────────────────────────
+    "q_pricing_summary" -> q(
+      c => c.lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exactSum(col("l_quantity"), 2, 2).as("sum_qty"),
+          exactSum(col("l_extendedprice"), 2, 2).as("sum_base_price"),
+          exactSum(rev, 4, 2).as("sum_disc_price"),
+          exactAvg(col("l_quantity"), 2, 4).as("avg_qty"),
+          exactAvg(col("l_extendedprice"), 2, 4).as("avg_price"),
+          count(lit(1)).as("count_order")),
+      s"""SELECT l_returnflag, l_linestatus,
+        | ${exactSumSql("l_quantity", 2, 2)} AS sum_qty,
+        | ${exactSumSql("l_extendedprice", 2, 2)} AS sum_base_price,
+        | ${exactSumSql(revSql, 4, 2)} AS sum_disc_price,
+        | ${exactAvgSql("l_quantity", 2, 4)} AS avg_qty,
+        | ${exactAvgSql("l_extendedprice", 2, 4)} AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    "q_daily_sales" -> q(
+      Gold.dailySales,
+      s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | ${exactSumSql("o_totalprice", 2, 2)} AS total_sales,
+        | count(DISTINCT o_orderkey) AS order_count,
+        | ${exactAvgSql("o_totalprice", 2, 4)} AS avg_order_value,
+        | count(DISTINCT o_custkey) AS unique_customers,
+        | count(*) AS total_items,
+        | floor(CAST(count(*) AS DOUBLE) / count(DISTINCT o_orderkey) * 10000 + 0.5) / 10000
+        |   AS items_per_order
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin),
+
+    "q_product_performance" -> q(
+      Gold.productPerformance,
+      s"""SELECT p_partkey, p_name, p_brand,
+        | count(*) AS times_purchased,
+        | ${exactSumSql(revSql, 4, 2)} AS total_revenue,
+        | count(DISTINCT l_orderkey) AS order_count,
+        | ${exactAvgSql("l_quantity", 2, 4)} AS avg_quantity,
+        | ${exactAvgSql("l_discount", 2, 4)} AS avg_discount
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2, 3""".stripMargin),
+
+    "q_department_analytics" -> q(
+      Gold.departmentAnalytics,
+      s"""SELECT p_brand,
+        | ${exactSumSql(revSql, 4, 2)} AS total_revenue,
+        | count(DISTINCT p_partkey) AS unique_parts,
+        | count(DISTINCT o_orderkey) AS unique_orders,
+        | count(DISTINCT o_custkey) AS unique_customers,
+        | ${exactAvgSql(revSql, 4, 4)} AS avg_item_revenue
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin),
+
+    "q_customer_insights" -> q(
+      Gold.customerInsights,
+      s"""WITH um AS (
+        | SELECT o_custkey AS custkey,
+        |  count(DISTINCT o_orderkey) AS total_orders,
+        |  ${exactSumSql("o_totalprice", 2, 2)} AS total_spent,
+        |  ${exactAvgSql("o_totalprice", 2, 4)} AS avg_order_value,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date,
+        |  CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '${Gold.AnchorDate}') AS INTEGER)
+        |    AS days_since_last_order
+        | FROM orders GROUP BY 1
+        |), um2 AS (
+        | SELECT *, CASE WHEN total_orders > 10 THEN 'Loyal'
+        |   WHEN total_orders > 5 AND days_since_last_order <= 30 THEN 'Active'
+        |   WHEN total_orders > 1 AND days_since_last_order <= 90 THEN 'Regular'
+        |   WHEN days_since_last_order > 90 THEN 'Lapsed'
+        |   ELSE 'New' END AS customer_segment
+        | FROM um
+        |), pc AS (
+        | SELECT o_custkey AS custkey, l_partkey, count(*) AS purchase_count
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2
+        |), fav AS (
+        | SELECT custkey, l_partkey AS favorite_partkey,
+        |  purchase_count AS favorite_purchase_count,
+        |  rank() OVER (PARTITION BY custkey ORDER BY purchase_count DESC) AS rnk
+        | FROM pc
+        |)
+        |SELECT um2.custkey, total_orders, total_spent, avg_order_value,
+        | days_since_last_order, customer_segment,
+        | first_order_date, last_order_date,
+        | favorite_partkey, favorite_purchase_count
+        |FROM um2 JOIN fav ON um2.custkey = fav.custkey WHERE rnk = 1""".stripMargin),
+
+    "q_column_stats" -> q(
+      c => c.lineitem.agg(
+        rnd2(min("l_quantity")).as("qty_min"),
+        rnd2(max("l_quantity")).as("qty_max"),
+        exactAvg(col("l_quantity"), 2, 4).as("qty_avg"),
+        rnd4(stddev("l_quantity")).as("qty_std"),
+        rnd2(min("l_extendedprice")).as("price_min"),
+        rnd2(max("l_extendedprice")).as("price_max"),
+        exactAvg(col("l_extendedprice"), 2, 4).as("price_avg"),
+        rnd4(min("l_discount")).as("disc_min"),
+        rnd4(max("l_discount")).as("disc_max"),
+        exactAvg(col("l_discount"), 2, 4).as("disc_avg")),
+      s"""SELECT floor(min(l_quantity) * 100 + 0.5) / 100 AS qty_min,
+        | floor(max(l_quantity) * 100 + 0.5) / 100 AS qty_max,
+        | ${exactAvgSql("l_quantity", 2, 4)} AS qty_avg,
+        | floor(stddev(l_quantity) * 10000 + 0.5) / 10000 AS qty_std,
+        | floor(min(l_extendedprice) * 100 + 0.5) / 100 AS price_min,
+        | floor(max(l_extendedprice) * 100 + 0.5) / 100 AS price_max,
+        | ${exactAvgSql("l_extendedprice", 2, 4)} AS price_avg,
+        | floor(min(l_discount) * 10000 + 0.5) / 10000 AS disc_min,
+        | floor(max(l_discount) * 10000 + 0.5) / 10000 AS disc_max,
+        | ${exactAvgSql("l_discount", 2, 4)} AS disc_avg
+        |FROM lineitem""".stripMargin),
+
+    "q_dup_check" -> q(
+      c => Dedup.duplicateStats(c.lineitem, Seq("l_orderkey", "l_linenumber")),
+      """SELECT count(*) AS total_rows,
+        | (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS distinct_keys,
+        | count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS duplicate_rows
+        |FROM lineitem""".stripMargin),
+
+    // ── joins (SURVEY §2.3) ───────────────────────────────────────────
+    "q_anti_join" -> q(
+      c => Validation.riViolations(
+             c.customer.select(col("c_custkey"), col("c_name")),
+             c.orders, "c_custkey", "o_custkey"),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+
+    "q_semi_join" -> q(
+      c => c.orders
+        .join(c.lineitem.filter(col("l_returnflag") === "R").select("l_orderkey"),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin),
+
+    "q_left_outer_tag" -> q(
+      c => Validation.tagRiViolations(
+             c.orders.select("o_orderkey"),
+             c.lineitem.filter(col("l_discount") > 0.08), "o_orderkey",
+             "l_orderkey", "no_high_discount"),
+      """SELECT o_orderkey, h.l_orderkey IS NULL AS no_high_discount
+        |FROM orders LEFT JOIN
+        | (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount > 0.08) h
+        | ON o_orderkey = h.l_orderkey""".stripMargin),
+
+    "q_region_revenue" -> q(
+      c => c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(exactSum(rev, 4, 2).as("total_revenue"),
+             countDistinct("o_custkey").as("unique_customers"),
+             count(lit(1)).as("n_items")),
+      s"""SELECT r_name,
+        | ${exactSumSql(revSql, 4, 2)} AS total_revenue,
+        | count(DISTINCT o_custkey) AS unique_customers,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin),
+
+    // ── window / sort / top-k / dedup (SURVEY §2.5, §2.6) ─────────────
+    "q_window_rank" -> q(
+      c => c.orders
+        .withColumn("rnk", rank().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)))
+        .filter(col("rnk") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        | FROM orders) WHERE rnk = 1""".stripMargin),
+
+    "q_topk_parts" -> q(
+      c => c.lineitem
+        .join(broadcast(c.part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(exactSum(rev, 4, 2).as("total_revenue"))
+        .orderBy(col("total_revenue").desc, col("p_partkey"))
+        .limit(10),
+      s"""SELECT p_partkey, p_name,
+        | ${exactSumSql(revSql, 4, 2)} AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY total_revenue DESC, p_partkey LIMIT 10""".stripMargin),
+
+    "q_dedup_keep_first" -> q(
+      c => Dedup.keepFirst(c.events, Seq("user_id", "event_type"),
+                           Seq(col("event_id").asc))
+             .select(col("user_id"), col("event_type"), col("event_id"),
+                     col("value")),
+      """SELECT user_id, event_type, event_id, value FROM (
+        | SELECT user_id, event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin),
+
+    "q_distinct" -> q(
+      c => c.lineitem.select("l_returnflag", "l_linestatus").distinct(),
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+
+    // ── filters / projections / conditionals / casts (SURVEY §2.2) ────
+    "q_between_filter" -> q(
+      c => c.lineitem
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+             exactSum(col("l_extendedprice"), 2, 2).as("sum_price")),
+      s"""SELECT l_returnflag, count(*) AS n_items,
+        | ${exactSumSql("l_extendedprice", 2, 2)} AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY 1""".stripMargin),
+
+    "q_conditional_bucket" -> q(
+      c => c.customer
+        .withColumn("balance_tier",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 1000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .groupBy(col("balance_tier"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+             exactSum(col("c_acctbal"), 2, 2).as("total_balance")),
+      s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |  WHEN c_acctbal < 1000 THEN 'low'
+        |  WHEN c_acctbal < 5000 THEN 'mid'
+        |  ELSE 'high' END AS balance_tier,
+        | c_mktsegment, count(*) AS n_customers,
+        | ${exactSumSql("c_acctbal", 2, 2)} AS total_balance
+        |FROM customer GROUP BY 1, 2""".stripMargin),
+
+    "q_cast_schema" -> q(
+      c => Casting.castTo(c.documents, StructType(Seq(
+             StructField("doc_id", LongType),
+             StructField("lang", DoubleType),     // uncastable → NULL
+             StructField("source", IntegerType),  // uncastable → NULL
+             StructField("n_chars", DoubleType))))
+           .select("doc_id", "lang", "source", "n_chars"),
+      """SELECT doc_id, TRY_CAST(lang AS DOUBLE) AS lang,
+        | TRY_CAST(source AS INTEGER) AS source,
+        | CAST(n_chars AS DOUBLE) AS n_chars
+        |FROM documents""".stripMargin),
+
+    // ── validation split / error histogram (SURVEY §2.2 P3/P7, §2.4 A6) ─
+    "q_error_histogram" -> q(
+      c => Validation.withErrors(c.lineitem, lineitemRules)
+        .filter(col(Validation.ErrCol).isNotNull)
+        .groupBy(col(Validation.ErrCol))
+        .agg(count(lit(1)).as("error_count")),
+      s"""SELECT validation_errors, count(*) AS error_count FROM (
+        | SELECT NULLIF(concat_ws('; ', $lineitemRulesSql), '') AS validation_errors
+        | FROM lineitem) WHERE validation_errors IS NOT NULL GROUP BY 1""".stripMargin),
+
+    "q_rejected_rows" -> q(
+      c => Validation.split(c.lineitem, lineitemRules)._2
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_discount"), col("l_tax"), col(Validation.ErrCol)),
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+        | validation_errors FROM (
+        | SELECT *, NULLIF(concat_ws('; ', $lineitemRulesSql), '') AS validation_errors
+        | FROM lineitem) WHERE validation_errors IS NOT NULL""".stripMargin),
+
+    // ── upsert (SURVEY §2.1 S6, MERGE emulation) ──────────────────────
+    "q_upsert" -> q(
+      c => {
+        val target = c.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val updates = target.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", rnd2(col("o_totalprice") * 1.1))
+        Upsert.upsert(target, updates, Seq("o_orderkey"))
+      },
+      """SELECT o_orderkey, 'U' AS o_orderstatus,
+        | floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin),
+
+    // ── events: hourly rollup (streaming batch-twin) + JSON props ─────
+    "q_events_hourly" -> q(
+      c => c.events
+        .groupBy(dateStr(col("ts")).as("event_date"),
+                 hour(col("ts")).cast("long").as("hour_of_day"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             exactSum(col("value"), 6, 2).as("total_value")),
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        | CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+        | event_type, count(*) AS n_events,
+        | ${exactSumSql("value", 6, 2)} AS total_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin),
+
+    "q_json_extract" -> q(
+      c => c.events
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+                           .try_cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(rnd4(avg("k")).as("avg_k"),
+             sum("k").as("sum_k"),
+             count(lit(1)).as("n_events")),
+      """SELECT event_type,
+        | floor(avg(k) * 10000 + 0.5) / 10000 AS avg_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n_events
+        |FROM (SELECT event_type,
+        |       TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |      FROM events) GROUP BY 1""".stripMargin),
+  )
+}

@@ -1,0 +1,120 @@
+package graft.gold
+
+import graft.Ctx
+import graft.functions.CrossEngine.{dateStr, exactAvg, exactSum, rnd2, rnd4}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's four gold-layer analytics (docs/etl_processes.md:420-683)
+  * re-expressed over the driver testdata star schema:
+  *   orders/lineitem = orders/order_items, part = products
+  *   (p_brand stands in for `department`), customer = users.
+  *
+  * Output discipline: double aggregates go through the cross-engine
+  * rounder (2 money / 4 rates) and dates are emitted as ISO strings, so
+  * results are bit-stable across engines and partition orders — required
+  * by the DuckDB-oracle hash compare, and good hygiene for any
+  * distributed float aggregation.
+  *
+  * Scale notes: `part` (dimension) is broadcast explicitly; fact-side
+  * joins shuffle only on the join key; multiple exact countDistinct in
+  * one agg uses Catalyst's expand-based RewriteDistinctAggregates
+  * (reference semantics say exact — approx_count_distinct is the
+  * documented escape hatch at 100 TB, not the default).
+  */
+object Gold {
+  /** Anchor for "days since last order" — the reference uses
+    * current_date() (docs/etl_processes.md:638), which is
+    * non-reproducible; we pin a date after the data's horizon. */
+  val AnchorDate = "2002-01-01"
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** daily_sales (docs/etl_processes.md:425-437). Faithful quirk: the
+    * reference joins orders×items first, so sum/avg of the order total
+    * are over *joined rows* (weighted by item count) and order_count is
+    * countDistinct. Reproduced as written. */
+  def dailySales(c: Ctx): DataFrame =
+    c.orders.join(c.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(dateStr(col("o_orderdate")).as("order_date"))
+      .agg(
+        exactSum(col("o_totalprice"), 2, 2).as("total_sales"),
+        countDistinct("o_orderkey").as("order_count"),
+        exactAvg(col("o_totalprice"), 2, 4).as("avg_order_value"),
+        countDistinct("o_custkey").as("unique_customers"),
+        count(lit(1)).as("total_items"),
+        rnd4(count(lit(1)).cast("double") / countDistinct("o_orderkey"))
+          .as("items_per_order"))
+
+  /** product_performance (docs/etl_processes.md:490-500). */
+  def productPerformance(c: Ctx): DataFrame =
+    c.lineitem.join(broadcast(c.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("times_purchased"),
+        exactSum(revenue, 4, 2).as("total_revenue"),
+        countDistinct("l_orderkey").as("order_count"),
+        exactAvg(col("l_quantity"), 2, 4).as("avg_quantity"),
+        exactAvg(col("l_discount"), 2, 4).as("avg_discount"))
+
+  /** department_analytics (docs/etl_processes.md:556-567): three exact
+    * countDistincts in a single agg. */
+  def departmentAnalytics(c: Ctx): DataFrame =
+    c.lineitem
+      .join(broadcast(c.part), col("l_partkey") === col("p_partkey"))
+      .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        exactSum(revenue, 4, 2).as("total_revenue"),
+        countDistinct("p_partkey").as("unique_parts"),
+        countDistinct("o_orderkey").as("unique_orders"),
+        countDistinct("o_custkey").as("unique_customers"),
+        exactAvg(revenue, 4, 4).as("avg_item_revenue"))
+
+  /** Per-customer order metrics + segment bucketing
+    * (docs/etl_processes.md:630-668). The when-chain is order-sensitive;
+    * preserved exactly (>10 Loyal; >5 ∧ ≤30d Active; >1 ∧ ≤90d Regular;
+    * >90d Lapsed; else New). */
+  def userMetrics(c: Ctx): DataFrame =
+    c.orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        countDistinct("o_orderkey").as("total_orders"),
+        exactSum(col("o_totalprice"), 2, 2).as("total_spent"),
+        exactAvg(col("o_totalprice"), 2, 4).as("avg_order_value"),
+        to_date(min("o_orderdate")).as("first_order_d"),
+        to_date(max("o_orderdate")).as("last_order_d"))
+      .withColumn("days_since_last_order",
+        datediff(lit(AnchorDate).cast("date"), col("last_order_d")))
+      .withColumn("customer_segment",
+        when(col("total_orders") > 10, "Loyal")
+          .when(col("total_orders") > 5 && col("days_since_last_order") <= 30, "Active")
+          .when(col("total_orders") > 1 && col("days_since_last_order") <= 90, "Regular")
+          .when(col("days_since_last_order") > 90, "Lapsed")
+          .otherwise("New"))
+      .withColumn("first_order_date", dateStr(col("first_order_d")))
+      .withColumn("last_order_date", dateStr(col("last_order_d")))
+      .drop("first_order_d", "last_order_d")
+
+  /** Favorite part per customer: count purchases, rank desc, keep rank 1.
+    * rank() ties are kept (a customer can emit several favorites) —
+    * reference W1 semantics preserved exactly
+    * (docs/etl_processes.md:643-652). */
+  def favoriteParts(c: Ctx): DataFrame = {
+    val counts = c.lineitem
+      .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("purchase_count"))
+    val w = Window.partitionBy(col("custkey"))
+                  .orderBy(col("purchase_count").desc)
+    counts.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("custkey"), col("l_partkey").as("favorite_partkey"),
+              col("purchase_count").as("favorite_purchase_count"))
+  }
+
+  /** customer_insights = user metrics ⋈ favorite products
+    * (docs/etl_processes.md:655-668). */
+  def customerInsights(c: Ctx): DataFrame =
+    userMetrics(c).join(favoriteParts(c), Seq("custkey"))
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/** Schema-driven cast loop.
+  *
+  * Reference semantics (etl_utils.py:320-354, glue_etl.py:296-312):
+  *   - every declared field present in the frame is cast to its declared
+  *     type; a value that cannot be cast becomes NULL (Spark's default
+  *     ANSI-off cast behavior);
+  *   - declared fields missing from the frame are skipped (logged);
+  *   - timestamp fields go through to_timestamp so bare ISO strings parse;
+  *   - undeclared extra columns pass through untouched.
+  *
+  * Casts are per-row scalar expressions — fully whole-stage-codegen'd,
+  * no shuffle, so this scales linearly with input size.
+  */
+object Casting {
+  def castTo(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    schema.fields.filter(f => present.contains(f.name)).foldLeft(df) {
+      (acc, f) =>
+        // try_cast, not cast: Spark 4 defaults to ANSI mode where a
+        // malformed cast throws; the reference (Spark 3.5, ANSI off)
+        // nulls instead. try_cast gives null-on-error under either mode.
+        val c = f.dataType match {
+          case TimestampType => to_timestamp(col(f.name))
+          case dt            => col(f.name).try_cast(dt)
+        }
+        acc.withColumn(f.name, c)
+    }
+  }
+
+  /** Declared fields absent from the frame (reference warns + skips). */
+  def missingColumns(df: DataFrame, schema: StructType): Seq[String] =
+    schema.fieldNames.toSeq.filterNot(df.columns.contains)
+}

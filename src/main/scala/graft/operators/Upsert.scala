@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Delta-MERGE emulation (SURVEY.md §7.4; reference glue_etl.py:442-458).
+  *
+  * `whenMatchedUpdateAll + whenNotMatchedInsertAll` with update-wins
+  * semantics is exactly:
+  *
+  *   updates ∪ (target ⟕̸ updates on pk)
+  *
+  * i.e. every update row survives, and target rows survive only when no
+  * update shares their key. Idempotent: re-applying the same batch is a
+  * no-op, preserving the reference's at-least-once ingestion contract.
+  *
+  * Scale notes: the anti-join shuffles on the pk unless the updates key
+  * set is small enough to broadcast — typical for incremental batches
+  * against a big target, so we broadcast the key set when asked. The
+  * union itself is free (no shuffle).
+  */
+object Upsert {
+  def upsert(target: DataFrame, updates: DataFrame, pk: Seq[String],
+             broadcastUpdates: Boolean = true): DataFrame = {
+    val keyCols = pk.map(col)
+    val keys0   = updates.select(keyCols: _*).distinct()
+    val keys    = if (broadcastUpdates) broadcast(keys0) else keys0
+    val kept    = target.join(keys, pk, "left_anti")
+    updates.unionByName(kept)
+  }
+}
