@@ -1,0 +1,297 @@
+package graft
+
+import graft.Queries.{Q, QueryDef}
+import graft.functions.CrossEngine._
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.{MinHashLSH, SimHash, TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Training-data pipeline queries (beyond-reference; SURVEY.md §7.6):
+  * dedup family, similarity search, text analysis, multimodal
+  * plumbing, sessionization. Oracle twins follow the same determinism
+  * rules as [[Queries]]; LSH/IVF internals are not SQL-expressible, so
+  * those two run as rows-only checks with ScalaTest coverage instead.
+  */
+object QueriesText {
+  private def q(fn: Ctx => DataFrame, oracle: String = ""): QueryDef =
+    QueryDef((s, dir) => fn(Ctx(s, dir)), Some(oracle).filter(_.nonEmpty))
+
+  /** doc_id, source + distinct word set — shared text prep. */
+  private def docWords(c: Ctx): DataFrame =
+    c.documents.select(col("doc_id"), col("source"),
+                       TF.wordSet(col("text")).as("ws"))
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val wsSql   = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ── exact dedup + fingerprinting ──────────────────────────────────
+    "q_dedup_exact" -> q(
+      c => c.documents
+        .groupBy(TF.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies")),
+      s"""SELECT md5($normSql) AS fp, min(doc_id) AS doc_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    "q_fingerprint" -> q(
+      c => c.documents.select(
+        col("doc_id"),
+        TF.fingerprint(col("text")).as("fp"),
+        sha2(col("text").cast("binary"), 256).as("sha"),
+        length(col("text")).cast("long").as("text_len")),
+      s"""SELECT doc_id, md5($normSql) AS fp, sha256(text) AS sha,
+        | CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents""".stripMargin),
+
+    // ── text quality / language id / token counting ───────────────────
+    "q_text_quality" -> q(
+      c => c.documents
+        .withColumn("n_words", size(TF.words(col("text"))).cast("long"))
+        .withColumn("n_nospace",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+        .withColumn("n_punct",
+          regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long"))
+        .withColumn("n_stop",
+          TF.markerScore(TF.words(col("text")), Seq("the", "a", "of", "and", "is")))
+        .withColumn("avg_word_len",
+          rnd4(col("n_nospace").cast("double") / col("n_words")))
+        .withColumn("punct_ratio",
+          rnd4(col("n_punct").cast("double") / col("n_chars")))
+        .withColumn("stop_ratio",
+          rnd4(col("n_stop").cast("double") / col("n_words")))
+        .withColumn("quality_score",
+          rnd4(least(lit(1.0), col("n_words") / lit(100.0)) * 0.5 +
+               col("stop_ratio") * 0.3 + (lit(1.0) - col("punct_ratio")) * 0.2))
+        .select("doc_id", "n_words", "avg_word_len", "punct_ratio",
+                "stop_ratio", "quality_score"),
+      """WITH m AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nospace,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop
+        | FROM documents
+        |), r AS (
+        | SELECT doc_id, n_words,
+        |  floor(CAST(n_nospace AS DOUBLE) / n_words * 10000 + 0.5) / 10000 AS avg_word_len,
+        |  floor(CAST(n_punct AS DOUBLE) / n_chars * 10000 + 0.5) / 10000 AS punct_ratio,
+        |  floor(CAST(n_stop AS DOUBLE) / n_words * 10000 + 0.5) / 10000 AS stop_ratio
+        | FROM m
+        |)
+        |SELECT doc_id, n_words, avg_word_len, punct_ratio, stop_ratio,
+        | floor((least(1.0, n_words / 100.0) * 0.5 + stop_ratio * 0.3 +
+        |        (1.0 - punct_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality_score
+        |FROM r""".stripMargin),
+
+    "q_lang_id" -> q(
+      c => {
+        val ws = TF.words(col("text"))
+        val scored = c.documents
+          .withColumn("en_score", TF.markerScore(ws, TF.LangMarkers(0)._2))
+          .withColumn("de_score", TF.markerScore(ws, TF.LangMarkers(1)._2))
+          .withColumn("es_score", TF.markerScore(ws, TF.LangMarkers(2)._2))
+          .withColumn("fr_score", TF.markerScore(ws, TF.LangMarkers(3)._2))
+        scored
+          .withColumn("pred_lang", TF.predictLang(
+            col("en_score"), col("de_score"), col("es_score"), col("fr_score")))
+          .withColumn("is_match", col("pred_lang") === col("lang"))
+          .select("doc_id", "lang", "en_score", "de_score", "es_score",
+                  "fr_score", "pred_lang", "is_match")
+      },
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS en_score,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS de_score,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       w -> w IN ('el','la','los','y','es'))) AS BIGINT) AS es_score,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       w -> w IN ('le','les','du','et','est'))) AS BIGINT) AS fr_score
+        | FROM documents
+        |)
+        |SELECT doc_id, lang, en_score, de_score, es_score, fr_score,
+        | CASE
+        |  WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+        |  WHEN de_score >= es_score AND de_score >= fr_score AND de_score > 0 THEN 'de'
+        |  WHEN es_score >= fr_score AND es_score > 0 THEN 'es'
+        |  WHEN fr_score > 0 THEN 'fr'
+        |  ELSE 'und' END AS pred_lang,
+        | (CASE
+        |  WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+        |  WHEN de_score >= es_score AND de_score >= fr_score AND de_score > 0 THEN 'de'
+        |  WHEN es_score >= fr_score AND es_score > 0 THEN 'es'
+        |  WHEN fr_score > 0 THEN 'fr'
+        |  ELSE 'und' END) = lang AS is_match
+        |FROM s""".stripMargin),
+
+    "q_token_count" -> q(
+      c => c.documents
+        .withColumn("ws_tokens", TF.wsTokenCount(col("text")))
+        .withColumn("bpe_tokens", TF.bpeTokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum("ws_tokens").as("total_ws_tokens"),
+             sum("bpe_tokens").as("total_bpe_tokens"),
+             rnd4(avg("ws_tokens")).as("avg_ws_tokens")),
+      s"""SELECT lang, count(*) AS n_docs,
+        | CAST(sum(wt) AS BIGINT) AS total_ws_tokens,
+        | CAST(sum(bt) AS BIGINT) AS total_bpe_tokens,
+        | floor(avg(wt) * 10000 + 0.5) / 10000 AS avg_ws_tokens
+        |FROM (SELECT lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS wt,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bt
+        | FROM documents) GROUP BY 1""".stripMargin),
+
+    // ── set-similarity dedup family ───────────────────────────────────
+    "q_ngram_jaccard" -> q(
+      c => {
+        val d = docWords(c)
+        val a = d.select(col("source"), col("doc_id").as("doc_a"), col("ws").as("ws_a"))
+        val b = d.select(col("source"), col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+        a.join(b, Seq("source"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("j",
+            size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+              size(array_union(col("ws_a"), col("ws_b"))))
+          .filter(col("j") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), rnd4(col("j")).as("jaccard"))
+      },
+      s"""WITH d AS (SELECT doc_id, source, $wsSql AS ws FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | floor(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.ws, b.ws))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8""".stripMargin),
+
+    "q_minhash_neardup" -> q(
+      c => MinHashLSH
+        .nearDuplicates(docWords(c), "doc_id", "ws",
+                        k = 64, bands = 16, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))),
+
+    "q_simhash_neardup" -> q(
+      c => {
+        val sigs = SimHash.simhash(
+          c.documents.select(col("doc_id"), col("source"),
+                             TF.words(col("text")).as("w")),
+          "doc_id", "w")
+          .join(c.documents.select("doc_id", "source"), "doc_id")
+        SimHash.nearDuplicates(sigs, "doc_id", "source", maxHamming = 8)
+      }),
+
+    // ── embedding similarity ──────────────────────────────────────────
+    "q_embed_neardup" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        Similarity
+          .nearDuplicates(all.filter(col("id") % 50 === 0), all, 0.3)
+          .select(col("query_id"), col("vec_id"), rnd6(col("cos")).as("cos"))
+      },
+      """WITH n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) nrm
+        | FROM embeddings
+        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0)
+        |SELECT qy.vec_id AS query_id, c.vec_id AS vec_id,
+        | floor(list_dot_product(qy.v, c.v) / (qy.nrm * c.nrm) * 1000000 + 0.5) / 1000000 AS cos
+        |FROM qy JOIN n c ON c.vec_id <> qy.vec_id
+        |WHERE list_dot_product(qy.v, c.v) / (qy.nrm * c.nrm) >= 0.3""".stripMargin),
+
+    "q_ann_topk" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        Similarity
+          .bruteForceTopK(all.filter(col("id") % 50 === 0), all, k = 5, rnd6)
+          .select(col("query_id"), col("vec_id"), col("cos_r"),
+                  col("rn").cast("long").as("rn"))
+      },
+      """WITH n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) nrm
+        | FROM embeddings
+        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |scored AS (
+        | SELECT qy.vec_id AS query_id, c.vec_id AS vec_id,
+        |  floor(list_dot_product(qy.v, c.v) / (qy.nrm * c.nrm) * 1000000 + 0.5) / 1000000 AS cos_r
+        | FROM qy JOIN n c ON c.vec_id <> qy.vec_id
+        |)
+        |SELECT query_id, vec_id, cos_r, rn FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rn
+        | FROM scored) WHERE rn <= 5""".stripMargin),
+
+    "q_ann_ivf" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        Similarity.ivfTopK(c.embeddings, "vec_id", "embedding",
+          all.filter(col("id") % 50 === 0), k = 5, centroidEvery = 37,
+          nprobe = 6, rnd6)
+          .select(col("query_id"), col("vec_id"), col("cos_r"),
+                  col("rn").cast("long").as("rn"))
+      }),
+
+    // ── multimodal plumbing ───────────────────────────────────────────
+    "q_multimodal_features" -> q(
+      c => Multimodal.fromDocuments(c.documents).select(
+        col("asset_id"), col("meta.kind").as("kind"),
+        col("meta.byte_len").as("byte_len"),
+        sha2(col("payload"), 256).as("sha")),
+      """SELECT doc_id AS asset_id, 'text' AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | sha256(text) AS sha
+        |FROM documents""".stripMargin),
+
+    "q_multimodal_decode" -> q(
+      c => Multimodal.decodeStub(Multimodal.fromDocuments(c.documents))
+        .toDF()
+        .select("asset_id", "kind", "byte_len", "checksum")),
+
+    // ── sessionization (gap-based, lag + running sum) ─────────────────
+    "q_sessionize" -> q(
+      c => {
+        val e = c.events.select(col("user_id"), col("event_id"),
+                                col("ts").cast("long").as("sec"))
+        val wOrd = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val tagged = e
+          .withColumn("prev", lag("sec", 1).over(wOrd))
+          .withColumn("is_new",
+            when(col("prev").isNull || col("sec") - col("prev") > 172800, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum("is_new").over(
+              wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        tagged.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+               min("sec").as("start_sec"),
+               max("sec").as("end_sec"),
+               (max("sec") - min("sec")).as("duration"))
+      },
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) sec FROM events
+        |), g AS (
+        | SELECT user_id, event_id, sec,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 172800
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |), s AS (
+        | SELECT user_id, sec,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(sec) AS start_sec, max(sec) AS end_sec,
+        | max(sec) - min(sec) AS duration
+        |FROM s GROUP BY 1, 2""".stripMargin),
+  )
+}

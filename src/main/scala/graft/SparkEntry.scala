@@ -8,15 +8,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     gold.Gold.customerInsights(Ctx(spark, "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def allDefs = Queries.defs ++ QueriesText.defs
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * beyond-reference training-data pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.defs.map { case (name, d) => name -> d.fn }
+    allDefs.map { case (name, d) => name -> d.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Queries.defs.collect { case (name, d) if d.oracle.isDefined =>
+    allDefs.collect { case (name, d) if d.oracle.isDefined =>
       name -> d.oracle.get
     }
 }

@@ -1,0 +1,103 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (beyond-reference; SURVEY.md §7.6).
+  *
+  * Vectors are `array<float>` columns cast to double before any
+  * arithmetic: float accumulation orders differ across engines, double
+  * sequential fold is bit-reproducible (and matches the DuckDB oracle's
+  * list_dot_product over DOUBLE[]).
+  *
+  * Brute force is the correctness baseline: queries × corpus via
+  * broadcast of the (small) query set — one pass over the corpus, no
+  * shuffle of the big side. The IVF variant is the scale path: cluster
+  * assignment bounds each query to nprobe partitions of the corpus, so
+  * cost drops from |Q|·|C| to |Q|·(nprobe/K)·|C| with the same
+  * DataFrame-only plan shape. All ordering ties are broken on vec_id,
+  * so results are deterministic.
+  */
+object Similarity {
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** (id, vec double[], norm) projection of an embeddings table. */
+  def prepare(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    emb.select(col(idCol).as("id"), v.as("v")).withColumn("nrm", norm(col("v")))
+  }
+
+  /** All (query, corpus) pairs with cosine ≥ threshold, self excluded.
+    * `queries`/`corpus` are outputs of [[prepare]]. */
+  def nearDuplicates(queries: DataFrame, corpus: DataFrame,
+                     threshold: Double): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn")))
+    corpus.select(col("id").as("vec_id"), col("v"), col("nrm"))
+      .join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
+  /** Exact top-k cosine neighbors per query (brute force baseline).
+    * Ranking uses the rounded cosine + id tie-break so the winner set
+    * is stable across engines and partitionings. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     roundedCos: Column => Column): DataFrame = {
+    val scored = nearDuplicates(queries, corpus, threshold = -2.0)
+      .withColumn("cos_r", roundedCos(col("cos")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_r"), col("rn"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: centroids are a
+    * deterministic subsample (id % centroidEvery == 0); each corpus
+    * vector is assigned to its nearest centroid; a query scans only the
+    * `nprobe` centroids nearest to it. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int, centroidEvery: Int, nprobe: Int,
+              roundedCos: Column => Column): DataFrame = {
+    val all = prepare(emb, idCol, vecCol)
+    val cent = broadcast(
+      all.filter(col("id") % centroidEvery === 0)
+        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+
+    def nearestCentroids(vecs: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(roundedCos(cosine(col("cv"), col("v"), col("cn"), col("nrm"))).desc,
+                 col("cid"))
+      vecs.crossJoin(cent)
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+    }
+
+    val assigned = nearestCentroids(all, 1)
+      .select(col("id").as("vec_id"), col("cid"), col("v").as("cvec"),
+              col("nrm").as("cnrm"))
+    val probes = nearestCentroids(queries, nprobe)
+      .select(col("id").as("query_id"), col("cid"), col("v").as("qv"),
+              col("nrm").as("qn"))
+
+    val scored = probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_r",
+        roundedCos(cosine(col("qv"), col("cvec"), col("qn"), col("cnrm"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_r"), col("rn"))
+  }
+}

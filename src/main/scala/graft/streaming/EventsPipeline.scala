@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.Row
+
+/** Structured Streaming ingest (beyond-reference; SURVEY.md §2.9/§7.6).
+  *
+  * The reference models "near real-time" as scheduled batch + MERGE
+  * (Step Functions → Glue, stepfunctions/delta-lake.json:5-18). The
+  * streaming-native equivalent: readStream over the landing directory →
+  * watermarked hourly aggregation (late data bounded at 2h) →
+  * foreachBatch upsert into the serving table, which keeps the
+  * reference's idempotent at-least-once contract (Upsert is a pure
+  * update-wins merge keyed on the window).
+  *
+  * State design for scale: the only stateful operator is the windowed
+  * aggregation; the watermark bounds state to (2h + window) per key
+  * group, so state size is O(active windows × event types), independent
+  * of stream length.
+  */
+object EventsPipeline {
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked hourly rollup of a (possibly streaming) events frame.
+    * Works identically on a batch frame — the batch twin is
+    * q_events_hourly. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** File-source stream over a landing dir of parquet events. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** writeStream with a foreachBatch update-wins upsert into
+    * `targetPath` (parquet), keyed on (window_start, event_type) —
+    * the streaming MERGE the reference approximates with Glue batch. */
+  def upsertSink(rollup: DataFrame, targetPath: String,
+                 checkpoint: String): DataStreamWriter[Row] =
+    rollup.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = try {
+          spark.read.parquet(targetPath)
+        } catch { case _: Throwable => batch.limit(0) }
+        Upsert
+          .upsert(target, batch, Seq("window_start", "event_type"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(targetPath + "_staged")
+        // staged-then-swap keeps readers from seeing partial output
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val staged = new org.apache.hadoop.fs.Path(targetPath + "_staged")
+        val live   = new org.apache.hadoop.fs.Path(targetPath)
+        fs.delete(live, true)
+        fs.rename(staged, live)
+        ()
+      }
+}

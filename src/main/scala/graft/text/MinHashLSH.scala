@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (beyond-reference;
+  * SURVEY.md §7.6).
+  *
+  * Pipeline: token set → k minhash values (min over tokens of
+  * xxhash64(seed_i, token)) → band signatures (hash of r consecutive
+  * minhashes) → bucket join on (band, signature) for candidate pairs →
+  * exact Jaccard verification on candidates only.
+  *
+  * Scale design: the only all-pairs step is the bucket self-join, whose
+  * size LSH bounds by construction (a pair collides iff some band
+  * matches, probability 1-(1-J^r)^b). The signature build is one
+  * explode + hash-aggregate (single shuffle on doc id); verification
+  * joins word sets only for candidate pairs. No driver-side state, no
+  * UDFs — xxhash64 is codegen'd, so this runs at full scan speed on
+  * 100 TB of documents. Skewed buckets (boilerplate text) can be capped
+  * by salting the bucket key; not needed at test scale.
+  */
+object MinHashLSH {
+  /** (docId, tokens) → one row per doc with `sig` array of k minhashes.
+    * Deterministic: hash function i is xxhash64 with the band index
+    * prepended, so results are stable across runs/partitionings. */
+  def signatures(docs: DataFrame, idCol: String, tokensCol: String,
+                 k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(col(tokensCol)).as("tok"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    tok.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs whose signatures collide in ≥1 band.
+    * bands·rowsPerBand must equal the signature length. */
+  def candidatePairs(sigs: DataFrame, idCol: String,
+                     bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1))): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full near-dup detection: candidates + exact Jaccard ≥ threshold.
+    * `docs` must carry (idCol, tokensCol) with distinct tokens. */
+  def nearDuplicates(docs: DataFrame, idCol: String, tokensCol: String,
+                     k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = signatures(docs, idCol, tokensCol, k)
+    val cand = candidatePairs(sigs, idCol, bands, k / bands)
+    val sets = docs.select(col(idCol), col(tokensCol).as("toks"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}
