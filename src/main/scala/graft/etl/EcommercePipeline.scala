@@ -1,0 +1,189 @@
+package graft.etl
+
+import graft.operators.{Casting, Dedup, Rule, Validation}
+import graft.tables.LakehouseTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity medallion ETL over the e-commerce data model
+  * (products / orders / order_items — glue_etl.py:43-75, main flow
+  * :525-694 re-expressed; dependency order products → orders →
+  * order_items so RI checks can anti-join the dims).
+  *
+  * Each stage is a pure DataFrame → (valid, rejected) function; sinks
+  * go through [[LakehouseTable]] (atomic overwrite/upsert, quarantine
+  * append). No driver-side collects anywhere — the v1 isin(collect())
+  * RI check is replaced by the anti-join form the reference itself
+  * refactored to (etl_utils.py:168-245).
+  */
+object EcommerceSchemas {
+  val orderItems: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("order_id", IntegerType, nullable = false),
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("days_since_prior_order", IntegerType),
+    StructField("product_id", IntegerType, nullable = false),
+    StructField("add_to_cart_order", IntegerType),
+    StructField("reordered", IntegerType),
+    StructField("order_timestamp", TimestampType, nullable = false),
+    StructField("date", DateType, nullable = false)))
+
+  val orders: StructType = StructType(Seq(
+    StructField("order_num", IntegerType),
+    StructField("order_id", IntegerType, nullable = false),
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("order_timestamp", TimestampType, nullable = false),
+    StructField("total_amount", DoubleType),
+    StructField("date", DateType, nullable = false)))
+
+  val products: StructType = StructType(Seq(
+    StructField("product_id", IntegerType, nullable = false),
+    StructField("department_id", IntegerType),
+    StructField("department", StringType),
+    StructField("product_name", StringType, nullable = false)))
+}
+
+final case class StageResult(valid: Long, rejected: Long)
+
+class EcommercePipeline(spark: SparkSession, warehouse: String) {
+  import EcommerceSchemas._
+
+  def table(name: String, pk: String, parts: Seq[String] = Nil): LakehouseTable =
+    LakehouseTable(spark, s"$warehouse/$name", Seq(pk), parts)
+
+  val silverProducts: LakehouseTable   = table("silver_products", "product_id")
+  val silverOrders: LakehouseTable     = table("silver_orders", "order_id", Seq("date"))
+  val silverOrderItems: LakehouseTable = table("silver_order_items", "id", Seq("date"))
+  val quarantine: LakehouseTable       = table("rejected_records", "id")
+
+  /** CSV ingest (S1): header + inferSchema, then the declared-schema
+    * cast loop (two-phase, reference glue_etl.py:591-593 + :296-312). */
+  def readCsv(path: String, schema: StructType): DataFrame =
+    Casting.castTo(
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(path),
+      schema)
+
+  private def requiredRules(schema: StructType) =
+    Validation.requiredFieldRules(schema)
+
+  /** Generic bronze→silver stage: validate → quarantine rejected →
+    * dedup pk → upsert silver. Returns (valid, rejected) counts.
+    * `helperCols` (e.g. RI membership tags) are consumed by the rules
+    * and dropped before anything is persisted — storing them would
+    * break schema stability on the next incremental upsert. */
+  private def stage(df: DataFrame, rules: Seq[Rule], target: LakehouseTable,
+                    sourceName: String,
+                    helperCols: Seq[String] = Nil): StageResult = {
+    val (valid0, rejected0) = Validation.split(df, rules)
+    val valid = helperCols.foldLeft(valid0)(_.drop(_))
+    val rejected = helperCols.foldLeft(rejected0)(_.drop(_))
+    val nRejected = rejected.count()
+    if (nRejected > 0)
+      quarantine.append(
+        rejected.withColumn("source_table", lit(sourceName))
+          .withColumn("rejected_at", current_timestamp())
+          .select(to_json(struct(col("*"))).as("record"),
+                  col(Validation.ErrCol), col("source_table"),
+                  col("rejected_at")))
+    val deduped = Dedup.byKey(valid, target.pk)
+    target.upsert(deduped)
+    StageResult(target.read.count(), nRejected)
+  }
+
+  def runProducts(csvPath: String): StageResult = {
+    val df = readCsv(csvPath, products)
+    stage(df, requiredRules(products), silverProducts, "products")
+  }
+
+  def runOrders(csvPath: String): StageResult = {
+    val df = readCsv(csvPath, orders)
+    val rules = requiredRules(orders) :+
+      Rule(col("total_amount") < 0, "Negative total_amount")
+    stage(df, rules, silverOrders, "orders")
+  }
+
+  /** order_items: required fields + RI against the silver dims via
+    * broadcast anti-join membership tags. */
+  def runOrderItems(csvPath: String): StageResult = {
+    val df = readCsv(csvPath, orderItems)
+    val tagged = Validation.tagRiViolations(
+      Validation.tagRiViolations(df, silverOrders.read, "order_id",
+        "order_id", "__bad_order"),
+      silverProducts.read, "product_id", "product_id", "__bad_product")
+    val rules = requiredRules(orderItems) ++ Seq(
+      Rule(col("__bad_order"), "order_id not found in orders"),
+      Rule(col("__bad_product"), "product_id not found in products"))
+    stage(tagged, rules, silverOrderItems, "order_items",
+          helperCols = Seq("__bad_order", "__bad_product"))
+  }
+
+  /** Full run in reference dependency order. */
+  def run(productsCsv: String, ordersCsv: String,
+          orderItemsCsv: String): Map[String, StageResult] = Map(
+    "products"    -> runProducts(productsCsv),
+    "orders"      -> runOrders(ordersCsv),
+    "order_items" -> runOrderItems(orderItemsCsv))
+
+  // ── gold layer (docs/etl_processes.md:420-683 on the e-commerce model) ──
+
+  def goldDailySales(): DataFrame = {
+    val o = silverOrders.read; val oi = silverOrderItems.read
+    o.join(oi, "order_id")
+      .groupBy(o("date"))
+      .agg(sum("total_amount").as("total_sales"),
+           countDistinct("order_id").as("order_count"),
+           avg("total_amount").as("avg_order_value"),
+           countDistinct(o("user_id")).as("unique_customers"),
+           count(oi("id")).as("total_items"))
+  }
+
+  def goldProductPerformance(): DataFrame =
+    silverOrderItems.read
+      .join(broadcast(silverProducts.read), "product_id")
+      .groupBy(col("product_id"), col("department"), col("product_name"))
+      .agg(count(col("id")).as("times_purchased"),
+           countDistinct("order_id").as("order_count"),
+           avg("reordered").as("reorder_rate"),
+           avg("days_since_prior_order").as("avg_days_between_orders"))
+
+  def goldDepartmentAnalytics(): DataFrame =
+    silverOrderItems.read
+      .join(broadcast(silverProducts.read), "product_id")
+      .join(silverOrders.read.select("order_id", "total_amount"), "order_id")
+      .groupBy(col("department"))
+      .agg(sum("total_amount").as("total_sales"),
+           countDistinct("product_id").as("unique_products"),
+           countDistinct("order_id").as("order_count"),
+           avg("total_amount").as("avg_order_value"))
+
+  def goldCustomerInsights(anchor: String): DataFrame = {
+    val o = silverOrders.read
+    val um = o.groupBy(col("user_id"))
+      .agg(countDistinct("order_id").as("total_orders"),
+           sum("total_amount").as("total_spent"),
+           avg("total_amount").as("avg_order_value"),
+           min("date").as("first_order_date"),
+           max("date").as("last_order_date"))
+      .withColumn("days_since_last_order",
+        datediff(lit(anchor).cast("date"), col("last_order_date")))
+      .withColumn("customer_segment",
+        when(col("total_orders") > 10, "Loyal")
+          .when(col("total_orders") > 5 && col("days_since_last_order") <= 30, "Active")
+          .when(col("total_orders") > 1 && col("days_since_last_order") <= 90, "Regular")
+          .when(col("days_since_last_order") > 90, "Lapsed")
+          .otherwise("New"))
+    val counts = silverOrderItems.read
+      .join(broadcast(silverProducts.read), "product_id")
+      .groupBy(col("user_id"), col("product_id"), col("department"))
+      .agg(count(lit(1)).as("product_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("product_count").desc)
+    val fav = counts.withColumn("rnk", rank().over(w)).filter(col("rnk") === 1)
+      .select(col("user_id"), col("product_id").as("favorite_product_id"),
+              col("department").as("favorite_department"),
+              col("product_count"))
+    um.join(fav, "user_id")
+  }
+}

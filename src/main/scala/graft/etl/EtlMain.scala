@@ -1,0 +1,59 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry for the reference-parity medallion run (the counterpart
+  * of the reference's Glue `main()`, glue_etl.py:525-694):
+  *
+  *   runMain graft.etl.EtlMain <productsCsv> <ordersCsvGlob> \
+  *     <orderItemsCsvGlob> <warehouseDir>
+  *
+  * Runs bronze→silver with validation + quarantine, builds the four
+  * gold tables, registers everything in the session catalog, prints
+  * per-stage counts and smoke queries (the Step Functions LIMIT-5
+  * validation stage equivalent, delta-lake.json:147-215).
+  */
+object EtlMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: EtlMain <productsCsv> <ordersCsv> <orderItemsCsv> <warehouse>")
+    val Array(productsCsv, ordersCsv, itemsCsv, warehouse) = args
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pipe = new EcommercePipeline(spark, warehouse)
+    val results = pipe.run(productsCsv, ordersCsv, itemsCsv)
+    results.foreach { case (name, r) =>
+      println(f"[etl] $name%-12s silver=${r.valid}%7d rejected=${r.rejected}%5d")
+    }
+
+    val gold = Map(
+      "gold_daily_sales"          -> pipe.goldDailySales(),
+      "gold_product_performance"  -> pipe.goldProductPerformance(),
+      "gold_department_analytics" -> pipe.goldDepartmentAnalytics(),
+      "gold_customer_insights"    -> pipe.goldCustomerInsights("2025-06-01"))
+    gold.foreach { case (name, df) =>
+      graft.tables.LakehouseTable(spark, s"$warehouse/$name", Seq.empty)
+        .overwrite(df)
+      println(f"[etl] $name%-26s rows=${spark.read.parquet(s"$warehouse/$name").count()}%7d")
+    }
+
+    // smoke stage: LIMIT-5 liveness per output table
+    Seq("silver_products", "silver_orders", "silver_order_items")
+      .foreach { t =>
+        val n = spark.read.parquet(s"$warehouse/$t").limit(5).count()
+        require(n > 0, s"smoke check failed for $t")
+      }
+    println("[etl] smoke checks passed")
+    spark.stop()
+  }
+}

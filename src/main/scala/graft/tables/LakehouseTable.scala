@@ -1,0 +1,73 @@
+package graft.tables
+
+import graft.operators.Upsert
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.UUID
+
+/** Parquet-backed lakehouse table with Delta-like write semantics
+  * (SURVEY.md §7.4; reference S4-S7, glue_etl.py:442-490).
+  *
+  * Without a transaction log, atomicity comes from staged-write +
+  * rename: readers referencing the live path never observe a partial
+  * write, and a crashed writer leaves only an orphaned staging dir.
+  * Single-writer assumption documented, matching the reference's one
+  * scheduled Glue job. At cluster scale the same pattern works on any
+  * HDFS-compatible store with atomic dir rename; on S3 the swap step
+  * would move a prefix pointer (manifest) instead — the table API is
+  * the stable seam for that change.
+  */
+final case class LakehouseTable(spark: SparkSession, path: String,
+                                pk: Seq[String],
+                                partitionCols: Seq[String] = Nil) {
+  private def fs = org.apache.hadoop.fs.FileSystem
+    .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(path))
+
+  def read: DataFrame = spark.read.parquet(path)
+
+  private def write(df: DataFrame, target: String): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(target)
+  }
+
+  /** Atomic full replace: write staged, swap via rename. */
+  def overwrite(df: DataFrame): Unit = {
+    val staged = s"$path.staged-${UUID.randomUUID().toString.take(8)}"
+    write(df, staged)
+    val live = new Path(path)
+    if (fs.exists(live)) fs.delete(live, true)
+    fs.rename(new Path(staged), live)
+    ()
+  }
+
+  /** Blind append (reference S5: rejected-records quarantine). Not
+    * atomic across files; used only for the append-only side channel. */
+  def append(df: DataFrame): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Delta-MERGE parity (S6): dedup the batch on pk (reference
+    * dropDuplicates precedes MERGE, glue_etl.py:395-404), update-wins
+    * merge with the current contents, atomic swap. First batch against
+    * a missing table degrades to the initial overwrite, mirroring the
+    * reference's try-MERGE/catch-overwrite flow. Idempotent. */
+  def upsert(updates: DataFrame): Unit = {
+    val deduped = updates.dropDuplicates(pk)
+    if (!exists) overwrite(deduped)
+    else overwrite(Upsert.upsert(read, deduped, pk))
+  }
+
+  /** Catalog registration (S7): session-catalog external table. */
+  def registerAs(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"CREATE TABLE $name USING PARQUET LOCATION '$path'")
+    ()
+  }
+}

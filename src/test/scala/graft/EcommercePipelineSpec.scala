@@ -1,0 +1,83 @@
+package graft
+
+import graft.etl.EcommercePipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** End-to-end medallion run on fixture CSVs with injected anomalies
+  * (the shipped reference data is clean — SURVEY.md §1.3, so fixtures
+  * must inject: null required field, negative amount, FK orphans,
+  * duplicate PK). */
+class EcommercePipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeCsv(dir: String, name: String, lines: Seq[String]): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, lines.mkString("\n").getBytes)
+    p.toString
+  }
+
+  test("bronze->silver->gold with injected anomalies") {
+    val dir = TestSpark.tmpDir("ecom")
+    val products = writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A",
+      "2,11,Toys,Toy B",
+      "3,12,Games,",          // null product_name -> rejected
+      "2,11,Toys,Toy B"))     // duplicate PK -> deduped, not rejected
+    val orders = writeCsv(dir, "orders.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01",
+      "2,101,1,2025-04-01T11:00:00,-5.0,2025-04-01", // negative -> rejected
+      "3,102,2,2025-04-02T10:00:00,30.0,2025-04-02"))
+    val items = writeCsv(dir, "order_items.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1000,100,1,,1,1,0,2025-04-01T10:00:00,2025-04-01",
+      "1001,100,1,,2,2,1,2025-04-01T10:00:00,2025-04-01",
+      "1002,999,1,,1,1,0,2025-04-01T10:00:00,2025-04-01",  // orphan order
+      "1003,102,2,,77,1,0,2025-04-02T10:00:00,2025-04-02")) // orphan product
+
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    val res = pipe.run(products, orders, items)
+
+    assert(res("products") == graft.etl.StageResult(2, 1))
+    assert(res("orders") == graft.etl.StageResult(2, 1))
+    assert(res("order_items") == graft.etl.StageResult(2, 2))
+
+    // quarantine carries error strings per reference semantics
+    val q = pipe.quarantine.read
+    assert(q.count() == 4)
+    val errs = q.select("validation_errors").collect().map(_.getString(0))
+    assert(errs.exists(_.contains("Missing required field: product_name")))
+    assert(errs.exists(_.contains("Negative total_amount")))
+    assert(errs.exists(_.contains("order_id not found in orders")))
+    assert(errs.exists(_.contains("product_id not found in products")))
+
+    // gold daily_sales: only 2025-04-01 has surviving joined items;
+    // reference quirk preserved: totals are over joined rows (2 items)
+    val ds = pipe.goldDailySales().collect()
+    assert(ds.length == 1)
+    val r = ds.head
+    assert(r.getAs[Double]("total_sales") == 100.0)   // 50.0 x 2 items
+    assert(r.getAs[Long]("order_count") == 1)
+    assert(r.getAs[Long]("total_items") == 2)
+
+    // customer insights: user 1 favorites tie -> rank keeps both rows
+    val ci = pipe.goldCustomerInsights("2025-06-01")
+    assert(ci.filter(col("user_id") === 1).count() == 2)
+    assert(ci.select("customer_segment").distinct().collect()
+             .map(_.getString(0)).forall(Set("Loyal", "Active", "Regular", "Lapsed", "New")))
+
+    // idempotent re-run of every stage leaves silver unchanged (the
+    // order_items path regressed here once: helper RI tags leaked into
+    // the stored schema and broke the incremental upsert)
+    val before = pipe.silverOrders.read.orderBy("order_id").collect().toSeq
+    val beforeItems = pipe.silverOrderItems.read.orderBy("id").collect().toSeq
+    pipe.run(products, orders, items)
+    assert(pipe.silverOrders.read.orderBy("order_id").collect().toSeq == before)
+    assert(pipe.silverOrderItems.read.orderBy("id").collect().toSeq == beforeItems)
+    assert(!pipe.silverOrderItems.read.columns.exists(_.startsWith("__")))
+  }
+}

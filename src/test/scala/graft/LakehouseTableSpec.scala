@@ -1,0 +1,39 @@
+package graft
+
+import graft.tables.LakehouseTable
+import org.scalatest.funsuite.AnyFunSuite
+
+class LakehouseTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("overwrite is staged (no partial live dir), upsert merges and is idempotent") {
+    val dir = TestSpark.tmpDir("lake")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    assert(!t.exists)
+
+    t.upsert(Seq((1, "a"), (2, "b")).toDF("k", "v")) // initial load path
+    assert(t.read.count() == 2)
+
+    t.upsert(Seq((2, "B"), (3, "C"), (3, "C")).toDF("k", "v")) // dup in batch
+    val m = t.read.as[(Int, String)].collect().toMap
+    assert(m == Map(1 -> "a", 2 -> "B", 3 -> "C"))
+
+    t.upsert(Seq((2, "B"), (3, "C")).toDF("k", "v")) // replay same batch
+    assert(t.read.as[(Int, String)].collect().toMap == m)
+
+    // no staging leftovers next to the live dir
+    val leftovers = new java.io.File(dir).list().filter(_.contains("staged"))
+    assert(leftovers.isEmpty)
+  }
+
+  test("partitioned write + append quarantine pattern") {
+    val dir = TestSpark.tmpDir("lakep")
+    val t = LakehouseTable(spark, s"$dir/p", Seq("k"), Seq("part"))
+    t.overwrite(Seq((1, "x", "a"), (2, "y", "b")).toDF("k", "v", "part"))
+    assert(t.read.count() == 2)
+    t.append(Seq((3, "z", "a")).toDF("k", "v", "part"))
+    assert(t.read.count() == 3)
+    assert(new java.io.File(s"$dir/p").list().exists(_.startsWith("part=")))
+  }
+}

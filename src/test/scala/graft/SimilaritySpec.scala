@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.CrossEngine.rnd6
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val all = Similarity.prepare(
+      emb(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(-2f, 0f)),
+      "vec_id", "embedding")
+    val pairs = Similarity.nearDuplicates(all, all, threshold = -2.0)
+      .select(col("query_id"), col("vec_id"), rnd6(col("cos")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(pairs((1L, 3L)) == -1.0)
+    assert(pairs((1L, 2L)) == 0.0)
+  }
+
+  test("brute-force topk: correct neighbor order, k rows per query") {
+    val all = Similarity.prepare(
+      emb(1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.5f, 0.5f),
+          4L -> Seq(0f, 1f)),
+      "vec_id", "embedding")
+    val top = Similarity
+      .bruteForceTopK(all.filter(col("id") === 1), all, 3, rnd6)
+      .orderBy("rn").as[(Long, Long, Double, Int)].collect()
+    assert(top.map(_._2).toSeq == Seq(2L, 3L, 4L)) // by descending cosine to (1,0)
+  }
+
+  test("ivf topk on testdata: k results per query, subset quality vs brute force") {
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+    val queries = all.filter(col("id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(queries, all, 5, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    val ivf = Similarity.ivfTopK(c.embeddings, "vec_id", "embedding",
+        queries, 5, 37, 6, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(ivf.size == bf.size)
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"ivf recall $recall too low")
+  }
+}

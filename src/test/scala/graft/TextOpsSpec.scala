@@ -1,0 +1,72 @@
+package graft
+
+import graft.text.{MinHashLSH, SimHash, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: content, short-doc edge") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TF.shingles(TF.words(col("text")), 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq.empty)
+  }
+
+  test("fingerprint: whitespace/case variants collapse, content changes don't") {
+    val df = Seq(("a", "Hello  World"), ("b", " hello world "), ("c", "hello worlds"))
+      .toDF("id", "text").select(col("id"), TF.fingerprint(col("text")).as("fp"))
+    val m = df.as[(String, String)].collect().toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+  }
+
+  test("predictLang: priority chain and und fallback") {
+    val df = Seq(
+      "the cat and the dog is here", // en
+      "der hund und die katze ist",  // de
+      "xyz qqq zzz")                 // no markers -> und
+      .toDF("text")
+    val ws = TF.words(col("text"))
+    val out = df.select(TF.predictLang(
+      TF.markerScore(ws, TF.LangMarkers(0)._2),
+      TF.markerScore(ws, TF.LangMarkers(1)._2),
+      TF.markerScore(ws, TF.LangMarkers(2)._2),
+      TF.markerScore(ws, TF.LangMarkers(3)._2)).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("minhash LSH finds planted near-dup, skips unrelated, deterministic") {
+    val base = (1 to 60).map(i => s"w$i")
+    val nearDup = base.take(57) ++ Seq("x1", "x2", "x3") // J ≈ 57/63 ≈ 0.905
+    val other = (100 to 160).map(i => s"w$i")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "ws")
+    val run1 = MinHashLSH.nearDuplicates(docs, "doc_id", "ws", 64, 16, 0.7)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(run1.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+    assert(run1.head.getDouble(2) > 0.89 && run1.head.getDouble(2) < 0.92)
+    val run2 = MinHashLSH.nearDuplicates(docs, "doc_id", "ws", 64, 16, 0.7)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(run1 == run2)
+  }
+
+  test("simhash: identical docs hamming 0, near docs close, far docs far") {
+    val a = (1 to 50).map(i => s"w$i")
+    val docs = Seq(
+      (1L, "blk", a), (2L, "blk", a),
+      (3L, "blk", a.take(45) ++ Seq("q1", "q2", "q3", "q4", "q5")),
+      (4L, "blk", (200 to 250).map(i => s"z$i")))
+      .toDF("doc_id", "blk", "w")
+    val sigs = SimHash.simhash(docs.select("doc_id", "w"), "doc_id", "w")
+      .join(docs.select("doc_id", "blk"), "doc_id")
+    val pairs = SimHash.nearDuplicates(sigs, "doc_id", "blk", maxHamming = 48)
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, h) => (x, y) -> h }.toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) < pairs((1L, 4L)))
+  }
+}
