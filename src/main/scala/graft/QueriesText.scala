@@ -176,7 +176,8 @@ object QueriesText {
     "q_minhash_neardup" -> q(
       c => MinHashLSH
         .nearDuplicates(docWords(c), "doc_id", "ws",
-                        k = 64, bands = 16, threshold = 0.9)
+                        k = 64, bands = 16, threshold = 0.9,
+                        blockCol = Some("source"))
         .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))),
 
     "q_simhash_neardup" -> q(

@@ -34,18 +34,24 @@ object MinHashLSH {
   }
 
   /** Candidate pairs whose signatures collide in ≥1 band.
-    * bands·rowsPerBand must equal the signature length. */
+    * bands·rowsPerBand must equal the signature length. An optional
+    * blocking column joins into the bucket key: on corpora where LSH
+    * buckets degenerate (tiny vocabularies, boilerplate), scoping dedup
+    * to a shard/domain bounds the bucket self-join — the standard
+    * escape hatch at 100 TB. */
   def candidatePairs(sigs: DataFrame, idCol: String,
-                     bands: Int, rowsPerBand: Int): DataFrame = {
+                     bands: Int, rowsPerBand: Int,
+                     blockCol: Option[String] = None): DataFrame = {
+    val keyCols = Seq("band", "bucket") ++ blockCol
     val banded = sigs.select(
-      col(idCol),
+      (col(idCol) +: blockCol.map(col).toSeq) :+
       posexplode(array((0 until bands).map { b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1))): _*)
-      }: _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+      }: _*)).as(Seq("band", "bucket")): _*)
+    val a = banded.withColumnRenamed(idCol, "id_a")
+    val b = banded.withColumnRenamed(idCol, "id_b")
+    a.join(b, keyCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -53,9 +59,13 @@ object MinHashLSH {
   /** Full near-dup detection: candidates + exact Jaccard ≥ threshold.
     * `docs` must carry (idCol, tokensCol) with distinct tokens. */
   def nearDuplicates(docs: DataFrame, idCol: String, tokensCol: String,
-                     k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sigs = signatures(docs, idCol, tokensCol, k)
-    val cand = candidatePairs(sigs, idCol, bands, k / bands)
+                     k: Int, bands: Int, threshold: Double,
+                     blockCol: Option[String] = None): DataFrame = {
+    val sigs0 = signatures(docs, idCol, tokensCol, k)
+    val sigs = blockCol
+      .map(bc => sigs0.join(docs.select(col(idCol), col(bc)), Seq(idCol)))
+      .getOrElse(sigs0)
+    val cand = candidatePairs(sigs, idCol, bands, k / bands, blockCol)
     val sets = docs.select(col(idCol), col(tokensCol).as("toks"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
