@@ -354,6 +354,20 @@ object Queries {
         | ${exactSumSql("value", 6, 2)} AS total_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin),
 
+    // silver time-feature derivation (docs/etl_processes.md:308-309:
+    // day_of_week + hour_of_day). Spark dayofweek is 1=Sunday; the
+    // oracle's is 0=Sunday, hence the +1.
+    "q_time_features" -> q(
+      c => c.events
+        .groupBy(dayofweek(col("ts")).cast("long").as("day_of_week"),
+                 hour(col("ts")).cast("long").as("hour_of_day"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct("user_id").as("unique_users")),
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS day_of_week,
+        | CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+        | count(*) AS n_events, count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY 1, 2""".stripMargin),
+
     "q_json_extract" -> q(
       c => c.events
         .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)

@@ -154,14 +154,14 @@ object QueriesText {
     // ── set-similarity dedup family ───────────────────────────────────
     "q_ngram_jaccard" -> q(
       c => {
-        val d = docWords(c)
+        graft.functions.NativeFunctions.register(c.spark)
+        val d = docWords(c).withColumn("ws", array_sort(col("ws")))
         val a = d.select(col("source"), col("doc_id").as("doc_a"), col("ws").as("ws_a"))
         val b = d.select(col("source"), col("doc_id").as("doc_b"), col("ws").as("ws_b"))
         a.join(b, Seq("source"))
           .filter(col("doc_a") < col("doc_b"))
           .withColumn("j",
-            size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
-              size(array_union(col("ws_a"), col("ws_b"))))
+            graft.functions.NativeFunctions.sortedJaccard(col("ws_a"), col("ws_b")))
           .filter(col("j") >= 0.8)
           .select(col("doc_a"), col("doc_b"), rnd4(col("j")).as("jaccard"))
       },

@@ -1,0 +1,30 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Post-ETL input archival (SURVEY §2.1 S9; reference
+  * stepfunctions/lambda_function.py:24,37-108: paginated list + copy +
+  * delete with continuation-token resumption).
+  *
+  * Filesystem equivalent: move each processed file to the archive dir
+  * in bounded batches. Resumable by construction — a rerun lists only
+  * files still in the source dir, so a crash mid-batch just continues
+  * where it stopped (the reference's continuation-token semantics). */
+object Archiver {
+  def archive(spark: SparkSession, srcDir: String, dstDir: String,
+              batchSize: Int = 100): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(srcDir), conf)
+    val dst = new Path(dstDir)
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    val files = fs.listStatus(new Path(srcDir)).filter(_.isFile).map(_.getPath)
+    var moved = 0
+    files.grouped(batchSize).foreach { batch =>
+      batch.foreach { f =>
+        if (fs.rename(f, new Path(dst, f.getName))) moved += 1
+      }
+    }
+    moved
+  }
+}

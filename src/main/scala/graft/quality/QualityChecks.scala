@@ -1,0 +1,79 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality check framework (reference docs/data_quality.md:139-372).
+  *
+  * Each check computes distributed aggregates and returns one row
+  * (check_name, table_name, metric, value, passed) — results union into
+  * a quality report the pipeline can gate on, mirroring the reference's
+  * WARN thresholds (RI breach >0.1 %, completeness >1 %, metric
+  * discrepancy >1 % ⇒ alert, :414-421). All checks are single-pass
+  * aggregations or broadcast anti-joins — nothing collects to the
+  * driver beyond the one-row verdicts.
+  */
+object QualityChecks {
+  final case class Check(check: String, table: String, metric: Double,
+                         passed: Boolean)
+
+  private def result(spark: SparkSession, rows: Seq[Check]): DataFrame = {
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  /** Duplicate-PK check (data_quality.md:152-162). */
+  def duplicatePk(df: DataFrame, table: String, pk: Seq[String]): Check = {
+    val total = df.count()
+    val dups = total - df.select(pk.map(col): _*).distinct().count()
+    Check("duplicate_pk", table, dups.toDouble, dups == 0)
+  }
+
+  /** Null-required-fields check (data_quality.md:165-185). */
+  def nullRequired(df: DataFrame, table: String, required: Seq[String]): Check = {
+    val cond = required.map(col(_).isNull).reduce(_ || _)
+    val n = df.filter(cond).count()
+    Check("null_required_fields", table, n.toDouble, n == 0)
+  }
+
+  /** FK-integrity check via anti-join count (data_quality.md:235-239);
+    * threshold is the reference's 0.1 % RI-breach SLA. */
+  def fkIntegrity(fact: DataFrame, dim: DataFrame, fk: String, pk: String,
+                  table: String, maxBreachRatio: Double = 0.001): Check = {
+    val total = fact.count().max(1L)
+    val orphans = fact
+      .join(broadcast(dim.select(col(pk)).distinct()),
+            col(fk) === col(pk), "left_anti").count()
+    val ratio = orphans.toDouble / total
+    Check(s"fk_$fk", table, ratio, ratio <= maxBreachRatio)
+  }
+
+  /** Numeric-range check: share of rows outside [lo, hi]
+    * (data_quality.md:249-259). */
+  def range(df: DataFrame, table: String, column: String,
+            lo: Double, hi: Double, maxViolRatio: Double = 0.005): Check = {
+    val total = df.count().max(1L)
+    val out = df.filter(col(column) < lo || col(column) > hi).count()
+    val ratio = out.toDouble / total
+    Check(s"range_$column", table, ratio, ratio <= maxViolRatio)
+  }
+
+  /** Gold-vs-recalculated reconciliation (data_quality.md:301-372):
+    * join on the key, compare each metric within `tolerance`. Returns
+    * the number of mismatching rows as the metric. */
+  def reconcile(gold: DataFrame, recalc: DataFrame, key: Seq[String],
+                metrics: Seq[String], table: String,
+                tolerance: Double = 0.01): Check = {
+    val r = metrics.foldLeft(recalc) { (d, m) => d.withColumnRenamed(m, s"${m}_rc") }
+    val joined = gold.join(r, key)
+    val bad = metrics
+      .map(m => abs(col(m) - col(s"${m}_rc")) > tolerance)
+      .reduce(_ || _)
+    val n = joined.filter(bad).count()
+    Check("gold_reconciliation", table, n.toDouble, n == 0)
+  }
+
+  /** Bundle into a report frame. */
+  def report(spark: SparkSession, checks: Seq[Check]): DataFrame =
+    result(spark, checks)
+}

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * so results are deterministic.
   */
 object Similarity {
-  /** Sequential-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product — the codegen'd native expression
+    * ([[graft.functions.DotProduct]]); same accumulation order as the
+    * zip_with+aggregate formulation it replaced, ~allocation-free. */
+  def dot(a: Column, b: Column): Column = graft.functions.NativeFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,6 +32,7 @@ object Similarity {
 
   /** (id, vec double[], norm) projection of an embeddings table. */
   def prepare(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.NativeFunctions.register(emb.sparkSession)
     val v = transform(col(vecCol), x => x.cast("double"))
     emb.select(col(idCol).as("id"), v.as("v")).withColumn("nrm", norm(col("v")))
   }

@@ -70,4 +70,23 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       s"CREATE TABLE $name USING PARQUET LOCATION '$path'")
     ()
   }
+
+  /** CBO statistics (SURVEY §4): the reference enables
+    * spark.sql.cbo + histograms (glue_etl.py:538-539); stats must be
+    * collected for the optimizer to use them. */
+  def analyze(name: String): Unit = {
+    registerAs(name)
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    ()
+  }
+
+  /** Spark-native approximation of OPTIMIZE ZORDER BY
+    * (docs/etl_processes.md:382-385): range-repartition + in-partition
+    * sort clusters the listed columns so parquet row-group min/max
+    * stats become selective — the same data-skipping intent, no Delta
+    * required. */
+  def optimizeClustered(cols: Seq[String]): Unit = {
+    val cs = cols.map(org.apache.spark.sql.functions.col)
+    overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*))
+  }
 }

@@ -22,10 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
   /** (docId, tokens) → one row per doc with `sig` array of k minhashes.
-    * Deterministic: hash function i is xxhash64 with the band index
-    * prepended, so results are stable across runs/partitionings. */
+    * Deterministic: hash function i chains xxhash64(i) into the token
+    * hash, so results are stable across runs/partitionings. Uses the
+    * single-pass [[graft.functions.MinHashSignature]] aggregate (one
+    * Array[Long] buffer per group, map-side combinable). */
   def signatures(docs: DataFrame, idCol: String, tokensCol: String,
                  k: Int): DataFrame = {
+    graft.functions.MinHashSignature.register(docs.sparkSession)
+    docs.select(col(idCol), explode(col(tokensCol)).as("tok"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashSignature.sig(col("tok"), k).as("sig"))
+  }
+
+  /** Reference formulation with k separate min() aggregates — kept to
+    * pin the equivalence of the single-pass aggregate in tests. */
+  private[graft] def signaturesViaMinAggs(docs: DataFrame, idCol: String,
+                                          tokensCol: String, k: Int): DataFrame = {
     val tok = docs.select(col(idCol), explode(col(tokensCol)).as("tok"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
     tok.groupBy(col(idCol))
@@ -66,13 +78,13 @@ object MinHashLSH {
       .map(bc => sigs0.join(docs.select(col(idCol), col(bc)), Seq(idCol)))
       .getOrElse(sigs0)
     val cand = candidatePairs(sigs, idCol, bands, k / bands, blockCol)
-    val sets = docs.select(col(idCol), col(tokensCol).as("toks"))
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val sets = docs.select(col(idCol), array_sort(col(tokensCol)).as("toks"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))))
+        graft.functions.NativeFunctions.sortedJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

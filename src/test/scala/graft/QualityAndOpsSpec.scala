@@ -1,0 +1,65 @@
+package graft
+
+import graft.etl.Archiver
+import graft.quality.QualityChecks
+import graft.tables.LakehouseTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityAndOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quality checks: pass on clean data, flag injected anomalies") {
+    val clean = Seq((1, 10, 5.0), (2, 10, 7.0), (3, 11, 9.0)).toDF("id", "fk", "v")
+    val dim = Seq(10, 11).toDF("pk")
+    assert(QualityChecks.duplicatePk(clean, "t", Seq("id")).passed)
+    assert(QualityChecks.nullRequired(clean, "t", Seq("id", "fk")).passed)
+    assert(QualityChecks.fkIntegrity(clean, dim, "fk", "pk", "t").passed)
+    assert(QualityChecks.range(clean, "t", "v", 0, 100).passed)
+
+    val dirty = clean.union(Seq((1, 99, -3.0)).toDF("id", "fk", "v"))
+    assert(!QualityChecks.duplicatePk(dirty, "t", Seq("id")).passed)
+    val fk = QualityChecks.fkIntegrity(dirty, dim, "fk", "pk", "t")
+    assert(!fk.passed && fk.metric == 0.25)
+    assert(!QualityChecks.range(dirty, "t", "v", 0, 100).passed)
+  }
+
+  test("gold reconciliation: exact recompute passes, perturbed fails") {
+    val gold = Seq(("a", 10.0, 3L), ("b", 20.0, 5L)).toDF("k", "sales", "n")
+    val recalcOk = gold.select($"k", $"sales", $"n")
+    assert(QualityChecks.reconcile(gold, recalcOk, Seq("k"),
+      Seq("sales"), "g").passed)
+    val recalcBad = gold.withColumn("sales", $"sales" + 5.0)
+    assert(!QualityChecks.reconcile(gold, recalcBad, Seq("k"),
+      Seq("sales"), "g").passed)
+  }
+
+  test("archiver: batched move, resumable, idempotent") {
+    val dir = TestSpark.tmpDir("arch")
+    val src = s"$dir/in"; val dst = s"$dir/done"
+    new java.io.File(src).mkdirs()
+    (1 to 7).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, s"f$i.csv"),
+        s"x$i".getBytes)
+    }
+    assert(Archiver.archive(spark, src, dst, batchSize = 3) == 7)
+    assert(new java.io.File(src).list().isEmpty)
+    assert(new java.io.File(dst).list().length == 7)
+    assert(Archiver.archive(spark, src, dst) == 0) // rerun: nothing left
+  }
+
+  test("analyze + clustered rewrite keep data identical and register stats") {
+    val dir = TestSpark.tmpDir("zord")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("a"))
+    val df = (1 to 1000).map(i => (i % 97, i % 31, s"v$i")).toDF("a", "b", "v")
+    t.overwrite(df)
+    t.optimizeClustered(Seq("a", "b"))
+    assert(t.read.count() == 1000)
+    assert(t.read.groupBy("a").count().count() == 97)
+    t.analyze("zord_t")
+    val stats = spark.sql("DESC EXTENDED zord_t a").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stats.get("distinct_count").exists(_.toLong >= 90))
+  }
+}
