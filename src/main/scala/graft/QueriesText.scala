@@ -235,8 +235,8 @@ object QueriesText {
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
         Similarity.ivfTopK(c.embeddings, "vec_id", "embedding",
-          all.filter(col("id") % 50 === 0), k = 5, centroidEvery = 37,
-          nprobe = 6, rnd6)
+          all.filter(col("id") % 50 === 0), k = 5, centroidEvery = 53,
+          nprobe = 4, rnd6, kmeansIters = 3)
           .select(col("query_id"), col("vec_id"), col("cos_r"),
                   col("rn").cast("long").as("rn"))
       }),
