@@ -257,6 +257,13 @@ object QueriesText {
         .toDF()
         .select("asset_id", "kind", "byte_len", "checksum")),
 
+    // stateful sessionizer (flatMapGroupsWithState) run in batch mode:
+    // emits every CLOSED session, i.e. q_sessionize minus each user's
+    // final (still-open) session — the invariant a probe can check
+    "q_sessionize_stateful" -> q(
+      c => graft.streaming.SessionizeStream
+        .sessionize(c.events, gapSeconds = 172800).toDF()),
+
     // ── sessionization (gap-based, lag + running sum) ─────────────────
     "q_sessionize" -> q(
       c => {
