@@ -241,6 +241,54 @@ object QueriesText {
                   col("rn").cast("long").as("rn"))
       }),
 
+    // TF-IDF-style keyword extraction (rational idf surrogate
+    // tf·N/df — no transcendentals, which differ in the last ulp
+    // across libm implementations): top-3 keywords per document.
+    "q_tfidf_keywords" -> q(
+      c => {
+        val tokens = c.documents.select(col("doc_id"),
+          explode(TF.words(col("text"))).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val n = c.documents.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(broadcast(df_), "word")
+          .crossJoin(broadcast(n))
+          .withColumn("score", col("tf") * col("n_docs") / col("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("word"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("word"), rnd4(col("score")).as("score"),
+                  col("rk"))
+      },
+      """WITH tokens AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        | FROM documents
+        |), tf AS (
+        | SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2
+        |), df AS (
+        | SELECT word, count(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        | SELECT tf.doc_id, tf.word,
+        |  tf.tf * (SELECT count(*) FROM documents) / df.df AS score
+        | FROM tf JOIN df ON tf.word = df.word
+        |)
+        |SELECT doc_id, word,
+        | floor(score * 10000 + 0.5) / 10000 AS score, rk
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, word) AS BIGINT) AS rk FROM scored)
+        |WHERE rk <= 3""".stripMargin),
+
+    // exact-distinct's documented scale escape hatch (SURVEY §2.4):
+    // HLL sketches differ across engines, so rows-only; relative
+    // error vs exact is pinned in ScalaTest
+    "q_approx_distinct" -> q(
+      c => c.lineitem.agg(
+        countDistinct("l_orderkey").as("exact_orders"),
+        approx_count_distinct("l_orderkey").as("approx_orders"),
+        countDistinct("l_partkey").as("exact_parts"),
+        approx_count_distinct("l_partkey").as("approx_parts"))),
+
     // ── multimodal plumbing ───────────────────────────────────────────
     "q_multimodal_features" -> q(
       c => Multimodal.fromDocuments(c.documents).select(

@@ -40,4 +40,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       p.take(2000))
   }
+
+  test("date-partitioned tables prune partitions on date filters") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("prune")
+    val t = graft.tables.LakehouseTable(spark, s"$dir/t", Seq("id"), Seq("date"))
+    t.overwrite((1 to 300).map(i => (i, s"2024-01-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "date", "v"))
+    val q = t.read.filter(org.apache.spark.sql.functions.col("date") === "2024-01-02")
+    val p = planOf(q)
+    assert(p.contains("PartitionFilters:"), p.take(2000))
+    assert(p.contains("isnotnull(date") || p.contains("date#"), p.take(2000))
+    assert(q.count() == 100)
+  }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    val r = QueriesText.defs("q_approx_distinct").fn(spark, "/root/testdata/sf0.01")
+      .collect().head
+    val (eo, ao) = (r.getLong(0), r.getLong(1))
+    val (ep, ap) = (r.getLong(2), r.getLong(3))
+    assert(math.abs(ao - eo).toDouble / eo < 0.05, s"$ao vs $eo")
+    assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$ap vs $ep")
+  }
 }
