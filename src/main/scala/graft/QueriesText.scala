@@ -4,7 +4,7 @@ import graft.Queries.{Q, QueryDef}
 import graft.functions.CrossEngine._
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.{MinHashLSH, SimHash, TextFunctions => TF}
+import graft.text.{DedupClusters, MinHashLSH, SimHash, TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -172,6 +172,39 @@ object QueriesText {
         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8""".stripMargin),
+
+    // near-dup pairs → connected components → dedup clusters
+    // (min-id label propagation; oracle = recursive transitive closure)
+    "q_dedup_clusters" -> q(
+      c => {
+        graft.functions.NativeFunctions.register(c.spark)
+        val d = docWords(c).withColumn("ws", array_sort(col("ws")))
+        val a = d.select(col("source"), col("doc_id").as("id_a"), col("ws").as("ws_a"))
+        val b = d.select(col("source"), col("doc_id").as("id_b"), col("ws").as("ws_b"))
+        val pairs = a.join(b, Seq("source"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(graft.functions.NativeFunctions
+            .sortedJaccard(col("ws_a"), col("ws_b")) >= 0.9)
+          .select("id_a", "id_b")
+        DedupClusters.connectedComponents(pairs)
+      },
+      s"""WITH RECURSIVE d AS (
+        | SELECT doc_id, source, $wsSql AS ws FROM documents
+        |), pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |), e AS (
+        | SELECT doc_a AS a, doc_b AS b FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs
+        |), reach(a, b) AS (
+        | SELECT a, b FROM e
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |)
+        |SELECT a AS id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin),
 
     "q_minhash_neardup" -> q(
       c => MinHashLSH
