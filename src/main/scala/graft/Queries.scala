@@ -340,6 +340,71 @@ object Queries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin),
 
+    // ── beyond-reference analytics surface: frames, rollup, pivot, sets ─
+    "q_running_total" -> q(
+      c => c.orders
+        .withColumn("cum_spend", rnd2(
+          sum(units(col("o_totalprice"), 2)).over(
+            Window.partitionBy("o_custkey")
+              .orderBy(col("o_orderdate"), col("o_orderkey"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            / 100.0))
+        .select(col("o_custkey"), col("o_orderkey"),
+                dateStr(col("o_orderdate")).as("order_date"), col("cum_spend")),
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 * 100 + 0.5) / 100
+        |   AS cum_spend
+        |FROM orders""".stripMargin),
+
+    "q_rollup" -> q(
+      c => c.lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(exactSum(col("l_extendedprice"), 2, 2).as("sum_price"),
+             count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("sum_price"), col("n_items")),
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | ${exactSumSql("l_extendedprice", 2, 2)} AS sum_price,
+        | count(*) AS n_items
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+
+    "q_pivot" -> q(
+      c => c.events
+        .groupBy(dateStr(col("ts")).as("event_date"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'view') AS view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin),
+
+    "q_set_ops" -> q(
+      c => {
+        val building = c.customer.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val withOrders = c.orders.select(col("o_custkey").as("custkey")).distinct()
+        val both = building.intersect(withOrders).withColumn("set_op", lit("intersect"))
+        val only = withOrders.except(building).withColumn("set_op", lit("except"))
+        both.unionByName(only)
+      },
+      """SELECT custkey, 'intersect' AS set_op FROM (
+        | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT custkey, 'except' AS set_op FROM (
+        | SELECT DISTINCT o_custkey AS custkey FROM orders
+        | EXCEPT
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin),
+
     // ── events: hourly rollup (streaming batch-twin) + JSON props ─────
     "q_events_hourly" -> q(
       c => c.events

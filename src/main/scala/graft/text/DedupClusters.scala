@@ -31,7 +31,15 @@ object DedupClusters {
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
+      .cache()
 
+    // labels only ever decrease (min propagation), so the label sum is a
+    // strictly-monotone convergence witness — one cheap aggregate per
+    // iteration instead of a change-detection join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("cluster_id")).head().getLong(0)
+
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -46,6 +54,7 @@ object DedupClusters {
           least(col("cluster_id"),
                 coalesce(col("min_neighbor"), col("cluster_id")))
             .as("cluster_id"))
+        .cache()
       // pointer jumping: adopt the label of your label — turns O(diameter)
       // propagation into O(log diameter)
       val next = hop
@@ -54,12 +63,17 @@ object DedupClusters {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("ll"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      // localCheckpoint truncates the LOGICAL plan — without it each
+      // iteration's plan nests the previous one's and Catalyst analysis
+      // time grows exponentially (cache only truncates execution
+      // lineage). On a multi-node cluster use checkpoint(dir) instead.
+      val mat = next.localCheckpoint(true)
+      val s = labelSum(mat)
+      hop.unpersist()
       labels.unpersist()
-      labels = next
-      converged = changed == 0
+      labels = mat
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     edges.unpersist()
