@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.CrossEngine._
 import graft.gold.Gold
-import graft.operators.{Casting, Dedup, Rule, Upsert, Validation}
+import graft.operators.{AsOfJoin, Casting, Dedup, Rule, Upsert, Validation}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -404,6 +404,32 @@ object Queries {
         | SELECT DISTINCT o_custkey AS custkey FROM orders
         | EXCEPT
         | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin),
+
+    // as-of join (temporal backward join, composed per design rule (a);
+    // oracle = DuckDB's native ASOF JOIN): each non-purchase event gets
+    // the user's most recent purchase at/before it
+    "q_asof_join" -> q(
+      c => {
+        val e = c.events.select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"), col("us"))
+        val trades = e.filter(col("event_type") =!= "purchase")
+        AsOfJoin.asOf(trades, purchases, "user_id", "us", "us",
+                      Seq("p_event_id"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  col("asof_p_event_id"))
+      },
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+        |), p AS (
+        | SELECT user_id, event_id AS p_event_id, us FROM e
+        | WHERE event_type = 'purchase'
+        |), t AS (SELECT * FROM e WHERE event_type <> 'purchase')
+        |SELECT t.user_id, t.event_id, t.event_type,
+        | p.p_event_id AS asof_p_event_id
+        |FROM t ASOF LEFT JOIN p
+        | ON t.user_id = p.user_id AND t.us >= p.us""".stripMargin),
 
     // ── events: hourly rollup (streaming batch-twin) + JSON props ─────
     "q_events_hourly" -> q(
