@@ -54,6 +54,12 @@ object EtlMain {
         require(n > 0, s"smoke check failed for $t")
       }
     println("[etl] smoke checks passed")
+
+    // maintenance: compact silver toward the reference's 256 MB target
+    // (docs/data_model.md:304-308) — incremental upserts fragment files
+    Seq(pipe.silverProducts, pipe.silverOrders, pipe.silverOrderItems)
+      .foreach(_.compact(256L * 1024 * 1024))
+    println("[etl] silver compaction done")
     spark.stop()
   }
 }

@@ -80,6 +80,19 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     ()
   }
 
+  /** Small-file compaction toward a target file size (reference
+    * compaction strategy: bronze 128 MB / silver 256 MB / gold 512 MB,
+    * docs/data_model.md:304-308; Delta autoCompact parity). Lists the
+    * live files, rewrites into ceil(bytes/target) files via an atomic
+    * staged swap. Run after many small appends (quarantine) or
+    * fine-grained upsert batches. */
+  def compact(targetFileBytes: Long): Unit = {
+    val live = new Path(path)
+    val bytes = fs.getContentSummary(live).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    overwrite(read.repartition(nFiles))
+  }
+
   /** Spark-native approximation of OPTIMIZE ZORDER BY
     * (docs/etl_processes.md:382-385): range-repartition + in-partition
     * sort clusters the listed columns so parquet row-group min/max

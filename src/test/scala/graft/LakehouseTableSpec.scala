@@ -27,6 +27,19 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(leftovers.isEmpty)
   }
 
+  test("compact merges many small files toward the target size") {
+    val dir = TestSpark.tmpDir("compact")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    // 20 appends -> many small files
+    (1 to 20).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    def dataFiles = new java.io.File(s"$dir/t").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles >= 20)
+    t.compact(targetFileBytes = 512L * 1024 * 1024)
+    assert(dataFiles == 1, s"expected 1 file, got $dataFiles")
+    assert(t.read.count() == 20)
+  }
+
   test("partitioned write + append quarantine pattern") {
     val dir = TestSpark.tmpDir("lakep")
     val t = LakehouseTable(spark, s"$dir/p", Seq("k"), Seq("part"))
