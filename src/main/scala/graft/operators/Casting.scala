@@ -26,7 +26,11 @@ object Casting {
         // malformed cast throws; the reference (Spark 3.5, ANSI off)
         // nulls instead. try_cast gives null-on-error under either mode.
         val c = f.dataType match {
-          case TimestampType => to_timestamp(col(f.name))
+          // try_to_timestamp, not to_timestamp: under ANSI mode
+          // (Spark 4 default) to_timestamp throws on malformed input;
+          // the null-on-error contract must hold independent of the
+          // session's spark.sql.ansi.enabled setting.
+          case TimestampType => try_to_timestamp(col(f.name))
           case dt            => col(f.name).try_cast(dt)
         }
         acc.withColumn(f.name, c)

@@ -38,6 +38,14 @@ object Skew {
     * the hot key's rows spread over `salts` tasks. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    // Replicating the small side `salts`× would emit `salts` copies of
+    // each UNMATCHED small-side row under right/full outer — only join
+    // types that never emit unmatched small-side rows are semantically
+    // identical to the plain join.
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "semi",
+      "leftanti", "anti")
+    require(allowed.contains(joinType.toLowerCase.replaceAll("_", "")),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti, got $joinType")
     val bigS = big.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val smallS = small.crossJoin(

@@ -34,13 +34,22 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       .parquet(target)
   }
 
-  /** Atomic full replace: write staged, swap via rename. */
+  /** Atomic full replace: write staged, then swap. The old live dir is
+    * renamed aside to a tombstone first (rename, not delete), the staged
+    * dir renamed into place, and only then the tombstone deleted — the
+    * no-live-table window collapses to the single rename gap, and a
+    * crash between the renames leaves the old data recoverable in the
+    * tombstone instead of gone. */
   def overwrite(df: DataFrame): Unit = {
-    val staged = s"$path.staged-${UUID.randomUUID().toString.take(8)}"
+    val tag = UUID.randomUUID().toString.take(8)
+    val staged = s"$path.staged-$tag"
     write(df, staged)
     val live = new Path(path)
-    if (fs.exists(live)) fs.delete(live, true)
+    val tombstone = new Path(s"$path.tombstone-$tag")
+    val hadLive = fs.exists(live)
+    if (hadLive) fs.rename(live, tombstone)
     fs.rename(new Path(staged), live)
+    if (hadLive) fs.delete(tombstone, true)
     ()
   }
 

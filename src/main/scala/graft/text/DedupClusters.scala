@@ -35,9 +35,10 @@ object DedupClusters {
 
     // labels only ever decrease (min propagation), so the label sum is a
     // strictly-monotone convergence witness — one cheap aggregate per
-    // iteration instead of a change-detection join
+    // iteration instead of a change-detection join. coalesce: an empty
+    // graph (no near-dup pairs is a legitimate state) sums to NULL.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("cluster_id")).head().getLong(0)
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
 
     var prevSum = labelSum(labels)
     var converged = false
