@@ -156,10 +156,18 @@ object QueriesText {
       c => {
         graft.functions.NativeFunctions.register(c.spark)
         val d = docWords(c).withColumn("ws", array_sort(col("ws")))
-        val a = d.select(col("source"), col("doc_id").as("doc_a"), col("ws").as("ws_a"))
-        val b = d.select(col("source"), col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+          .withColumn("n", size(col("ws")))
+        val a = d.select(col("source"), col("doc_id").as("doc_a"),
+                         col("ws").as("ws_a"), col("n").as("n_a"))
+        val b = d.select(col("source"), col("doc_id").as("doc_b"),
+                         col("ws").as("ws_b"), col("n").as("n_b"))
         a.join(b, Seq("source"))
           .filter(col("doc_a") < col("doc_b"))
+          // length prefilter: J ≥ 0.8 ⟹ 5·min(|A|,|B|) ≥ 4·max(|A|,|B|);
+          // an exact int compare that codegen evaluates before the
+          // O(|A|+|B|) intersect — prunes most candidate pairs for free
+          .filter(least(col("n_a"), col("n_b")) * 5 >=
+                  greatest(col("n_a"), col("n_b")) * 4)
           .withColumn("j",
             graft.functions.NativeFunctions.sortedJaccard(col("ws_a"), col("ws_b")))
           .filter(col("j") >= 0.8)
@@ -179,10 +187,16 @@ object QueriesText {
       c => {
         graft.functions.NativeFunctions.register(c.spark)
         val d = docWords(c).withColumn("ws", array_sort(col("ws")))
-        val a = d.select(col("source"), col("doc_id").as("id_a"), col("ws").as("ws_a"))
-        val b = d.select(col("source"), col("doc_id").as("id_b"), col("ws").as("ws_b"))
+          .withColumn("n", size(col("ws")))
+        val a = d.select(col("source"), col("doc_id").as("id_a"),
+                         col("ws").as("ws_a"), col("n").as("n_a"))
+        val b = d.select(col("source"), col("doc_id").as("id_b"),
+                         col("ws").as("ws_b"), col("n").as("n_b"))
         val pairs = a.join(b, Seq("source"))
           .filter(col("id_a") < col("id_b"))
+          // J ≥ 0.9 ⟹ 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) — exact prune
+          .filter(least(col("n_a"), col("n_b")) * 10 >=
+                  greatest(col("n_a"), col("n_b")) * 9)
           .filter(graft.functions.NativeFunctions
             .sortedJaccard(col("ws_a"), col("ws_b")) >= 0.9)
           .select("id_a", "id_b")

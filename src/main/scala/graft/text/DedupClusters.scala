@@ -1,29 +1,56 @@
 package graft.text
 
+import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a near-duplicate pair graph → dedup
   * clusters (beyond-reference; the step after MinHash/SimHash pair
   * generation in a real training-data dedup pipeline: each cluster
   * keeps one representative).
   *
-  * Algorithm: iterative min-id label propagation (the DataFrame-only
-  * core of the large-star/small-star technique): every node adopts the
-  * smallest id among itself and its neighbors until a fixpoint. Each
-  * iteration is one join + one aggregate (shuffles on node id);
-  * iterations needed ≈ graph diameter, which for near-dup clusters is
-  * tiny (dup groups are dense). A convergence check per iteration
-  * (count of changed labels) stops early.
+  * Default path: GraphX's Pregel connected components — the canonical
+  * distributed CC. It hash-partitions the edge list once, then each
+  * round only ships CHANGED labels (Pregel activates only vertices
+  * that received a message), unpersists the previous round's RDDs as
+  * it goes, and converges in O(diameter) rounds. Near-dup clusters
+  * are dense, so diameter (and round count) is tiny. The result (min
+  * vertex id per component) is the unique fixpoint — deterministic
+  * regardless of execution order.
   *
-  * Deterministic: the fixpoint (min reachable id per component) is
-  * unique regardless of execution order.
+  * [[connectedComponentsDF]] keeps the pure-DataFrame label
+  * propagation (min-id + pointer jumping) for plans that must stay in
+  * Catalyst; GraphX is faster per round because the per-iteration
+  * DataFrame variant re-plans, re-shuffles every label (not just
+  * changed ones), and accumulates checkpoint blocks.
   */
 object DedupClusters {
   /** pairs: (id_a, id_b) undirected near-dup edges. Returns
     * (id, cluster_id) for every node that appears in a pair, where
     * cluster_id = min node id of its component. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .rdd.map { case (a, b) => Edge(a, b, ()) }
+    val graph = Graph.fromEdges(edges, (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
+    val out = cc.vertices.map { case (id, label) => (id, label) }
+      .toDF("id", "cluster_id")
+      // materialize before unpersisting the lineage we built it from
+      .localCheckpoint(true)
+    graph.unpersist(blocking = false)
+    cc.unpersist(blocking = false)
+    out
+  }
+
+  /** DataFrame-only label propagation (see class doc). */
+  def connectedComponentsDF(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -41,6 +68,7 @@ object DedupClusters {
       df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
 
     var prevSum = labelSum(labels)
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -68,16 +96,26 @@ object DedupClusters {
       // iteration's plan nests the previous one's and Catalyst analysis
       // time grows exponentially (cache only truncates execution
       // lineage). On a multi-node cluster use checkpoint(dir) instead.
-      val mat = next.localCheckpoint(true)
+      // Keep the checkpointed RDD handle so the PREVIOUS iteration's
+      // blocks can be dropped — localCheckpoint persists its RDD and a
+      // DataFrame.unpersist() won't release it, so without this the
+      // block manager accumulates one labels copy per iteration.
+      val matRdd = next.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mat = pairs.sparkSession.createDataFrame(matRdd, next.schema)
       val s = labelSum(mat)
       hop.unpersist()
       labels.unpersist()
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(matRdd)
       labels = mat
       converged = s == prevSum
       prevSum = s
       i += 1
     }
     edges.unpersist()
+    // the final labels RDD stays persisted (it's the result); callers
+    // consume it immediately
     labels
   }
 
