@@ -9,11 +9,17 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Project-scoped `fork` so EVERY run-like task forks — `run / fork`
+// does NOT apply to `runMain` (different task axis), and the driver
+// invokes `sbt runMain graft.Bench`: unforked, Spark executed inside
+// sbt's 4 GB launcher JVM (javaOptions below silently unused) and GC
+// pressure inflated bench numbers 3-5×.
+fork := true
 Test / fork := true
-run / fork := true
 // Pass the forked program's stdout through unprefixed: the bench/verify
 // driver parses Bench's one-line JSON from stdout, and sbt's default
 // logger wraps it in "[info] " which breaks json.loads.
+outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

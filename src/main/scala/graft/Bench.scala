@@ -24,6 +24,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[bench] maxMemory=${Runtime.getRuntime.maxMemory() / (1 << 20)} MB" +
+      s" cpus=${Runtime.getRuntime.availableProcessors()}")
 
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -32,13 +34,14 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     run(SparkEntry.queries("q_pricing_summary")(spark, sfDir))
 
-    // min of 2 iterations per query: one stray GC/JIT pause otherwise
-    // lands on a random query and distorts its number. A query that
+    // min of 3 iterations per query: the host shows multi-second
+    // scheduling stalls (VM steal), and with fewer iterations one
+    // stall lands on a random query and distorts its number. A query that
     // throws is marked failed (-1, excluded from total, listed in
     // "failed") — a fail-fast elapsed time must not make the bench
     // look faster.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>

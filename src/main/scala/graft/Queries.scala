@@ -202,16 +202,34 @@ object Queries {
         | (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount > 0.08) h
         | ON o_orderkey = h.l_orderkey""".stripMargin),
 
+    // Shuffle-minimal 5-way join: lineitem is pre-aggregated to one row
+    // per order BEFORE touching the wider tables (600k→150k narrow
+    // rows), the fixed-size dims (nation, region) broadcast onto
+    // customer, and only then do the two key-partitioned joins run.
+    // The countDistinct expand then operates on per-order rows, not
+    // per-item rows. customer is NOT broadcast — at 100 TB it's a fact-
+    // sized table, so it joins shuffle-on-key (AQE upgrades it to
+    // broadcast at small SF on its own).
     "q_region_revenue" -> q(
-      c => c.lineitem
-        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
-        .join(c.customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(exactSum(rev, 4, 2).as("total_revenue"),
-             countDistinct("o_custkey").as("unique_customers"),
-             count(lit(1)).as("n_items")),
+      c => {
+        val custRegion = c.customer.select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(c.nation.select(col("n_nationkey"), col("n_regionkey"))),
+                col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(c.region.select(col("r_regionkey"), col("r_name"))),
+                col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("r_name"))
+        val perOrder = c.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(sum(units(rev, 4)).as("rev_units"),
+               count(lit(1)).as("order_items"))
+        c.orders.select(col("o_orderkey"), col("o_custkey"))
+          .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+          .join(custRegion, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("r_name"))
+          .agg((floor(sum(col("rev_units")) / 100.0 + 0.5) / 100.0).as("total_revenue"),
+               countDistinct("o_custkey").as("unique_customers"),
+               sum("order_items").as("n_items"))
+      },
       s"""SELECT r_name,
         | ${exactSumSql(revSql, 4, 2)} AS total_revenue,
         | count(DISTINCT o_custkey) AS unique_customers,
@@ -235,11 +253,16 @@ object Queries {
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
         | FROM orders) WHERE rnk = 1""".stripMargin),
 
+    // agg-then-join (same rationale as Gold.productPerformance): the
+    // revenue aggregate runs on the int key; the name dimension joins
+    // onto the 20k-row aggregate, not the 600k-row fact.
     "q_topk_parts" -> q(
       c => c.lineitem
-        .join(broadcast(c.part), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_partkey"), col("p_name"))
+        .groupBy(col("l_partkey"))
         .agg(exactSum(rev, 4, 2).as("total_revenue"))
+        .join(broadcast(c.part.select(col("p_partkey"), col("p_name"))),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("total_revenue"))
         .orderBy(col("total_revenue").desc, col("p_partkey"))
         .limit(10),
       s"""SELECT p_partkey, p_name,

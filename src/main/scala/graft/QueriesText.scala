@@ -53,13 +53,16 @@ object QueriesText {
     // ── text quality / language id / token counting ───────────────────
     "q_text_quality" -> q(
       c => c.documents
-        .withColumn("n_words", size(TF.words(col("text"))).cast("long"))
+        // one regex split shared by n_words and n_stop (same
+        // project-boundary reasoning as q_lang_id)
+        .withColumn("__w", TF.words(col("text")))
+        .withColumn("n_words", size(col("__w")).cast("long"))
         .withColumn("n_nospace",
           length(regexp_replace(col("text"), "\\s", "")).cast("long"))
         .withColumn("n_punct",
           regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long"))
         .withColumn("n_stop",
-          TF.markerScore(TF.words(col("text")), Seq("the", "a", "of", "and", "is")))
+          TF.markerScore(col("__w"), Seq("the", "a", "of", "and", "is")))
         .withColumn("avg_word_len",
           rnd4(col("n_nospace").cast("double") / col("n_words")))
         .withColumn("punct_ratio",
@@ -93,12 +96,20 @@ object QueriesText {
 
     "q_lang_id" -> q(
       c => {
-        val ws = TF.words(col("text"))
-        val scored = c.documents
-          .withColumn("en_score", TF.markerScore(ws, TF.LangMarkers(0)._2))
-          .withColumn("de_score", TF.markerScore(ws, TF.LangMarkers(1)._2))
-          .withColumn("es_score", TF.markerScore(ws, TF.LangMarkers(2)._2))
-          .withColumn("fr_score", TF.markerScore(ws, TF.LangMarkers(3)._2))
+        // Split the text ONCE into a lower projection and score the
+        // materialized array 4×. Building TF.words(text) inline per
+        // score would evaluate the regex split 4× per row (the split is
+        // the dominant cost); CollapseProject keeps this boundary
+        // because the producer expression is non-cheap and referenced
+        // more than once.
+        val tokenized = c.documents.select(
+          col("doc_id"), col("lang"), TF.words(col("text")).as("w"))
+        val scored = tokenized.select(
+          col("doc_id"), col("lang"),
+          TF.markerScore(col("w"), TF.LangMarkers(0)._2).as("en_score"),
+          TF.markerScore(col("w"), TF.LangMarkers(1)._2).as("de_score"),
+          TF.markerScore(col("w"), TF.LangMarkers(2)._2).as("es_score"),
+          TF.markerScore(col("w"), TF.LangMarkers(3)._2).as("fr_score"))
         scored
           .withColumn("pred_lang", TF.predictLang(
             col("en_score"), col("de_score"), col("es_score"), col("fr_score")))
@@ -220,10 +231,14 @@ object QueriesText {
         |SELECT a AS id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin),
 
+    // bands=8 (r=8): collision prob at the J=0.9 operating point is
+    // 1-(1-0.9^8)^8 ≈ 99%, but false candidates at J≈0.5 drop from
+    // ~64% (r=4) to ~3% — on this duplicate-heavy corpus that's 10×
+    // fewer candidate pairs to exact-verify, the dominant cost.
     "q_minhash_neardup" -> q(
       c => MinHashLSH
         .nearDuplicates(docWords(c), "doc_id", "ws",
-                        k = 64, bands = 16, threshold = 0.9,
+                        k = 64, bands = 8, threshold = 0.9,
                         blockCol = Some("source"))
         .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))),
 

@@ -47,16 +47,29 @@ object Gold {
         rnd4(count(lit(1)).cast("double") / countDistinct("o_orderkey"))
           .as("items_per_order"))
 
-  /** product_performance (docs/etl_processes.md:490-500). */
+  /** product_performance (docs/etl_processes.md:490-500).
+    *
+    * Aggregate-then-join: grouping directly on (p_partkey, p_name,
+    * p_brand) drags ~80 bytes of strings per row through the
+    * countDistinct expand and the agg shuffle; since partkey → (name,
+    * brand) is functionally dependent, aggregating on the int key alone
+    * and broadcast-joining the dimension onto the (already tiny)
+    * aggregate is the same result with a fraction of the shuffle bytes
+    * — the shape that survives a 100× scale-up. */
   def productPerformance(c: Ctx): DataFrame =
-    c.lineitem.join(broadcast(c.part), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_partkey"), col("p_name"), col("p_brand"))
+    c.lineitem
+      .groupBy(col("l_partkey"))
       .agg(
         count(lit(1)).as("times_purchased"),
         exactSum(revenue, 4, 2).as("total_revenue"),
         countDistinct("l_orderkey").as("order_count"),
         exactAvg(col("l_quantity"), 2, 4).as("avg_quantity"),
         exactAvg(col("l_discount"), 2, 4).as("avg_discount"))
+      .join(broadcast(c.part.select("p_partkey", "p_name", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+              col("times_purchased"), col("total_revenue"),
+              col("order_count"), col("avg_quantity"), col("avg_discount"))
 
   /** department_analytics (docs/etl_processes.md:556-567): three exact
     * countDistincts in a single agg. */

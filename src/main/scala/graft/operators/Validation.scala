@@ -31,11 +31,24 @@ object Validation {
     }
 
   /** Error-string column: NULL when valid. array_distinct preserves the
-    * reference's array_union dedup of repeated messages. */
+    * reference's array_union dedup of repeated messages.
+    *
+    * Fast path: when every rule carries a distinct non-empty message
+    * (the overwhelmingly common case), array_distinct is a no-op and
+    * concat_ws already skips NULL arguments — so the whole accumulation
+    * collapses to one codegen'd concat_ws over the when-columns, with
+    * no array allocation and no higher-order filter (ArrayFilter is
+    * CodegenFallback: it would drop the hot per-row path out of
+    * whole-stage codegen). */
   def errorColumn(rules: Seq[Rule]): Column = {
     val msgs = rules.map(r => when(r.failWhen, lit(r.message)))
-    val arr  = array_distinct(filter(array(msgs: _*), _.isNotNull))
-    when(size(arr) > 0, concat_ws("; ", arr))
+    val distinctMsgs = rules.map(_.message).distinct.size == rules.size
+    if (distinctMsgs && rules.forall(_.message.nonEmpty))
+      nullif(concat_ws("; ", msgs: _*), lit(""))
+    else {
+      val arr = array_distinct(filter(array(msgs: _*), _.isNotNull))
+      when(size(arr) > 0, concat_ws("; ", arr))
+    }
   }
 
   def withErrors(df: DataFrame, rules: Seq[Rule]): DataFrame =
