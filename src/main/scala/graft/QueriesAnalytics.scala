@@ -1,0 +1,330 @@
+package graft
+
+import graft.Queries.QueryDef
+import graft.functions.CrossEngine._
+import graft.operators.RangeJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Wider analytics surface beyond the reference's operator set:
+  * the full window-function family, cube/grouping sets, multiset set
+  * ops, full-outer/cross joins, date & string scalar surfaces, exact
+  * percentiles, deterministic hash sampling, sorted collect
+  * aggregates, calendar gap-filling, and a binned interval join.
+  * Same cross-engine determinism rules as [[Queries]].
+  */
+object QueriesAnalytics {
+  private def q(fn: Ctx => DataFrame, oracle: String = ""): QueryDef =
+    QueryDef((s, dir) => fn(Ctx(s, dir)), Some(oracle).filter(_.nonEmpty))
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ── window-function family (beyond W1's rank) ─────────────────────
+    // Total order inside each partition (orderdate, orderkey) makes
+    // every function deterministic; the explicit ROWS frame pins
+    // first/last_value against the ANSI default RANGE frame.
+    "q_window_suite" -> q(
+      c => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c.orders
+          .select(col("o_custkey"), col("o_orderkey"),
+            dateStr(col("o_orderdate")).as("order_date"),
+            col("o_totalprice"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"),
+            first("o_totalprice").over(wf).as("first_price"),
+            last("o_totalprice").over(wf).as("running_last_price"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            rnd6(percent_rank().over(w)).as("prnk"),
+            rnd6(cume_dist().over(w)).as("cdist"),
+            ntile(4).over(w).cast("long").as("quartile"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | first_value(o_totalprice) OVER wf AS first_price,
+        | last_value(o_totalprice) OVER wf AS running_last_price,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS prnk,
+        | floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cdist,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // ── cube (rollup's big sibling; grouping_id disambiguates NULLs) ──
+    "q_cube" -> q(
+      c => c.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(exactSum(col("l_extendedprice"), 2, 2).as("sum_price"),
+             count(lit(1)).as("n_items"),
+             grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("gid"), col("sum_price"), col("n_items")),
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        | ${exactSumSql("l_extendedprice", 2, 2)} AS sum_price,
+        | count(*) AS n_items
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+
+    // ── multiset set-operations (EXCEPT ALL / INTERSECT ALL) ──────────
+    "q_set_ops_all" -> q(
+      c => {
+        val hi = c.lineitem.filter(col("l_discount") >= 0.05)
+          .select(col("l_orderkey").as("orderkey"))
+        val ret = c.lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("orderkey"))
+        val ex = hi.exceptAll(ret)
+          .groupBy("orderkey").agg(count(lit(1)).as("n"))
+          .withColumn("set_op", lit("except_all"))
+        val in = hi.intersectAll(ret)
+          .groupBy("orderkey").agg(count(lit(1)).as("n"))
+          .withColumn("set_op", lit("intersect_all"))
+        ex.unionByName(in)
+      },
+      """WITH hi AS (SELECT l_orderkey AS orderkey FROM lineitem WHERE l_discount >= 0.05),
+        | ret AS (SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT orderkey, count(*) AS n, 'except_all' AS set_op
+        |FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM ret) GROUP BY 1
+        |UNION ALL
+        |SELECT orderkey, count(*) AS n, 'intersect_all' AS set_op
+        |FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM ret) GROUP BY 1""".stripMargin),
+
+    // ── full-outer join of two aggregates (coalesced key) ─────────────
+    "q_full_outer" -> q(
+      c => {
+        val spend = c.orders.groupBy(col("o_custkey"))
+          .agg(exactSum(col("o_totalprice"), 2, 2).as("total_spent"))
+          .filter(col("total_spent") > 400000)
+        val rich = c.customer.filter(col("c_acctbal") > 7500)
+          .select(col("c_custkey"), rnd2(col("c_acctbal")).as("acctbal"))
+        spend.join(rich, col("o_custkey") === col("c_custkey"), "full_outer")
+          .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+                  col("total_spent"), col("acctbal"))
+      },
+      s"""WITH spend AS (
+        | SELECT o_custkey, ${exactSumSql("o_totalprice", 2, 2)} AS total_spent
+        | FROM orders GROUP BY 1 HAVING ${exactSumSql("o_totalprice", 2, 2)} > 400000
+        |), rich AS (
+        | SELECT c_custkey, floor(c_acctbal * 100 + 0.5) / 100 AS acctbal
+        | FROM customer WHERE c_acctbal > 7500
+        |)
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey, total_spent, acctbal
+        |FROM spend FULL OUTER JOIN rich ON o_custkey = c_custkey""".stripMargin),
+
+    // ── cross join (dims only — fixed-size product) ───────────────────
+    "q_cross_join" -> q(
+      c => c.region.select(col("r_regionkey"), col("r_name"))
+        .crossJoin(c.nation.select(col("n_nationkey"), col("n_name")))
+        .select(col("r_regionkey"), col("r_name"),
+                col("n_nationkey"), col("n_name"),
+                (col("r_regionkey") === col("n_nationkey") % 5).as("home_pair")),
+      """SELECT r_regionkey, r_name, n_nationkey, n_name,
+        | r_regionkey = n_nationkey % 5 AS home_pair
+        |FROM region CROSS JOIN nation""".stripMargin),
+
+    // ── month-level time rollup (date_trunc) ──────────────────────────
+    "q_monthly_revenue" -> q(
+      c => c.orders
+        .groupBy(dateStr(date_trunc("month", col("o_orderdate"))).as("month_start"))
+        .agg(count(lit(1)).as("n_orders"),
+             exactSum(col("o_totalprice"), 2, 2).as("total_revenue"),
+             countDistinct("o_custkey").as("active_customers")),
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | count(*) AS n_orders,
+        | ${exactSumSql("o_totalprice", 2, 2)} AS total_revenue,
+        | count(DISTINCT o_custkey) AS active_customers
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    // ── date arithmetic surface ───────────────────────────────────────
+    "q_date_arith" -> q(
+      c => c.orders
+        .select(
+          col("o_orderkey"),
+          dateStr(col("o_orderdate")).as("order_date"),
+          dateStr(add_months(to_date(col("o_orderdate")), 1)).as("plus_month"),
+          dateStr(date_add(to_date(col("o_orderdate")), 30)).as("plus_30d"),
+          dateStr(last_day(to_date(col("o_orderdate")))).as("month_end"),
+          dateStr(date_trunc("week", col("o_orderdate"))).as("week_start"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          datediff(lit("1999-01-01").cast("date"), to_date(col("o_orderdate")))
+            .cast("long").as("days_to_anchor")),
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_month,
+        | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mon,
+        | CAST(day(o_orderdate) AS BIGINT) AS dom,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT)
+        |   AS days_to_anchor
+        |FROM orders""".stripMargin),
+
+    // ── string scalar surface ─────────────────────────────────────────
+    "q_string_funcs" -> q(
+      c => c.part.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        translate(col("p_brand"), "#", "-").as("brand_dashed"),
+        reverse(col("p_brand")).as("brand_rev"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        expr("repeat('*', p_size % 5 + 1)").as("stars")),
+      """SELECT p_partkey,
+        | upper(p_name) AS name_upper,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substring(p_name, 1, 12) AS name_prefix,
+        | regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        | lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+        | CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        | translate(p_brand, '#', '-') AS brand_dashed,
+        | reverse(p_brand) AS brand_rev,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | repeat('*', p_size % 5 + 1) AS stars
+        |FROM part""".stripMargin),
+
+    // ── value histogram (arithmetic bucketing) ────────────────────────
+    "q_value_histogram" -> q(
+      c => c.orders
+        .withColumn("bucket",
+          least(lit(19L), floor(col("o_totalprice") / 30000)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+             rnd2(min("o_totalprice")).as("bucket_min"),
+             rnd2(max("o_totalprice")).as("bucket_max")),
+      """SELECT CAST(least(19, floor(o_totalprice / 30000)) AS BIGINT) AS bucket,
+        | count(*) AS n_orders,
+        | floor(min(o_totalprice) * 100 + 0.5) / 100 AS bucket_min,
+        | floor(max(o_totalprice) * 100 + 0.5) / 100 AS bucket_max
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    // ── deterministic hash sampling (reproducible across engines —
+    //    md5 of the key, unlike TABLESAMPLE/rand()) ───────────────────
+    "q_sample_hash" -> q(
+      c => c.orders
+        .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2) < "29")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_sampled"),
+             exactSum(col("o_totalprice"), 2, 2).as("sampled_revenue")),
+      s"""SELECT o_orderstatus, count(*) AS n_sampled,
+        | ${exactSumSql("o_totalprice", 2, 2)} AS sampled_revenue
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '29'
+        |GROUP BY 1""".stripMargin),
+
+    // ── sorted collect aggregates (emitted as strings: array values
+    //    deserialize differently per engine/reader) ────────────────────
+    "q_collect_agg" -> q(
+      c => c.lineitem
+        .filter(col("l_orderkey") % 100 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+            _.cast("string")), ",").as("linenumbers"),
+          array_join(sort_array(collect_set(col("l_returnflag"))), ",")
+            .as("returnflags"),
+          count(lit(1)).as("n_items")),
+      """SELECT l_orderkey,
+        | array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+        | array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS returnflags,
+        | count(*) AS n_items
+        |FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1""".stripMargin),
+
+    // ── exact percentiles (interpolating; both engines use p·(n−1)) ───
+    "q_percentiles" -> q(
+      c => c.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          rnd6(percentile(col("l_quantity"), lit(0.25))).as("qty_p25"),
+          rnd6(percentile(col("l_quantity"), lit(0.5))).as("qty_p50"),
+          rnd6(percentile(col("l_quantity"), lit(0.75))).as("qty_p75"),
+          rnd6(percentile(col("l_extendedprice"), lit(0.5))).as("price_median"),
+          count(lit(1)).as("n_items")),
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_quantity, 0.25) * 1000000 + 0.5) / 1000000 AS qty_p25,
+        | floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) / 1000000 AS qty_p50,
+        | floor(quantile_cont(l_quantity, 0.75) * 1000000 + 0.5) / 1000000 AS qty_p75,
+        | floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) / 1000000 AS price_median,
+        | count(*) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin),
+
+    // ── calendar gap-fill (time-series resample: sequence + explode
+    //    left-joined to observed daily counts) ────────────────────────
+    "q_gap_fill" -> q(
+      c => {
+        val daily = c.events
+          .filter(col("user_id") % 100 === 0)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n_events"))
+        val span = daily.groupBy(col("user_id").as("span_user"))
+          .agg(min("d").as("d0"), max("d").as("d1"))
+        val calendar = span.select(col("span_user"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        calendar
+          .join(daily, calendar("span_user") === daily("user_id") &&
+                       calendar("day") === daily("d"), "left_outer")
+          .select(col("span_user").as("user_id"), dateStr(col("day")).as("day"),
+                  coalesce(col("n_events"), lit(0L)).as("n_events"))
+      },
+      """WITH daily AS (
+        | SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_events
+        | FROM events WHERE user_id % 100 = 0 GROUP BY 1, 2
+        |), span AS (
+        | SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+        |), calendar AS (
+        | SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM span
+        |)
+        |SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+        | coalesce(d.n_events, 0) AS n_events
+        |FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.d""".stripMargin),
+
+    // ── binned interval join: revenue landing in each monthly promo
+    //    window (first 10 days of every month in the data's span) ──────
+    "q_range_join" -> q(
+      c => {
+        val windows = c.lineitem
+          .select(date_trunc("month", col("l_shipdate")).as("w_start"))
+          .distinct()
+          .withColumn("w_end", date_add(to_date(col("w_start")), 9))
+        val joined = RangeJoin.binnedByDay(
+          c.lineitem.select(col("l_shipdate"), col("l_extendedprice"), col("l_discount")),
+          windows, col("l_shipdate"), col("w_start"), col("w_end"), binDays = 16)
+        joined.groupBy(dateStr(col("w_start")).as("window_start"))
+          .agg(count(lit(1)).as("n_items"),
+               exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4, 2)
+                 .as("window_revenue"))
+      },
+      s"""WITH w AS (
+        | SELECT DISTINCT date_trunc('month', l_shipdate) AS w_start,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) + 9 AS w_end
+        | FROM lineitem
+        |)
+        |SELECT strftime(w_start, '%Y-%m-%d') AS window_start,
+        | count(*) AS n_items,
+        | ${exactSumSql("l_extendedprice * (1 - l_discount)", 4, 2)} AS window_revenue
+        |FROM lineitem JOIN w
+        |  ON CAST(l_shipdate AS DATE) >= CAST(w_start AS DATE)
+        | AND CAST(l_shipdate AS DATE) <= w_end
+        |GROUP BY 1""".stripMargin),
+  )
+}

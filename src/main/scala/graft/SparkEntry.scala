@@ -8,7 +8,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     gold.Gold.customerInsights(Ctx(spark, "/root/testdata/sf0.001"))
 
-  private def allDefs = Queries.defs ++ QueriesText.defs
+  private def allDefs = Queries.defs ++ QueriesText.defs ++ QueriesAnalytics.defs
 
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * beyond-reference training-data pipeline ops). */
