@@ -166,7 +166,13 @@ object QueriesText {
     "q_ngram_jaccard" -> q(
       c => {
         graft.functions.NativeFunctions.register(c.spark)
-        val d = docWords(c).withColumn("ws", array_sort(col("ws")))
+        // dictionary-encode the token set ONCE per doc (xxhash64 →
+        // sorted long array): the 622k-pair self-join then ships 8-byte
+        // elements and the per-pair merge walk compares primitives —
+        // same Jaccard value as the word arrays (hash is injective on
+        // the corpus modulo a ~2^-64 collision)
+        val d = docWords(c)
+          .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))
           .withColumn("n", size(col("ws")))
         val a = d.select(col("source"), col("doc_id").as("doc_a"),
                          col("ws").as("ws_a"), col("n").as("n_a"))
@@ -197,7 +203,9 @@ object QueriesText {
     "q_dedup_clusters" -> q(
       c => {
         graft.functions.NativeFunctions.register(c.spark)
-        val d = docWords(c).withColumn("ws", array_sort(col("ws")))
+        // hashed token sets — same rationale as q_ngram_jaccard
+        val d = docWords(c)
+          .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))
           .withColumn("n", size(col("ws")))
         val a = d.select(col("source"), col("doc_id").as("id_a"),
                          col("ws").as("ws_a"), col("n").as("n_a"))

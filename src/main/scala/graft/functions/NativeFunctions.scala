@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the similarity hot path
   * (SURVEY §7.6 preference order: custom Expression over UDF).
@@ -119,6 +119,83 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard |A∩B| / |A∪B| of two SORTED distinct arrays in ONE merge
+  * walk (the intersect-count formulation evaluates the walk twice —
+  * once for the numerator, once inside the union size). Supports
+  * array<string> and array<long> elements; the long form is the fast
+  * path for set-similarity joins: dictionary-encode tokens with
+  * xxhash64 first, and the per-pair work becomes primitive 8-byte
+  * compares instead of UTF8 lexicographic compares (and the arrays
+  * shrink ~4× through the join). A 64-bit hash collision would perturb
+  * the count with probability ~|A|·|B|/2^64 per pair — negligible at
+  * any realistic corpus size.
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaccard expects two array<string> or two array<long>, got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  private def isLong = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    val longs = isLong
+    while (i < nx && j < ny) {
+      val cmp =
+        if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - c
+    if (union == 0) 0.0 else c.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val u = ctx.freshName("u")
+      val cmpExpr =
+        if (isLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $cmpExpr;
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) $i++;
+         |  else $j++;
+         |}
+         |int $u = $nx + $ny - $c;
+         |${ev.value} = $u == 0 ? 0.0 : (double) $c / $u;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeFunctions {
   /** Idempotent per-session registration; expressions are then usable
     * from both the Column API (call_function) and spark.sql. */
@@ -128,6 +205,9 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_intersect_count",
       exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard",
+      exprs => SortedJaccard(exprs.head, exprs(1)), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -135,11 +215,15 @@ object NativeFunctions {
   def intersectCount(a: Column, b: Column): Column =
     call_function("graft_intersect_count", a, b)
 
-  /** Jaccard of two sorted-distinct string arrays, allocation-free. */
-  def sortedJaccard(a: Column, b: Column): Column = {
-    val inter = intersectCount(a, b).cast("double")
-    inter / (org.apache.spark.sql.functions.size(a) +
-             org.apache.spark.sql.functions.size(b) -
-             intersectCount(a, b))
-  }
+  /** Jaccard of two sorted-distinct arrays (string or long elements),
+    * allocation-free single merge walk. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    call_function("graft_jaccard", a, b)
+
+  /** Dictionary-encode a distinct token array into the sorted long
+    * array [[SortedJaccard]]'s fast path consumes. */
+  def hashedTokenSet(tokens: Column): Column =
+    org.apache.spark.sql.functions.array_sort(
+      org.apache.spark.sql.functions.transform(tokens,
+        t => org.apache.spark.sql.functions.xxhash64(t)))
 }

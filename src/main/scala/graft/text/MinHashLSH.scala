@@ -79,7 +79,11 @@ object MinHashLSH {
       .getOrElse(sigs0)
     val cand = candidatePairs(sigs, idCol, bands, k / bands, blockCol)
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val sets = docs.select(col(idCol), array_sort(col(tokensCol)).as("toks"))
+    // hashed token sets: the verification join ships sorted long
+    // arrays and the exact-Jaccard walk compares primitives (same
+    // value as the word arrays modulo a ~2^-64 hash collision)
+    val sets = docs.select(col(idCol),
+      graft.functions.NativeFunctions.hashedTokenSet(col(tokensCol)).as("toks"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
