@@ -375,6 +375,29 @@ object QueriesText {
         .toDF()
         .select("asset_id", "kind", "byte_len", "checksum")),
 
+    // frame-sampling stub (1→N video shape): the oracle replays the
+    // frame arithmetic (fixed 256-byte frames, every 2nd sampled,
+    // trailing partial dropped, short payloads yield one short frame)
+    "q_multimodal_frames" -> q(
+      c => Multimodal
+        .frameSampleStub(Multimodal.fromDocuments(c.documents),
+                         everyNth = 2, frameBytes = 256)
+        .toDF()
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_frames"),
+             sum(octet_length(col("frame_bytes")).cast("long")).as("sampled_bytes")),
+      """WITH a AS (
+        | SELECT doc_id AS asset_id, octet_length(encode(text)) AS blen
+        | FROM documents
+        |), f AS (
+        | SELECT asset_id, blen, greatest(1, blen // 256) AS nf FROM a
+        |)
+        |SELECT asset_id,
+        | CAST((nf + 1) // 2 AS BIGINT) AS n_frames,
+        | CAST(CASE WHEN blen < 256 THEN blen
+        |           ELSE 256 * ((nf + 1) // 2) END AS BIGINT) AS sampled_bytes
+        |FROM f""".stripMargin),
+
     // stateful sessionizer (flatMapGroupsWithState) run in batch mode:
     // emits every CLOSED session, i.e. q_sessionize minus each user's
     // final (still-open) session — the invariant a probe can check

@@ -1,7 +1,7 @@
 package graft.gold
 
 import graft.Ctx
-import graft.functions.CrossEngine.{dateStr, exactAvg, exactSum, rnd2, rnd4}
+import graft.functions.CrossEngine.{dateStr, exactAvg, exactSum, rnd2, rnd4, units}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,18 +34,29 @@ object Gold {
   /** daily_sales (docs/etl_processes.md:425-437). Faithful quirk: the
     * reference joins orders×items first, so sum/avg of the order total
     * are over *joined rows* (weighted by item count) and order_count is
-    * countDistinct. Reproduced as written. */
-  def dailySales(c: Ctx): DataFrame =
-    c.orders.join(c.lineitem, col("o_orderkey") === col("l_orderkey"))
+    * countDistinct. Values reproduced as written — but computed from a
+    * per-order pre-aggregate: lineitem collapses to (orderkey, n_items)
+    * before the join, the joined-row sums become n_items-weighted order
+    * sums, countDistinct(orderkey) becomes a plain count (one row per
+    * order post-join), and the remaining distinct-customer expand runs
+    * on per-order rows, not per-item rows. Bit-identical output (the
+    * weighted integer-unit sums are the same integers; the double ops
+    * mirror exactSum/exactAvg operand-for-operand). */
+  def dailySales(c: Ctx): DataFrame = {
+    val perOrder = c.lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"))
+    val wUnits = sum(units(col("o_totalprice"), 2) * col("n_items"))
+    c.orders.join(perOrder, col("o_orderkey") === col("l_orderkey"))
       .groupBy(dateStr(col("o_orderdate")).as("order_date"))
       .agg(
-        exactSum(col("o_totalprice"), 2, 2).as("total_sales"),
-        countDistinct("o_orderkey").as("order_count"),
-        exactAvg(col("o_totalprice"), 2, 4).as("avg_order_value"),
+        (floor(wUnits / 1.0 + 0.5) / 100.0).as("total_sales"),
+        count(lit(1)).as("order_count"),
+        (floor(wUnits * 100 / sum("n_items") + 0.5) / 10000.0).as("avg_order_value"),
         countDistinct("o_custkey").as("unique_customers"),
-        count(lit(1)).as("total_items"),
-        rnd4(count(lit(1)).cast("double") / countDistinct("o_orderkey"))
+        sum("n_items").as("total_items"),
+        rnd4(sum("n_items").cast("double") / count(lit(1)))
           .as("items_per_order"))
+  }
 
   /** product_performance (docs/etl_processes.md:490-500).
     *

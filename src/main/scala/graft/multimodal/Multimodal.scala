@@ -59,4 +59,49 @@ object Multimodal {
         DecodedFeatures(id, kind, len, checksum, hist)
       })
   }
+
+  final case class Frame(
+    asset_id: Long, frame_idx: Int, pts_ms: Long, frame_bytes: Array[Byte])
+
+  /** STUB frame sampler: the 1→N shape of video processing — each
+    * asset explodes into every `everyNth`-th fixed-size "frame" of its
+    * payload (a real decoder would emit decoded keyframes; 40 ms/frame
+    * ≈ 25 fps presentation timestamps). flatMap-over-partitions is the
+    * contract a demuxer integration needs: per-asset fan-out decided
+    * executor-side, no driver round-trip, output row count unknown at
+    * plan time. Trailing bytes after the last whole frame are dropped
+    * (payloads shorter than one frame yield a single short frame). */
+  def frameSampleStub(assets: DataFrame, everyNth: Int = 2,
+                      frameBytes: Int = 256): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nFrames = math.max(1, payload.length / frameBytes)
+        (0 until nFrames by everyNth).iterator.map { f =>
+          val start = f * frameBytes
+          val end = math.min(payload.length, start + frameBytes)
+          Frame(id, f, f * 40L,
+                java.util.Arrays.copyOfRange(payload, start, end))
+        }
+      }
+  }
+
+  /** STUB resizer: the 1→1 payload-transform shape of image
+    * processing — deterministically subsamples every `factor`-th byte
+    * (a real implementation calls libvips/ImageIO here) and rewrites
+    * the metadata struct for the new byte length. */
+  def resizeStub(assets: DataFrame, factor: Int = 4): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload", "meta.kind", "meta.source")
+      .as[(Long, Array[Byte], String, String)]
+      .mapPartitions(_.map { case (id, p, kind, src) =>
+        val out = Array.tabulate(math.max(1, p.length / factor))(i => p(i * factor))
+        (id, out, kind, src)
+      })
+      .toDF("asset_id", "payload", "kind", "source")
+      .select(col("asset_id"), col("payload"),
+        struct(col("kind"),
+               octet_length(col("payload")).cast("long").as("byte_len"),
+               col("source")).as("meta"))
+  }
 }

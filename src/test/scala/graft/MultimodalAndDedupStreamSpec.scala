@@ -1,0 +1,81 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.DedupStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class MultimodalAndDedupStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def assets = Multimodal.fromDocuments(Seq(
+    (1L, "x" * 1000, "srcA"),   // 3 full frames + dropped tail
+    (2L, "y" * 100, "srcA"),    // shorter than one frame
+    (3L, "z" * 512, "srcB")     // exactly 2 frames
+  ).toDF("doc_id", "text", "source"))
+
+  test("frame sampler: 1→N fan-out, frame arithmetic, deterministic bytes") {
+    val frames = Multimodal.frameSampleStub(assets, everyNth = 2, frameBytes = 256)
+      .collect().groupBy(_.asset_id)
+    // 1000B → nf=3, sampled idx {0,2}: 256B each
+    assert(frames(1L).map(f => (f.frame_idx, f.frame_bytes.length)).sorted.toSeq ==
+      Seq((0, 256), (2, 256)))
+    // 100B → one short frame
+    assert(frames(2L).map(f => (f.frame_idx, f.frame_bytes.length)).toSeq == Seq((0, 100)))
+    // 512B → nf=2, sampled idx {0}
+    assert(frames(3L).map(f => (f.frame_idx, f.frame_bytes.length)).toSeq == Seq((0, 256)))
+    // pts: 25fps stub (40 ms per frame index)
+    assert(frames(1L).find(_.frame_idx == 2).get.pts_ms == 80L)
+    // deterministic across runs
+    val again = Multimodal.frameSampleStub(assets, everyNth = 2, frameBytes = 256)
+      .collect().map(f => (f.asset_id, f.frame_idx, f.frame_bytes.toSeq)).toSet
+    val first = Multimodal.frameSampleStub(assets, everyNth = 2, frameBytes = 256)
+      .collect().map(f => (f.asset_id, f.frame_idx, f.frame_bytes.toSeq)).toSet
+    assert(again == first)
+  }
+
+  test("resize stub: payload subsampled, metadata struct rewritten") {
+    val resized = Multimodal.resizeStub(assets, factor = 4)
+    assert(resized.columns.toSeq == Seq("asset_id", "payload", "meta"))
+    val rows = resized.select("asset_id", "meta.byte_len", "meta.kind", "meta.source")
+      .as[(Long, Long, String, String)].collect().toMap2
+    assert(rows(1L) == ((250L, "text", "srcA")))
+    assert(rows(2L) == ((25L, "text", "srcA")))
+    // byte_len in metadata matches the actual payload
+    val check = resized.select(col("asset_id"),
+      (octet_length(col("payload")).cast("long") === col("meta.byte_len")).as("ok"))
+      .as[(Long, Boolean)].collect()
+    assert(check.forall(_._2))
+  }
+
+  private implicit class MapOps[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("streaming dedup within watermark: duplicates across microbatches collapse") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    def e(id: Long, t: String) =
+      Ev(id, Timestamp.valueOf(t), id, "click", 1.0, "{}")
+
+    val deduped = DedupStream.exactOnceWithinWatermark(
+      ms.toDF(), "ts", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(e(1, "2024-01-01 10:00:00"), e(2, "2024-01-01 10:01:00"),
+                 e(1, "2024-01-01 10:00:00"))           // dup in same batch
+      q.processAllAvailable()
+      ms.addData(e(2, "2024-01-01 10:01:00"),           // dup across batches
+                 e(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
