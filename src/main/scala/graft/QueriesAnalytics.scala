@@ -298,6 +298,28 @@ object QueriesAnalytics {
         | coalesce(d.n_events, 0) AS n_events
         |FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.d""".stripMargin),
 
+    // ── sliding event-time windows (1 h window, 30 min slide): the
+    //    batch twin of the streaming windowed aggregation; each event
+    //    lands in exactly window/slide = 2 windows, which the oracle
+    //    replays by exploding k ∈ {0,1} over the 1800 s grid ──────────
+    "q_sliding_window" -> q(
+      c => c.events
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss")
+                  .as("window_start"),
+                col("event_type"), col("n_events")),
+      """WITH e AS (
+        | SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type FROM events
+        |), w AS (
+        | SELECT ((sec // 1800) - k) * 1800 AS ws, event_type
+        | FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        |)
+        |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin),
+
     // ── binned interval join: revenue landing in each monthly promo
     //    window (first 10 days of every month in the data's span) ──────
     "q_range_join" -> q(

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{CrossEngine, NativeFunctions}
+import graft.operators.{RangeJoin, Upsert}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the core operators — randomized
+  * inputs catch the edge cases example tests miss (empty sets,
+  * single-element arrays, all-duplicate keys, intervals straddling bin
+  * boundaries, negative values). Generators are sampled with fixed
+  * seeds (scalacheck's scalatest bridge isn't in the offline cache),
+  * so failures are reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic generator sampling: seeds 0..n-1. */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+         .getOrElse(fail(s"generator failed at seed $i")))
+
+  private val tokens = Gen.listOf(Gen.oneOf(
+    "a", "b", "c", "dd", "ee", "ff", "gg", "hh", "longertoken", "z9"))
+
+  test("sortedJaccard over hashed token sets equals the set-theoretic Jaccard") {
+    NativeFunctions.register(spark)
+    val cases = samples(Gen.zip(tokens, tokens), 30)
+    val got = cases.toDF("a", "b")
+      .select(NativeFunctions.sortedJaccard(
+        NativeFunctions.hashedTokenSet(array_distinct(col("a"))),
+        NativeFunctions.hashedTokenSet(array_distinct(col("b")))).as("j"))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), j) =>
+      val sa = a.toSet; val sb = b.toSet
+      val expected =
+        if (sa.union(sb).isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expected) < 1e-12, s"a=$a b=$b")
+    }
+  }
+
+  test("upsert is idempotent and update-wins on random batches") {
+    val keyVal = Gen.listOf(Gen.zip(Gen.choose(0L, 20L), Gen.choose(0, 1000)))
+    samples(Gen.zip(keyVal, keyVal), 10).foreach { case (t, u) =>
+      val target = t.toDF("k", "v").dropDuplicates("k")
+      val updates = u.toDF("k", "v").dropDuplicates("k")
+      val once = Upsert.upsert(target, updates, Seq("k"))
+      val twice = Upsert.upsert(once, updates, Seq("k"))
+      val got = once.as[(Long, Int)].collect().toMap
+      val gotTwice = twice.as[(Long, Int)].collect().toMap
+      val expected = target.as[(Long, Int)].collect().toMap ++
+        updates.as[(Long, Int)].collect().toMap
+      assert(got == expected)
+      assert(gotTwice == expected)
+      // pk uniqueness is preserved
+      assert(once.count() == once.select("k").distinct().count())
+    }
+  }
+
+  test("binned range join equals the naive between-join for random intervals") {
+    val pts = Gen.listOf(Gen.choose(-100L, 100L))
+    val ivs = Gen.listOf(Gen.zip(Gen.choose(-100L, 100L), Gen.choose(0L, 40L)))
+    val widths = Gen.oneOf(1L, 3L, 16L, 64L)
+    samples(Gen.zip(pts, ivs, widths), 10).foreach { case (ps, is, w) =>
+      val points = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("pid", "pt")
+      val intervals = is.zipWithIndex.map { case ((s, len), i) =>
+        (i.toLong, s, s + len) }.toDF("iid", "s", "e")
+      val binned = RangeJoin.binned(points, intervals, "pt", "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val naive = points.join(intervals,
+          col("pt") >= col("s") && col("pt") <= col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"w=$w ps=$ps is=$is")
+    }
+  }
+
+  test("exactSum matches BigDecimal arithmetic on random cent amounts") {
+    val cents = Gen.nonEmptyListOf(Gen.choose(-10000000L, 10000000L))
+    samples(cents, 20).foreach { cs =>
+      val doubles = cs.map(c => c / 100.0)
+      val expected = BigDecimal(cs.sum) / 100
+      val got = doubles.toDF("v")
+        .agg(CrossEngine.exactSum(col("v"), 2, 2).as("s"))
+        .as[Double].head()
+      assert(BigDecimal(got) == expected, s"cs=$cs")
+    }
+  }
+}
