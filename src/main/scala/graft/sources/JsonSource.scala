@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSON-lines source (beyond the reference's CSV ingest — the other
+  * format a training-data landing zone actually receives: crawler
+  * output, API event logs).
+  *
+  * Mirrors the engine's two-phase CSV contract (SURVEY §2.1 S1 +
+  * P10): schema is declared, not inferred twice, and malformed records
+  * follow the same null-on-error / quarantine discipline as the cast
+  * loop — PERMISSIVE mode routes unparseable lines to a corrupt-record
+  * column so the caller can split valid/rejected exactly like
+  * `Validation.split`. Scale: schema'd JSON parsing is a pure per-row
+  * projection (no shuffle, whole file-parallel).
+  */
+object JsonSource {
+  val CorruptCol = "_corrupt_record"
+
+  /** Schema'd json-lines read with corrupt-record capture. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField(CorruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** (valid-without-corrupt-col, corrupt-lines) split. Spark requires
+    * caching a frame that filters on the corrupt column alone (the
+    * parser prunes it otherwise), so this materializes once. */
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    (cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
+     cached.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
+  }
+
+  /** Parse a JSON string column against a declared schema (the
+    * in-table variant: events.props-style payload columns).
+    * Unparseable strings become a NULL struct — same null-on-error
+    * contract as Casting.castTo. */
+  def parseColumn(df: DataFrame, jsonCol: String, schema: StructType,
+                  outCol: String): DataFrame =
+    df.withColumn(outCol, from_json(col(jsonCol), schema))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.sources.JsonSource
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+class ExtensionsAndJsonSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects native functions via spark.sql.extensions") {
+    // A separate session in the same JVM: getOrCreate would reuse the
+    // shared test session, so build via a fresh context config. The
+    // extension must make graft_* resolvable in SQL TEXT with no
+    // per-session register() call.
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val newSession = spark.newSession() // extensions survive cloning
+      val j = newSession.sql(
+        "SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+        .head().getDouble(0)
+      assert(math.abs(j - 0.5) < 1e-12)
+      val d = newSession.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+      val sig = newSession.sql(
+        "SELECT graft_minhash_sig(t, 4) AS s FROM VALUES ('a'), ('b') AS v(t)")
+        .head().getSeq[Long](0)
+      assert(sig.length == 4)
+    } finally {
+      // do not stop(): the SparkContext is shared with the suite session
+    }
+  }
+
+  test("json-lines source: schema'd read, corrupt-record quarantine, column parse") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("json")
+    Files.write(Paths.get(s"$dir/events.jsonl"), java.util.Arrays.asList(
+      """{"event_id": 1, "kind": "click", "value": 2.5}""",
+      """{"event_id": 2, "kind": "view"}""",
+      """not json at all""",
+      """{"event_id": "NaNsense", "kind": 7}"""))
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("kind", StringType),
+      StructField("value", DoubleType)))
+    val (valid, corrupt) = JsonSource.split(
+      JsonSource.read(spark, s"$dir/events.jsonl", schema))
+
+    // line 4 parses as JSON but fails the schema → PERMISSIVE nulls the
+    // uncastable fields and keeps the raw line in the corrupt column
+    assert(corrupt.count() == 2)
+    val rows = valid.as[(Option[Long], String, Option[Double])].collect().toSet
+    assert(rows == Set((Some(1L), "click", Some(2.5)), (Some(2L), "view", None)))
+
+    // in-table JSON payload parse (props-style)
+    val parsed = JsonSource.parseColumn(
+      Seq((1L, """{"k": 42}"""), (2L, "oops")).toDF("id", "props"),
+      "props", StructType(Seq(StructField("k", LongType))), "p")
+      .select(col("id"), col("p.k"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(parsed == Set((1L, Some(42L)), (2L, None)))
+  }
+}
