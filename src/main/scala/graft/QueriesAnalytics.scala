@@ -298,6 +298,59 @@ object QueriesAnalytics {
         | coalesce(d.n_events, 0) AS n_events
         |FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.d""".stripMargin),
 
+    // ── IQR outlier detection: per-group quartiles → 1.5·IQR fences →
+    //    count of out-of-fence rows (data-quality screening at scale:
+    //    quartiles aggregate once, fences broadcast back) ─────────────
+    "q_outlier_iqr" -> q(
+      c => {
+        val qs = c.events.groupBy(col("event_type"))
+          .agg(rnd6(percentile(col("value"), lit(0.25))).as("p25"),
+               rnd6(percentile(col("value"), lit(0.75))).as("p75"))
+        c.events.join(broadcast(qs), "event_type")
+          .withColumn("lo", col("p25") - (col("p75") - col("p25")) * 1.5)
+          .withColumn("hi", col("p75") + (col("p75") - col("p25")) * 1.5)
+          .filter(col("value") < col("lo") || col("value") > col("hi"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_outliers"),
+               rnd2(min("value")).as("min_outlier"),
+               rnd2(max("value")).as("max_outlier"))
+      },
+      """WITH qs AS (
+        | SELECT event_type,
+        |  floor(quantile_cont(value, 0.25) * 1000000 + 0.5) / 1000000 AS p25,
+        |  floor(quantile_cont(value, 0.75) * 1000000 + 0.5) / 1000000 AS p75
+        | FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*) AS n_outliers,
+        | floor(min(value) * 100 + 0.5) / 100 AS min_outlier,
+        | floor(max(value) * 100 + 0.5) / 100 AS max_outlier
+        |FROM events e JOIN qs ON e.event_type = qs.event_type
+        |WHERE value < p25 - (p75 - p25) * 1.5
+        |   OR value > p75 + (p75 - p25) * 1.5
+        |GROUP BY 1""".stripMargin),
+
+    // ── supplier-side star join (completes table coverage: the last
+    //    unexercised testdata table) ───────────────────────────────────
+    "q_supplier_share" -> q(
+      c => c.lineitem
+        .join(broadcast(c.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c.nation.select(col("n_nationkey"), col("n_name"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4, 2)
+               .as("supplied_revenue"),
+             countDistinct("s_suppkey").as("n_suppliers"),
+             count(lit(1)).as("n_items")),
+      s"""SELECT n_name,
+        | ${exactSumSql("l_extendedprice * (1 - l_discount)", 4, 2)} AS supplied_revenue,
+        | count(DISTINCT s_suppkey) AS n_suppliers,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin),
+
     // ── sliding event-time windows (1 h window, 30 min slide): the
     //    batch twin of the streaming windowed aggregation; each event
     //    lands in exactly window/slide = 2 windows, which the oracle

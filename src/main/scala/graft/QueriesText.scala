@@ -243,6 +243,96 @@ object QueriesText {
     // 1-(1-0.9^8)^8 ≈ 99%, but false candidates at J≈0.5 drop from
     // ~64% (r=4) to ~3% — on this duplicate-heavy corpus that's 10×
     // fewer candidate pairs to exact-verify, the dominant cost.
+    // best-of-cluster dedup: same CC labels as q_dedup_clusters, but
+    // the survivor policy keeps the highest-n_chars doc per cluster
+    // (ties → min id) — the production "keep the best copy" rule.
+    // Unpaired docs are singleton clusters.
+    "q_dedup_survivors" -> q(
+      c => {
+        graft.functions.NativeFunctions.register(c.spark)
+        val d = docWords(c)
+          .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))
+          .withColumn("n", size(col("ws")))
+        val a = d.select(col("source"), col("doc_id").as("id_a"),
+                         col("ws").as("ws_a"), col("n").as("n_a"))
+        val b = d.select(col("source"), col("doc_id").as("id_b"),
+                         col("ws").as("ws_b"), col("n").as("n_b"))
+        val pairs = a.join(b, Seq("source"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(least(col("n_a"), col("n_b")) * 10 >=
+                  greatest(col("n_a"), col("n_b")) * 9)
+          .filter(graft.functions.NativeFunctions
+            .sortedJaccard(col("ws_a"), col("ws_b")) >= 0.9)
+          .select("id_a", "id_b")
+        DedupClusters.survivorsBy(c.documents, "doc_id", "n_chars", pairs)
+      },
+      s"""WITH RECURSIVE d AS (
+        | SELECT doc_id, source, $wsSql AS ws FROM documents
+        |), pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |), e AS (
+        | SELECT doc_a AS a, doc_b AS b FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs
+        |), reach(a, b) AS (
+        | SELECT a, b FROM e
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |), labels AS (
+        | SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        |), clustered AS (
+        | SELECT doc_id, coalesce(l.cluster_id, doc_id) AS cluster_id, n_chars
+        | FROM documents LEFT JOIN labels l ON doc_id = l.id
+        |)
+        |SELECT doc_id, cluster_id, n_chars FROM (
+        | SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |   ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM clustered) WHERE rn = 1""".stripMargin),
+
+    // vocabulary extraction: global token frequencies, top-20 — the
+    // first step of building a tokenizer vocab over a corpus
+    "q_word_freq" -> q(
+      c => {
+        val tokens = c.documents.select(col("doc_id"),
+          explode(TF.words(col("text"))).as("word"))
+        val counts = tokens.groupBy("word")
+          .agg(count(lit(1)).as("n_occurrences"),
+               countDistinct("doc_id").as("n_docs"))
+        val w = Window.orderBy(col("n_occurrences").desc, col("word"))
+        counts.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+      },
+      """WITH t AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        | FROM documents
+        |), a AS (
+        | SELECT word, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        | FROM t GROUP BY 1
+        |)
+        |SELECT word, n_occurrences, n_docs, rk FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC, word)
+        |   AS BIGINT) AS rk FROM a) WHERE rk <= 20""".stripMargin),
+
+    // stratified deterministic sampling: first 25 docs per language in
+    // md5 order — balanced per-class samples, reproducible across
+    // engines and partitionings (unlike rand()-based sampleBy)
+    "q_stratified_sample" -> q(
+      c => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        c.documents
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 25)
+          .select(col("lang"), col("doc_id"), col("rk"))
+      },
+      """SELECT lang, doc_id, rk FROM (
+        | SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        | FROM documents) WHERE rk <= 25""".stripMargin),
+
     "q_minhash_neardup" -> q(
       c => MinHashLSH
         .nearDuplicates(docWords(c), "doc_id", "ws",

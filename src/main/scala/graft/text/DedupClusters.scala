@@ -127,4 +127,26 @@ object DedupClusters {
       .select(col("id").as(idCol))
     allIds.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Policy-driven survivor selection: keep the highest-`scoreCol` doc
+    * per cluster (ties → min id) instead of the arbitrary min-id
+    * representative — the production dedup policy (keep the longest /
+    * highest-quality copy, drop the rest). Unpaired docs form
+    * singleton clusters and always survive. Returns
+    * (idCol, cluster_id, scoreCol) — one row per cluster. */
+  def survivorsBy(docs: DataFrame, idCol: String, scoreCol: String,
+                  pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs)
+    val scored = docs.select(col(idCol), col(scoreCol))
+      .join(comps.withColumnRenamed("id", "__cc_id"),
+            col(idCol) === col("__cc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .drop("__cc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cluster_id"), col(scoreCol))
+  }
 }
