@@ -11,32 +11,26 @@ import java.nio.file.{Files, Paths}
 class ExtensionsAndJsonSpec extends AnyFunSuite {
 
   test("GraftExtensions injects native functions via spark.sql.extensions") {
-    // A separate session in the same JVM: getOrCreate would reuse the
-    // shared test session, so build via a fresh context config. The
-    // extension must make graft_* resolvable in SQL TEXT with no
-    // per-session register() call.
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val newSession = spark.newSession() // extensions survive cloning
-      val j = newSession.sql(
+    // TestSpark's session is built with
+    // spark.sql.extensions=graft.functions.GraftExtensions; the graft_*
+    // functions must resolve in SQL TEXT with no per-session register()
+    // call, both on the session itself and on newSession() clones
+    // (the thrift-server / streaming-restart path).
+    val spark = TestSpark.spark
+    val newSession = spark.newSession()
+    for (s <- Seq(spark, newSession)) {
+      val j = s.sql(
         "SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
         .head().getDouble(0)
       assert(math.abs(j - 0.5) < 1e-12)
-      val d = newSession.sql(
+      val d = s.sql(
         "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .head().getDouble(0)
       assert(d == 11.0)
-      val sig = newSession.sql(
+      val sig = s.sql(
         "SELECT graft_minhash_sig(t, 4) AS s FROM VALUES ('a'), ('b') AS v(t)")
         .head().getSeq[Long](0)
       assert(sig.length == 4)
-    } finally {
-      // do not stop(): the SparkContext is shared with the suite session
     }
   }
 

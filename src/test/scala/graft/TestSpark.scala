@@ -7,6 +7,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // config-path extension injection: ExtensionsAndJsonSpec asserts
+      // the graft_* functions resolve in SQL text because of this line
+      // (per-session register() calls would mask a broken extension)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
