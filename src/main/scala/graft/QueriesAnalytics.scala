@@ -298,6 +298,58 @@ object QueriesAnalytics {
         | coalesce(d.n_events, 0) AS n_events
         |FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.d""".stripMargin),
 
+    // ── CDC snapshot diff: what changed between two table versions —
+    //    deletions (key%7=3), updates (key%10=0 → status U), inserts
+    //    (key%13=0 cloned to key+10M); the oracle recomputes the
+    //    classification from the construction rules ──────────────────
+    "q_snapshot_diff" -> q(
+      c => {
+        val before = c.orders.select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val after = before
+          .filter(col("o_orderkey") % 7 =!= 3)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 10 === 0, "U").otherwise(col("o_orderstatus")))
+          .unionByName(before.filter(col("o_orderkey") % 13 === 0)
+            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+                    col("o_orderstatus"), col("o_totalprice")))
+        graft.tables.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
+      },
+      """SELECT o_orderkey, 'deleted' AS change FROM orders WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT o_orderkey, 'updated' FROM orders
+        |WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 = 0 AND o_orderstatus <> 'U'
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'inserted' FROM orders
+        |WHERE o_orderkey % 13 = 0""".stripMargin),
+
+    // ── SCD2 dimension merge: changed keys close the open version and
+    //    append a new one; the oracle replays the three row families ──
+    "q_scd2" -> q(
+      c => {
+        val current = c.customer.select(
+          col("c_custkey"), col("c_mktsegment"),
+          lit("2000-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val updates = c.customer.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"))
+        graft.operators.Scd2
+          .merge(current, updates, Seq("c_custkey"), Seq("c_mktsegment"),
+                 effectiveTs = "2001-06-01")
+          .select(col("c_custkey"), col("c_mktsegment"),
+                  dateStr(col("valid_from")).as("valid_from"),
+                  dateStr(col("valid_to")).as("valid_to"))
+      },
+      """SELECT c_custkey, c_mktsegment, '2000-01-01' AS valid_from,
+        | CAST(NULL AS VARCHAR) AS valid_to
+        |FROM customer WHERE c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, '2000-01-01', '2001-06-01'
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'MOVED', '2001-06-01', CAST(NULL AS VARCHAR)
+        |FROM customer WHERE c_custkey % 10 = 0""".stripMargin),
+
     // ── IQR outlier detection: per-group quartiles → 1.5·IQR fences →
     //    count of out-of-fence rows (data-quality screening at scale:
     //    quartiles aggregate once, fences broadcast back) ─────────────
