@@ -111,4 +111,51 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val cs = cols.map(org.apache.spark.sql.functions.col)
     overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*))
   }
+
+  // ── version retention (Delta time-travel parity, single-writer) ────
+  // Instead of deleting the tombstone after a swap, versioned
+  // overwrites archive the previous live dir under <path>.versions/v<n>
+  // (monotonic counter) and prune to a retention count — the
+  // read-old-snapshot / rollback use cases of Delta time travel
+  // (docs/data_model.md:312-316 retention windows) without a
+  // transaction log. Archival is one directory rename: no data copy.
+
+  private def versionsRoot = new Path(s"$path.versions")
+
+  /** Archived version numbers, ascending (empty when none kept). */
+  def versions: Seq[Long] =
+    if (!fs.exists(versionsRoot)) Nil
+    else fs.listStatus(versionsRoot).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).sorted
+
+  /** Atomic replace that archives the outgoing live data as the next
+    * version and prunes archives beyond `retain`. */
+  def overwriteVersioned(df: DataFrame, retain: Int = 3): Unit = {
+    val tag = UUID.randomUUID().toString.take(8)
+    val staged = s"$path.staged-$tag"
+    write(df, staged)
+    val live = new Path(path)
+    if (fs.exists(live)) {
+      val next = versions.lastOption.getOrElse(0L) + 1
+      fs.mkdirs(versionsRoot)
+      fs.rename(live, new Path(versionsRoot, s"v$next"))
+    }
+    fs.rename(new Path(staged), live)
+    versions.dropRight(retain).foreach(v =>
+      fs.delete(new Path(versionsRoot, s"v$v"), true))
+  }
+
+  /** Read an archived version (time travel). */
+  def readVersion(v: Long): DataFrame = {
+    val p = new Path(versionsRoot, s"v$v")
+    require(fs.exists(p), s"version $v of $path is not retained")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Roll the live table back to an archived version (the rollback
+    * path of time travel): the archived data becomes live again via
+    * a versioned overwrite, so the pre-rollback state is itself
+    * archived. */
+  def rollbackTo(v: Long): Unit = overwriteVersioned(readVersion(v))
 }

@@ -49,4 +49,23 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(t.read.count() == 3)
     assert(new java.io.File(s"$dir/p").list().exists(_.startsWith("part=")))
   }
+
+  test("versioned overwrite: time travel, retention pruning, rollback") {
+    val dir = TestSpark.tmpDir("lake")
+    val t = LakehouseTable(spark, s"$dir/tt", Seq("k"))
+    (1 to 5).foreach { i =>
+      t.overwriteVersioned(Seq((i, s"gen$i")).toDF("k", "v"), retain = 2)
+    }
+    // live = gen5; archives pruned to the last two (v3 = gen3, v4 = gen4)
+    assert(t.read.as[(Int, String)].head() == ((5, "gen5")))
+    assert(t.versions == Seq(3L, 4L))
+    assert(t.readVersion(4).as[(Int, String)].head() == ((4, "gen4")))
+    intercept[IllegalArgumentException](t.readVersion(1))
+
+    // rollback: v3 becomes live again, pre-rollback state is archived
+    t.rollbackTo(3)
+    assert(t.read.as[(Int, String)].head() == ((3, "gen3")))
+    assert(t.versions.nonEmpty)
+    assert(t.readVersion(t.versions.last).as[(Int, String)].head() == ((5, "gen5")))
+  }
 }
