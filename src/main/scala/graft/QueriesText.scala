@@ -391,6 +391,20 @@ object QueriesText {
         |   ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rn
         | FROM scored) WHERE rn <= 5""".stripMargin),
 
+    // LSH-bucketed ANN (the second scale path next to IVF): sign-bit
+    // hyperplane buckets → collision candidates → exact rerank.
+    // Internals (hash-derived hyperplanes) aren't SQL-expressible →
+    // rows-only; recall vs brute force pinned in SimilaritySpec.
+    "q_ann_lsh" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        Similarity
+          .lshTopK(all.filter(col("id") % 50 === 0), all, k = 5,
+                   nbits = 64, bands = 16, rnd6)
+          .select(col("query_id"), col("vec_id"), col("cos_r"),
+                  col("rn").cast("long").as("rn"))
+      }),
+
     "q_ann_ivf" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")

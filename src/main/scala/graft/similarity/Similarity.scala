@@ -135,4 +135,56 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("cos_r"), col("rn"))
   }
+
+  /** Random-hyperplane (sign-bit) LSH bucketing — the other classic
+    * ANN scale path next to IVF. Each vector gets `nbits` sign bits
+    * (sign of ⟨v, h_p⟩ for hyperplane p); bits group into `bands`
+    * buckets; near vectors (small angle) collide in ≥1 band with high
+    * probability. Hyperplane weights are derived from xxhash64(p·4096
+    * + dim) — deterministic across runs/executors with no side state
+    * to distribute. Returns one (id, band, bucket) row per band. */
+  def lshBuckets(prepared: DataFrame, nbits: Int, bands: Int): DataFrame = {
+    require(nbits % bands == 0, "nbits must be divisible by bands")
+    val r = nbits / bands
+    val dims = size(col("v"))
+    // sign bit p: sum over dims of v[d] · w(p,d), w uniform in [-1, 1]
+    def bit(p: Int): Column = when(
+      aggregate(sequence(lit(0), dims - 1), lit(0.0d),
+        (acc, d) => acc + element_at(col("v"), d + 1) *
+          ((pmod(xxhash64(lit(p * 4096L) + d), lit(2001L)) - 1000L) / 1000.0)
+      ) >= 0, 1L).otherwise(0L)
+    val buckets = (0 until bands).map { b =>
+      (0 until r).map(i => bit(b * r + i) * (1L << i)).reduce(_ + _).as(s"__bk$b")
+    }
+    prepared.select(col("id") +: buckets: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"__bk$b")): _*))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** LSH-bucketed approximate top-k: bucket-collision candidates,
+    * exact-cosine rerank. Work is |collisions| + rerank, vs |Q|·|C|
+    * brute force; like MinHash LSH, the bucket join is the only
+    * all-pairs step and its size is bounded by construction. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nbits: Int, bands: Int,
+              roundedCos: Column => Column): DataFrame = {
+    val qb = broadcast(lshBuckets(queries, nbits, bands)
+      .withColumnRenamed("id", "query_id"))
+    val cand = lshBuckets(corpus, nbits, bands)
+      .join(qb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select("query_id", "id").distinct()
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn")))
+    val scored = cand
+      .join(corpus.select(col("id"), col("v"), col("nrm")), "id")
+      .join(q, "query_id")
+      .withColumn("cos_r", roundedCos(cosine(col("qv"), col("v"), col("qn"), col("nrm"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id").as("vec_id"), col("cos_r"), col("rn"))
+  }
 }

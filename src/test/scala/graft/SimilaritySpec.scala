@@ -48,4 +48,22 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (ivf & bf).size.toDouble / bf.size
     assert(recall >= 0.5, s"ivf recall $recall too low")
   }
+
+  test("lsh topk on testdata: k results per query, recall vs brute force") {
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+    val queries = all.filter(col("id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(queries, all, 5, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    val lsh = Similarity.lshTopK(queries, all, 5, nbits = 64, bands = 16, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    // LSH may return < k when buckets are sparse; never more
+    assert(lsh.size <= bf.size)
+    val recall = (lsh & bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"lsh recall $recall too low")
+    // deterministic across runs (hash-derived hyperplanes, no RNG state)
+    val again = Similarity.lshTopK(queries, all, 5, nbits = 64, bands = 16, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(again == lsh)
+  }
 }
