@@ -47,6 +47,31 @@ object EtlMain {
       println(f"[etl] $name%-26s rows=${spark.read.parquet(s"$warehouse/$name").count()}%7d")
     }
 
+    // SCD2 history for the products dimension: silver_products is SCD1
+    // overwrite (reference is_active/last_updated_timestamp,
+    // docs/data_model.md:104-105); the history table preserves prior
+    // attribute versions with validity intervals. Effective date is
+    // pinned (env-overridable) so a rerun of the same batch is a
+    // no-op — the pipeline-wide idempotence contract.
+    {
+      import org.apache.spark.sql.functions.{col, lit}
+      val hist = graft.tables.LakehouseTable(
+        spark, s"$warehouse/silver_products_history", Seq("product_id"))
+      val attrs = Seq("department_id", "department", "product_name")
+      val updates = spark.read.parquet(s"$warehouse/silver_products")
+        .select(("product_id" +: attrs).map(col): _*)
+      val current =
+        if (hist.exists) hist.read
+        else updates.limit(0)
+          .withColumn("valid_from", lit(null).cast("date"))
+          .withColumn("valid_to", lit(null).cast("date"))
+      val merged = graft.operators.Scd2.merge(current, updates,
+        Seq("product_id"), attrs,
+        sys.env.getOrElse("SPARK_GRAFT_ETL_DATE", "2025-06-01"))
+      hist.overwrite(merged)
+      println(f"[etl] silver_products_history      rows=${hist.read.count()}%7d")
+    }
+
     // smoke stage: LIMIT-5 liveness per output table
     Seq("silver_products", "silver_orders", "silver_order_items")
       .foreach { t =>
