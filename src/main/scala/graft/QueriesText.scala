@@ -502,6 +502,56 @@ object QueriesText {
         |           ELSE 256 * ((nf + 1) // 2) END AS BIGINT) AS sampled_bytes
         |FROM f""".stripMargin),
 
+    // built-in session_window in batch (the native API twin of the
+    // lag+running-sum sessionizer): sessions merge while the gap is
+    // STRICTLY under 48 h — the oracle replays that boundary exactly
+    // (>= 172800 starts a new session). ts truncated to seconds on
+    // both sides so the boundary comparison sees identical values.
+    "q_session_window" -> q(
+      c => c.events
+        .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
+        .groupBy(col("user_id"), session_window(col("tss"), "48 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                unix_timestamp(col("sw.start")).as("start_sec"),
+                unix_timestamp(col("sw.end")).as("end_sec"),
+                col("n_events")),
+      """WITH e AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), g AS (
+        | SELECT user_id, sec,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 172800
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+        |), s AS (
+        | SELECT user_id, sec,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY sec
+        |       ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g
+        |)
+        |SELECT user_id, min(sec) AS start_sec,
+        | max(sec) + 172800 AS end_sec, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin),
+
+    // the classic MinHash pipeline over SHINGLES
+    // (shingle→minhash→band→bucket-join): 3-word shingles are order-
+    // SENSITIVE, so reordered rewrites that bag-of-words Jaccard calls
+    // near-dups correctly do NOT match here (exhaustive ground truth on
+    // this corpus: exactly one pair ≥ 0.5, J = 0.97 — verified in
+    // DuckDB). LSH recall < 1 ⟹ not oracle-able; rows-only.
+    "q_minhash_shingles" -> q(
+      c => {
+        val sh = c.documents.select(col("doc_id"), col("source"),
+          array_distinct(TF.shingles(TF.words(col("text")), 3)).as("sh"))
+        // shingle-Jaccard runs far below word-set Jaccard on edited
+        // near-dups (one word swap kills 3 shingles), so the operating
+        // point is J≥0.5 with 16×4 banding (collision ≈ 64 % at 0.5,
+        // ≈ 99 % at 0.7)
+        MinHashLSH.nearDuplicates(sh, "doc_id", "sh",
+            k = 64, bands = 16, threshold = 0.5, blockCol = Some("source"))
+          .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))
+      }),
+
     // stateful sessionizer (flatMapGroupsWithState) run in batch mode:
     // emits every CLOSED session, i.e. q_sessionize minus each user's
     // final (still-open) session — the invariant a probe can check
