@@ -541,14 +541,19 @@ object QueriesText {
     // DuckDB). LSH recall < 1 ⟹ not oracle-able; rows-only.
     "q_minhash_shingles" -> q(
       c => {
-        val sh = c.documents.select(col("doc_id"), col("source"),
-          array_distinct(TF.shingles(TF.words(col("text")), 3)).as("sh"))
-        // shingle-Jaccard runs far below word-set Jaccard on edited
-        // near-dups (one word swap kills 3 shingles), so the operating
-        // point is J≥0.5 with 16×4 banding (collision ≈ 64 % at 0.5,
-        // ≈ 99 % at 0.7)
+        // materialize the words array behind a project boundary before
+        // shingling: TF.shingles(TF.words(...), 3) would inline the
+        // regex split into every element_at inside the transform lambda
+        // (~3·n_shingles splits per doc, interpreted)
+        val sh = c.documents
+          .withColumn("w", TF.words(col("text")))
+          .select(col("doc_id"), col("source"),
+                  array_distinct(TF.shingles(col("w"), 3)).as("sh"))
+        // 8×8 banding like q_minhash_neardup: this corpus's word-set
+        // dups are order-shuffled (shingle-J ≈ 0), so loose banding
+        // would drown the join in candidates that all verify to 0
         MinHashLSH.nearDuplicates(sh, "doc_id", "sh",
-            k = 64, bands = 16, threshold = 0.5, blockCol = Some("source"))
+            k = 64, bands = 8, threshold = 0.8, blockCol = Some("source"))
           .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))
       }),
 

@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_jaccard",
         "graft_jaccard(a, b) - Jaccard similarity of two sorted distinct arrays"),
       (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_bits"),
+      info("graft_lsh_bits",
+        "graft_lsh_bits(v, nbits) - packed sign-bit LSH signature of array<double>"),
+      (exprs: Seq[Expression]) => LshSignBits(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(token, k) - k-element MinHash signature aggregate"),

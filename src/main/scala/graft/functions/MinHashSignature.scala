@@ -39,16 +39,32 @@ case class MinHashSignature(child: Expression, k: Int,
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
 
+  @transient private lazy val isLongInput: Boolean =
+    child.dataType == org.apache.spark.sql.types.LongType
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      var i = 0
-      while (i < k) {
-        val h = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, seeds(i))
-        if (h < buf(i)) buf(i) = h
-        i += 1
+      if (isLongInput) {
+        // pre-hashed token (xxhash64(token)): per-plane hash is an
+        // 8-byte mix instead of rehashing the token bytes k times —
+        // the fast path for long/shingled tokens
+        val t = v.asInstanceOf[Long]
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(t, seeds(i))
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
+      } else {
+        val s = v.asInstanceOf[UTF8String]
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, seeds(i))
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
       }
     }
     buf

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -196,6 +196,66 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Packed sign-bit LSH signature of a double vector in ONE codegen'd
+  * pass: bit p = sign of ⟨v, h_p⟩ with hyperplane weights
+  * w(p,d) = (pmod(xxhash64(p·4096+d), 2001) − 1000)/1000 — exactly the
+  * values the functions._ formulation produces, so swapping it in
+  * cannot change buckets. The HOF formulation (aggregate inside
+  * transform) is CodegenFallback and walks the vector once per PLANE
+  * with interpreted lambdas — nbits×dims closure calls per row; this
+  * expression is a primitive double loop. nbits ≤ 64 (packed long).
+  */
+case class LshSignBits(child: Expression, nbits: Int)
+    extends UnaryExpression {
+  require(nbits >= 1 && nbits <= 64, "nbits must be in [1, 64]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bits expects array<double>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bits"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    LshSignBits.pack(v, nbits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.LshSignBits.pack($a, $nbits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSignBits {
+  /** Hyperplane weight w(p,d) — bit-identical to
+    * (pmod(xxhash64(lit(p*4096L)+d), 2001) - 1000) / 1000.0. */
+  def weight(p: Int, d: Int): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(p * 4096L + d, 42L)
+    (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
+  }
+
+  /** One pass over the vector per plane, primitive arithmetic only —
+    * called from both interpreted eval and generated code. */
+  def pack(v: ArrayData, nbits: Int): Long = {
+    val n = v.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < nbits) {
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += v.getDouble(d) * weight(p, d); d += 1 }
+      if (s >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
+
 object NativeFunctions {
   /** Idempotent per-session registration; expressions are then usable
     * from both the Column API (call_function) and spark.sql. */
@@ -208,7 +268,15 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard",
       exprs => SortedJaccard(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_bits",
+      exprs => LshSignBits(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      "scala_udf")
   }
+
+  /** Packed sign-bit LSH signature (see [[LshSignBits]]). */
+  def lshBits(v: Column, nbits: Int): Column =
+    call_function("graft_lsh_bits", v, org.apache.spark.sql.functions.lit(nbits))
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 

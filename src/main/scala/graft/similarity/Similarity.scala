@@ -145,21 +145,17 @@ object Similarity {
     * to distribute. Returns one (id, band, bucket) row per band. */
   def lshBuckets(prepared: DataFrame, nbits: Int, bands: Int): DataFrame = {
     require(nbits % bands == 0, "nbits must be divisible by bands")
+    graft.functions.NativeFunctions.register(prepared.sparkSession)
     val r = nbits / bands
-    val dims = size(col("v"))
-    // sign bit p: sum over dims of v[d] · w(p,d), w uniform in [-1, 1]
-    def bit(p: Int): Column = when(
-      aggregate(sequence(lit(0), dims - 1), lit(0.0d),
-        (acc, d) => acc + element_at(col("v"), d + 1) *
-          ((pmod(xxhash64(lit(p * 4096L) + d), lit(2001L)) - 1000L) / 1000.0)
-      ) >= 0, 1L).otherwise(0L)
-    val buckets = (0 until bands).map { b =>
-      (0 until r).map(i => bit(b * r + i) * (1L << i)).reduce(_ + _).as(s"__bk$b")
-    }
-    prepared.select(col("id") +: buckets: _*)
-      .select(col("id"),
-        posexplode(array((0 until bands).map(b => col(s"__bk$b")): _*))
-          .as(Seq("band", "bucket")))
+    val mask = (1L << r) - 1
+    // all nbits sign bits in ONE codegen'd pass (LshSignBits), then
+    // each band's bucket is a shift+mask over the packed long
+    val withBits = prepared.select(col("id"),
+      graft.functions.NativeFunctions.lshBits(col("v"), nbits).as("__bits"))
+    withBits.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__bits"), b * r).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
   }
 
   /** LSH-bucketed approximate top-k: bucket-collision candidates,

@@ -29,7 +29,16 @@ object MinHashLSH {
   def signatures(docs: DataFrame, idCol: String, tokensCol: String,
                  k: Int): DataFrame = {
     graft.functions.MinHashSignature.register(docs.sparkSession)
-    docs.select(col(idCol), explode(col(tokensCol)).as("tok"))
+    // explode_outer + attribute filter, NOT plain explode: for explode,
+    // InferFiltersFromGenerate adds Filter(size(tokens) > 0) and
+    // predicate pushdown inlines the token expression into it BELOW
+    // whatever projection materialized its inputs — for derived token
+    // columns (shingles over a words array) that re-expands the
+    // underlying regex split per element_at, turning a 0.3s scan into
+    // ~9s. explode_outer generates no such filter; the null-token
+    // filter on the GENERATED attribute is unpushable and free.
+    docs.select(col(idCol), explode_outer(col(tokensCol)).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col(idCol))
       .agg(graft.functions.MinHashSignature.sig(col("tok"), k).as("sig"))
   }
@@ -69,21 +78,26 @@ object MinHashLSH {
   }
 
   /** Full near-dup detection: candidates + exact Jaccard ≥ threshold.
-    * `docs` must carry (idCol, tokensCol) with distinct tokens. */
+    * `docs` must carry (idCol, tokensCol) with distinct tokens.
+    *
+    * Tokens are dictionary-encoded ONCE up front (xxhash64 → sorted
+    * long array); the minhash aggregate then mixes 8-byte values per
+    * plane instead of rehashing token bytes k times, and the exact-
+    * Jaccard verification reuses the same hashed arrays — one
+    * tokenization pass feeds the whole pipeline. */
   def nearDuplicates(docs: DataFrame, idCol: String, tokensCol: String,
                      k: Int, bands: Int, threshold: Double,
                      blockCol: Option[String] = None): DataFrame = {
-    val sigs0 = signatures(docs, idCol, tokensCol, k)
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val hashed = docs.select(
+      (col(idCol) +: blockCol.map(col).toSeq) :+
+        graft.functions.NativeFunctions.hashedTokenSet(col(tokensCol)).as("toks"): _*)
+    val sigs0 = signatures(hashed, idCol, "toks", k)
     val sigs = blockCol
-      .map(bc => sigs0.join(docs.select(col(idCol), col(bc)), Seq(idCol)))
+      .map(bc => sigs0.join(hashed.select(col(idCol), col(bc)), Seq(idCol)))
       .getOrElse(sigs0)
     val cand = candidatePairs(sigs, idCol, bands, k / bands, blockCol)
-    graft.functions.NativeFunctions.register(docs.sparkSession)
-    // hashed token sets: the verification join ships sorted long
-    // arrays and the exact-Jaccard walk compares primitives (same
-    // value as the word arrays modulo a ~2^-64 hash collision)
-    val sets = docs.select(col(idCol),
-      graft.functions.NativeFunctions.hashedTokenSet(col(tokensCol)).as("toks"))
+    val sets = hashed.select(col(idCol), col("toks"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
