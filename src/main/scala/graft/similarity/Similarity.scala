@@ -72,18 +72,25 @@ object Similarity {
     * loss on weakly-clustered data; iterations are O(iters · |corpus| ·
     * K) with no driver-side state, so the same code runs at cluster
     * scale. */
+  /** argmax-by-cosine as an AGGREGATE, not a rank window: max_by with
+    * a (cos, -cid) ordering struct gets map-side partial aggregation —
+    * each task reduces its slice of the candidates×vectors product to
+    * one running best per vector, instead of shuffling and sorting the
+    * whole product per id. Tie-break matches orderBy(cos desc, cid
+    * asc). `payload` is what to keep for the winner. */
+  private def argmaxByCos(pairs: DataFrame, payload: Column): DataFrame =
+    pairs.groupBy(col("id"))
+      .agg(max_by(payload,
+        struct(cosine(col("cv"), col("v"), col("cn"), col("nrm")),
+               -col("cid"))).as("best"))
+
   def refineCentroids(all: DataFrame, centroids: DataFrame,
                       iters: Int): DataFrame =
     (1 to iters).foldLeft(centroids) { (cent, _) =>
-      val assigned = {
-        val w = Window.partitionBy(col("id"))
-          .orderBy(cosine(col("cv"), col("v"), col("cn"), col("nrm")).desc,
-                   col("cid"))
-        all.crossJoin(broadcast(cent))
-          .withColumn("crn", row_number().over(w))
-          .filter(col("crn") === 1)
-          .select(col("cid"), col("v"))
-      }
+      val assigned = argmaxByCos(
+          all.crossJoin(broadcast(cent)),
+          struct(col("cid"), col("v")))
+        .select(col("best.cid").as("cid"), col("best.v").as("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim")).agg(avg("x").as("m"))
@@ -118,9 +125,14 @@ object Similarity {
         .filter(col("crn") <= n)
     }
 
-    val assigned = nearestCentroids(all, 1)
-      .select(col("id").as("vec_id"), col("cid"), col("v").as("cvec"),
-              col("nrm").as("cnrm"))
+    // corpus→centroid assignment via the aggregate argmax (map-side
+    // partial reduction over the corpus×centroid product); the query
+    // side keeps the rank window — it needs top-nprobe, and the
+    // query set is small by construction
+    val assigned = argmaxByCos(all.crossJoin(cent),
+        struct(col("cid"), col("v"), col("nrm")))
+      .select(col("id").as("vec_id"), col("best.cid").as("cid"),
+              col("best.v").as("cvec"), col("best.nrm").as("cnrm"))
     val probes = nearestCentroids(queries, nprobe)
       .select(col("id").as("query_id"), col("cid"), col("v").as("qv"),
               col("nrm").as("qn"))
