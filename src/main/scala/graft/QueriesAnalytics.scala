@@ -298,6 +298,32 @@ object QueriesAnalytics {
         | coalesce(d.n_events, 0) AS n_events
         |FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.d""".stripMargin),
 
+    // ── DecimalType aggregation (SURVEY §1.2: gold DDL declares
+    //    DECIMAL(15,2)/DECIMAL(5,4)): exact decimal sums + a decimal
+    //    multiply, converted to double only at the very end — both
+    //    engines sum exactly and round identically on the one
+    //    decimal→double conversion ─────────────────────────────────────
+    "q_decimal_agg" -> q(
+      c => c.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(15,2)")).as("dsum"),
+          sum(col("l_extendedprice").cast("decimal(15,2)") *
+              lit("1.10").cast("decimal(3,2)")).as("dsum_up"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("dqty"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"),
+                col("dsum").cast("double").as("sum_price"),
+                col("dsum_up").cast("double").as("sum_price_up"),
+                col("dqty").cast("double").as("sum_qty"),
+                col("n_items")),
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST('1.10' AS DECIMAL(3,2))) AS DOUBLE) AS sum_price_up,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin),
+
     // ── CDC snapshot diff: what changed between two table versions —
     //    deletions (key%7=3), updates (key%10=0 → status U), inserts
     //    (key%13=0 cloned to key+10M); the oracle recomputes the
