@@ -26,6 +26,33 @@ object QueriesText {
     c.documents.select(col("doc_id"), col("source"),
                        TF.wordSet(col("text")).as("ws"))
 
+  /** Source-blocked exact near-dup pairs over hashed word sets:
+    * dictionary-encode once (sorted long arrays), self-join per
+    * source, exact length-ratio prune (J ≥ num/den ⟹ den·min(|A|,|B|)
+    * ≥ num·max(|A|,|B|) — an int compare codegen evaluates before the
+    * O(|A|+|B|) merge walk), then single-pass sortedJaccard ≥
+    * threshold. Shared by the ngram/cluster/survivor queries so the
+    * pruning logic lives in exactly one place. */
+  private def jaccardPairs(c: Ctx, threshold: Double,
+                           num: Int, den: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(c.spark)
+    val d = docWords(c)
+      .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))
+      .withColumn("n", size(col("ws")))
+    val a = d.select(col("source"), col("doc_id").as("id_a"),
+                     col("ws").as("ws_a"), col("n").as("n_a"))
+    val b = d.select(col("source"), col("doc_id").as("id_b"),
+                     col("ws").as("ws_b"), col("n").as("n_b"))
+    a.join(b, Seq("source"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")) * den >=
+              greatest(col("n_a"), col("n_b")) * num)
+      .withColumn("jaccard",
+        graft.functions.NativeFunctions.sortedJaccard(col("ws_a"), col("ws_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val wsSql   = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
 
@@ -164,32 +191,9 @@ object QueriesText {
 
     // ── set-similarity dedup family ───────────────────────────────────
     "q_ngram_jaccard" -> q(
-      c => {
-        graft.functions.NativeFunctions.register(c.spark)
-        // dictionary-encode the token set ONCE per doc (xxhash64 →
-        // sorted long array): the 622k-pair self-join then ships 8-byte
-        // elements and the per-pair merge walk compares primitives —
-        // same Jaccard value as the word arrays (hash is injective on
-        // the corpus modulo a ~2^-64 collision)
-        val d = docWords(c)
-          .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))
-          .withColumn("n", size(col("ws")))
-        val a = d.select(col("source"), col("doc_id").as("doc_a"),
-                         col("ws").as("ws_a"), col("n").as("n_a"))
-        val b = d.select(col("source"), col("doc_id").as("doc_b"),
-                         col("ws").as("ws_b"), col("n").as("n_b"))
-        a.join(b, Seq("source"))
-          .filter(col("doc_a") < col("doc_b"))
-          // length prefilter: J ≥ 0.8 ⟹ 5·min(|A|,|B|) ≥ 4·max(|A|,|B|);
-          // an exact int compare that codegen evaluates before the
-          // O(|A|+|B|) intersect — prunes most candidate pairs for free
-          .filter(least(col("n_a"), col("n_b")) * 5 >=
-                  greatest(col("n_a"), col("n_b")) * 4)
-          .withColumn("j",
-            graft.functions.NativeFunctions.sortedJaccard(col("ws_a"), col("ws_b")))
-          .filter(col("j") >= 0.8)
-          .select(col("doc_a"), col("doc_b"), rnd4(col("j")).as("jaccard"))
-      },
+      c => jaccardPairs(c, threshold = 0.8, num = 4, den = 5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+                rnd4(col("jaccard")).as("jaccard")),
       s"""WITH d AS (SELECT doc_id, source, $wsSql AS ws FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | floor(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
@@ -201,26 +205,9 @@ object QueriesText {
     // near-dup pairs → connected components → dedup clusters
     // (min-id label propagation; oracle = recursive transitive closure)
     "q_dedup_clusters" -> q(
-      c => {
-        graft.functions.NativeFunctions.register(c.spark)
-        // hashed token sets — same rationale as q_ngram_jaccard
-        val d = docWords(c)
-          .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))
-          .withColumn("n", size(col("ws")))
-        val a = d.select(col("source"), col("doc_id").as("id_a"),
-                         col("ws").as("ws_a"), col("n").as("n_a"))
-        val b = d.select(col("source"), col("doc_id").as("id_b"),
-                         col("ws").as("ws_b"), col("n").as("n_b"))
-        val pairs = a.join(b, Seq("source"))
-          .filter(col("id_a") < col("id_b"))
-          // J ≥ 0.9 ⟹ 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) — exact prune
-          .filter(least(col("n_a"), col("n_b")) * 10 >=
-                  greatest(col("n_a"), col("n_b")) * 9)
-          .filter(graft.functions.NativeFunctions
-            .sortedJaccard(col("ws_a"), col("ws_b")) >= 0.9)
-          .select("id_a", "id_b")
-        DedupClusters.connectedComponents(pairs)
-      },
+      c => DedupClusters.connectedComponents(
+        jaccardPairs(c, threshold = 0.9, num = 9, den = 10)
+          .select("id_a", "id_b")),
       s"""WITH RECURSIVE d AS (
         | SELECT doc_id, source, $wsSql AS ws FROM documents
         |), pairs AS (
@@ -248,24 +235,9 @@ object QueriesText {
     // (ties → min id) — the production "keep the best copy" rule.
     // Unpaired docs are singleton clusters.
     "q_dedup_survivors" -> q(
-      c => {
-        graft.functions.NativeFunctions.register(c.spark)
-        val d = docWords(c)
-          .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))
-          .withColumn("n", size(col("ws")))
-        val a = d.select(col("source"), col("doc_id").as("id_a"),
-                         col("ws").as("ws_a"), col("n").as("n_a"))
-        val b = d.select(col("source"), col("doc_id").as("id_b"),
-                         col("ws").as("ws_b"), col("n").as("n_b"))
-        val pairs = a.join(b, Seq("source"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(least(col("n_a"), col("n_b")) * 10 >=
-                  greatest(col("n_a"), col("n_b")) * 9)
-          .filter(graft.functions.NativeFunctions
-            .sortedJaccard(col("ws_a"), col("ws_b")) >= 0.9)
-          .select("id_a", "id_b")
-        DedupClusters.survivorsBy(c.documents, "doc_id", "n_chars", pairs)
-      },
+      c => DedupClusters.survivorsBy(c.documents, "doc_id", "n_chars",
+        jaccardPairs(c, threshold = 0.9, num = 9, den = 10)
+          .select("id_a", "id_b")),
       s"""WITH RECURSIVE d AS (
         | SELECT doc_id, source, $wsSql AS ws FROM documents
         |), pairs AS (

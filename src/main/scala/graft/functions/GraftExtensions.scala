@@ -22,27 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("graft_intersect_count"),
-      info("graft_intersect_count",
-        "graft_intersect_count(a, b) - |A∩B| of two sorted arrays"),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("graft_jaccard"),
-      info("graft_jaccard",
-        "graft_jaccard(a, b) - Jaccard similarity of two sorted distinct arrays"),
-      (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("graft_lsh_bits"),
-      info("graft_lsh_bits",
-        "graft_lsh_bits(v, nbits) - packed sign-bit LSH signature of array<double>"),
-      (exprs: Seq[Expression]) => LshSignBits(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
-    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
-      info("graft_minhash_sig",
-        "graft_minhash_sig(token, k) - k-element MinHash signature aggregate"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    // same registry the per-session register() consumes — one list,
+    // two registration paths, no drift
+    NativeFunctions.registry.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
 }

@@ -98,12 +98,9 @@ case class MinHashSignature(child: Expression, k: Int,
 }
 
 object MinHashSignature {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig",
-      exprs => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]),
-      "scala_udf")
+  /** Delegates to the shared registry so the function list lives in
+    * exactly one place ([[NativeFunctions.registry]]). */
+  def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   def sig(tok: Column, k: Int): Column =
     call_function("graft_minhash_sig", tok, org.apache.spark.sql.functions.lit(k))

@@ -257,22 +257,37 @@ object LshSignBits {
 }
 
 object NativeFunctions {
+  /** Single source of truth for the native function surface —
+    * (name, usage, builder), consumed by BOTH the per-session
+    * [[register]] and the config-path [[GraftExtensions]]. A function
+    * added here is automatically available on both registration paths;
+    * maintaining two lists previously meant a function could work in
+    * ad-hoc sessions yet silently fail to resolve on
+    * extension-configured deployments. */
+  val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+     "graft_dot(a, b) - dot product of two array<double>",
+     exprs => DotProduct(exprs.head, exprs(1))),
+    ("graft_intersect_count",
+     "graft_intersect_count(a, b) - |A∩B| of two sorted arrays",
+     exprs => SortedIntersectCount(exprs.head, exprs(1))),
+    ("graft_jaccard",
+     "graft_jaccard(a, b) - Jaccard similarity of two sorted distinct arrays",
+     exprs => SortedJaccard(exprs.head, exprs(1))),
+    ("graft_lsh_bits",
+     "graft_lsh_bits(v, nbits) - packed sign-bit LSH signature of array<double>",
+     exprs => LshSignBits(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    ("graft_minhash_sig",
+     "graft_minhash_sig(token, k) - k-element MinHash signature aggregate",
+     exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+
   /** Idempotent per-session registration; expressions are then usable
     * from both the Column API (call_function) and spark.sql. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_intersect_count",
-      exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jaccard",
-      exprs => SortedJaccard(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_bits",
-      exprs => LshSignBits(exprs.head, exprs(1).eval().asInstanceOf[Int]),
-      "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 
   /** Packed sign-bit LSH signature (see [[LshSignBits]]). */
   def lshBits(v: Column, nbits: Int): Column =

@@ -95,7 +95,10 @@ object Multimodal {
     assets.select("asset_id", "payload", "meta.kind", "meta.source")
       .as[(Long, Array[Byte], String, String)]
       .mapPartitions(_.map { case (id, p, kind, src) =>
-        val out = Array.tabulate(math.max(1, p.length / factor))(i => p(i * factor))
+        // empty payload → empty output (math.max(1, …) here would index
+        // p(0) on a zero-length array); sub-factor payloads keep byte 0
+        val n = if (p.isEmpty) 0 else math.max(1, p.length / factor)
+        val out = Array.tabulate(n)(i => p(i * factor))
         (id, out, kind, src)
       })
       .toDF("asset_id", "payload", "kind", "source")

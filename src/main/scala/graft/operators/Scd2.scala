@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension type 2 merge — versioned dimension rows
@@ -31,7 +31,11 @@ object Scd2 {
     val closed = current.filter(col(vt).isNotNull)
     val open   = current.filter(col(vt).isNull)
 
-    val u = updates.select(
+    // one update row per key: duplicate keys in a batch would fan the
+    // join out and emit several open versions for one key (arbitrary-
+    // winner dedup, the same contract as Upsert / the reference's
+    // dropDuplicates-before-MERGE)
+    val u = updates.dropDuplicates(pk).select(
       pk.map(c => col(c).as(s"__u_$c")) ++
         attrs.map(c => col(c).as(s"__u_$c")): _*)
     val joinCond = pk.map(c => col(c) === col(s"__u_$c")).reduce(_ && _)
@@ -41,20 +45,28 @@ object Scd2 {
     val hasUpdate = pk.map(c => col(s"__u_$c").isNotNull).reduce(_ && _)
     val changed   = attrs.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
 
-    // open versions that survive as-is: no update, or update is a no-op
-    val keptOpen = j.filter(hasOpen && (!hasUpdate || !changed))
-      .select(current.columns.map(col): _*)
-    // open versions closed by a changed update
-    val closedNow = j.filter(hasOpen && hasUpdate && changed)
-      .select(pk.map(col) ++ attrs.map(col) :+
-        col(vf) :+ lit(effectiveTs).cast("date").as(vt): _*)
-    // new open versions: changed update or brand-new key
-    val opened = j.filter(hasUpdate && (!hasOpen || changed))
-      .select(pk.map(c => col(s"__u_$c").as(c)) ++
-        attrs.map(c => col(s"__u_$c").as(c)) :+
-        lit(effectiveTs).cast("date").as(vf) :+
-        lit(null).cast("date").as(vt): _*)
+    val ets = lit(effectiveTs).cast("date")
+    def out(pkc: String => Column, attrc: String => Column,
+            vfc: Column, vtc: Column): Column = struct(
+      pk.map(c => pkc(c).as(c)) ++ attrs.map(c => attrc(c).as(c)) :+
+        vfc.as(vf) :+ vtc.as(vt): _*)
 
-    closed.unionByName(keptOpen).unionByName(closedNow).unionByName(opened)
+    // a join row yields 1-2 output rows; emitting them as an exploded
+    // when-array keeps this a SINGLE pass over the join (three
+    // filter+union branches would execute the full-outer join three
+    // times — the inputs are exchange-reused but the join itself is not)
+    val keptOpen = when(hasOpen && (!hasUpdate || !changed),
+      out(col, col, col(vf), col(vt)))
+    val closedNow = when(hasOpen && hasUpdate && changed,
+      out(col, col, col(vf), ets))
+    val opened = when(hasUpdate && (!hasOpen || changed),
+      out(c => col(s"__u_$c"), c => col(s"__u_$c"), ets, lit(null).cast("date")))
+
+    val merged = j
+      .select(explode(filter(array(keptOpen, closedNow, opened),
+                             _.isNotNull)).as("__r"))
+      .select(col("__r.*"))
+
+    closed.unionByName(merged.select(current.columns.map(col): _*))
   }
 }

@@ -77,19 +77,21 @@ object Similarity {
     * each task reduces its slice of the candidates×vectors product to
     * one running best per vector, instead of shuffling and sorting the
     * whole product per id. Tie-break matches orderBy(cos desc, cid
-    * asc). `payload` is what to keep for the winner. */
-  private def argmaxByCos(pairs: DataFrame, payload: Column): DataFrame =
+    * asc); `score` must be the same cosine expression the rank-window
+    * formulation ordered by (rounded vs raw changes assignments at the
+    * rounding boundary). `payload` is what to keep for the winner. */
+  private def argmaxByCos(pairs: DataFrame, payload: Column,
+                          score: Column): DataFrame =
     pairs.groupBy(col("id"))
-      .agg(max_by(payload,
-        struct(cosine(col("cv"), col("v"), col("cn"), col("nrm")),
-               -col("cid"))).as("best"))
+      .agg(max_by(payload, struct(score, -col("cid"))).as("best"))
 
   def refineCentroids(all: DataFrame, centroids: DataFrame,
                       iters: Int): DataFrame =
     (1 to iters).foldLeft(centroids) { (cent, _) =>
       val assigned = argmaxByCos(
           all.crossJoin(broadcast(cent)),
-          struct(col("cid"), col("v")))
+          struct(col("cid"), col("v")),
+          cosine(col("cv"), col("v"), col("cn"), col("nrm")))
         .select(col("best.cid").as("cid"), col("best.v").as("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -130,7 +132,9 @@ object Similarity {
     // side keeps the rank window — it needs top-nprobe, and the
     // query set is small by construction
     val assigned = argmaxByCos(all.crossJoin(cent),
-        struct(col("cid"), col("v"), col("nrm")))
+        struct(col("cid"), col("v"), col("nrm")),
+        // rounded, matching the rank-window ordering this replaced
+        roundedCos(cosine(col("cv"), col("v"), col("cn"), col("nrm"))))
       .select(col("id").as("vec_id"), col("best.cid").as("cid"),
               col("best.v").as("cvec"), col("best.nrm").as("cnrm"))
     val probes = nearestCentroids(queries, nprobe)

@@ -19,22 +19,28 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object JsonSource {
   val CorruptCol = "_corrupt_record"
 
-  /** Schema'd json-lines read with corrupt-record capture. */
+  /** Schema'd json-lines read with corrupt-record capture.
+    *
+    * Reads the file as TEXT and parses with from_json rather than
+    * using the raw JSON relation: Spark disallows queries whose
+    * referenced columns prune down to only `_corrupt_record` on a raw
+    * JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — `corrupt.count()`
+    * trips it after column pruning), and the sanctioned workaround is
+    * cache(), which leaks blocks for the session lifetime. Parsing a
+    * text relation has no such restriction, needs no materialization,
+    * and is the same single pass over the bytes. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read
-      .schema(schema.add(StructField(CorruptCol, StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
+    spark.read.text(path)
+      .select(from_json(col("value"),
+          schema.add(StructField(CorruptCol, StringType)),
+          Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> CorruptCol)).as("__p"))
+      .select(col("__p.*"))
 
-  /** (valid-without-corrupt-col, corrupt-lines) split. Spark requires
-    * caching a frame that filters on the corrupt column alone (the
-    * parser prunes it otherwise), so this materializes once. */
-  def split(df: DataFrame): (DataFrame, DataFrame) = {
-    val cached = df.cache()
-    (cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
-     cached.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
-  }
+  /** (valid-without-corrupt-col, corrupt-lines) split. */
+  def split(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(col(CorruptCol).isNull).drop(CorruptCol),
+     df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
 
   /** Parse a JSON string column against a declared schema (the
     * in-table variant: events.props-style payload columns).

@@ -40,6 +40,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * no-live-table window collapses to the single rename gap, and a
     * crash between the renames leaves the old data recoverable in the
     * tombstone instead of gone. */
+  /** Hadoop FileSystem.rename reports most failures by returning
+    * false, not throwing (dest exists, src vanished, cross-store move)
+    * — an unchecked rename would leave stale data live while the
+    * caller believes the swap succeeded. */
+  private def renameOrFail(from: Path, to: Path): Unit =
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+
   def overwrite(df: DataFrame): Unit = {
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
@@ -47,8 +54,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val live = new Path(path)
     val tombstone = new Path(s"$path.tombstone-$tag")
     val hadLive = fs.exists(live)
-    if (hadLive) fs.rename(live, tombstone)
-    fs.rename(new Path(staged), live)
+    if (hadLive) renameOrFail(live, tombstone)
+    renameOrFail(new Path(staged), live)
     if (hadLive) fs.delete(tombstone, true)
     ()
   }
@@ -139,9 +146,9 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     if (fs.exists(live)) {
       val next = versions.lastOption.getOrElse(0L) + 1
       fs.mkdirs(versionsRoot)
-      fs.rename(live, new Path(versionsRoot, s"v$next"))
+      renameOrFail(live, new Path(versionsRoot, s"v$next"))
     }
-    fs.rename(new Path(staged), live)
+    renameOrFail(new Path(staged), live)
     versions.dropRight(retain).foreach(v =>
       fs.delete(new Path(versionsRoot, s"v$v"), true))
   }
