@@ -54,6 +54,24 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() == 100)
   }
 
+  test("agg-before-join: dimension attaches to the aggregate, not the fact scan") {
+    // product_performance aggregates lineitem on the int part key and
+    // broadcast-joins part onto the (tiny) aggregate — the dimension
+    // strings must not pass through the shuffle. The tell: the
+    // Exchange's output carries no p_name/p_brand.
+    val p = planOf(Queries.defs("q_product_performance").fn(spark, sf))
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("p_name"),
+      "dimension strings crossed the shuffle\n" + shuffled)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("binned range join: no nested-loop or cartesian operator in the plan") {
+    val p = planOf(QueriesAnalytics.defs("q_range_join").fn(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val r = QueriesText.defs("q_approx_distinct").fn(spark, "/root/testdata/sf0.01")
       .collect().head
