@@ -279,7 +279,10 @@ object NativeFunctions {
      exprs => LshSignBits(exprs.head, exprs(1).eval().asInstanceOf[Int])),
     ("graft_minhash_sig",
      "graft_minhash_sig(token, k) - k-element MinHash signature aggregate",
-     exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+     exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    ("graft_vector_sum",
+     "graft_vector_sum(v) - element-wise sum aggregate of array<double>",
+     exprs => VectorSum(exprs.head)))
 
   /** Idempotent per-session registration; expressions are then usable
     * from both the Column API (call_function) and spark.sql. */
@@ -292,6 +295,9 @@ object NativeFunctions {
   /** Packed sign-bit LSH signature (see [[LshSignBits]]). */
   def lshBits(v: Column, nbits: Int): Column =
     call_function("graft_lsh_bits", v, org.apache.spark.sql.functions.lit(nbits))
+
+  /** Element-wise vector-sum aggregate (see [[VectorSum]]). */
+  def vectorSum(v: Column): Column = call_function("graft_vector_sum", v)
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 

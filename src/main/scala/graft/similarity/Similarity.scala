@@ -93,13 +93,15 @@ object Similarity {
           struct(col("cid"), col("v")),
           cosine(col("cv"), col("v"), col("cn"), col("nrm")))
         .select(col("best.cid").as("cid"), col("best.v").as("v"))
+      // centroid mean via the element-wise VectorSum aggregate: one
+      // dims-long buffer per centroid per partition, instead of
+      // posexplode (|members|·dims rows) + two more aggregations
       val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(avg("x").as("m"))
         .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .agg(graft.functions.NativeFunctions.vectorSum(col("v")).as("vs"),
+             count(lit(1)).as("cnt"))
         .select(col("cid"),
-                transform(col("dm"), e => e.getField("m")).as("cv"))
+                transform(col("vs"), x => x / col("cnt")).as("cv"))
       means.withColumn("cn", norm(col("cv")))
     }
 
