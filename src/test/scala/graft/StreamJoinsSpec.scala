@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.StreamJoins
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+case class Click(user: Long, click_ts: Timestamp, page: String)
+case class Buy(buyer: Long, buy_ts: Timestamp, amount: Double)
+
+class StreamJoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream-static enrichment join attaches dimension rows per micro-batch") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Click]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user", "tier")
+    val q = StreamJoins.enrich(ms.toDF(), dim, Seq("user"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ms.addData(Click(1, ts("2024-01-01 10:00:00"), "home"),
+                 Click(2, ts("2024-01-01 10:01:00"), "cart"),
+                 Click(9, ts("2024-01-01 10:02:00"), "x")) // no dim row → dropped
+      q.processAllAvailable()
+      val got = spark.table("enriched").select("user", "page", "tier")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == Set((1L, "home", "gold"), (2L, "cart", "basic")))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs events inside the window only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = StreamJoins.intervalJoin(
+      clicks.toDF(), buys.toDF(), "user", "buyer",
+      "click_ts", "buy_ts", window = "1 HOUR", delay = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Click(1, ts("2024-01-01 10:00:00"), "ad"),
+                     Click(2, ts("2024-01-01 10:00:00"), "ad"))
+      buys.addData(Buy(1, ts("2024-01-01 10:30:00"), 9.99),  // inside window
+                   Buy(2, ts("2024-01-01 12:30:00"), 5.0),   // outside window
+                   Buy(3, ts("2024-01-01 10:10:00"), 1.0))   // no click
+      q.processAllAvailable()
+      val got = spark.table("attributed").select("user", "page", "amount")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == Set((1L, "ad", 9.99)))
+    } finally q.stop()
+  }
+}
