@@ -210,6 +210,27 @@ object Queries {
     // per-item rows. customer is NOT broadcast — at 100 TB it's a fact-
     // sized table, so it joins shuffle-on-key (AQE upgrades it to
     // broadcast at small SF on its own).
+    // right-outer completes the outer-join family (left/full/semi/anti/
+    // cross are exercised elsewhere): every customer appears, order
+    // aggregates only where they exist
+    "q_right_outer" -> q(
+      c => c.orders
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             exactSum(col("o_totalprice"), 2, 2).as("total_spent"))
+        .join(c.customer.select(col("c_custkey"), col("c_mktsegment")),
+              col("o_custkey") === col("c_custkey"), "right_outer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+                coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+                col("total_spent")),
+      s"""SELECT c_custkey, c_mktsegment,
+        | coalesce(n_orders, 0) AS n_orders, total_spent
+        |FROM (
+        | SELECT o_custkey, count(*) AS n_orders,
+        |  ${exactSumSql("o_totalprice", 2, 2)} AS total_spent
+        | FROM orders GROUP BY 1
+        |) o RIGHT JOIN customer ON o_custkey = c_custkey""".stripMargin),
+
     "q_region_revenue" -> q(
       c => {
         val custRegion = c.customer.select(col("c_custkey"), col("c_nationkey"))

@@ -189,6 +189,57 @@ object QueriesText {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bt
         | FROM documents) GROUP BY 1""".stripMargin),
 
+    // document segmentation: sentence boundaries on [.!?]+ runs —
+    // the pre-tokenization step of a text pipeline
+    "q_sentence_stats" -> q(
+      c => c.documents
+        .withColumn("sentences",
+          filter(transform(split(col("text"), "[.!?]+"), trim(_)),
+                 s => length(s) > 0))
+        .select(col("doc_id"),
+                size(col("sentences")).cast("long").as("n_sentences"),
+                rnd4(expr("aggregate(sentences, 0L, (a, s) -> a + length(s))")
+                  .cast("double") / size(col("sentences"))).as("avg_sentence_chars")),
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |              x -> trim(x)), x -> length(x) > 0) AS sentences
+        | FROM documents
+        |)
+        |SELECT doc_id, CAST(len(sentences) AS BIGINT) AS n_sentences,
+        | floor(CAST(list_sum(list_transform(sentences, x -> length(x))) AS DOUBLE)
+        |   / len(sentences) * 10000 + 0.5) / 10000 AS avg_sentence_chars
+        |FROM s""".stripMargin),
+
+    // array-function surface over token arrays (union/intersect/except/
+    // slice), emitted as joined strings — array VALUES deserialize
+    // differently per engine, strings hash identically
+    "q_array_funcs" -> q(
+      c => {
+        val docs = c.documents.filter(col("doc_id") % 25 === 0)
+        val w = TF.wordSet(col("text"))
+        val first5 = slice(array_sort(w), 1, 5)
+        val stop = array(lit("the"), lit("a"), lit("of"), lit("and"), lit("is"))
+        docs.select(
+          col("doc_id"),
+          array_join(first5, ",").as("first5_words"),
+          array_join(array_sort(array_intersect(w, stop)), ",").as("stopwords_present"),
+          size(array_except(w, stop)).cast("long").as("n_content_words"),
+          size(array_union(w, stop)).cast("long").as("n_union"))
+      },
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |  ['the','a','of','and','is'] AS stop
+        | FROM documents WHERE doc_id % 25 = 0
+        |)
+        |SELECT doc_id,
+        | array_to_string(list_sort(w)[1:5], ',') AS first5_words,
+        | array_to_string(list_sort(list_intersect(w, stop)), ',') AS stopwords_present,
+        | CAST(len(list_filter(w, x -> NOT list_contains(stop, x))) AS BIGINT) AS n_content_words,
+        | CAST(len(list_distinct(list_concat(w, stop))) AS BIGINT) AS n_union
+        |FROM d""".stripMargin),
+
     // ── set-similarity dedup family ───────────────────────────────────
     "q_ngram_jaccard" -> q(
       c => jaccardPairs(c, threshold = 0.8, num = 4, den = 5)
