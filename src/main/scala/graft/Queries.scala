@@ -475,6 +475,24 @@ object Queries {
         |FROM t ASOF LEFT JOIN p
         | ON t.user_id = p.user_id AND t.us >= p.us""".stripMargin),
 
+    // salted two-level aggregation on a hot-key column (event_type has
+    // ~5 values — exactly the shape where one reducer owns a hot
+    // group): partial per (key, salt), merge per key. Salting is
+    // semantically transparent, so the oracle is the PLAIN group-by —
+    // the hash-match proves the decomposition exact.
+    "q_salted_agg" -> q(
+      c => graft.operators.Skew.saltedAgg(
+        c.events, keys = Seq("event_type"), salts = 8,
+        saltOn = col("event_id"),
+        partial = Seq(count(lit(1)).as("__cnt"),
+                      sum(units(col("value"), 6)).as("__su")),
+        finalAgg = Seq(sum("__cnt").as("n_events"),
+                       (floor(sum("__su") / 10000.0 + 0.5) / 100.0)
+                         .as("total_value"))),
+      s"""SELECT event_type, count(*) AS n_events,
+        | ${exactSumSql("value", 6, 2)} AS total_value
+        |FROM events GROUP BY 1""".stripMargin),
+
     // ── events: hourly rollup (streaming batch-twin) + JSON props ─────
     "q_events_hourly" -> q(
       c => c.events
