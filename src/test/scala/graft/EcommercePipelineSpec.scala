@@ -80,4 +80,44 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(pipe.silverOrderItems.read.orderBy("id").collect().toSeq == beforeItems)
     assert(!pipe.silverOrderItems.read.columns.exists(_.startsWith("__")))
   }
+
+  test("incremental gold daily_sales: per-date merge equals full recompute") {
+    val dir = TestSpark.tmpDir("ecom_inc")
+    val products = writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A", "2,11,Toys,Toy B"))
+    val day1Orders = writeCsv(dir, "orders1.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01"))
+    val day1Items = writeCsv(dir, "items1.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1000,100,1,,1,1,0,2025-04-01T10:00:00,2025-04-01",
+      "1001,100,1,,2,2,1,2025-04-01T10:00:00,2025-04-01"))
+    val day2Orders = writeCsv(dir, "orders2.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "2,101,2,2025-04-02T10:00:00,30.0,2025-04-02"))
+    val day2Items = writeCsv(dir, "items2.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1002,101,2,,1,1,0,2025-04-02T10:00:00,2025-04-02"))
+
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    val gold = graft.tables.LakehouseTable(spark, s"$dir/warehouse/gold_daily_sales",
+      Seq("date"))
+
+    pipe.run(products, day1Orders, day1Items)
+    pipe.goldDailySalesIncremental(gold, Seq("2025-04-01"))
+    assert(gold.read.count() == 1)
+
+    // day-2 batch lands incrementally; day-1 gold rows are untouched
+    pipe.run(products, day2Orders, day2Items)
+    pipe.goldDailySalesIncremental(gold, Seq("2025-04-02"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("date").collect().map(_.toSeq).toSeq
+    assert(canon(gold.read) == canon(pipe.goldDailySales()))
+
+    // idempotent: re-merging the same date changes nothing
+    pipe.goldDailySalesIncremental(gold, Seq("2025-04-02"))
+    assert(canon(gold.read) == canon(pipe.goldDailySales()))
+  }
 }
