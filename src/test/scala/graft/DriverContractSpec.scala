@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself (SparkEntry): the flagship
+  * query smoke, and structural invariants the ++ merge of the three
+  * query files cannot enforce (a duplicate name would silently shadow
+  * an earlier query and its oracle).
+  */
+class DriverContractSpec extends AnyFunSuite {
+
+  test("entry() flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+
+  test("query names are unique across files; every oracle has a query") {
+    val names = Queries.defs.keys.toSeq ++ QueriesText.defs.keys.toSeq ++
+      QueriesAnalytics.defs.keys.toSeq
+    val dupes = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate query names shadow silently: $dupes")
+    assert(SparkEntry.queries.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // every query name is a valid identifier-ish slug (the driver uses
+    // them as output directory names)
+    assert(names.forall(_.matches("[a-z0-9_]+")), names.filterNot(_.matches("[a-z0-9_]+")))
+  }
+}
