@@ -493,6 +493,29 @@ object Queries {
         | ${exactSumSql("value", 6, 2)} AS total_value
         |FROM events GROUP BY 1""".stripMargin),
 
+    // SQL-text surface (SURVEY §3.3: the reference's Athena path):
+    // the same catalog-register + spark.sql lifecycle a SQL client
+    // uses, with a correlated EXISTS (TPC-H Q4 shape — late-shipping
+    // orders per priority)
+    "q_sql_surface" -> q(
+      c => {
+        c.orders.createOrReplaceTempView("orders_v")
+        c.lineitem.createOrReplaceTempView("lineitem_v")
+        c.spark.sql(
+          """SELECT o_orderpriority, count(*) AS n_orders
+            |FROM orders_v
+            |WHERE EXISTS (
+            |  SELECT 1 FROM lineitem_v
+            |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            |GROUP BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin),
+
     // ── events: hourly rollup (streaming batch-twin) + JSON props ─────
     "q_events_hourly" -> q(
       c => c.events
