@@ -34,22 +34,30 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     run(SparkEntry.queries("q_pricing_summary")(spark, sfDir))
 
-    // min of 3 iterations per query: the host shows multi-second
-    // scheduling stalls (VM steal), and with fewer iterations one
-    // stall lands on a random query and distorts its number. A query that
-    // throws is marked failed (-1, excluded from total, listed in
+    // min of 3 iterations per query, ROUND-ROBIN across queries: the
+    // host shows bursty multi-second scheduling stalls (VM steal);
+    // back-to-back iterations would let one burst poison all of a
+    // query's samples, while interleaving puts each query's samples
+    // minutes apart so min-of-3 sees at least one calm window. A query
+    // that throws is marked failed (-1, excluded from total, listed in
     // "failed") — a fail-fast elapsed time must not make the bench
     // look faster.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val broken = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to 3; (name, fn) <- queries if !broken(name)) {
+      val t0 = System.nanoTime()
+      try {
+        run(fn(spark, sfDir))
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        broken += name
       }
-      name -> times.minOption
+    }
+    val results = queries.map { case (name, _) =>
+      name -> (if (broken(name)) None else samples(name).minOption)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
