@@ -384,6 +384,25 @@ object Queries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin),
 
+    // CDC apply-changes: the delete half of the MERGE surface (Delta
+    // whenMatchedDelete) — one anti-join pass applies updates AND
+    // deletes; oracle recomputes from the construction rules
+    "q_apply_changes" -> q(
+      c => {
+        val target = c.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val changes = target
+          .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 7 === 3, col("o_orderstatus")).otherwise(lit("U")))
+          .withColumn("is_delete", col("o_orderkey") % 7 === 3)
+        Upsert.applyChanges(target, changes, Seq("o_orderkey"), "is_delete")
+      },
+      """SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 3""".stripMargin),
+
     // ── beyond-reference analytics surface: frames, rollup, pivot, sets ─
     "q_running_total" -> q(
       c => c.orders

@@ -28,4 +28,19 @@ object Upsert {
     val kept    = target.join(keys, pk, "left_anti")
     updates.unionByName(kept)
   }
+
+  /** CDC apply: the full MERGE surface — upserts AND deletes in one
+    * pass. `changes` carries the target schema plus a boolean
+    * `deleteCol`; rows with it true delete their key, the rest
+    * update-wins upsert. Same single anti-join shape as [[upsert]]
+    * (ALL change keys leave the target, surviving upserts come back
+    * via the union), so deletes cost nothing extra. Idempotent. */
+  def applyChanges(target: DataFrame, changes: DataFrame, pk: Seq[String],
+                   deleteCol: String,
+                   broadcastChanges: Boolean = true): DataFrame = {
+    val keys0 = changes.select(pk.map(col): _*).distinct()
+    val keys  = if (broadcastChanges) broadcast(keys0) else keys0
+    val kept  = target.join(keys, pk, "left_anti")
+    changes.filter(!col(deleteCol)).drop(deleteCol).unionByName(kept)
+  }
 }
