@@ -35,6 +35,11 @@ object QueriesText {
     * pruning logic lives in exactly one place. */
   private def jaccardPairs(c: Ctx, threshold: Double,
                            num: Int, den: Int): DataFrame = {
+    // the prune is only sound when num/den ≤ threshold — a copy-pasted
+    // mismatched ratio would silently drop true pairs before the exact
+    // filter ever sees them
+    require(num.toDouble / den <= threshold,
+      s"prune ratio $num/$den exceeds threshold $threshold")
     graft.functions.NativeFunctions.register(c.spark)
     val d = docWords(c)
       .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))

@@ -156,8 +156,12 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     val o = silverOrders.read.filter(col("date").isInCollection(affectedDates))
     val oi = silverOrderItems.read.filter(col("date").isInCollection(affectedDates))
     val fresh = goldDailySalesOf(o, oi)
+    // bootstrap must be the FULL recompute: overwriting a missing gold
+    // table with just the batch's dates would silently drop all prior
+    // silver history from gold with no way for later per-date merges
+    // to backfill it
     if (goldTable.exists) goldTable.upsert(fresh)
-    else goldTable.overwrite(fresh)
+    else goldTable.overwrite(goldDailySales())
   }
 
   def goldProductPerformance(): DataFrame =

@@ -32,15 +32,21 @@ object Upsert {
   /** CDC apply: the full MERGE surface — upserts AND deletes in one
     * pass. `changes` carries the target schema plus a boolean
     * `deleteCol`; rows with it true delete their key, the rest
-    * update-wins upsert. Same single anti-join shape as [[upsert]]
-    * (ALL change keys leave the target, surviving upserts come back
-    * via the union), so deletes cost nothing extra. Idempotent. */
+    * (false OR NULL — CDC extracts routinely leave the flag null on
+    * updates) update-wins upsert. Same single anti-join shape as
+    * [[upsert]] (ALL change keys leave the target, surviving upserts
+    * come back via the union), so deletes cost nothing extra.
+    * Idempotent. */
   def applyChanges(target: DataFrame, changes: DataFrame, pk: Seq[String],
                    deleteCol: String,
                    broadcastChanges: Boolean = true): DataFrame = {
     val keys0 = changes.select(pk.map(col): _*).distinct()
     val keys  = if (broadcastChanges) broadcast(keys0) else keys0
     val kept  = target.join(keys, pk, "left_anti")
-    changes.filter(!col(deleteCol)).drop(deleteCol).unionByName(kept)
+    // NULL flag must mean "not a delete": a bare !col filter drops
+    // NULL-flag rows AFTER their key was anti-joined out — the row
+    // would vanish entirely instead of being updated
+    changes.filter(!coalesce(col(deleteCol), lit(false)))
+      .drop(deleteCol).unionByName(kept)
   }
 }

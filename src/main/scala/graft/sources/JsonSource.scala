@@ -31,11 +31,18 @@ object JsonSource {
     * and is the same single pass over the bytes. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.text(path)
-      .select(from_json(col("value"),
+      // blank lines: the .json() datasource skips them; text+from_json
+      // would otherwise turn them into phantom all-null "valid" rows
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"), from_json(col("value"),
           schema.add(StructField(CorruptCol, StringType)),
           Map("mode" -> "PERMISSIVE",
               "columnNameOfCorruptRecord" -> CorruptCol)).as("__p"))
-      .select(col("__p.*"))
+      // a JSON `null` literal parses to a NULL struct (no corrupt col
+      // to carry the line) — classify it as corrupt with the raw line
+      .select(schema.fieldNames.toSeq.map(f => col(s"__p.$f")) :+
+        coalesce(col(s"__p.$CorruptCol"),
+                 when(col("__p").isNull, col("value"))).as(CorruptCol): _*)
 
   /** (valid-without-corrupt-col, corrupt-lines) split. */
   def split(df: DataFrame): (DataFrame, DataFrame) =

@@ -34,12 +34,6 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       .parquet(target)
   }
 
-  /** Atomic full replace: write staged, then swap. The old live dir is
-    * renamed aside to a tombstone first (rename, not delete), the staged
-    * dir renamed into place, and only then the tombstone deleted — the
-    * no-live-table window collapses to the single rename gap, and a
-    * crash between the renames leaves the old data recoverable in the
-    * tombstone instead of gone. */
   /** Hadoop FileSystem.rename reports most failures by returning
     * false, not throwing (dest exists, src vanished, cross-store move)
     * — an unchecked rename would leave stale data live while the
@@ -47,6 +41,12 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def renameOrFail(from: Path, to: Path): Unit =
     require(fs.rename(from, to), s"rename $from -> $to failed")
 
+  /** Atomic full replace: write staged, then swap. The old live dir is
+    * renamed aside to a tombstone first (rename, not delete), the staged
+    * dir renamed into place, and only then the tombstone deleted — the
+    * no-live-table window collapses to the single rename gap, and a
+    * crash between the renames leaves the old data recoverable in the
+    * tombstone instead of gone. */
   def overwrite(df: DataFrame): Unit = {
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"

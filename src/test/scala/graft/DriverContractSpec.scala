@@ -24,4 +24,18 @@ class DriverContractSpec extends AnyFunSuite {
     // them as output directory names)
     assert(names.forall(_.matches("[a-z0-9_]+")), names.filterNot(_.matches("[a-z0-9_]+")))
   }
+
+  test("no duplicate query definitions even within one file (source scan)") {
+    // a duplicate key INSIDE one ListMap literal collapses before
+    // defs.keys is evaluated, so the runtime check above cannot see
+    // it — only the source can
+    val files = Seq("Queries.scala", "QueriesText.scala", "QueriesAnalytics.scala")
+      .map(f => java.nio.file.Paths.get("src/main/scala/graft", f))
+    val rx = """"(q_[a-z0-9_]+)"\s*->""".r
+    val defs = files.flatMap(f =>
+      rx.findAllMatchIn(java.nio.file.Files.readString(f)).map(_.group(1)))
+    val dupes = defs.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate query definitions in source: $dupes")
+    assert(defs.toSet == SparkEntry.queries.keySet)
+  }
 }

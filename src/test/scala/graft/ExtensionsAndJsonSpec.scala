@@ -42,6 +42,8 @@ class ExtensionsAndJsonSpec extends AnyFunSuite {
       """{"event_id": 1, "kind": "click", "value": 2.5}""",
       """{"event_id": 2, "kind": "view"}""",
       """not json at all""",
+      "",                      // blank separator line → skipped entirely
+      """null""",              // JSON null literal → corrupt, not all-null valid
       """{"event_id": "NaNsense", "kind": 7}"""))
 
     val schema = StructType(Seq(
@@ -51,9 +53,11 @@ class ExtensionsAndJsonSpec extends AnyFunSuite {
     val (valid, corrupt) = JsonSource.split(
       JsonSource.read(spark, s"$dir/events.jsonl", schema))
 
-    // line 4 parses as JSON but fails the schema → PERMISSIVE nulls the
-    // uncastable fields and keeps the raw line in the corrupt column
-    assert(corrupt.count() == 2)
+    // "NaNsense" parses as JSON but fails the schema → PERMISSIVE
+    // nulls the uncastable fields and keeps the raw line; "null" and
+    // "not json" are corrupt; the blank line is skipped, NOT a
+    // phantom all-null valid row
+    assert(corrupt.count() == 3)
     val rows = valid.as[(Option[Long], String, Option[Double])].collect().toSet
     assert(rows == Set((Some(1L), "click", Some(2.5)), (Some(2L), "view", None)))
 
