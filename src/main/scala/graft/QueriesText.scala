@@ -443,6 +443,58 @@ object QueriesText {
                   col("rn").cast("long").as("rn"))
       }),
 
+    // int8 embedding quantization (the storage-scale embedding op:
+    // 4× smaller vectors for ANN shortlists): symmetric per-vector
+    // scale to [-127, 127], then measure round-trip cosine fidelity
+    // against the full-precision vector. Every step is the same IEEE
+    // op sequence in both engines (floor-form rounding, sequential
+    // dot folds), so even the fidelity doubles hash-match.
+    "q_embed_quantize" -> q(
+      c => {
+        graft.functions.NativeFunctions.register(c.spark)
+        import graft.functions.NativeFunctions.dot
+        val base = c.embeddings
+          .select(col("vec_id"),
+                  transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("mx", greatest(array_max(col("v")), -array_min(col("v"))))
+          .withColumn("scale",
+            when(col("mx") === 0, lit(1.0)).otherwise(col("mx") / 127.0))
+          .withColumn("qv",
+            transform(col("v"), x => floor(x / col("scale") + 0.5)))
+          .withColumn("dq", transform(col("qv"), q => q * col("scale")))
+        base.select(col("vec_id"),
+          rnd6(dot(col("v"), col("dq")) /
+               (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("dq"), col("dq")))))
+            .as("cos_fidelity"),
+          array_max(col("qv")).cast("long").as("q_max"),
+          array_min(col("qv")).cast("long").as("q_min"))
+      },
+      """WITH b AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  greatest(list_max(CAST(embedding AS DOUBLE[])),
+        |           -list_min(CAST(embedding AS DOUBLE[]))) AS mx
+        | FROM embeddings
+        |), s AS (
+        | SELECT vec_id, v,
+        |  CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+        | FROM b
+        |), qz AS (
+        | SELECT vec_id, v, scale,
+        |  list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+        | FROM s
+        |), dz AS (
+        | SELECT vec_id, v, qv,
+        |  list_transform(qv, q -> q * scale) AS dq
+        | FROM qz
+        |)
+        |SELECT vec_id,
+        | floor(list_dot_product(v, dq) /
+        |   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)))
+        |   * 1000000 + 0.5) / 1000000 AS cos_fidelity,
+        | CAST(list_max(qv) AS BIGINT) AS q_max,
+        | CAST(list_min(qv) AS BIGINT) AS q_min
+        |FROM dz""".stripMargin),
+
     // TF-IDF-style keyword extraction (rational idf surrogate
     // tf·N/df — no transcendentals, which differ in the last ulp
     // across libm implementations): top-3 keywords per document.
