@@ -1,0 +1,112 @@
+package graft.etl
+
+import graft.functions.NativeFunctions
+import graft.text.{DedupClusters, MinHashLSH, TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data corpus curation — the composition the
+  * individual operators exist for (prompt §"training-data pipeline"):
+  *
+  *   quality score → language filter → exact dedup → MinHash-LSH
+  *   near-dup clusters → best-copy survivors → stratified per-language
+  *   cap
+  *
+  * Every stage is a pure DataFrame → DataFrame function; at 100 TB the
+  * same plan runs partitioned end-to-end: per-row scoring is
+  * whole-stage-codegen'd scan work, exact dedup shuffles once on the
+  * fingerprint, LSH bounds the pair join by construction, and the
+  * stratified cap is one window over the (already tiny) survivor set.
+  * Stage counts are returned for observability (the quality-funnel
+  * numbers every curation run reports).
+  */
+object CorpusPipeline {
+  final case class Funnel(input: Long, qualityPass: Long, langPass: Long,
+                          exactUnique: Long, nearDupSurvivors: Long,
+                          sampled: Long)
+
+  /** Score + filter + dedup + sample. `docs` needs (doc_id, text,
+    * lang, source, n_chars). Deterministic end to end. */
+  def curate(docs: DataFrame, minWords: Int = 30, maxPunctRatio: Double = 0.2,
+             jaccardThreshold: Double = 0.9, perLangCap: Int = 1000)
+      : (DataFrame, Funnel) = {
+    NativeFunctions.register(docs.sparkSession)
+
+    // stage 1: per-row quality metrics (one codegen'd pass)
+    val scored = docs
+      .withColumn("__w", TF.words(col("text")))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("punct_ratio",
+        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("double") /
+          col("n_chars"))
+      .withColumn("en_score", TF.markerScore(col("__w"), TF.LangMarkers(0)._2))
+      .withColumn("de_score", TF.markerScore(col("__w"), TF.LangMarkers(1)._2))
+      .withColumn("es_score", TF.markerScore(col("__w"), TF.LangMarkers(2)._2))
+      .withColumn("fr_score", TF.markerScore(col("__w"), TF.LangMarkers(3)._2))
+      .withColumn("pred_lang", TF.predictLang(
+        col("en_score"), col("de_score"), col("es_score"), col("fr_score")))
+    val qualityPass = scored
+      .filter(col("n_words") >= minWords && col("punct_ratio") <= maxPunctRatio)
+
+    // stage 2: language-ID agreement (drop mislabeled / unidentifiable)
+    val langPass = qualityPass.filter(col("pred_lang") === col("lang"))
+
+    // stage 3: exact dedup — keep the lowest doc_id per fingerprint
+    val exactUnique = graft.operators.Dedup.keepFirst(
+      langPass.withColumn("__fp", TF.fingerprint(col("text"))),
+      Seq("__fp"), Seq(col("doc_id").asc)).drop("__fp")
+
+    // stage 4: near-dup clusters via MinHash LSH (the scale path — the
+    // blocked exact self-join is the small-corpus alternative), then
+    // best-copy survivors (highest n_chars, ties → min id)
+    val pairs = MinHashLSH.nearDuplicates(
+      exactUnique.select(col("doc_id"), col("source"),
+                         TF.wordSet(col("text")).as("ws")),
+      "doc_id", "ws", k = 64, bands = 8, threshold = jaccardThreshold,
+      blockCol = Some("source"))
+      .select("id_a", "id_b")
+    val survivorIds = DedupClusters
+      .survivorsBy(exactUnique, "doc_id", "n_chars", pairs)
+      .select("doc_id")
+    val survivors = exactUnique.join(survivorIds, "doc_id")
+
+    // stage 5: deterministic stratified cap per language (md5 order)
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val sampled = survivors
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perLangCap)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              col("n_words"), col("pred_lang"))
+
+    val funnel = Funnel(docs.count(), qualityPass.count(), langPass.count(),
+                        exactUnique.count(), survivors.count(), sampled.count())
+    (sampled, funnel)
+  }
+}
+
+/** CLI: curate the documents table of a testdata dir and print the
+  * funnel — `runMain graft.etl.CorpusMain <sfDir> <outDir>`. */
+object CorpusMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: CorpusMain <sfDir> <outDir>")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-corpus")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.load(spark, args(0), "documents")
+    val (curated, f) = CorpusPipeline.curate(docs)
+    curated.write.mode("overwrite").parquet(args(1))
+    println(s"[corpus] input=${f.input} quality=${f.qualityPass} " +
+      s"lang=${f.langPass} exact=${f.exactUnique} " +
+      s"neardup=${f.nearDupSurvivors} sampled=${f.sampled}")
+    spark.stop()
+  }
+}
