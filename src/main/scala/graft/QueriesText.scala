@@ -324,7 +324,8 @@ object QueriesText {
     "q_word_freq" -> q(
       c => {
         val tokens = c.documents.select(col("doc_id"),
-          explode(TF.words(col("text"))).as("word"))
+          explode_outer(TF.words(col("text"))).as("word"))
+          .filter(col("word").isNotNull)
         val counts = tokens.groupBy("word")
           .agg(count(lit(1)).as("n_occurrences"),
                countDistinct("doc_id").as("n_docs"))
@@ -501,7 +502,8 @@ object QueriesText {
     "q_tfidf_keywords" -> q(
       c => {
         val tokens = c.documents.select(col("doc_id"),
-          explode(TF.words(col("text"))).as("word"))
+          explode_outer(TF.words(col("text"))).as("word"))
+          .filter(col("word").isNotNull)
         val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
         val n = c.documents.agg(count(lit(1)).as("n_docs"))

@@ -26,7 +26,12 @@ object SimHash {
   /** (docId, tokens array) → (docId, simhash long). */
   def simhash(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     val tok = docs
-      .select(col(idCol), explode(col(tokensCol)).as("tok"))
+      // explode_outer + attribute filter, not plain explode: the
+      // inferred size(tokens)>0 filter would inline a derived token
+      // expression below its producing projection (see
+      // MinHashLSH.signatures for the pathological case)
+      .select(col(idCol), explode_outer(col(tokensCol)).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", tokenHash(col("tok")))
     val bitVotes = (0 until Bits).map { b =>
