@@ -329,9 +329,14 @@ object QueriesText {
         val counts = tokens.groupBy("word")
           .agg(count(lit(1)).as("n_occurrences"),
                countDistinct("doc_id").as("n_docs"))
+        // orderBy+limit plans as TakeOrderedAndProject (per-partition
+        // top-k heaps); a global no-partition Window here would pull the
+        // entire vocabulary onto one task. The rank window runs only on
+        // the 20-row limited result.
+        val top = counts
+          .orderBy(col("n_occurrences").desc, col("word")).limit(20)
         val w = Window.orderBy(col("n_occurrences").desc, col("word"))
-        counts.withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 20)
+        top.withColumn("rk", row_number().over(w).cast("long"))
       },
       """WITH t AS (
         | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
@@ -507,7 +512,10 @@ object QueriesText {
         val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
         val n = c.documents.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(broadcast(df_), "word")
+        // df_ has one row per distinct word — vocabulary-sized, far past
+        // broadcast limits at corpus scale. Both sides already key on
+        // `word`, so let the join shuffle; only the 1-row count broadcasts.
+        val scored = tf.join(df_, "word")
           .crossJoin(broadcast(n))
           .withColumn("score", col("tf") * col("n_docs") / col("df"))
         val w = Window.partitionBy("doc_id")

@@ -72,6 +72,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("word_freq top-k plans as TakeOrderedAndProject, not a global window") {
+    // a no-partition row_number window over the whole vocabulary would
+    // pull every distinct token onto one task; the top-20 must come from
+    // per-partition heaps, with any rank window running on ≤20 rows
+    val df = QueriesText.defs("q_word_freq").fn(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("tfidf joins tf to document-frequency by shuffle, not broadcast") {
+    // df (one row per distinct word) is vocabulary-sized — an explicit
+    // broadcast hint on it would OOM the driver at corpus scale. Only the
+    // 1-row corpus count may carry a broadcast hint.
+    val df = QueriesText.defs("q_tfidf_keywords").fn(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1,
+      s"expected exactly the 1-row count broadcast hint, got ${hints.size}")
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val r = QueriesText.defs("q_approx_distinct").fn(spark, "/root/testdata/sf0.01")
       .collect().head
