@@ -46,9 +46,57 @@ object SimHash {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Pairs within `maxHamming` bits, compared inside `blockCol` blocks. */
+  /** Pairs within `maxHamming` bits inside `blockCol` blocks, found by
+    * segment LSH rather than an all-pairs block join.
+    *
+    * Pigeonhole: split the 48-bit signature into `maxHamming + 1`
+    * segments; two signatures within `maxHamming` bits differ in at most
+    * `maxHamming` segments, so at least one segment is bit-identical.
+    * Joining on (block, segment-idx, segment-bits) therefore finds every
+    * qualifying pair, and the exact hamming filter removes false
+    * candidates. Candidate count is bounded by segment-bucket sizes
+    * (LSH-style), not |block|² — the property that keeps this viable
+    * when a block holds millions of documents.
+    */
   def nearDuplicates(sigs: DataFrame, idCol: String, blockCol: String,
                      maxHamming: Int): DataFrame = {
+    val nSeg = maxHamming + 1
+    // pigeonhole needs maxHamming+1 segments of ≥1 bit; past that every
+    // pair qualifies anyway, so the plain block join is the only option
+    if (nSeg > Bits)
+      return nearDuplicatesBlocked(sigs, idCol, blockCol, maxHamming)
+    val bounds = (0 to nSeg).map(i => i * Bits / nSeg)
+    val segKeys = array((0 until nSeg).map { s =>
+      val lo = bounds(s); val w = bounds(s + 1) - lo
+      struct(lit(s).as("seg"),
+             shiftright(col("sh"), lo).bitwiseAND(lit((1L << w) - 1)).as("bits"))
+    }: _*)
+    val keyed = sigs
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+              col("simhash").as("sh"))
+      // house pattern: explode_outer + attribute filter (see simhash())
+      .select(col("blk"), col("id"), col("sh"),
+              explode_outer(segKeys).as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("blk"), col("k.seg").as("seg"), col("k.bits").as("bits"),
+              col("id"), col("sh"))
+    val a = keyed.select(col("blk"), col("seg"), col("bits"),
+                         col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("blk"), col("seg"), col("bits"),
+                         col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "seg", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      // a close pair can share several identical segments — emit it once
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** The quadratic within-block comparison — the oracle twin the banded
+    * path is equality-tested against (never the scale path). */
+  def nearDuplicatesBlocked(sigs: DataFrame, idCol: String, blockCol: String,
+                            maxHamming: Int): DataFrame = {
     val a = sigs.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
                         col("simhash").as("sh_a"))
     val b = sigs.select(col(blockCol).as("blk"), col(idCol).as("id_b"),

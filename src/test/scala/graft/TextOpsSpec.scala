@@ -69,4 +69,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0)
     assert(pairs((1L, 3L)) < pairs((1L, 4L)))
   }
+
+  test("simhash banded pairing equals the quadratic block join on real docs") {
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val sigs = SimHash.simhash(
+      c.documents.select(col("doc_id"), TF.words(col("text")).as("w")),
+      "doc_id", "w")
+      .join(c.documents.select("doc_id", "source"), "doc_id")
+      .cache()
+    try {
+      for (h <- Seq(4, 8, 16)) {
+        val banded = SimHash.nearDuplicates(sigs, "doc_id", "source", h)
+          .orderBy("id_a", "id_b").collect().toSeq
+        val blocked = SimHash.nearDuplicatesBlocked(sigs, "doc_id", "source", h)
+          .orderBy("id_a", "id_b").collect().toSeq
+        assert(banded == blocked, s"maxHamming=$h: banded != blocked")
+        assert(banded.nonEmpty, s"maxHamming=$h found no pairs — vacuous test")
+      }
+    } finally sigs.unpersist()
+  }
+
+  test("simhash banded pairing joins on segment keys, not block alone") {
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val sigs = SimHash.simhash(
+      c.documents.select(col("doc_id"), TF.words(col("text")).as("w")),
+      "doc_id", "w")
+      .join(c.documents.select("doc_id", "source"), "doc_id")
+    val p = SimHash.nearDuplicates(sigs, "doc_id", "source", 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the pair join must key on the exploded (seg, bits) columns — a
+    // join keyed on the block column alone is the all-pairs shape
+    val joinKeys = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") || l.contains("keys"))
+      .mkString("\n")
+    assert(joinKeys.contains("bits"), p.take(3000))
+  }
 }
