@@ -349,6 +349,25 @@ object Queries {
         | CAST(n_chars AS DOUBLE) AS n_chars
         |FROM documents""".stripMargin),
 
+    // ── bronze lineage (SURVEY §2.8 F7): per-row source_file from file
+    // metadata, the per-file row count a data engineer reaches for when
+    // a bad file lands. The Spark side derives source_table from the
+    // real scan metadata (_metadata.file_path); the oracle pins each
+    // table's name literally since DuckDB views hide the path.
+    "q_bronze_lineage" -> q(
+      c => {
+        def lineage(name: String) = c.spark.read
+          .parquet(s"${c.dir}/$name.parquet")
+          .select(regexp_extract(col("_metadata.file_path"),
+                                 "/([^/]+)\\.parquet", 1).as("source_table"))
+          .groupBy("source_table").agg(count(lit(1)).as("n_rows"))
+        lineage("orders").unionByName(lineage("lineitem"))
+          .unionByName(lineage("documents"))
+      },
+      """SELECT 'orders' AS source_table, count(*) AS n_rows FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'documents', count(*) FROM documents""".stripMargin),
+
     // ── validation split / error histogram (SURVEY §2.2 P3/P7, §2.4 A6) ─
     "q_error_histogram" -> q(
       c => Validation.withErrors(c.lineitem, lineitemRules)

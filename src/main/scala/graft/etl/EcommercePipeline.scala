@@ -52,10 +52,39 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   def table(name: String, pk: String, parts: Seq[String] = Nil): LakehouseTable =
     LakehouseTable(spark, s"$warehouse/$name", Seq(pk), parts)
 
+  val bronzeProducts: LakehouseTable   = table("bronze_products", "product_id")
+  val bronzeOrders: LakehouseTable     = table("bronze_orders", "order_id", Seq("date"))
+  val bronzeOrderItems: LakehouseTable = table("bronze_order_items", "id", Seq("date"))
   val silverProducts: LakehouseTable   = table("silver_products", "product_id")
   val silverOrders: LakehouseTable     = table("silver_orders", "order_id", Seq("date"))
   val silverOrderItems: LakehouseTable = table("silver_order_items", "id", Seq("date"))
   val quarantine: LakehouseTable       = table("rejected_records", "id")
+
+  /** Bronze ingest (reference docs/etl_processes.md:84-86,
+    * docs/data_model.md:46-52): raw inferred-schema rows plus per-row
+    * lineage — `source_file` (`_metadata.file_path`, the Spark-4 form of
+    * input_file_name) and `ingestion_timestamp`.
+    *
+    * Append-only with file-level idempotence: incoming rows whose
+    * source_file is already present in bronze are skipped (anti-join on
+    * the distinct ingested-file list, broadcast — it is file-count
+    * sized, not row-count sized). A rerun of the same paths appends
+    * nothing, and ingest work is O(new files); the table is never
+    * rewritten, which is what keeps an ever-growing bronze layer viable
+    * at scale. Returns the full bronze contents for the silver stage. */
+  def ingestBronze(csvPath: String, target: LakehouseTable): DataFrame = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(csvPath)
+      .withColumn("source_file", col("_metadata.file_path"))
+      .withColumn("ingestion_timestamp", current_timestamp())
+    if (!target.exists) target.overwrite(raw)
+    else {
+      val seen = target.read.select("source_file").distinct()
+      val fresh = raw.join(broadcast(seen), Seq("source_file"), "left_anti")
+      if (!fresh.isEmpty) target.append(fresh)
+    }
+    target.read
+  }
 
   /** CSV ingest (S1): header + inferSchema, then the declared-schema
     * cast loop (two-phase, reference glue_etl.py:591-593 + :296-312). */
@@ -64,6 +93,13 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(path),
       schema)
+
+  /** Bronze→silver cast: declared-schema cast loop over the bronze rows;
+    * the lineage columns (undeclared) pass through, matching the
+    * reference silver schemas which carry source_file +
+    * ingestion_timestamp (docs/data_model.md:96-148). */
+  private def castBronze(bronze: DataFrame, schema: StructType): DataFrame =
+    Casting.castTo(bronze, schema)
 
   private def requiredRules(schema: StructType) =
     Validation.requiredFieldRules(schema)
@@ -93,12 +129,21 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   }
 
   def runProducts(csvPath: String): StageResult = {
-    val df = readCsv(csvPath, products)
+    val bronze = ingestBronze(csvPath, bronzeProducts)
+    // reference silver enrichment (docs/etl_processes.md:253-254):
+    // SCD1 current-rows flag + update watermark
+    val df = castBronze(bronze, products)
+      .withColumn("is_active", lit(true))
+      .withColumn("last_updated_timestamp", current_timestamp())
     stage(df, requiredRules(products), silverProducts, "products")
   }
 
   def runOrders(csvPath: String): StageResult = {
-    val df = readCsv(csvPath, orders)
+    val bronze = ingestBronze(csvPath, bronzeOrders)
+    // reference silver enrichment (docs/etl_processes.md:308-309)
+    val df = castBronze(bronze, orders)
+      .withColumn("day_of_week", dayofweek(col("date")))
+      .withColumn("hour_of_day", hour(col("order_timestamp")))
     val rules = requiredRules(orders) :+
       Rule(col("total_amount") < 0, "Negative total_amount")
     stage(df, rules, silverOrders, "orders")
@@ -107,7 +152,7 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   /** order_items: required fields + RI against the silver dims via
     * broadcast anti-join membership tags. */
   def runOrderItems(csvPath: String): StageResult = {
-    val df = readCsv(csvPath, orderItems)
+    val df = castBronze(ingestBronze(csvPath, bronzeOrderItems), orderItems)
     val tagged = Validation.tagRiViolations(
       Validation.tagRiViolations(df, silverOrders.read, "order_id",
         "order_id", "__bad_order"),
@@ -128,19 +173,33 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
 
   // ── gold layer (docs/etl_processes.md:420-683 on the e-commerce model) ──
 
+  /** Gold watermark (DDL last_updated_timestamp, data_model.md:158-223),
+    * pinned to the effective ETL date (env-overridable) rather than
+    * wall-clock so gold builds are idempotent — the same contract the
+    * SCD2 history uses. */
+  private def goldUpdatedAt =
+    lit(sys.env.getOrElse("SPARK_GRAFT_ETL_DATE", "2025-06-01"))
+      .cast("timestamp").as("last_updated_timestamp")
+
   def goldDailySales(): DataFrame = {
     val o = silverOrders.read; val oi = silverOrderItems.read
     goldDailySalesOf(o, oi)
   }
 
+  /** Output types follow the documented gold DDL
+    * (docs/data_model.md:158-169): DECIMAL(p,s) money/rate columns,
+    * INT counts, a last-updated watermark. */
   private def goldDailySalesOf(o: DataFrame, oi: DataFrame): DataFrame =
     o.join(oi, "order_id")
       .groupBy(o("date"))
-      .agg(sum("total_amount").as("total_sales"),
-           countDistinct("order_id").as("order_count"),
-           avg("total_amount").as("avg_order_value"),
-           countDistinct(o("user_id")).as("unique_customers"),
-           count(oi("id")).as("total_items"))
+      .agg(sum("total_amount").cast("decimal(15,2)").as("total_sales"),
+           countDistinct("order_id").cast("int").as("order_count"),
+           avg("total_amount").cast("decimal(10,2)").as("avg_order_value"),
+           countDistinct(o("user_id")).cast("int").as("unique_customers"),
+           count(oi("id")).cast("int").as("total_items"))
+      .withColumn("avg_items_per_order",
+        (col("total_items") / col("order_count")).cast("decimal(5,2)"))
+      .withColumn("last_updated_timestamp", goldUpdatedAt)
 
   /** Incremental gold maintenance: recompute daily_sales only for the
     * dates present in a new batch and MERGE those rows into the gold
@@ -168,27 +227,34 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     silverOrderItems.read
       .join(broadcast(silverProducts.read), "product_id")
       .groupBy(col("product_id"), col("department"), col("product_name"))
-      .agg(count(col("id")).as("times_purchased"),
-           countDistinct("order_id").as("order_count"),
-           avg("reordered").as("reorder_rate"),
-           avg("days_since_prior_order").as("avg_days_between_orders"))
+      .agg(count(col("id")).cast("int").as("times_purchased"),
+           countDistinct("order_id").cast("int").as("order_count"),
+           avg("reordered").cast("decimal(5,4)").as("reorder_rate"),
+           avg("days_since_prior_order").cast("decimal(5,2)")
+             .as("avg_days_between_orders"))
+      .withColumn("last_updated_timestamp", goldUpdatedAt)
 
   def goldDepartmentAnalytics(): DataFrame =
     silverOrderItems.read
       .join(broadcast(silverProducts.read), "product_id")
       .join(silverOrders.read.select("order_id", "total_amount"), "order_id")
       .groupBy(col("department"))
-      .agg(sum("total_amount").as("total_sales"),
-           countDistinct("product_id").as("unique_products"),
-           countDistinct("order_id").as("order_count"),
-           avg("total_amount").as("avg_order_value"))
+      .agg(sum("total_amount").cast("decimal(15,2)").as("total_sales"),
+           countDistinct("product_id").cast("int").as("unique_products"),
+           countDistinct("order_id").cast("int").as("order_count"),
+           // order_items carries the ordering user directly (DDL
+           // customer_count, data_model.md:200)
+           countDistinct("user_id").cast("int").as("customer_count"),
+           avg("total_amount").cast("decimal(10,2)").as("avg_order_value"))
+      .withColumn("last_updated_timestamp", goldUpdatedAt)
 
   def goldCustomerInsights(anchor: String): DataFrame = {
     val o = silverOrders.read
     val um = o.groupBy(col("user_id"))
-      .agg(countDistinct("order_id").as("total_orders"),
-           sum("total_amount").as("total_spent"),
-           avg("total_amount").as("avg_order_value"),
+      .agg(countDistinct("order_id").cast("int").as("total_orders"),
+           // DDL name is total_spend (data_model.md:211)
+           sum("total_amount").cast("decimal(15,2)").as("total_spend"),
+           avg("total_amount").cast("decimal(10,2)").as("avg_order_value"),
            min("date").as("first_order_date"),
            max("date").as("last_order_date"))
       .withColumn("days_since_last_order",
@@ -209,6 +275,6 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
       .select(col("user_id"), col("product_id").as("favorite_product_id"),
               col("department").as("favorite_department"),
               col("product_count"))
-    um.join(fav, "user_id")
+    um.join(fav, "user_id").withColumn("last_updated_timestamp", goldUpdatedAt)
   }
 }

@@ -46,6 +46,28 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(res("orders") == graft.etl.StageResult(2, 1))
     assert(res("order_items") == graft.etl.StageResult(2, 2))
 
+    // bronze layer: raw rows (duplicates and rejects included) with
+    // per-row lineage metadata from the file scan
+    assert(pipe.bronzeProducts.read.count() == 4)
+    assert(pipe.bronzeOrders.read.count() == 3)
+    assert(pipe.bronzeOrderItems.read.count() == 4)
+    val bp = pipe.bronzeProducts.read
+    assert(bp.columns.contains("source_file") &&
+           bp.columns.contains("ingestion_timestamp"))
+    assert(bp.filter(col("source_file").endsWith("products.csv")).count() == 4)
+    assert(bp.filter(col("ingestion_timestamp").isNull).count() == 0)
+
+    // silver metadata columns (reference data_model.md:96-148): lineage
+    // flows through, products carry SCD1 flags, orders carry time parts
+    val sp = pipe.silverProducts.read
+    assert(sp.columns.contains("source_file"))
+    assert(sp.filter(!col("is_active")).count() == 0)
+    assert(sp.filter(col("last_updated_timestamp").isNull).count() == 0)
+    val so = pipe.silverOrders.read
+    // 2025-04-01 is a Tuesday: dayofweek=3 (Sunday=1); both orders at 10:00
+    assert(so.filter(col("order_id") === 100)
+             .select("day_of_week", "hour_of_day").collect().head.toSeq == Seq(3, 10))
+
     // quarantine carries error strings per reference semantics
     val q = pipe.quarantine.read
     assert(q.count() == 4)
@@ -60,9 +82,23 @@ class EcommercePipelineSpec extends AnyFunSuite {
     val ds = pipe.goldDailySales().collect()
     assert(ds.length == 1)
     val r = ds.head
-    assert(r.getAs[Double]("total_sales") == 100.0)   // 50.0 x 2 items
-    assert(r.getAs[Long]("order_count") == 1)
-    assert(r.getAs[Long]("total_items") == 2)
+    assert(r.getAs[java.math.BigDecimal]("total_sales").doubleValue == 100.0) // 50.0 x 2 items
+    assert(r.getAs[Int]("order_count") == 1)
+    assert(r.getAs[Int]("total_items") == 2)
+    assert(r.getAs[java.math.BigDecimal]("avg_items_per_order").doubleValue == 2.0)
+
+    // gold output types follow the documented DDL (data_model.md:158-223)
+    import org.apache.spark.sql.types.DecimalType
+    val dss = pipe.goldDailySales().schema
+    assert(dss("total_sales").dataType == DecimalType(15, 2))
+    assert(dss("avg_order_value").dataType == DecimalType(10, 2))
+    assert(dss("avg_items_per_order").dataType == DecimalType(5, 2))
+    assert(pipe.goldProductPerformance()
+      .schema("reorder_rate").dataType == DecimalType(5, 4))
+    val das = pipe.goldDepartmentAnalytics().schema
+    assert(das("total_sales").dataType == DecimalType(15, 2))
+    assert(das("customer_count").dataType ==
+           org.apache.spark.sql.types.IntegerType)
 
     // customer insights: user 1 favorites tie -> rank keeps both rows
     val ci = pipe.goldCustomerInsights("2025-06-01")
@@ -79,6 +115,11 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(pipe.silverOrders.read.orderBy("order_id").collect().toSeq == before)
     assert(pipe.silverOrderItems.read.orderBy("id").collect().toSeq == beforeItems)
     assert(!pipe.silverOrderItems.read.columns.exists(_.startsWith("__")))
+    // bronze is append-only with file-level idempotence: the rerun of
+    // already-ingested paths appended nothing
+    assert(pipe.bronzeProducts.read.count() == 4)
+    assert(pipe.bronzeOrders.read.count() == 3)
+    assert(pipe.bronzeOrderItems.read.count() == 4)
   }
 
   test("incremental gold daily_sales: per-date merge equals full recompute") {
