@@ -59,12 +59,26 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> (if (broken(name)) None else samples(name).minOption)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.getOrElse(-1.0) }
+    def ms(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("-1")(ms) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // The driver retains only the LAST ~2000 chars of stdout; a single
+    // line with every per-query timing gets its FRONT truncated there
+    // and can never re-parse. So: full line first (humans, logs), full
+    // JSON also durably on disk in the repo, and a short headline
+    // object as the FINAL line — small enough to always survive the
+    // tail window intact.
+    println(full)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"failed":$failed,"queries_in":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
