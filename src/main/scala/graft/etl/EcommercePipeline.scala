@@ -52,9 +52,12 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   def table(name: String, pk: String, parts: Seq[String] = Nil): LakehouseTable =
     LakehouseTable(spark, s"$warehouse/$name", Seq(pk), parts)
 
+  // bronze is an unpartitioned append-only landing zone: batches land
+  // via the atomic batch-dir rename (appendBatch), and nothing prunes
+  // on bronze — date pruning happens at silver, which IS partitioned
   val bronzeProducts: LakehouseTable   = table("bronze_products", "product_id")
-  val bronzeOrders: LakehouseTable     = table("bronze_orders", "order_id", Seq("date"))
-  val bronzeOrderItems: LakehouseTable = table("bronze_order_items", "id", Seq("date"))
+  val bronzeOrders: LakehouseTable     = table("bronze_orders", "order_id")
+  val bronzeOrderItems: LakehouseTable = table("bronze_order_items", "id")
   val silverProducts: LakehouseTable   = table("silver_products", "product_id")
   val silverOrders: LakehouseTable     = table("silver_orders", "order_id", Seq("date"))
   val silverOrderItems: LakehouseTable = table("silver_order_items", "id", Seq("date"))
@@ -63,7 +66,9 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   /** Bronze ingest (reference docs/etl_processes.md:84-86,
     * docs/data_model.md:46-52): raw inferred-schema rows plus per-row
     * lineage — `source_file` (`_metadata.file_path`, the Spark-4 form of
-    * input_file_name) and `ingestion_timestamp`.
+    * input_file_name) and `ingestion_timestamp` (pinned driver-side so
+    * the append action and the downstream silver stage see the SAME
+    * value — current_timestamp() would re-resolve per action).
     *
     * Append-only with file-level idempotence: incoming rows whose
     * source_file is already present in bronze are skipped (anti-join on
@@ -71,19 +76,36 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     * sized, not row-count sized). A rerun of the same paths appends
     * nothing, and ingest work is O(new files); the table is never
     * rewritten, which is what keeps an ever-growing bronze layer viable
-    * at scale. Returns the full bronze contents for the silver stage. */
+    * at scale. Each batch lands through the atomic batch-dir rename
+    * ([[LakehouseTable.appendBatch]]), so a crash mid-ingest never
+    * leaves a source_file visible with only part of its rows — the
+    * precondition the idempotence anti-join relies on.
+    *
+    * Schema drift: the first batch pins the bronze schema; later
+    * batches are conformed to it (cast null-on-error, missing → typed
+    * null, new columns dropped) instead of appending whatever a fresh
+    * inferSchema guessed — mixed file schemas in one directory would
+    * poison every later read.
+    *
+    * Returns ONLY the fresh (newly ingested) rows: the silver stage is
+    * incremental — reprocessing the full bronze history per run would
+    * re-quarantine every historical reject and let an arbitrary-winner
+    * dedup nondeterministically flip settled silver rows. */
   def ingestBronze(csvPath: String, target: LakehouseTable): DataFrame = {
+    val ingestTs = new java.sql.Timestamp(System.currentTimeMillis())
     val raw = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(csvPath)
       .withColumn("source_file", col("_metadata.file_path"))
-      .withColumn("ingestion_timestamp", current_timestamp())
-    if (!target.exists) target.overwrite(raw)
-    else {
-      val seen = target.read.select("source_file").distinct()
-      val fresh = raw.join(broadcast(seen), Seq("source_file"), "left_anti")
-      if (!fresh.isEmpty) target.append(fresh)
-    }
-    target.read
+      .withColumn("ingestion_timestamp", lit(ingestTs))
+    val fresh =
+      if (!target.exists) raw
+      else {
+        val conformed = Casting.conformTo(raw, target.read.schema)
+        val seen = target.read.select("source_file").distinct()
+        conformed.join(broadcast(seen), Seq("source_file"), "left_anti")
+      }
+    if (!fresh.isEmpty) target.appendBatch(fresh)
+    fresh
   }
 
   /** CSV ingest (S1): header + inferSchema, then the declared-schema
@@ -104,26 +126,39 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   private def requiredRules(schema: StructType) =
     Validation.requiredFieldRules(schema)
 
-  /** Generic bronze→silver stage: validate → quarantine rejected →
-    * dedup pk → upsert silver. Returns (valid, rejected) counts.
+  /** Generic incremental bronze→silver stage over ONE fresh batch:
+    * validate → quarantine rejected → dedup pk → upsert silver.
+    * Returns (silver rows after upsert, batch rejects).
+    *
+    * Incremental by contract: `df` is the newly ingested rows only, so
+    * quarantine grows by exactly this batch's rejects (never re-listing
+    * history) and the upsert's update-wins MERGE makes the most recent
+    * batch deterministically win for a re-delivered pk. Within a batch
+    * the winner is deterministic too: latest ingestion_timestamp, then
+    * lexicographically-last source_file (re-deliveries inside one file
+    * are identical rows, so their tie is value-irrelevant).
+    *
     * `helperCols` (e.g. RI membership tags) are consumed by the rules
     * and dropped before anything is persisted — storing them would
     * break schema stability on the next incremental upsert. */
   private def stage(df: DataFrame, rules: Seq[Rule], target: LakehouseTable,
                     sourceName: String,
                     helperCols: Seq[String] = Nil): StageResult = {
+    if (df.isEmpty)
+      return StageResult(if (target.exists) target.read.count() else 0L, 0L)
     val (valid0, rejected0) = Validation.split(df, rules)
     val valid = helperCols.foldLeft(valid0)(_.drop(_))
     val rejected = helperCols.foldLeft(rejected0)(_.drop(_))
     val nRejected = rejected.count()
     if (nRejected > 0)
-      quarantine.append(
+      quarantine.appendBatch(
         rejected.withColumn("source_table", lit(sourceName))
           .withColumn("rejected_at", current_timestamp())
           .select(to_json(struct(col("*"))).as("record"),
                   col(Validation.ErrCol), col("source_table"),
                   col("rejected_at")))
-    val deduped = Dedup.byKey(valid, target.pk)
+    val deduped = Dedup.keepFirst(valid, target.pk,
+      Seq(col("ingestion_timestamp").desc, col("source_file").desc))
     target.upsert(deduped)
     StageResult(target.read.count(), nRejected)
   }

@@ -40,4 +40,20 @@ object Casting {
   /** Declared fields absent from the frame (reference warns + skips). */
   def missingColumns(df: DataFrame, schema: StructType): Seq[String] =
     schema.fieldNames.toSeq.filterNot(df.columns.contains)
+
+  /** Strict schema conformance for append-only tables whose schema is
+    * pinned by the first written batch: every pinned field cast
+    * null-on-error (castTo rules), fields the batch is missing become
+    * typed nulls, undeclared extras are DROPPED, and the pinned column
+    * order is restored. Without this, a later file whose inferSchema
+    * drifts (int→string, new column) would append conflicting parquet
+    * schemas into one directory and poison every later read. */
+  def conformTo(df: DataFrame, schema: StructType): DataFrame = {
+    val cast = castTo(df, schema)
+    val present = cast.columns.toSet
+    cast.select(schema.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
 }

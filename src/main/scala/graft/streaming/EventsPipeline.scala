@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.operators.Upsert
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
@@ -49,7 +48,11 @@ object EventsPipeline {
 
   /** writeStream with a foreachBatch update-wins upsert into
     * `targetPath` (parquet), keyed on (window_start, event_type) —
-    * the streaming MERGE the reference approximates with Glue batch. */
+    * the streaming MERGE the reference approximates with Glue batch.
+    * The sink IS the lakehouse table op: [[LakehouseTable.upsert]]'s
+    * tombstone swap means readers never observe a no-table window (the
+    * earlier hand-rolled delete-then-rename here had exactly that gap)
+    * and the write parallelism follows the data instead of coalesce(1). */
   def upsertSink(rollup: DataFrame, targetPath: String,
                  checkpoint: String): DataStreamWriter[Row] =
     rollup.writeStream
@@ -57,21 +60,8 @@ object EventsPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val target = try {
-          spark.read.parquet(targetPath)
-        } catch { case _: Throwable => batch.limit(0) }
-        Upsert
-          .upsert(target, batch, Seq("window_start", "event_type"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(targetPath + "_staged")
-        // staged-then-swap keeps readers from seeing partial output
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val staged = new org.apache.hadoop.fs.Path(targetPath + "_staged")
-        val live   = new org.apache.hadoop.fs.Path(targetPath)
-        fs.delete(live, true)
-        fs.rename(staged, live)
-        ()
+        graft.tables.LakehouseTable(batch.sparkSession, targetPath,
+            Seq("window_start", "event_type"))
+          .upsert(batch)
       }
 }

@@ -26,7 +26,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
 
   def exists: Boolean = fs.exists(new Path(path))
 
-  def read: DataFrame = spark.read.parquet(path)
+  /** Unpartitioned tables list files recursively so [[appendBatch]]'s
+    * batch-directory layout reads transparently; partitioned tables
+    * keep standard partition discovery (recursive lookup would discard
+    * the key=value partition columns). */
+  def read: DataFrame = {
+    val r = spark.read
+    (if (partitionCols.isEmpty) r.option("recursiveFileLookup", "true") else r)
+      .parquet(path)
+  }
 
   private def write(df: DataFrame, target: String): Unit = {
     val w = df.write.mode("overwrite")
@@ -60,12 +68,32 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     ()
   }
 
-  /** Blind append (reference S5: rejected-records quarantine). Not
-    * atomic across files; used only for the append-only side channel. */
+  /** Blind append (reference S5 semantics). Not atomic across files —
+    * a crash mid-write leaves a partial batch visible. Kept for
+    * reference parity; the pipeline's append-only tables (bronze
+    * landing, quarantine) use [[appendBatch]] instead. */
   def append(df: DataFrame): Unit = {
     val w = df.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
+  }
+
+  /** Crash-safe append for unpartitioned append-only tables: the batch
+    * is written to a sibling staging dir, then becomes visible through
+    * ONE atomic directory rename into the live path — a failure at any
+    * earlier point leaves only an orphaned staging dir, never a
+    * partially visible batch. This is what makes bronze's
+    * file-level-idempotence contract sound: a source_file can only be
+    * observed in bronze once ALL of its rows are durable, so the rerun
+    * anti-join on seen files never skips a half-written file. */
+  def appendBatch(df: DataFrame): Unit = {
+    require(partitionCols.isEmpty,
+      s"appendBatch is for unpartitioned append-only tables: $path")
+    val tag = UUID.randomUUID().toString.take(8)
+    val staged = s"$path.appendstage-$tag"
+    write(df, staged)
+    fs.mkdirs(new Path(path))
+    renameOrFail(new Path(staged), new Path(s"$path/batch-$tag"))
   }
 
   /** Delta-MERGE parity (S6): dedup the batch on pk (reference

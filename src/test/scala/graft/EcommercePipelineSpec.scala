@@ -120,6 +120,45 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(pipe.bronzeProducts.read.count() == 4)
     assert(pipe.bronzeOrders.read.count() == 3)
     assert(pipe.bronzeOrderItems.read.count() == 4)
+    // ...and silver stages are incremental: the rerun's empty batch
+    // re-quarantines nothing (history-wide re-validation would have
+    // doubled the quarantine to 8)
+    assert(pipe.quarantine.read.count() == 4)
+  }
+
+  test("correction batch wins deterministically; drifted schema conforms") {
+    val dir = TestSpark.tmpDir("ecom_corr")
+    val v1 = writeCsv(dir, "products_v1.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A",
+      "2,11,Toys,Toy B (typo)"))
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    pipe.runProducts(v1)
+
+    // a later file re-delivers pk 2 with corrected values, drops a
+    // column, and adds an unknown one — the correction must win in
+    // silver (update-wins MERGE on the fresh batch), the missing
+    // column must land as a typed null, and the new column must be
+    // dropped (bronze schema pinned by the first batch)
+    val v2 = writeCsv(dir, "products_v2.csv", Seq(
+      "product_id,department,product_name,surprise_col",
+      "2,Toys,Toy B,xyz"))
+    pipe.runProducts(v2)
+
+    val silver = pipe.silverProducts.read
+    val row2 = silver.filter(col("product_id") === 2).collect().head
+    assert(row2.getAs[String]("product_name") == "Toy B")
+    assert(row2.isNullAt(row2.fieldIndex("department_id")))
+    assert(!silver.columns.contains("surprise_col"))
+    assert(silver.count() == 2)
+    val bronze = pipe.bronzeProducts.read
+    assert(bronze.count() == 3 && !bronze.columns.contains("surprise_col"))
+
+    // re-running the corrected file is a no-op (file-level idempotence)
+    pipe.runProducts(v2)
+    assert(pipe.bronzeProducts.read.count() == 3)
+    assert(pipe.silverProducts.read.filter(col("product_id") === 2)
+      .collect().head.getAs[String]("product_name") == "Toy B")
   }
 
   test("incremental gold daily_sales: per-date merge equals full recompute") {

@@ -40,6 +40,24 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(t.read.count() == 20)
   }
 
+  test("appendBatch: batches land atomically as dirs, read sees all rows") {
+    val dir = TestSpark.tmpDir("lakeb")
+    val t = LakehouseTable(spark, s"$dir/b", Seq("k"))
+    t.appendBatch(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.appendBatch(Seq((3, "c")).toDF("k", "v"))
+    assert(t.read.as[(Int, String)].collect().toMap ==
+           Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    // each batch is one child dir; no staging leftovers beside the table
+    val children = new java.io.File(s"$dir/b").list().toSeq
+    assert(children.count(_.startsWith("batch-")) == 2, children)
+    assert(!new java.io.File(dir).list().exists(_.contains("appendstage")))
+    // partitioned tables must refuse: the batch layout would discard
+    // the key=value partition columns on read
+    val p = LakehouseTable(spark, s"$dir/p", Seq("k"), Seq("part"))
+    intercept[IllegalArgumentException](
+      p.appendBatch(Seq((1, "x", "a")).toDF("k", "v", "part")))
+  }
+
   test("partitioned write + append quarantine pattern") {
     val dir = TestSpark.tmpDir("lakep")
     val t = LakehouseTable(spark, s"$dir/p", Seq("k"), Seq("part"))
