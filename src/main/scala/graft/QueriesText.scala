@@ -352,12 +352,26 @@ object QueriesText {
 
     // stratified deterministic sampling: first 25 docs per language in
     // md5 order — balanced per-class samples, reproducible across
-    // engines and partitionings (unlike rand()-based sampleBy)
+    // engines and partitionings (unlike rand()-based sampleBy).
+    // Skew contract at scale: partitionBy(lang) has ~handfuls of
+    // distinct values, so each language becomes ONE sorted window task.
+    // The pre-filter below bounds what reaches the sort to ≤25 rows per
+    // (lang, input partition) — a per-partition top-k (cheap, no
+    // shuffle) that preserves every possible global top-25 candidate,
+    // so the single-task sort sees O(25 × partitions) rows instead of
+    // the full table. Same output, skew-safe.
     "q_stratified_sample" -> q(
       c => {
+        val key = md5(col("doc_id").cast("string").cast("binary"))
+        val docs = c.documents.select(col("lang"), col("doc_id"))
+        val bounded = docs
+          .withColumn("pk", row_number().over(
+            Window.partitionBy(col("lang"), spark_partition_id())
+              .orderBy(key, col("doc_id"))))
+          .filter(col("pk") <= 25).drop("pk")
         val w = Window.partitionBy("lang")
           .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-        c.documents
+        bounded
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 25)
           .select(col("lang"), col("doc_id"), col("rk"))
@@ -649,10 +663,31 @@ object QueriesText {
 
     // stateful sessionizer (flatMapGroupsWithState) run in batch mode:
     // emits every CLOSED session, i.e. q_sessionize minus each user's
-    // final (still-open) session — the invariant a probe can check
+    // final (still-open) session — which IS SQL-expressible: sessions
+    // as in q_sessionize, dropping each user's max session id
     "q_sessionize_stateful" -> q(
       c => graft.streaming.SessionizeStream
-        .sessionize(c.events, gapSeconds = 172800).toDF()),
+        .sessionize(c.events, gapSeconds = 172800).toDF(),
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) sec FROM events
+        |), g AS (
+        | SELECT user_id, event_id, sec,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 172800
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |), s AS (
+        | SELECT user_id, sec,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g
+        |), agg AS (
+        | SELECT user_id, sid, min(sec) AS start_sec, max(sec) AS end_sec,
+        |  count(*) AS n_events
+        | FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id, start_sec, end_sec, n_events FROM (
+        | SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM agg
+        |) WHERE sid < last_sid""".stripMargin),
 
     // ── sessionization (gap-based, lag + running sum) ─────────────────
     "q_sessionize" -> q(

@@ -89,6 +89,24 @@ class TextOpsSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("minhash LSH recall >= 0.95 vs blocked-exact ground truth at J>=0.9") {
+    // ground truth: the oracle-checked exact blocked-Jaccard pairs,
+    // filtered to the J >= 0.9 operating point the 8x8 banding targets;
+    // candidate set: the production LSH query. A banding or hashing
+    // regression (wrong operating point, broken signatures, dropped
+    // buckets) shows up here as lost true pairs, which golden-signature
+    // tests alone can't catch.
+    val sf = "/root/testdata/sf0.01"
+    val exact = QueriesText.defs("q_ngram_jaccard").fn(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = QueriesText.defs("q_minhash_neardup").fn(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size > 100, s"vacuous ground truth: ${exact.size} pairs")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall < 0.95 (${exact.size} true pairs)")
+  }
+
   test("simhash banded pairing joins on segment keys, not block alone") {
     val c = Ctx(spark, "/root/testdata/sf0.001")
     val sigs = SimHash.simhash(
