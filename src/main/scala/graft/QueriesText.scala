@@ -126,6 +126,164 @@ object QueriesText {
         |        (1.0 - punct_ratio) * 0.2) * 10000 + 0.5) / 10000 AS quality_score
         |FROM r""".stripMargin),
 
+    // C4/Gopher-style corpus filter: hard keep/drop verdict plus the
+    // machine-readable reject reasons a curation pipeline logs. One
+    // narrow scan + codegen'd per-row exprs — no shuffle at all.
+    "q_quality_gate" -> q(
+      c => {
+        val m = c.documents
+          .withColumn("__w", TF.words(col("text")))
+          .withColumn("n_words", size(col("__w")).cast("long"))
+          .withColumn("n_nospace",
+            length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+          .withColumn("n_stop",
+            TF.markerScore(col("__w"), Seq("the", "a", "of", "and", "is")))
+          .withColumn("avg_word_len",
+            col("n_nospace").cast("double") / col("n_words"))
+          .withColumn("stop_ratio",
+            col("n_stop").cast("double") / col("n_words"))
+        val passWords = col("n_words") >= 30
+        val passStop  = col("stop_ratio") >= 0.02
+        val passLen   = col("avg_word_len") >= 3.0 && col("avg_word_len") <= 5.0
+        // concat_ws skips the nulls of un-fired when()s in BOTH engines,
+        // so reasons is "" for kept docs and ';'-joined rule ids otherwise
+        m.withColumn("keep", passWords && passStop && passLen)
+          .withColumn("reasons", concat_ws(";",
+            when(!passWords, "min_words"),
+            when(!passStop, "stopword_ratio"),
+            when(!passLen, "word_length")))
+          .select(col("doc_id"), col("keep"), col("reasons"))
+      },
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nospace,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop
+        | FROM documents
+        |), r AS (
+        | SELECT doc_id,
+        |  n_words >= 30 AS pw,
+        |  CAST(n_stop AS DOUBLE) / n_words >= 0.02 AS ps,
+        |  CAST(n_nospace AS DOUBLE) / n_words BETWEEN 3.0 AND 5.0 AS pl
+        | FROM m
+        |)
+        |SELECT doc_id, (pw AND ps AND pl) AS keep,
+        | concat_ws(';', CASE WHEN NOT pw THEN 'min_words' END,
+        |                CASE WHEN NOT ps THEN 'stopword_ratio' END,
+        |                CASE WHEN NOT pl THEN 'word_length' END) AS reasons
+        |FROM r""".stripMargin),
+
+    // Gopher repetition rule: the share of a doc's most frequent
+    // bigram. Scales as explode → two-level agg (per-(doc,bigram)
+    // partial counts combine map-side; the per-doc rollup moves one
+    // row per distinct bigram, never the token stream).
+    "q_repetition_filter" -> q(
+      c => {
+        // __w and __bg materialized behind project boundaries: inlining
+        // words() into shingles() re-evaluates the regex split per
+        // element, and explode must target the materialized attribute
+        // (explode_outer + isNotNull — the generate-pushdown trap)
+        val exploded = c.documents
+          .withColumn("__w", TF.words(col("text")))
+          .withColumn("__bg", TF.shingles(col("__w"), 2))
+          .select(col("doc_id"), explode_outer(col("__bg")).as("bigram"))
+          .filter(col("bigram").isNotNull)
+        exploded.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_bigrams"), max("n").as("top_n"))
+          .withColumn("top_share",
+            rnd4(col("top_n").cast("double") / col("n_bigrams")))
+          .withColumn("keep", col("top_share") <= 0.1)
+          .select("doc_id", "n_bigrams", "top_n", "top_share", "keep")
+      },
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+        |), g AS (
+        | SELECT doc_id, a[i] || ' ' || a[i + 1] AS bigram
+        | FROM w, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        |), pb AS (
+        | SELECT doc_id, bigram, count(*) AS n FROM g GROUP BY 1, 2
+        |), d AS (
+        | SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(max(n) AS BIGINT) AS top_n
+        | FROM pb GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, top_n, top_share, top_share <= 0.1 AS keep
+        |FROM (SELECT *, floor(CAST(top_n AS DOUBLE) / n_bigrams * 10000 + 0.5)
+        |        / 10000 AS top_share FROM d)""".stripMargin),
+
+    // Concat-and-chunk sequence packing (the standard LLM pretraining
+    // batch layout): deterministic doc order per source, running token
+    // count, pack = exclusive-prefix-sum div budget. The window
+    // partitions by source — the packing unit — so state never exceeds
+    // one running long per partition; the rollup is map-side combinable.
+    "q_doc_pack" -> q(
+      c => {
+        val d = c.documents.select(col("doc_id"), col("source"),
+          TF.wsTokenCount(col("text")).as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        d.withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast("long"))
+          .groupBy(col("source"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      },
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents
+        |), s AS (
+        | SELECT source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM d
+        |)
+        |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM s GROUP BY 1, 2""".stripMargin),
+
+    // PII redaction. The corpus is synthetic word soup with no natural
+    // PII, so the demo PLANTS deterministic doc_id-derived emails/phones
+    // first; what's under test — identically in the oracle — is the
+    // redaction pass itself: match counts plus an md5 over the fully
+    // scrubbed text (full-content equality, not a spot check).
+    "q_pii_scrub" -> q(
+      c => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+        val planted = concat(col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+                   lit("@example-mail.com"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call 555-"),
+                   lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        c.documents.select(col("doc_id"), planted.as("t"))
+          .withColumn("n_emails", regexp_count(col("t"), lit(emailRe)).cast("long"))
+          .withColumn("n_phones", regexp_count(col("t"), lit(phoneRe)).cast("long"))
+          .withColumn("scrub_md5", md5(
+            regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+                           phoneRe, "<PHONE>").cast("binary")))
+          .select("doc_id", "n_emails", "n_phones", "scrub_md5")
+      },
+      """WITH p AS (
+        | SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 <> 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+        |       || '@example-mail.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' call 555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+        | FROM documents
+        |)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(t,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_md5
+        |FROM p""".stripMargin),
+
     "q_lang_id" -> q(
       c => {
         // Split the text ONCE into a lower projection and score the
