@@ -83,18 +83,46 @@ object Gold {
               col("order_count"), col("avg_quantity"), col("avg_discount"))
 
   /** department_analytics (docs/etl_processes.md:556-567): three exact
-    * countDistincts in a single agg. */
-  def departmentAnalytics(c: Ctx): DataFrame =
-    c.lineitem
-      .join(broadcast(c.part), col("l_partkey") === col("p_partkey"))
-      .join(c.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("p_brand"))
+    * countDistincts.
+    *
+    * Decomposed, not one agg: three distinct columns in a single agg
+    * make Catalyst Expand every joined row 4× before the shuffle. Here
+    * the revenue aggregates + the parts distinct share ONE pass (a
+    * single countDistinct plans as two-level agg, no Expand), while the
+    * order/customer distincts reduce to pre-aggregated narrow int-pair
+    * sets — (brand, orderkey) deduplicates map-side BEFORE its shuffle,
+    * and only that distinct pair set (not the full fact rows) joins
+    * orders to reach custkey. Per-brand results (dozens of rows) then
+    * join back broadcast-small. Same results, no 4× row multiply, no
+    * wide rows through any shuffle.
+    *
+    * Precondition (holds for this data model and is what the reference
+    * job assumes): orders is pk-unique on o_orderkey and every
+    * l_orderkey resolves — the inner orders join then neither drops nor
+    * duplicates lineitem rows, so revenue aggregates are unchanged by
+    * computing them before that join. q_anti_join checks the RI side. */
+  def departmentAnalytics(c: Ctx): DataFrame = {
+    val li = c.lineitem
+      .join(broadcast(c.part.select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+    val rev = li.groupBy(col("p_brand"))
       .agg(
         exactSum(revenue, 4, 2).as("total_revenue"),
         countDistinct("p_partkey").as("unique_parts"),
-        countDistinct("o_orderkey").as("unique_orders"),
-        countDistinct("o_custkey").as("unique_customers"),
         exactAvg(revenue, 4, 4).as("avg_item_revenue"))
+    val brandOrders = li.select(col("p_brand"), col("l_orderkey")).distinct()
+    val uo = brandOrders.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("unique_orders"))
+    val uc = brandOrders
+      .join(c.orders.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("p_brand"), col("o_custkey")).distinct()
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("unique_customers"))
+    rev.join(uo, "p_brand").join(uc, "p_brand")
+      .select(col("p_brand"), col("total_revenue"), col("unique_parts"),
+              col("unique_orders"), col("unique_customers"),
+              col("avg_item_revenue"))
+  }
 
   /** Per-customer order metrics + segment bucketing
     * (docs/etl_processes.md:630-668). The when-chain is order-sensitive;

@@ -18,6 +18,10 @@ class PlanSpec extends AnyFunSuite {
   test("gold dimension joins broadcast (no shuffle of the dim side)") {
     val p = planOf(Gold.departmentAnalytics(Ctx(spark, sf)))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the three exact countDistincts are decomposed into single-distinct
+    // passes + pre-aggregated pair sets; a combined agg would reintroduce
+    // Catalyst's Expand (4x row multiply before the shuffle)
+    assert(!p.contains("Expand"), "Expand reappeared:\n" + p.take(3000))
   }
 
   test("filters push down to the parquet scan") {
