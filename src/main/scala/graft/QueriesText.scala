@@ -284,6 +284,88 @@ object QueriesText {
         |   '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM p""".stripMargin),
 
+    // Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    // flag training docs sharing shingles with a held-out eval set
+    // (here: doc_id % 97 — a benchmark suite is tiny, so its distinct
+    // shingle set broadcasts; were the eval side ever corpus-sized the
+    // join would simply shuffle on the shingle key instead).
+    "q_decontaminate" -> q(
+      c => {
+        val sh = c.documents
+          .withColumn("__w", TF.words(col("text")))
+          .withColumn("__sh", array_distinct(TF.shingles(col("__w"), 3)))
+          .select(col("doc_id"), explode_outer(col("__sh")).as("sh"))
+          .filter(col("sh").isNotNull)
+        val evalSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalSh), Seq("sh"))
+          .groupBy(col("doc_id"))
+          // per-doc shingles are already distinct -> plain count is the
+          // distinct shared-shingle count, no second distinct pass
+          .agg(count(lit(1)).as("n_shared"))
+          .withColumn("contaminated", col("n_shared") >= 2)
+      },
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+        |), g AS (
+        | SELECT DISTINCT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS sh
+        | FROM w, unnest(generate_series(1, len(a) - 2)) AS t(i)
+        |), e AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+        | count(*) >= 2 AS contaminated
+        |FROM g WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM e)
+        |GROUP BY 1""".stripMargin),
+
+    // Training-mix allocation: split a 1M-token epoch budget across
+    // sources proportionally to their token mass, integer-exact via the
+    // largest-remainder method. The only window runs over one row per
+    // SOURCE (not per doc/token) — mix tables are dozens of rows at any
+    // corpus scale; the data-sized pass is the one groupBy(source).
+    // (The double products stay exact below 2^53 token-units; a real
+    // 100 TB run would lift the multiply to DECIMAL(38,0).)
+    "q_domain_mix" -> q(
+      c => {
+        val budget = 1000000L
+        val tok = c.documents.groupBy(col("source"))
+          .agg(sum(TF.wsTokenCount(col("text"))).as("toks"))
+        val tot = tok.agg(sum("toks").as("total"))
+        val f = tok.crossJoin(broadcast(tot))
+          .withColumn("raw", col("toks") * lit(budget.toDouble) / col("total"))
+          .withColumn("floor_alloc", floor(col("raw")).cast("long"))
+          .withColumn("frac", col("raw") - col("floor_alloc"))
+        val ranked = f.withColumn("rk",
+          row_number().over(Window.orderBy(col("frac").desc, col("source"))))
+        val fsum = ranked.agg(sum("floor_alloc").as("fsum"))
+        ranked.crossJoin(broadcast(fsum))
+          .withColumn("alloc",
+            (col("floor_alloc") +
+             when(col("rk") <= lit(budget) - col("fsum"), 1).otherwise(0))
+              .cast("long"))
+          .withColumn("oversample",
+            rnd4(col("alloc").cast("double") / col("toks")))
+          .select("source", "toks", "alloc", "oversample")
+      },
+      """WITH tok AS (
+        | SELECT source,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS toks
+        | FROM documents GROUP BY 1
+        |), t AS (SELECT *, sum(toks) OVER () AS total FROM tok),
+        |f AS (
+        | SELECT source, toks,
+        |  CAST(floor(toks * 1000000.0 / total) AS BIGINT) AS floor_alloc,
+        |  toks * 1000000.0 / total - floor(toks * 1000000.0 / total) AS frac
+        | FROM t
+        |), r AS (
+        | SELECT *, CAST(row_number() OVER (ORDER BY frac DESC, source) AS BIGINT) AS rk,
+        |  sum(floor_alloc) OVER () AS fsum
+        | FROM f
+        |)
+        |SELECT source, toks,
+        | CAST(floor_alloc + CASE WHEN rk <= 1000000 - fsum THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+        | floor(CAST(floor_alloc + CASE WHEN rk <= 1000000 - fsum THEN 1 ELSE 0 END AS DOUBLE)
+        |   / toks * 10000 + 0.5) / 10000 AS oversample
+        |FROM r""".stripMargin),
+
     "q_lang_id" -> q(
       c => {
         // Split the text ONCE into a lower projection and score the
