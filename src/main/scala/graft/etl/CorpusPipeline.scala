@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data corpus curation — the composition the
   * individual operators exist for (prompt §"training-data pipeline"):
   *
-  *   quality score → language filter → exact dedup → MinHash-LSH
-  *   near-dup clusters → best-copy survivors → stratified per-language
-  *   cap
+  *   quality score → repetition filter → language filter → exact dedup
+  *   → MinHash-LSH near-dup clusters → best-copy survivors → stratified
+  *   per-language cap
   *
   * Every stage is a pure DataFrame → DataFrame function; at 100 TB the
   * same plan runs partitioned end-to-end: per-row scoring is
@@ -22,13 +22,15 @@ import org.apache.spark.sql.functions._
   * numbers every curation run reports).
   */
 object CorpusPipeline {
-  final case class Funnel(input: Long, qualityPass: Long, langPass: Long,
+  final case class Funnel(input: Long, qualityPass: Long,
+                          repetitionPass: Long, langPass: Long,
                           exactUnique: Long, nearDupSurvivors: Long,
                           sampled: Long)
 
   /** Score + filter + dedup + sample. `docs` needs (doc_id, text,
     * lang, source, n_chars). Deterministic end to end. */
   def curate(docs: DataFrame, minWords: Int = 30, maxPunctRatio: Double = 0.2,
+             maxTopBigramShare: Double = 0.1,
              jaccardThreshold: Double = 0.9, perLangCap: Int = 1000)
       : (DataFrame, Funnel) = {
     NativeFunctions.register(docs.sparkSession)
@@ -49,8 +51,24 @@ object CorpusPipeline {
     val qualityPass = scored
       .filter(col("n_words") >= minWords && col("punct_ratio") <= maxPunctRatio)
 
+    // stage 1b: Gopher repetition rule — drop docs dominated by one
+    // bigram. The failing-id set is aggregation output (tiny for any
+    // sane corpus), so the anti-join broadcasts; survivors' text never
+    // re-shuffles.
+    val repetitive = qualityPass
+      .withColumn("__bg", TF.shingles(col("__w"), 2))
+      .select(col("doc_id"), explode_outer(col("__bg")).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg((max("n") / sum("n")).as("top_share"))
+      .filter(col("top_share") > maxTopBigramShare)
+      .select("doc_id")
+    val repetitionPass = qualityPass
+      .join(broadcast(repetitive), Seq("doc_id"), "left_anti")
+
     // stage 2: language-ID agreement (drop mislabeled / unidentifiable)
-    val langPass = qualityPass.filter(col("pred_lang") === col("lang"))
+    val langPass = repetitionPass.filter(col("pred_lang") === col("lang"))
 
     // stage 3: exact dedup — keep the lowest doc_id per fingerprint
     val exactUnique = graft.operators.Dedup.keepFirst(
@@ -80,7 +98,8 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
               col("n_words"), col("pred_lang"))
 
-    val funnel = Funnel(docs.count(), qualityPass.count(), langPass.count(),
+    val funnel = Funnel(docs.count(), qualityPass.count(),
+                        repetitionPass.count(), langPass.count(),
                         exactUnique.count(), survivors.count(), sampled.count())
     (sampled, funnel)
   }
@@ -105,8 +124,9 @@ object CorpusMain {
     val (curated, f) = CorpusPipeline.curate(docs)
     curated.write.mode("overwrite").parquet(args(1))
     println(s"[corpus] input=${f.input} quality=${f.qualityPass} " +
-      s"lang=${f.langPass} exact=${f.exactUnique} " +
-      s"neardup=${f.nearDupSurvivors} sampled=${f.sampled}")
+      s"repetition=${f.repetitionPass} lang=${f.langPass} " +
+      s"exact=${f.exactUnique} neardup=${f.nearDupSurvivors} " +
+      s"sampled=${f.sampled}")
     spark.stop()
   }
 }

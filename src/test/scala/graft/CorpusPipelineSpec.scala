@@ -15,7 +15,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     // funnel only narrows
     assert(f.input >= f.qualityPass)
-    assert(f.qualityPass >= f.langPass)
+    assert(f.qualityPass >= f.repetitionPass)
+    assert(f.repetitionPass >= f.langPass)
     assert(f.langPass >= f.exactUnique)
     assert(f.exactUnique >= f.nearDupSurvivors)
     assert(f.nearDupSurvivors >= f.sampled)
