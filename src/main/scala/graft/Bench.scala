@@ -59,7 +59,9 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> (if (broken(name)) None else samples(name).minOption)
     }
-    def ms(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal host locale would emit invalid JSON
+    def ms(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("-1")(ms) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }

@@ -609,8 +609,9 @@ object QueriesText {
             Window.partitionBy(col("lang"), spark_partition_id())
               .orderBy(key, col("doc_id"))))
           .filter(col("pk") <= 25).drop("pk")
-        val w = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        // same `key` expression as the pre-filter — diverging orderings
+        // would break the top-25-candidate-preservation argument above
+        val w = Window.partitionBy("lang").orderBy(key, col("doc_id"))
         bounded
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 25)

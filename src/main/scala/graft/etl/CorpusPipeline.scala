@@ -48,8 +48,13 @@ object CorpusPipeline {
       .withColumn("fr_score", TF.markerScore(col("__w"), TF.LangMarkers(3)._2))
       .withColumn("pred_lang", TF.predictLang(
         col("en_score"), col("de_score"), col("es_score"), col("fr_score")))
+    // persisted: the funnel's observability counts plus every later
+    // stage re-traverse this frame ~6 times; without the persist each
+    // count re-runs the scoring scan (and the repetition stage's bigram
+    // explode) from the raw input. MEMORY_AND_DISK: spills, never OOMs.
     val qualityPass = scored
       .filter(col("n_words") >= minWords && col("punct_ratio") <= maxPunctRatio)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 1b: Gopher repetition rule — drop docs dominated by one
     // bigram. The failing-id set is aggregation output (tiny for any
@@ -71,9 +76,12 @@ object CorpusPipeline {
     val langPass = repetitionPass.filter(col("pred_lang") === col("lang"))
 
     // stage 3: exact dedup — keep the lowest doc_id per fingerprint
+    // (persisted: feeds the LSH signature build, the survivor join, and
+    // its own funnel count)
     val exactUnique = graft.operators.Dedup.keepFirst(
       langPass.withColumn("__fp", TF.fingerprint(col("text"))),
       Seq("__fp"), Seq(col("doc_id").asc)).drop("__fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 4: near-dup clusters via MinHash LSH (the scale path — the
     // blocked exact self-join is the small-corpus alternative), then
@@ -101,6 +109,8 @@ object CorpusPipeline {
     val funnel = Funnel(docs.count(), qualityPass.count(),
                         repetitionPass.count(), langPass.count(),
                         exactUnique.count(), survivors.count(), sampled.count())
+    qualityPass.unpersist()
+    exactUnique.unpersist()
     (sampled, funnel)
   }
 }

@@ -100,12 +100,18 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     val fresh =
       if (!target.exists) raw
       else {
-        val conformed = Casting.conformTo(raw, target.read.schema)
-        val seen = target.read.select("source_file").distinct()
+        val existing = target.read
+        val conformed = Casting.conformTo(raw, existing.schema)
+        val seen = existing.select("source_file").distinct()
         conformed.join(broadcast(seen), Seq("source_file"), "left_anti")
       }
-    if (!fresh.isEmpty) target.appendBatch(fresh)
-    fresh
+    // the silver stage triggers several actions over the fresh batch
+    // (validation split, reject count, upsert); handing it the lazy
+    // CSV+anti-join lineage would re-run that scan per action. Reading
+    // the just-landed batch dir back gives every downstream action the
+    // landed columnar data instead.
+    if (fresh.isEmpty) fresh.limit(0)
+    else spark.read.parquet(target.appendBatch(fresh))
   }
 
   /** CSV ingest (S1): header + inferSchema, then the declared-schema
@@ -173,21 +179,13 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     stage(df, requiredRules(products), silverProducts, "products")
   }
 
-  def runOrders(csvPath: String): StageResult = {
-    val bronze = ingestBronze(csvPath, bronzeOrders)
-    // reference silver enrichment (docs/etl_processes.md:308-309)
-    val df = castBronze(bronze, orders)
-      .withColumn("day_of_week", dayofweek(col("date")))
-      .withColumn("hour_of_day", hour(col("order_timestamp")))
-    val rules = requiredRules(orders) :+
-      Rule(col("total_amount") < 0, "Negative total_amount")
-    stage(df, rules, silverOrders, "orders")
-  }
+  private def orderRules: Seq[Rule] =
+    requiredRules(orders) :+ Rule(col("total_amount") < 0, "Negative total_amount")
 
-  /** order_items: required fields + RI against the silver dims via
-    * broadcast anti-join membership tags. */
-  def runOrderItems(csvPath: String): StageResult = {
-    val df = castBronze(ingestBronze(csvPath, bronzeOrderItems), orderItems)
+  /** RI tagging + rules for order_items against the CURRENT silver
+    * dims — shared by the ingest stage and quarantine replay so both
+    * enforce identical semantics. */
+  private def tagItems(df: DataFrame): (DataFrame, Seq[Rule], Seq[String]) = {
     val tagged = Validation.tagRiViolations(
       Validation.tagRiViolations(df, silverOrders.read, "order_id",
         "order_id", "__bad_order"),
@@ -195,8 +193,24 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     val rules = requiredRules(orderItems) ++ Seq(
       Rule(col("__bad_order"), "order_id not found in orders"),
       Rule(col("__bad_product"), "product_id not found in products"))
-    stage(tagged, rules, silverOrderItems, "order_items",
-          helperCols = Seq("__bad_order", "__bad_product"))
+    (tagged, rules, Seq("__bad_order", "__bad_product"))
+  }
+
+  def runOrders(csvPath: String): StageResult = {
+    val bronze = ingestBronze(csvPath, bronzeOrders)
+    // reference silver enrichment (docs/etl_processes.md:308-309)
+    val df = castBronze(bronze, orders)
+      .withColumn("day_of_week", dayofweek(col("date")))
+      .withColumn("hour_of_day", hour(col("order_timestamp")))
+    stage(df, orderRules, silverOrders, "orders")
+  }
+
+  /** order_items: required fields + RI against the silver dims via
+    * broadcast anti-join membership tags. */
+  def runOrderItems(csvPath: String): StageResult = {
+    val df = castBronze(ingestBronze(csvPath, bronzeOrderItems), orderItems)
+    val (tagged, rules, helpers) = tagItems(df)
+    stage(tagged, rules, silverOrderItems, "order_items", helperCols = helpers)
   }
 
   /** Full run in reference dependency order. */
@@ -205,6 +219,53 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     "products"    -> runProducts(productsCsv),
     "orders"      -> runOrders(ordersCsv),
     "order_items" -> runOrderItems(orderItemsCsv))
+
+  /** Dead-letter replay: re-validate quarantined rows whose blocker may
+    * have cleared — above all RI rejects whose dimension arrived in a
+    * LATER batch. With incremental silver + bronze file idempotence
+    * this is the only path that can ever land a once-rejected row
+    * (re-delivering its source file is a bronze no-op by design).
+    *
+    * Mechanics: parse the stored JSON records back to each silver
+    * schema, re-run the SAME stage rules (order_items re-tags RI
+    * against the current silver dims), upsert what now passes, and
+    * rewrite the quarantine without the recovered entries (atomic
+    * overwrite — a crash leaves the old quarantine intact and replay
+    * re-runs idempotently: recovered rows upsert to identical values).
+    * Tables replay in dependency order so a recovered product can
+    * unblock an order_items row within one call. Returns per-table
+    * recovered counts. */
+  def replayQuarantine(): Map[String, Long] = {
+    if (!quarantine.exists) return Map.empty
+    scala.collection.immutable.ListMap(
+      "products"    -> replayTable("products", silverProducts),
+      "orders"      -> replayTable("orders", silverOrders),
+      "order_items" -> replayTable("order_items", silverOrderItems))
+  }
+
+  private def replayTable(name: String, target: LakehouseTable): Long = {
+    val qrows = quarantine.read.filter(col("source_table") === name)
+    if (!target.exists || qrows.isEmpty) return 0L
+    val parsed = qrows
+      .select(col("record"),
+              from_json(col("record"), target.read.schema).as("__r"))
+      .select(col("record"), col("__r.*"))
+    val (checked, rules, helpers) = name match {
+      case "order_items" => tagItems(parsed)
+      case "orders"      => (parsed, orderRules, Seq.empty[String])
+      case _             => (parsed, requiredRules(products), Seq.empty[String])
+    }
+    val valid = helpers.foldLeft(Validation.split(checked, rules)._1)(_.drop(_))
+    val n = valid.count()
+    if (n > 0) {
+      target.upsert(valid.drop("record"))
+      quarantine.overwrite(
+        quarantine.read.join(
+          valid.select(col("record")).withColumn("source_table", lit(name)),
+          Seq("record", "source_table"), "left_anti"))
+    }
+    n
+  }
 
   // ── gold layer (docs/etl_processes.md:420-683 on the e-commerce model) ──
 

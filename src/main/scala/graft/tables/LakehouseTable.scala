@@ -24,7 +24,24 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def fs = org.apache.hadoop.fs.FileSystem
     .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = fs.exists(new Path(path))
+  /** A table exists when its live dir holds at least one DATA file —
+    * not merely when the dir is present. appendBatch must mkdirs the
+    * live path before its batch rename; a crash in that window leaves
+    * an existing-but-empty dir, and dir-presence semantics would wedge
+    * every later read ('Unable to infer schema') until hand-cleaned.
+    * The listing short-circuits at the first data file. */
+  def exists: Boolean = {
+    val p = new Path(path)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) found = true
+      }
+      found
+    }
+  }
 
   /** Unpartitioned tables list files recursively so [[appendBatch]]'s
     * batch-directory layout reads transparently; partitioned tables
@@ -86,14 +103,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * file-level-idempotence contract sound: a source_file can only be
     * observed in bronze once ALL of its rows are durable, so the rerun
     * anti-join on seen files never skips a half-written file. */
-  def appendBatch(df: DataFrame): Unit = {
+  def appendBatch(df: DataFrame): String = {
     require(partitionCols.isEmpty,
       s"appendBatch is for unpartitioned append-only tables: $path")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.appendstage-$tag"
     write(df, staged)
     fs.mkdirs(new Path(path))
-    renameOrFail(new Path(staged), new Path(s"$path/batch-$tag"))
+    val batchDir = s"$path/batch-$tag"
+    renameOrFail(new Path(staged), new Path(batchDir))
+    batchDir
   }
 
   /** Delta-MERGE parity (S6): dedup the batch on pk (reference
@@ -107,11 +126,17 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     else overwrite(Upsert.upsert(read, deduped, pk))
   }
 
-  /** Catalog registration (S7): session-catalog external table. */
+  /** Catalog registration (S7): session-catalog external table.
+    * Unpartitioned tables register with recursive lookup so SQL reads
+    * see appendBatch's batch-dir layout exactly like [[read]] does —
+    * without it the catalog table would silently show zero rows for a
+    * table the DataFrame API reads fine. */
   def registerAs(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    val opts = if (partitionCols.isEmpty)
+      " OPTIONS (recursiveFileLookup 'true')" else ""
     spark.sql(
-      s"CREATE TABLE $name USING PARQUET LOCATION '$path'")
+      s"CREATE TABLE $name USING PARQUET$opts LOCATION '$path'")
     ()
   }
 

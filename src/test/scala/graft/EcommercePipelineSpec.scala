@@ -161,6 +161,46 @@ class EcommercePipelineSpec extends AnyFunSuite {
       .collect().head.getAs[String]("product_name") == "Toy B")
   }
 
+  test("quarantine replay recovers RI rejects once the dimension arrives") {
+    val dir = TestSpark.tmpDir("ecom_replay")
+    val products = writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A"))
+    val orders1 = writeCsv(dir, "orders1.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01"))
+    // item 1002 references order 999, which hasn't arrived yet
+    val items = writeCsv(dir, "items.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1001,100,1,,1,1,0,2025-04-01T10:00:00,2025-04-01",
+      "1002,999,2,,1,1,0,2025-04-02T10:00:00,2025-04-02"))
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    val res = pipe.run(products, orders1, items)
+    assert(res("order_items") == graft.etl.StageResult(1, 1))
+
+    // re-delivering the items file is a bronze no-op — replay is the
+    // only road back for the quarantined row
+    assert(pipe.runOrderItems(items).rejected == 0)
+    assert(pipe.silverOrderItems.read.count() == 1)
+
+    // the missing order arrives; replay recovers exactly the RI reject
+    val orders2 = writeCsv(dir, "orders2.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "2,999,2,2025-04-02T09:00:00,30.0,2025-04-02"))
+    pipe.runOrders(orders2)
+    val rec = pipe.replayQuarantine()
+    assert(rec == Map("products" -> 0L, "orders" -> 0L, "order_items" -> 1L), rec)
+    val items2 = pipe.silverOrderItems.read
+    assert(items2.count() == 2)
+    assert(items2.filter(col("id") === 1002).count() == 1)
+    assert(!items2.columns.exists(_.startsWith("__")) &&
+           !items2.columns.contains("record"))
+    // quarantine no longer holds the recovered record; replay is
+    // idempotent and recovers nothing further
+    assert(pipe.quarantine.read.count() == 0)
+    assert(pipe.replayQuarantine().values.sum == 0L)
+  }
+
   test("incremental gold daily_sales: per-date merge equals full recompute") {
     val dir = TestSpark.tmpDir("ecom_inc")
     val products = writeCsv(dir, "products.csv", Seq(

@@ -51,6 +51,16 @@ class LakehouseTableSpec extends AnyFunSuite {
     val children = new java.io.File(s"$dir/b").list().toSeq
     assert(children.count(_.startsWith("batch-")) == 2, children)
     assert(!new java.io.File(dir).list().exists(_.contains("appendstage")))
+    // SQL catalog registration sees the batch dirs exactly like read()
+    t.registerAs("batched_t")
+    assert(spark.sql("SELECT count(*) FROM batched_t").head().getLong(0) == 3)
+    // a crashed first append (dir created, no batch landed) must read
+    // as nonexistent, not wedge later reads
+    val crashed = LakehouseTable(spark, s"$dir/crashed", Seq("k"))
+    new java.io.File(s"$dir/crashed").mkdirs()
+    assert(!crashed.exists)
+    crashed.appendBatch(Seq((9, "z")).toDF("k", "v"))
+    assert(crashed.exists && crashed.read.count() == 1)
     // partitioned tables must refuse: the batch layout would discard
     // the key=value partition columns on read
     val p = LakehouseTable(spark, s"$dir/p", Seq("k"), Seq("part"))
