@@ -500,6 +500,47 @@ object QueriesText {
 
     // near-dup pairs → connected components → dedup clusters
     // (min-id label propagation; oracle = recursive transitive closure)
+    // dedup observability: the cluster-size histogram every curation
+    // report leads with (how much of the corpus is duplicated, and how
+    // deep). Singletons count as size-1 clusters; the two stacked
+    // groupBys shrink row counts monotonically (docs → clusters →
+    // sizes), so each shuffle is smaller than the last.
+    "q_cluster_sizes" -> q(
+      c => {
+        val labels = DedupClusters.connectedComponents(
+          jaccardPairs(c, threshold = 0.9, num = 9, den = 10)
+            .select("id_a", "id_b"))
+          .withColumnRenamed("id", "doc_id")
+        c.documents.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left_outer")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      },
+      s"""WITH RECURSIVE d AS (
+        | SELECT doc_id, source, $wsSql AS ws FROM documents
+        |), pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |), e AS (
+        | SELECT doc_a AS a, doc_b AS b FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs
+        |), reach(a, b) AS (
+        | SELECT a, b FROM e
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |), labels AS (
+        | SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        |), clustered AS (
+        | SELECT doc_id, coalesce(l.cluster_id, doc_id) AS cluster_id
+        | FROM documents LEFT JOIN labels l ON doc_id = l.id
+        |), cs AS (
+        | SELECT cluster_id, count(*) AS cluster_size FROM clustered GROUP BY 1
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1""".stripMargin),
+
     "q_dedup_clusters" -> q(
       c => DedupClusters.connectedComponents(
         jaccardPairs(c, threshold = 0.9, num = 9, den = 10)

@@ -172,6 +172,25 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*))
   }
 
+  /** Delta-VACUUM parity for the staged-write protocol: delete orphaned
+    * staging/tombstone dirs left beside the live path by crashed
+    * writers. Only leftovers older than `maxAgeMs` go — a LIVE writer's
+    * in-flight staging dir is younger than any sane retention window.
+    * The live dir and the `.versions` archive are never touched.
+    * Returns the deleted dir names. */
+  def vacuum(maxAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val live = new Path(path)
+    val parent = live.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val prefixes = Seq(".staged-", ".tombstone-", ".appendstage-")
+      .map(live.getName + _)
+    fs.listStatus(parent).toSeq
+      .filter(s => prefixes.exists(s.getPath.getName.startsWith))
+      .filter(_.getModificationTime < cutoff)
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+  }
+
   // ── version retention (Delta time-travel parity, single-writer) ────
   // Instead of deleting the tombstone after a swap, versioned
   // overwrites archive the previous live dir under <path>.versions/v<n>

@@ -78,6 +78,21 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/p").list().exists(_.startsWith("part=")))
   }
 
+  test("vacuum deletes aged crash leftovers, spares live data and versions") {
+    val dir = TestSpark.tmpDir("lakev")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.overwriteVersioned(Seq((1, "a")).toDF("k", "v"))
+    t.overwriteVersioned(Seq((2, "b")).toDF("k", "v"))
+    // fake crash leftovers from all three write paths
+    Seq("t.staged-dead1", "t.tombstone-dead2", "t.appendstage-dead3")
+      .foreach(n => new java.io.File(dir, n).mkdirs())
+    assert(t.vacuum().isEmpty) // younger than the 24h default -> kept
+    val gone = t.vacuum(maxAgeMs = -1000) // cutoff in the future
+    assert(gone.toSet ==
+      Set("t.staged-dead1", "t.tombstone-dead2", "t.appendstage-dead3"), gone)
+    assert(t.read.count() == 1 && t.versions.nonEmpty)
+  }
+
   test("versioned overwrite: time travel, retention pruning, rollback") {
     val dir = TestSpark.tmpDir("lake")
     val t = LakehouseTable(spark, s"$dir/tt", Seq("k"))
