@@ -68,6 +68,30 @@ class LakehouseTableSpec extends AnyFunSuite {
       p.appendBatch(Seq((1, "x", "a")).toDF("k", "v", "part")))
   }
 
+  test("partition-scoped upsert touches only the batch's partitions") {
+    val dir = TestSpark.tmpDir("lakeps")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+    t.upsert(Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2"))
+      .toDF("k", "v", "part"))
+    def filesOf(part: String) =
+      new java.io.File(s"$dir/t/part=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    val p1Before = filesOf("p1")
+
+    // batch touches p2 (update) and p3 (brand-new partition)
+    t.upsert(Seq((2, "B", "p2"), (4, "d", "p3")).toDF("k", "v", "part"))
+    val m = t.read.select("k", "v").as[(Int, String)].collect().toMap
+    assert(m == Map(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d"))
+    // p1's files are bit-identical — it was never rewritten
+    assert(filesOf("p1") == p1Before)
+    // no staging/tombstone leftovers
+    assert(!new java.io.File(dir).list()
+      .exists(n => n.contains("staged") || n.contains("tombstone")))
+    // idempotent replay
+    t.upsert(Seq((2, "B", "p2"), (4, "d", "p3")).toDF("k", "v", "part"))
+    assert(t.read.select("k", "v").as[(Int, String)].collect().toMap == m)
+  }
+
   test("partitioned write + append quarantine pattern") {
     val dir = TestSpark.tmpDir("lakep")
     val t = LakehouseTable(spark, s"$dir/p", Seq("k"), Seq("part"))
