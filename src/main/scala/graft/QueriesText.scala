@@ -325,22 +325,10 @@ object QueriesText {
     // 100 TB run would lift the multiply to DECIMAL(38,0).)
     "q_domain_mix" -> q(
       c => {
-        val budget = 1000000L
         val tok = c.documents.groupBy(col("source"))
           .agg(sum(TF.wsTokenCount(col("text"))).as("toks"))
-        val tot = tok.agg(sum("toks").as("total"))
-        val f = tok.crossJoin(broadcast(tot))
-          .withColumn("raw", col("toks") * lit(budget.toDouble) / col("total"))
-          .withColumn("floor_alloc", floor(col("raw")).cast("long"))
-          .withColumn("frac", col("raw") - col("floor_alloc"))
-        val ranked = f.withColumn("rk",
-          row_number().over(Window.orderBy(col("frac").desc, col("source"))))
-        val fsum = ranked.agg(sum("floor_alloc").as("fsum"))
-        ranked.crossJoin(broadcast(fsum))
-          .withColumn("alloc",
-            (col("floor_alloc") +
-             when(col("rk") <= lit(budget) - col("fsum"), 1).otherwise(0))
-              .cast("long"))
+        graft.operators.Allocation
+          .largestRemainder(tok, "source", "toks", budget = 1000000L)
           .withColumn("oversample",
             rnd4(col("alloc").cast("double") / col("toks")))
           .select("source", "toks", "alloc", "oversample")

@@ -27,6 +27,25 @@ class PropertySpec extends AnyFunSuite {
   private val tokens = Gen.listOf(Gen.oneOf(
     "a", "b", "c", "dd", "ee", "ff", "gg", "hh", "longertoken", "z9"))
 
+  test("largest-remainder allocation: integral, exact-sum, within one unit of share") {
+    val gen = Gen.zip(Gen.chooseNum(0L, 999983L),
+                      Gen.nonEmptyListOf(Gen.chooseNum(1L, 10000L)))
+    samples(gen, 12).foreach { case (budget, weights) =>
+      val df = weights.zipWithIndex.map { case (w, i) => (f"k$i%03d", w) }
+        .toDF("k", "w")
+      val out = graft.operators.Allocation
+        .largestRemainder(df, "k", "w", budget)
+        .select("k", "w", "alloc").as[(String, Long, Long)].collect()
+      assert(out.map(_._3).sum == budget,
+        s"allocs must sum to $budget exactly: ${out.mkString(",")}")
+      val total = weights.sum.toDouble
+      out.foreach { case (k, w, a) =>
+        val fl = math.floor(w * budget.toDouble / total).toLong
+        assert(a == fl || a == fl + 1, s"$k: alloc $a not in {$fl, ${fl + 1}}")
+      }
+    }
+  }
+
   test("sortedJaccard over hashed token sets equals the set-theoretic Jaccard") {
     NativeFunctions.register(spark)
     val cases = samples(Gen.zip(tokens, tokens), 30)
