@@ -97,6 +97,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the 1-row count broadcast hint, got ${hints.size}")
   }
 
+  test("decontaminate broadcasts the eval shingle set; no shuffle pair join") {
+    val p = planOf(QueriesText.defs("q_decontaminate").fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("corpus-filter scans stay window-free where no window is needed") {
+    // quality gate and repetition filter are scan + aggregation work; a
+    // Window sneaking in would mean a needless global sort crept back
+    for (name <- Seq("q_quality_gate", "q_repetition_filter")) {
+      val p = planOf(QueriesText.defs(name).fn(spark, sf))
+      assert(!p.contains("Window"), s"$name grew a Window:\n" + p.take(2000))
+    }
+    // doc_pack's running sum must partition by source, never globally
+    val dp = planOf(QueriesText.defs("q_doc_pack").fn(spark, sf))
+    assert(dp.contains("windowspecdefinition(source"), dp.take(3000))
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val r = QueriesText.defs("q_approx_distinct").fn(spark, "/root/testdata/sf0.01")
       .collect().head
