@@ -106,6 +106,12 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
               col("n_words"), col("pred_lang"))
 
+    // materialize the OUTPUT before unpersisting its lineage: sampled's
+    // count is the last funnel field anyway, and persisting it first
+    // means the caller's action (e.g. CorpusMain's write) reads the
+    // capped survivor set from cache instead of re-running the whole
+    // funnel cold. sampled is perLangCap-bounded — small by contract.
+    sampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val funnel = Funnel(docs.count(), qualityPass.count(),
                         repetitionPass.count(), langPass.count(),
                         exactUnique.count(), survivors.count(), sampled.count())

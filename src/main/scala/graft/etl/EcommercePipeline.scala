@@ -165,8 +165,11 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
                   col("rejected_at")))
     val deduped = Dedup.keepFirst(valid, target.pk,
       Seq(col("ingestion_timestamp").desc, col("source_file").desc))
-    target.upsert(deduped)
-    StageResult(target.read.count(), nRejected)
+    // an all-rejected batch must not create the table: a partitioned
+    // empty overwrite writes a dir with no data files (only _SUCCESS),
+    // which wedges every later read's schema inference
+    if (!deduped.isEmpty) target.upsert(deduped)
+    StageResult(if (target.exists) target.read.count() else 0L, nRejected)
   }
 
   def runProducts(csvPath: String): StageResult = {
@@ -243,12 +246,37 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
       "order_items" -> replayTable("order_items", silverOrderItems))
   }
 
+  /** The silver schema each table's quarantine records parse back to:
+    * the live table's when it exists, otherwise reconstructed from the
+    * declared schema + lineage + enrichment columns — so replay can
+    * BOOTSTRAP a silver table whose every first-batch row was rejected
+    * (without this, those rows would be stranded forever: bronze
+    * idempotence makes re-delivery a no-op). */
+  private def silverSchema(name: String, target: LakehouseTable): StructType = {
+    if (target.exists) return target.read.schema
+    val lineage = Seq(StructField("source_file", StringType),
+                      StructField("ingestion_timestamp", TimestampType))
+    name match {
+      case "products" => StructType(products.fields ++ lineage ++ Seq(
+        StructField("is_active", BooleanType),
+        StructField("last_updated_timestamp", TimestampType)))
+      case "orders" => StructType(orders.fields ++ lineage ++ Seq(
+        StructField("day_of_week", IntegerType),
+        StructField("hour_of_day", IntegerType)))
+      case _ => StructType(orderItems.fields ++ lineage)
+    }
+  }
+
   private def replayTable(name: String, target: LakehouseTable): Long = {
+    // order_items can only re-validate once both dims exist; its rows
+    // wait in quarantine for a later replay otherwise
+    if (name == "order_items" &&
+        (!silverOrders.exists || !silverProducts.exists)) return 0L
     val qrows = quarantine.read.filter(col("source_table") === name)
-    if (!target.exists || qrows.isEmpty) return 0L
+    if (qrows.isEmpty) return 0L
     val parsed = qrows
       .select(col("record"),
-              from_json(col("record"), target.read.schema).as("__r"))
+              from_json(col("record"), silverSchema(name, target)).as("__r"))
       .select(col("record"), col("__r.*"))
     val (checked, rules, helpers) = name match {
       case "order_items" => tagItems(parsed)

@@ -23,6 +23,10 @@ object Allocation {
                        budget: Long): DataFrame = {
     val tot = df.agg(sum(col(weightCol)).as("__total"))
     val f = df.crossJoin(broadcast(tot))
+      // 0/0 would flow NaN through floor and silently allocate nothing;
+      // a zero or negative weight total must fail loudly instead
+      .withColumn("__chk", assert_true(col("__total") > 0,
+        lit(s"largestRemainder: total $weightCol must be > 0")))
       .withColumn("__raw", col(weightCol) * lit(budget.toDouble) / col("__total"))
       .withColumn("__floor", floor(col("__raw")).cast("long"))
       .withColumn("__frac", col("__raw") - col("__floor"))
@@ -34,6 +38,6 @@ object Allocation {
         (col("__floor") +
          when(col("__rk") <= lit(budget) - col("__fsum"), 1).otherwise(0))
           .cast("long"))
-      .drop("__total", "__raw", "__floor", "__frac", "__rk", "__fsum")
+      .drop("__total", "__chk", "__raw", "__floor", "__frac", "__rk", "__fsum")
   }
 }

@@ -67,23 +67,57 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def renameOrFail(from: Path, to: Path): Unit =
     require(fs.rename(from, to), s"rename $from -> $to failed")
 
-  /** Atomic full replace: write staged, then swap. The old live dir is
-    * renamed aside to a tombstone first (rename, not delete), the staged
-    * dir renamed into place, and only then the tombstone deleted — the
-    * no-live-table window collapses to the single rename gap, and a
-    * crash between the renames leaves the old data recoverable in the
-    * tombstone instead of gone. */
+  /** The tombstone-swap protocol shared by full-table overwrite and
+    * per-partition merges: rename live aside (rename, not delete),
+    * staged into place, then drop the tombstone. The no-live window
+    * collapses to the single rename gap, and a crash between the
+    * renames leaves the old data in the tombstone — which
+    * [[repairInterruptedSwaps]] rolls back automatically. ONE
+    * implementation on purpose: the crash-recovery story depends on
+    * every swap following exactly this sequence and naming. */
+  private def swapIn(staged: Path, live: Path, tombstone: Path): Unit = {
+    val hadLive = fs.exists(live)
+    if (hadLive) renameOrFail(live, tombstone)
+    renameOrFail(staged, live)
+    if (hadLive) fs.delete(tombstone, true)
+  }
+
+  /** Atomic full replace: write staged, then tombstone-swap. */
   def overwrite(df: DataFrame): Unit = {
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)
+    swapIn(new Path(staged), new Path(path), new Path(s"$path.tombstone-$tag"))
+  }
+
+  /** Roll back swaps a crashed writer left half-done. A tombstone whose
+    * live target is MISSING marks a crash inside the swap's rename gap:
+    * restoring it returns the table to its pre-write state, and the
+    * idempotent batch replay then re-applies the write — this is what
+    * makes "re-run the batch" a true recovery story for both overwrite
+    * and the per-partition merge (whose merged slice is derived from
+    * live data and so cannot repair itself). A tombstone whose target
+    * EXISTS is a completed swap's leftover (single-writer invariant)
+    * and is dropped. Invoked automatically before merges and by
+    * [[vacuum]]. Returns the actions taken. */
+  def repairInterruptedSwaps(): Seq[String] = {
     val live = new Path(path)
-    val tombstone = new Path(s"$path.tombstone-$tag")
-    val hadLive = fs.exists(live)
-    if (hadLive) renameOrFail(live, tombstone)
-    renameOrFail(new Path(staged), live)
-    if (hadLive) fs.delete(tombstone, true)
-    ()
+    val parent = live.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val prefix = live.getName + ".tombstone-"
+    fs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .map { ts =>
+        // "<tag>" (8-char hex) = whole table; "<tag>-<child>" = one
+        // partition dir of a per-partition merge
+        val rest = ts.getName.drop(prefix.length)
+        val target = if (rest.length <= 8) live else new Path(path, rest.drop(9))
+        if (!fs.exists(target)) {
+          renameOrFail(ts, target); s"restored:${target.getName}"
+        } else {
+          fs.delete(ts, true); s"dropped:${ts.getName}"
+        }
+      }
   }
 
   /** Blind append (reference S5 semantics). Not atomic across files —
@@ -127,8 +161,17 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * swapped — upsert work is O(affected partitions), not O(table).
     * That difference is what makes per-batch MERGE viable on a 100 TB
     * date-partitioned silver table where a full rewrite would re-shuffle
-    * years of history for a one-day batch. */
+    * years of history for a one-day batch.
+    *
+    * CONTRACT of the partition-scoped path (the standard
+    * non-global-index constraint, cf. Hudi record-key/partition-path):
+    * a pk's partition value must be stable across re-deliveries. A
+    * correction that MOVES a pk to a different partition would leave
+    * the old row in the untouched partition; tables that cannot
+    * guarantee stability should stay unpartitioned (full-merge path)
+    * or carry the partition value inside the pk. */
   def upsert(updates: DataFrame): Unit = {
+    repairInterruptedSwaps()
     val deduped = updates.dropDuplicates(pk)
     if (!exists) overwrite(deduped)
     else if (partitionCols.size == 1) upsertPartitions(deduped)
@@ -140,13 +183,20 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * the merged slice staged, then tombstone-swap each affected
     * partition dir individually. Each partition's swap is atomic;
     * cross-partition visibility is sequential (the Hive
-    * dynamic-partition-overwrite contract) — and because upserts are
-    * idempotent, a crash mid-sequence is repaired by re-running the
-    * same batch. The affected-value collect is bounded by the batch's
-    * partition count (e.g. dates per delivery), not row count. */
+    * dynamic-partition-overwrite contract). A crash mid-sequence leaves
+    * the interrupted partition in its tombstone; the next upsert's
+    * [[repairInterruptedSwaps]] restores it and the idempotent batch
+    * replay re-applies the merge. The affected-value collect is bounded
+    * by the batch's partition count (e.g. dates per delivery), not row
+    * count. */
   private def upsertPartitions(deduped: DataFrame): Unit = {
     val pc = partitionCols.head
     val values = deduped.select(col(pc)).distinct().collect().map(_.get(0))
+    // a null partition value lands in __HIVE_DEFAULT_PARTITION__ but
+    // never matches the isInCollection prune — the swap would then
+    // REPLACE the live null partition instead of merging with it
+    require(!values.contains(null),
+      s"partition-scoped upsert requires non-null $pc values: $path")
     val affected = read.filter(col(pc).isInCollection(values.toSeq))
     val merged = Upsert.upsert(affected, deduped, pk)
     val tag = UUID.randomUUID().toString.take(8)
@@ -155,12 +205,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val children = fs.listStatus(new Path(staged)).toSeq
       .map(_.getPath).filter(_.getName.startsWith(s"$pc="))
     children.foreach { child =>
-      val live = new Path(path, child.getName)
-      val tombstone = new Path(s"$path.tombstone-$tag-${child.getName}")
-      val hadLive = fs.exists(live)
-      if (hadLive) renameOrFail(live, tombstone)
-      renameOrFail(child, live)
-      if (hadLive) fs.delete(tombstone, true)
+      swapIn(child, new Path(path, child.getName),
+             new Path(s"$path.tombstone-$tag-${child.getName}"))
     }
     fs.delete(new Path(staged), true)
     ()
@@ -212,23 +258,25 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*))
   }
 
-  /** Delta-VACUUM parity for the staged-write protocol: delete orphaned
-    * staging/tombstone dirs left beside the live path by crashed
-    * writers. Only leftovers older than `maxAgeMs` go — a LIVE writer's
-    * in-flight staging dir is younger than any sane retention window.
-    * The live dir and the `.versions` archive are never touched.
-    * Returns the deleted dir names. */
+  /** Delta-VACUUM parity for the staged-write protocol: first repair
+    * (tombstones are either restored into a missing live target or,
+    * superseded, dropped — never age-gated, because an unrepaired
+    * tombstone may hold the only copy of a partition), then delete
+    * staging dirs older than `maxAgeMs` — a LIVE writer's in-flight
+    * staging dir is younger than any sane retention window. The live
+    * dir and the `.versions` archive are never touched. Returns the
+    * actions taken. */
   def vacuum(maxAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val live = new Path(path)
     val parent = live.getParent
     if (parent == null || !fs.exists(parent)) return Nil
+    val repaired = repairInterruptedSwaps()
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    val prefixes = Seq(".staged-", ".tombstone-", ".appendstage-")
-      .map(live.getName + _)
-    fs.listStatus(parent).toSeq
+    val prefixes = Seq(".staged-", ".appendstage-").map(live.getName + _)
+    repaired ++ fs.listStatus(parent).toSeq
       .filter(s => prefixes.exists(s.getPath.getName.startsWith))
       .filter(_.getModificationTime < cutoff)
-      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .map { s => fs.delete(s.getPath, true); s"deleted:${s.getPath.getName}" }
   }
 
   // ── version retention (Delta time-travel parity, single-writer) ────

@@ -201,6 +201,40 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(pipe.replayQuarantine().values.sum == 0L)
   }
 
+  test("all-rejected first batch doesn't wedge silver; replay bootstraps it") {
+    val dir = TestSpark.tmpDir("ecom_boot")
+    val products = writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A"))
+    val orders1 = writeCsv(dir, "orders1.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01"))
+    // EVERY row of the first order_items batch is an orphan
+    val items = writeCsv(dir, "items.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1001,999,2,,1,1,0,2025-04-02T10:00:00,2025-04-02",
+      "1002,999,2,,1,2,0,2025-04-02T10:00:00,2025-04-02"))
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    pipe.runProducts(products)
+    pipe.runOrders(orders1)
+    val r = pipe.runOrderItems(items)
+    // no valid row -> the silver table must NOT be created (an empty
+    // partitioned overwrite would wedge schema inference forever)
+    assert(r == graft.etl.StageResult(0, 2))
+    assert(!pipe.silverOrderItems.exists)
+
+    // the missing order arrives; replay BOOTSTRAPS silver_order_items
+    // from the quarantine records alone
+    val orders2 = writeCsv(dir, "orders2.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "2,999,2,2025-04-02T09:00:00,30.0,2025-04-02"))
+    pipe.runOrders(orders2)
+    val rec = pipe.replayQuarantine()
+    assert(rec("order_items") == 2L, rec)
+    assert(pipe.silverOrderItems.read.count() == 2)
+    assert(pipe.quarantine.read.count() == 0)
+  }
+
   test("incremental gold daily_sales: per-date merge equals full recompute") {
     val dir = TestSpark.tmpDir("ecom_inc")
     val products = writeCsv(dir, "products.csv", Seq(

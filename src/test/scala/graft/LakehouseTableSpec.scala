@@ -1,6 +1,7 @@
 package graft
 
 import graft.tables.LakehouseTable
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class LakehouseTableSpec extends AnyFunSuite {
@@ -110,11 +111,30 @@ class LakehouseTableSpec extends AnyFunSuite {
     // fake crash leftovers from all three write paths
     Seq("t.staged-dead1", "t.tombstone-dead2", "t.appendstage-dead3")
       .foreach(n => new java.io.File(dir, n).mkdirs())
-    assert(t.vacuum().isEmpty) // younger than the 24h default -> kept
+    // superseded tombstone (live target exists) drops immediately;
+    // staging dirs are age-gated and the 24h default keeps them
+    assert(t.vacuum() == Seq("dropped:t.tombstone-dead2"))
     val gone = t.vacuum(maxAgeMs = -1000) // cutoff in the future
     assert(gone.toSet ==
-      Set("t.staged-dead1", "t.tombstone-dead2", "t.appendstage-dead3"), gone)
+      Set("deleted:t.staged-dead1", "deleted:t.appendstage-dead3"), gone)
     assert(t.read.count() == 1 && t.versions.nonEmpty)
+  }
+
+  test("interrupted partition swap is rolled back and batch replay recovers") {
+    val dir = TestSpark.tmpDir("lakecrash")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+    t.upsert(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+      .toDF("k", "v", "part"))
+    // simulate a writer that crashed inside the swap's rename gap:
+    // part=p1 was renamed aside to its tombstone, never replaced
+    assert(new java.io.File(s"$dir/t/part=p1")
+      .renameTo(new java.io.File(s"$dir/t.tombstone-deadbeef-part=p1")))
+    assert(t.read.filter(col("part") === "p1").count() == 0) // data dark
+    // the next upsert repairs first (restores p1), then merges its batch
+    t.upsert(Seq((2, "B", "p1")).toDF("k", "v", "part"))
+    assert(t.read.select("k", "v").as[(Int, String)].collect().toMap ==
+           Map(1 -> "a", 2 -> "B", 3 -> "c"))
+    assert(!new java.io.File(dir).list().exists(_.contains("tombstone")))
   }
 
   test("versioned overwrite: time travel, retention pruning, rollback") {
