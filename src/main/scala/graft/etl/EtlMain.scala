@@ -80,11 +80,20 @@ object EtlMain {
       }
     println("[etl] smoke checks passed")
 
+    // dead-letter replay: quarantined rows whose blocker cleared this
+    // run (e.g. an RI reject whose dimension just arrived) land now
+    val recovered = pipe.replayQuarantine()
+    if (recovered.values.sum > 0)
+      println(s"[etl] quarantine replay recovered: " +
+        recovered.map { case (k, v) => s"$k=$v" }.mkString(" "))
+
     // maintenance: compact silver toward the reference's 256 MB target
-    // (docs/data_model.md:304-308) — incremental upserts fragment files
+    // (docs/data_model.md:304-308) — incremental upserts fragment files;
+    // vacuum sweeps staged-write leftovers (repairing any interrupted
+    // swap first)
     Seq(pipe.silverProducts, pipe.silverOrders, pipe.silverOrderItems)
-      .foreach(_.compact(256L * 1024 * 1024))
-    println("[etl] silver compaction done")
+      .foreach { t => t.compact(256L * 1024 * 1024); t.vacuum() }
+    println("[etl] silver compaction + vacuum done")
     spark.stop()
   }
 }
