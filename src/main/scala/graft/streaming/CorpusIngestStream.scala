@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.text.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus ingest (beyond-reference): the stream-side front
+  * door of the batch curation funnel ([[graft.etl.CorpusPipeline]]).
+  *
+  * Per microbatch the stage
+  *   1. gates on the same per-row quality rule as the batch pipeline
+  *      (pure codegen'd projections — stateless, streaming-safe),
+  *   2. fingerprints the normalized text, and
+  *   3. drops re-deliveries via watermark-bounded dedup state keyed on
+  *      the fingerprint — state is O(docs per watermark window),
+  *      independent of stream length, the 100 TB-safe shape.
+  *
+  * Near-dup LSH, cluster election, and stratified sampling stay batch
+  * jobs BY DESIGN: they need corpus-global joins; the stream's job is
+  * to land clean, exact-deduped rows for them to consume. Late
+  * duplicates beyond the watermark pass through and are caught by the
+  * batch exact-dedup layer — the same at-least-once handoff contract
+  * the reference's scheduled MERGE provides.
+  */
+object CorpusIngestStream {
+  /** `docs` needs (doc_id, text, `tsCol`); emits gated rows + their
+    * `fp` fingerprint and `n_words`. */
+  def ingest(docs: DataFrame, tsCol: String = "ts", delay: String = "1 hour",
+             minWords: Int = 30): DataFrame = {
+    val gated = docs
+      .withColumn("__w", TF.words(col("text")))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .filter(col("n_words") >= minWords)
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .drop("__w")
+    DedupStream.exactOnceWithinWatermark(gated, tsCol, delay, Seq("fp"))
+  }
+}

@@ -78,4 +78,25 @@ class MultimodalAndDedupStreamSpec extends AnyFunSuite {
       assert(got == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("streaming corpus ingest: quality gate + fingerprint dedup compose") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val out = graft.streaming.CorpusIngestStream.ingest(
+      ms.toDF().toDF("doc_id", "text", "ts"), minWords = 3)
+    val q = out.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "alpha beta gamma", t0), (2L, "short", t0))
+      q.processAllAvailable()
+      // doc 3 is a whitespace/case re-delivery of doc 1 — same
+      // fingerprint, new microbatch: the dedup state must drop it
+      ms.addData((3L, "Alpha  beta GAMMA", t0), (4L, "delta epsilon zeta", t0))
+      q.processAllAvailable()
+      val got = spark.table("corpus_stream").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 4L)) // 2 fails the gate, 3 is a dup
+    } finally q.stop()
+  }
 }
