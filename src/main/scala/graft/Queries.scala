@@ -349,6 +349,22 @@ object Queries {
         | CAST(n_chars AS DOUBLE) AS n_chars
         |FROM documents""".stripMargin),
 
+    // strict schema conformance (the bronze append-path pinning rule):
+    // declared order restored, null-on-error casts, missing declared
+    // column materialized as a typed null, every undeclared column
+    // dropped — all visible in one result
+    "q_conform_schema" -> q(
+      c => Casting.conformTo(c.lineitem, StructType(Seq(
+             StructField("l_orderkey", StringType),
+             StructField("l_linenumber", IntegerType),
+             StructField("l_returnflag", IntegerType),   // text → NULL
+             StructField("quality_flag", IntegerType)))), // absent → NULL
+      """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+        | CAST(l_linenumber AS INTEGER) AS l_linenumber,
+        | TRY_CAST(l_returnflag AS INTEGER) AS l_returnflag,
+        | CAST(NULL AS INTEGER) AS quality_flag
+        |FROM lineitem""".stripMargin),
+
     // ── bronze lineage (SURVEY §2.8 F7): per-row source_file from file
     // metadata, the per-file row count a data engineer reaches for when
     // a bad file lands. The Spark side derives source_table from the

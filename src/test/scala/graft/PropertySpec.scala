@@ -27,6 +27,24 @@ class PropertySpec extends AnyFunSuite {
   private val tokens = Gen.listOf(Gen.oneOf(
     "a", "b", "c", "dd", "ee", "ff", "gg", "hh", "longertoken", "z9"))
 
+  test("keepFirst dedup is deterministic and keeps the ordered winner per key") {
+    val gen = Gen.listOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 20L),
+                                 Gen.alphaLowerStr.map(_.take(4))))
+    samples(gen, 10).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "ord", "v")
+      def run() = graft.operators.Dedup
+        .keepFirst(df, Seq("k"), Seq(col("ord").desc, col("v").asc))
+        .as[(Int, Long, String)].collect().sortBy(_._1).toSeq
+      val got = run()
+      // winner per key = max ord, ties by min v — computed independently
+      val expected = rows.groupBy(_._1).map { case (k, g) =>
+        g.minBy(r => (-r._2, r._3))
+      }.toSeq.sortBy(_._1)
+      assert(got == expected, s"rows=$rows")
+      assert(got == run(), "second run differed")
+    }
+  }
+
   test("largest-remainder allocation: integral, exact-sum, within one unit of share") {
     val gen = Gen.zip(Gen.chooseNum(0L, 999983L),
                       Gen.nonEmptyListOf(Gen.chooseNum(1L, 10000L)))
