@@ -165,10 +165,10 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
                   col("rejected_at")))
     val deduped = Dedup.keepFirst(valid, target.pk,
       Seq(col("ingestion_timestamp").desc, col("source_file").desc))
-    // an all-rejected batch must not create the table: a partitioned
-    // empty overwrite writes a dir with no data files (only _SUCCESS),
-    // which wedges every later read's schema inference
-    if (!deduped.isEmpty) target.upsert(deduped)
+    // upsert itself no-ops on an empty batch (an all-rejected batch
+    // must not create a data-file-less partitioned table), so the
+    // all-rejected bootstrap case leaves target nonexistent
+    target.upsert(deduped)
     StageResult(if (target.exists) target.read.count() else 0L, nRejected)
   }
 
@@ -216,12 +216,25 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     stage(tagged, rules, silverOrderItems, "order_items", helperCols = helpers)
   }
 
+  /** Heal any swap a previous crashed run left half-done BEFORE any
+    * stage or gold build reads silver. Repair otherwise happens only
+    * as a side effect of the next write to the same table — a table
+    * whose batch is empty this run (or a read-only consumer) would hit
+    * the dark partition first and fail before self-healing kicked in. */
+  def repairAll(): Unit =
+    Seq(bronzeProducts, bronzeOrders, bronzeOrderItems, silverProducts,
+        silverOrders, silverOrderItems, quarantine)
+      .foreach(_.repairInterruptedSwaps())
+
   /** Full run in reference dependency order. */
   def run(productsCsv: String, ordersCsv: String,
-          orderItemsCsv: String): Map[String, StageResult] = Map(
-    "products"    -> runProducts(productsCsv),
-    "orders"      -> runOrders(ordersCsv),
-    "order_items" -> runOrderItems(orderItemsCsv))
+          orderItemsCsv: String): Map[String, StageResult] = {
+    repairAll()
+    Map(
+      "products"    -> runProducts(productsCsv),
+      "orders"      -> runOrders(ordersCsv),
+      "order_items" -> runOrderItems(orderItemsCsv))
+  }
 
   /** Dead-letter replay: re-validate quarantined rows whose blocker may
     * have cleared — above all RI rejects whose dimension arrived in a
@@ -239,6 +252,9 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     * unblock an order_items row within one call. Returns per-table
     * recovered counts. */
   def replayQuarantine(): Map[String, Long] = {
+    // heal a replay that crashed inside its own quarantine rewrite —
+    // without this, the dead-letter queue itself could stay dark
+    quarantine.repairInterruptedSwaps()
     if (!quarantine.exists) return Map.empty
     scala.collection.immutable.ListMap(
       "products"    -> replayTable("products", silverProducts),

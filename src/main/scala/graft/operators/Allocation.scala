@@ -24,10 +24,13 @@ object Allocation {
     val tot = df.agg(sum(col(weightCol)).as("__total"))
     val f = df.crossJoin(broadcast(tot))
       // 0/0 would flow NaN through floor and silently allocate nothing;
-      // a zero or negative weight total must fail loudly instead
-      .withColumn("__chk", assert_true(col("__total") > 0,
-        lit(s"largestRemainder: total $weightCol must be > 0")))
-      .withColumn("__raw", col(weightCol) * lit(budget.toDouble) / col("__total"))
+      // a zero or negative weight total must fail loudly instead. The
+      // check lives INSIDE __raw's lineage — a free-standing assert
+      // column gets pruned by Catalyst and never evaluates.
+      .withColumn("__raw",
+        when(col("__total") <= 0, raise_error(
+          lit(s"largestRemainder: total $weightCol must be > 0")).cast("double"))
+        .otherwise(col(weightCol) * lit(budget.toDouble) / col("__total")))
       .withColumn("__floor", floor(col("__raw")).cast("long"))
       .withColumn("__frac", col("__raw") - col("__floor"))
     val ranked = f.withColumn("__rk",
@@ -38,6 +41,6 @@ object Allocation {
         (col("__floor") +
          when(col("__rk") <= lit(budget) - col("__fsum"), 1).otherwise(0))
           .cast("long"))
-      .drop("__total", "__chk", "__raw", "__floor", "__frac", "__rk", "__fsum")
+      .drop("__total", "__raw", "__floor", "__frac", "__rk", "__fsum")
   }
 }

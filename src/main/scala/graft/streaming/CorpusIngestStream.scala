@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * door of the batch curation funnel ([[graft.etl.CorpusPipeline]]).
   *
   * Per microbatch the stage
-  *   1. gates on the same per-row quality rule as the batch pipeline
-  *      (pure codegen'd projections — stateless, streaming-safe),
+  *   1. gates on the same per-row quality rules as the batch pipeline's
+  *      stage 1 (pure codegen'd projections — stateless, streaming-safe),
   *   2. fingerprints the normalized text, and
   *   3. drops re-deliveries via watermark-bounded dedup state keyed on
   *      the fingerprint — state is O(docs per watermark window),
@@ -24,13 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object CorpusIngestStream {
   /** `docs` needs (doc_id, text, `tsCol`); emits gated rows + their
-    * `fp` fingerprint and `n_words`. */
+    * `fp` fingerprint and `n_words`. The gate applies BOTH batch
+    * stage-1 rules — min words and max punctuation ratio (over text
+    * length) — so the stream never admits a row the batch funnel's
+    * quality stage would reject. */
   def ingest(docs: DataFrame, tsCol: String = "ts", delay: String = "1 hour",
-             minWords: Int = 30): DataFrame = {
+             minWords: Int = 30, maxPunctRatio: Double = 0.2): DataFrame = {
     val gated = docs
       .withColumn("__w", TF.words(col("text")))
       .withColumn("n_words", size(col("__w")).cast("long"))
-      .filter(col("n_words") >= minWords)
+      .withColumn("punct_ratio",
+        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("double") /
+          length(col("text")))
+      .filter(col("n_words") >= minWords &&
+              col("punct_ratio") <= maxPunctRatio)
       .withColumn("fp", TF.fingerprint(col("text")))
       .drop("__w")
     DedupStream.exactOnceWithinWatermark(gated, tsCol, delay, Seq("fp"))

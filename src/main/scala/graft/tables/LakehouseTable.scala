@@ -82,8 +82,14 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     if (hadLive) fs.delete(tombstone, true)
   }
 
-  /** Atomic full replace: write staged, then tombstone-swap. */
+  /** Atomic full replace: write staged, then tombstone-swap. Repairs
+    * first — EVERY mutating entry point does (overwrite, upsert,
+    * appendBatch), which maintains the invariant that no tombstone
+    * survives past the start of the next write. Without it, a stale
+    * partition tombstone could sit out a full replace and a later
+    * repair would resurrect old-generation data into the new table. */
   def overwrite(df: DataFrame): Unit = {
+    repairInterruptedSwaps()
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)
@@ -141,6 +147,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   def appendBatch(df: DataFrame): String = {
     require(partitionCols.isEmpty,
       s"appendBatch is for unpartitioned append-only tables: $path")
+    // repair BEFORE mkdirs: recreating the live dir over an unrepaired
+    // full-table tombstone would make a later repair treat the swap as
+    // completed and drop the tombstone — losing the pre-crash rows
+    repairInterruptedSwaps()
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.appendstage-$tag"
     write(df, staged)
@@ -173,6 +183,11 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   def upsert(updates: DataFrame): Unit = {
     repairInterruptedSwaps()
     val deduped = updates.dropDuplicates(pk)
+    // merging an empty batch is a no-op; on a missing table it must not
+    // create one — an empty PARTITIONED overwrite writes a dir holding
+    // only _SUCCESS, which wedges every later read's schema inference.
+    // The guard lives here so every caller gets it.
+    if (deduped.isEmpty) return
     if (!exists) overwrite(deduped)
     else if (partitionCols.size == 1) upsertPartitions(deduped)
     else overwrite(Upsert.upsert(read, deduped, pk))
@@ -192,11 +207,12 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def upsertPartitions(deduped: DataFrame): Unit = {
     val pc = partitionCols.head
     val values = deduped.select(col(pc)).distinct().collect().map(_.get(0))
-    // a null partition value lands in __HIVE_DEFAULT_PARTITION__ but
-    // never matches the isInCollection prune — the swap would then
-    // REPLACE the live null partition instead of merging with it
-    require(!values.contains(null),
-      s"partition-scoped upsert requires non-null $pc values: $path")
+    // null AND empty-string partition values both land in
+    // __HIVE_DEFAULT_PARTITION__ but never match the isInCollection
+    // prune — the swap would then REPLACE the live default partition
+    // instead of merging with it
+    require(!values.contains(null) && !values.contains(""),
+      s"partition-scoped upsert requires non-null, non-empty $pc values: $path")
     val affected = read.filter(col(pc).isInCollection(values.toSeq))
     val merged = Upsert.upsert(affected, deduped, pk)
     val tag = UUID.randomUUID().toString.take(8)

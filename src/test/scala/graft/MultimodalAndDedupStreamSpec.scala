@@ -88,7 +88,8 @@ class MultimodalAndDedupStreamSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("corpus_stream")
       .outputMode("append").start()
     try {
-      ms.addData((1L, "alpha beta gamma", t0), (2L, "short", t0))
+      ms.addData((1L, "alpha beta gamma", t0), (2L, "short", t0),
+                 (5L, "x!!! y??? z***%%%", t0)) // punctuation-dominated
       q.processAllAvailable()
       // doc 3 is a whitespace/case re-delivery of doc 1 — same
       // fingerprint, new microbatch: the dedup state must drop it
@@ -96,7 +97,8 @@ class MultimodalAndDedupStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("corpus_stream").select("doc_id")
         .as[Long].collect().sorted.toSeq
-      assert(got == Seq(1L, 4L)) // 2 fails the gate, 3 is a dup
+      // 2 fails min-words, 5 fails the punctuation gate, 3 is a dup
+      assert(got == Seq(1L, 4L))
     } finally q.stop()
   }
 }

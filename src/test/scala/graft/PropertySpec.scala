@@ -62,6 +62,11 @@ class PropertySpec extends AnyFunSuite {
         assert(a == fl || a == fl + 1, s"$k: alloc $a not in {$fl, ${fl + 1}}")
       }
     }
+    // a zero weight total must fail loudly, not allocate NaN/null
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("k", "w")
+    val ex = intercept[Exception](
+      graft.operators.Allocation.largestRemainder(zero, "k", "w", 100L).collect())
+    assert(ex.getMessage != null)
   }
 
   test("sortedJaccard over hashed token sets equals the set-theoretic Jaccard") {
