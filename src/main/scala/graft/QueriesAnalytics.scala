@@ -479,5 +479,62 @@ object QueriesAnalytics {
         |  ON CAST(l_shipdate AS DATE) >= CAST(w_start AS DATE)
         | AND CAST(l_shipdate AS DATE) <= w_end
         |GROUP BY 1""".stripMargin),
+
+    // ── explicit GROUPING SETS (beyond rollup/cube: an arbitrary set
+    // list — the two single-column marginals plus the grand total,
+    // which neither rollup nor cube alone produces). grouping() flags
+    // distinguish the set-level NULL from a data NULL; one shuffle,
+    // Catalyst's Expand feeds all three sets from a single scan. ─────
+    "q_grouping_sets" -> q(
+      c => c.lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g_rf"),
+             grouping(col("l_linestatus")).as("g_ls"),
+             exactSum(col("l_extendedprice"), 2, 2).as("sum_price"),
+             count(lit(1)).as("n_items"))
+        .select(
+          when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag"))
+            .as("returnflag"),
+          when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus"))
+            .as("linestatus"),
+          col("sum_price"), col("n_items")),
+      s"""SELECT
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        |   AS returnflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        |   AS linestatus,
+        | ${exactSumSql("l_extendedprice", 2, 2)} AS sum_price,
+        | count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+
+    // ── unpivot (wide → long): per-flag metric columns melted into
+    // (metric, value) rows. The wide frame is one post-agg row per
+    // flag, so the melt is driver-free constant work; values share one
+    // DOUBLE type as unpivot requires. ───────────────────────────────
+    "q_unpivot" -> q(
+      c => c.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(exactSum(col("l_quantity"), 2, 2).as("sum_qty"),
+             exactSum(col("l_extendedprice"), 2, 2).as("sum_price"),
+             count(lit(1)).cast("double").as("n_items"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "metric", "value"),
+      s"""WITH wide AS (
+        | SELECT l_returnflag,
+        |  ${exactSumSql("l_quantity", 2, 2)} AS sum_qty,
+        |  ${exactSumSql("l_extendedprice", 2, 2)} AS sum_price,
+        |  CAST(count(*) AS DOUBLE) AS n_items
+        | FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'n_items', n_items FROM wide""".stripMargin),
   )
 }

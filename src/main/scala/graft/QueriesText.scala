@@ -996,5 +996,173 @@ object QueriesText {
         | min(sec) AS start_sec, max(sec) AS end_sec,
         | max(sec) - min(sec) AS duration
         |FROM s GROUP BY 1, 2""".stripMargin),
+
+    // ── chunk-level boilerplate removal (MassiveText/RefinedWeb line
+    // dedup, with fixed 10-word chunks as the "line" unit — this corpus
+    // has no newline/sentence structure). Chunks appearing in ≥3
+    // distinct docs are boilerplate and are dropped from every doc;
+    // the remainder is reassembled in original order. Both shuffles
+    // key on high-cardinality columns (chunk text, then doc_id), so
+    // the plan holds at corpus scale; no step is quadratic. ──────────
+    "q_chunk_dedup" -> q(
+      c => {
+        val k = 10
+        val docs = c.documents
+          .withColumn("__a", TF.words(lower(col("text"))))
+          .withColumn("__chunks",
+            transform(sequence(lit(1), ceil(size(col("__a")) / lit(k.toDouble)).cast("int")),
+              i => concat_ws(" ", slice(col("__a"), (i - lit(1)) * k + lit(1), lit(k)))))
+          .select(col("doc_id"),
+                  size(col("__chunks")).cast("long").as("n_chunks"),
+                  col("__chunks"))
+        // posexplode_outer + isNotNull: the generated-attribute filter
+        // keeps InferFiltersFromGenerate from re-deriving __chunks
+        // below the projection that materialized __a
+        val chunks = docs
+          .select(col("doc_id"), col("n_chunks"),
+                  posexplode_outer(col("__chunks")).as(Seq("pos", "chunk")))
+          .filter(col("chunk").isNotNull)
+        val shared = chunks.groupBy("chunk")
+          .agg(countDistinct("doc_id").as("nd"))
+        val re = chunks.join(shared, Seq("chunk")).filter(col("nd") < 3)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+               concat_ws(" ", transform(
+                 array_sort(collect_list(struct(col("pos"), col("chunk")))),
+                 x => x.getField("chunk"))).as("cleaned"))
+        docs.select("doc_id", "n_chunks")
+          .join(re, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_chunks"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+                  md5(coalesce(col("cleaned"), lit("")).cast("binary"))
+                    .as("cleaned_fp"))
+      },
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents
+        |), base AS (
+        | SELECT doc_id, CAST(ceil(len(a) / 10.0) AS BIGINT) AS n_chunks, a
+        | FROM w
+        |), ch AS (
+        | SELECT doc_id, n_chunks, i AS pos,
+        |  array_to_string(a[(i-1)*10+1 : i*10], ' ') AS chunk
+        | FROM base, unnest(generate_series(1, n_chunks)) AS t(i)
+        |), d AS (
+        | SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1
+        |), re AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(chunk, ' ' ORDER BY pos)) AS cleaned_fp
+        | FROM ch JOIN d USING (chunk) WHERE nd < 3 GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_chunks, coalesce(re.n_kept, 0) AS n_kept,
+        | coalesce(re.cleaned_fp, md5('')) AS cleaned_fp
+        |FROM (SELECT doc_id, n_chunks FROM base) b
+        |LEFT JOIN re USING (doc_id)""".stripMargin),
+
+    // ── SemDeDup (Abbas et al. 2023): embedding-cosine near-dup graph
+    // → connected components → one survivor (min id) per semantic
+    // cluster. Pair generation here is the exact all-pairs oracle twin
+    // over a fixed 1-in-5 shard (the same quadratic-by-design contract
+    // as q_ngram_jaccard); the scale path is the sign-bit LSH
+    // bucketing of q_ann_lsh feeding the same CC + survivor stages. ──
+    "q_semdedup" -> q(
+      c => {
+        val all = Similarity.prepare(
+          c.embeddings.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+        val a = all.select(col("id").as("id_a"), col("v").as("va"),
+                           col("nrm").as("na"))
+        val b = all.select(col("id").as("id_b"), col("v").as("vb"),
+                           col("nrm").as("nb"))
+        val pairs = a.join(b, col("id_a") < col("id_b"))
+          .filter(Similarity.cosine(col("va"), col("vb"),
+                                    col("na"), col("nb")) >= 0.3)
+          .select("id_a", "id_b")
+        val comps = DedupClusters.connectedComponents(pairs)
+        val labeled = all.select(col("id"))
+          .join(comps, Seq("id"), "left_outer")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+        val sizes = labeled.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"),
+               min("id").as("__survivor"))
+        labeled.join(sizes, Seq("cluster_id"))
+          .select(col("id").as("vec_id"), col("cluster_id"),
+                  col("cluster_size"),
+                  (col("id") === col("__survivor")).as("is_survivor"))
+      },
+      """WITH RECURSIVE n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |       CAST(embedding AS DOUBLE[]))) nrm
+        | FROM embeddings WHERE vec_id % 5 = 0
+        |), pairs AS (
+        | SELECT a.vec_id pa, b.vec_id pb
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id
+        | WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+        |), e AS (
+        | SELECT pa a, pb b FROM pairs UNION SELECT pb, pa FROM pairs
+        |), reach(a, b) AS (
+        | SELECT a, b FROM e
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |), lab AS (
+        | SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        |), labeled AS (
+        | SELECT n.vec_id, coalesce(l.cluster_id, n.vec_id) AS cluster_id
+        | FROM n LEFT JOIN lab l ON n.vec_id = l.id
+        |), s AS (
+        | SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+        |  min(vec_id) AS survivor FROM labeled GROUP BY 1
+        |)
+        |SELECT vec_id, cluster_id, cluster_size,
+        | vec_id = survivor AS is_survivor
+        |FROM labeled JOIN s USING (cluster_id)""".stripMargin),
+
+    // ── bloom-prefiltered decontamination: same output as
+    // q_decontaminate, but the corpus side first passes through a
+    // bloom filter built (distributed, bloom_filter_agg) over the eval
+    // shingle set, and only survivors reach the exact semi-join. The
+    // bloom can never miss a true member, and the exact join removes
+    // its false positives — so the result is exact while the join's
+    // build side shrinks from all corpus shingles to ~matches + fpp.
+    // At 100 TB this is the difference between shuffling the full
+    // corpus shingle set and shuffling only the contaminated sliver. ──
+    "q_bloom_decontaminate" -> q(
+      c => {
+        graft.functions.NativeFunctions.register(c.spark)
+        val sh = c.documents
+          .withColumn("__w", TF.words(col("text")))
+          .withColumn("__sh", array_distinct(TF.shingles(col("__w"), 3)))
+          .select(col("doc_id"), explode_outer(col("__sh")).as("sh"))
+          .filter(col("sh").isNotNull)
+        sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+          .createOrReplaceTempView("bloom_eval_sh_v")
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .createOrReplaceTempView("bloom_corpus_sh_v")
+        // scalar subquery: the bloom sketch is built distributed
+        // (partial sketches OR-merged), lands as one ~100 KB constant,
+        // and the probe stays inside whole-stage codegen. The IN
+        // semi-join then removes bloom false positives, so the output
+        // is exact (the bloom can never miss a true member).
+        c.spark.sql(
+          """SELECT doc_id, count(*) AS n_shared,
+            | count(*) >= 2 AS contaminated
+            |FROM bloom_corpus_sh_v
+            |WHERE graft_might_contain(
+            |   (SELECT graft_bloom_agg(xxhash64(sh), 100000L, 800000L)
+            |    FROM bloom_eval_sh_v),
+            |   xxhash64(sh))
+            |  AND sh IN (SELECT sh FROM bloom_eval_sh_v)
+            |GROUP BY doc_id""".stripMargin)
+      },
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+        |), g AS (
+        | SELECT DISTINCT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS sh
+        | FROM w, unnest(generate_series(1, len(a) - 2)) AS t(i)
+        |), e AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+        | count(*) >= 2 AS contaminated
+        |FROM g WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM e)
+        |GROUP BY 1""".stripMargin),
   )
 }

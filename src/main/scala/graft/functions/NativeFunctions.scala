@@ -282,7 +282,20 @@ object NativeFunctions {
      exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])),
     ("graft_vector_sum",
      "graft_vector_sum(v) - element-wise sum aggregate of array<double>",
-     exprs => VectorSum(exprs.head)))
+     exprs => VectorSum(exprs.head)),
+    // Spark ships distributed bloom build/probe expressions for its own
+    // runtime row-level filters but does not expose them in the public
+    // registry; surfacing them here reuses the battle-tested codegen'd
+    // sketch instead of reimplementing one. Probe side requires a
+    // constant or scalar-subquery bloom (Spark's own analysis rule).
+    ("graft_bloom_agg",
+     "graft_bloom_agg(xxhash64(x), estItems, numBits) - bloom-filter sketch aggregate (binary)",
+     exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+       .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))),
+    ("graft_might_contain",
+     "graft_might_contain(bloom, xxhash64(x)) - bloom membership probe",
+     exprs => org.apache.spark.sql.catalyst.expressions
+       .BloomFilterMightContain(exprs.head, exprs(1))))
 
   /** Idempotent per-session registration; expressions are then usable
     * from both the Column API (call_function) and spark.sql. */

@@ -66,4 +66,24 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
     assert(again == lsh)
   }
+
+  test("semdedup: one survivor per cluster, sizes partition the shard") {
+    val out = QueriesText.defs("q_semdedup").fn(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val shardSize = out.length
+    assert(shardSize > 0)
+    val byCluster = out.groupBy(_._2)
+    // cluster sizes are consistent and partition the shard
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.forall(_._3 == rows.length), s"cluster $cid size mismatch")
+      // exactly one survivor, and it is the min id
+      val survivors = rows.filter(_._4).map(_._1)
+      assert(survivors.toSeq == Seq(rows.map(_._1).min), s"cluster $cid survivors $survivors")
+      // the label is the min member id (GraphX CC contract)
+      assert(cid == rows.map(_._1).min)
+    }
+    assert(byCluster.valuesIterator.map(_.length).sum == shardSize)
+    // non-degenerate: the corpus shard has at least one true near-dup group
+    assert(byCluster.valuesIterator.exists(_.length > 1), "no multi-doc cluster")
+  }
 }

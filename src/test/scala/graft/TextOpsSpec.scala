@@ -123,4 +123,43 @@ class TextOpsSpec extends AnyFunSuite {
       .mkString("\n")
     assert(joinKeys.contains("bits"), p.take(3000))
   }
+
+  test("chunk dedup: boilerplate dropped everywhere, clean docs untouched") {
+    val sf = "/root/testdata/sf0.01"
+    val out = QueriesText.defs("q_chunk_dedup").fn(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    val c = Ctx(spark, sf)
+    assert(out.length == c.documents.count(), "one row per doc")
+    assert(out.forall { case (_, n, kept, _) => kept >= 0 && kept <= n })
+    // the corpus has known cross-doc boilerplate: at least one doc
+    // must lose a chunk, and most docs must keep everything
+    val touched = out.count { case (_, n, kept, _) => kept < n }
+    assert(touched > 0, "vacuous: no chunk dropped anywhere")
+    assert(touched < out.length / 2, "dropped chunks from most docs")
+    // a doc with all chunks kept must reassemble to its own normalized
+    // text (chunking then joining on single spaces is lossless there)
+    val untouchedFp = QueriesText.defs("q_fingerprint").fn(spark, sf)
+    val both = out.filter { case (_, n, kept, _) => kept == n }.map(r => r._1 -> r._4).toMap
+    val origFp = untouchedFp.select(col("doc_id"), col("fp"))
+      .as[(Long, String)].collect().toMap
+    both.foreach { case (id, fp) =>
+      assert(fp == origFp(id), s"doc $id: untouched doc's cleaned_fp drifted") }
+  }
+
+  test("bloom decontamination equals exact decontamination") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = QueriesText.defs("q_decontaminate").fn(spark, sf)
+      .as[(Long, Long, Boolean)].collect().sorted.toSeq
+    val bloom = QueriesText.defs("q_bloom_decontaminate").fn(spark, sf)
+      .as[(Long, Long, Boolean)].collect().sorted.toSeq
+    assert(exact.nonEmpty, "vacuous: no contaminated docs in corpus")
+    assert(bloom == exact, "bloom-prefiltered result drifted from exact")
+  }
+
+  test("bloom probe sits in the plan as a constant-bloom filter") {
+    val p = QueriesText.defs("q_bloom_decontaminate").fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("graft_might_contain") || p.contains("might_contain"), p.take(3000))
+  }
 }
