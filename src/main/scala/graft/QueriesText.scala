@@ -1164,5 +1164,162 @@ object QueriesText {
         | count(*) >= 2 AS contaminated
         |FROM g WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM e)
         |GROUP BY 1""".stripMargin),
+
+    // ── deterministic eval-holdout split: every doc lands in exactly
+    // one of train/validation/test by its md5 bucket — reproducible
+    // across engines, runs, and partitionings (rand()-based splits are
+    // none of those). Thresholds on the 2-hex-char prefix: < 'e6' is
+    // 230/256 ≈ 89.8 % train, < 'f3' adds 13/256 ≈ 5.1 % validation,
+    // rest test. Pure map-side assignment + one agg shuffle — scales. ─
+    "q_split_assign" -> q(
+      c => {
+        val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        c.documents
+          .withColumn("split",
+            when(h < "e6", "train")
+              .when(h < "f3", "validation")
+              .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("total_chars"))
+      },
+      """SELECT CASE
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'validation'
+        |  ELSE 'test' END AS split, lang,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin),
+
+    // ── corpus character-bigram familiarity scoring (the CCNet/KenLM
+    // quality-filter shape, transcendental-free): score each doc by the
+    // mean corpus frequency of its char bigrams — gibberish and
+    // non-corpus-like text scores low. Per-doc sums stay INTEGER
+    // (order-independent, exact in every engine); ONE double division
+    // at the end. Unlike q_tfidf's word vocabulary, the char-bigram
+    // domain is bounded by |charset|² (≤ ~10k rows), so the count-table
+    // broadcast is safe at ANY corpus size. ──────────────────────────
+    "q_char_bigram_lm" -> q(
+      c => {
+        val bg = c.documents
+          .withColumn("__t", TF.normalize(col("text")))
+          .withColumn("__bg",
+            when(length(col("__t")) < 2, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(1), length(col("__t")) - 1),
+                i => col("__t").substr(i, lit(2)))))
+          .select(col("doc_id"), explode_outer(col("__bg")).as("bg"))
+          .filter(col("bg").isNotNull)
+        val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        bg.join(broadcast(counts), "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("__s"))
+          .select(col("doc_id"), col("n_bigrams"),
+                  rnd4(col("__s").cast("double") / col("n_bigrams"))
+                    .as("avg_bigram_freq"))
+      },
+      s"""WITH t AS (
+        | SELECT doc_id, $normSql AS t FROM documents
+        |), bg AS (
+        | SELECT doc_id, substr(t, i, 2) AS bg
+        | FROM t, unnest(generate_series(1, length(t) - 1)) AS g(i)
+        |), cnt AS (
+        | SELECT bg, count(*) AS cnt FROM bg GROUP BY 1
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | floor(CAST(sum(cnt) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+        |   AS avg_bigram_freq
+        |FROM bg JOIN cnt USING (bg) GROUP BY 1""".stripMargin),
+
+    // ── character-diversity filter via Gini impurity — the log-free
+    // entropy surrogate (1 − Σ pᵢ² = (n² − Σ cᵢ²)/n²): repeated-char
+    // spam scores near 0, diverse text near 1. Everything is integer
+    // until the single final division, so the oracle matches bit-exact.
+    // Two shuffles, both keyed on doc_id — scales linearly. ──────────
+    "q_char_diversity" -> q(
+      c => {
+        val ch = c.documents
+          .withColumn("__t", TF.normalize(col("text")))
+          .withColumn("__c",
+            when(length(col("__t")) < 1, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(1), length(col("__t"))),
+                i => col("__t").substr(i, lit(1)))))
+          .select(col("doc_id"), explode_outer(col("__c")).as("ch"))
+          .filter(col("ch").isNotNull)
+        ch.groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("__n"),
+               sum(col("cnt") * col("cnt")).as("__ss"),
+               count(lit(1)).as("n_distinct_chars"))
+          .select(col("doc_id"), col("__n").as("n_chars_norm"),
+                  col("n_distinct_chars"),
+                  rnd6((col("__n") * col("__n") - col("__ss")).cast("double") /
+                       (col("__n") * col("__n"))).as("gini"))
+      },
+      s"""WITH t AS (
+        | SELECT doc_id, $normSql AS t FROM documents
+        |), ch AS (
+        | SELECT doc_id, substr(t, i, 1) AS ch
+        | FROM t, unnest(generate_series(1, length(t))) AS g(i)
+        |), pc AS (
+        | SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_norm,
+        | count(*) AS n_distinct_chars,
+        | floor(CAST(sum(cnt) * sum(cnt) - sum(cnt * cnt) AS DOUBLE)
+        |   / (sum(cnt) * sum(cnt)) * 1000000 + 0.5) / 1000000 AS gini
+        |FROM pc GROUP BY 1""".stripMargin),
+
+    // ── within-doc sentence dedup (the intra-document half of the
+    // MassiveText line rules; q_chunk_dedup is the corpus-wide half):
+    // repeated sentences inside one doc keep only their first
+    // occurrence, the doc reassembles in original order. All shuffles
+    // key on doc_id (+ sentence) — no cross-doc step at all, so this
+    // is embarrassingly parallel at corpus scale. ────────────────────
+    "q_line_dedup" -> q(
+      c => {
+        val base = c.documents
+          .withColumn("__s",
+            filter(transform(split(col("text"), "[.!?]+"), trim(_)),
+                   x => length(x) > 0))
+          .select(col("doc_id"), size(col("__s")).cast("long").as("n_sentences"),
+                  col("__s"))
+        val sent = base
+          .select(col("doc_id"), posexplode_outer(col("__s")).as(Seq("pos", "sent")))
+          .filter(col("sent").isNotNull)
+        val firsts = sent.groupBy(col("doc_id"), col("sent"))
+          .agg(min(col("pos")).as("pos"))
+        val re = firsts.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+               md5(concat_ws(". ", transform(
+                 array_sort(collect_list(struct(col("pos"), col("sent")))),
+                 x => x.getField("sent"))).cast("binary")).as("cleaned_fp"))
+        base.select("doc_id", "n_sentences")
+          .join(re, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_sentences"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+                  coalesce(col("cleaned_fp"), md5(lit("").cast("binary")))
+                    .as("cleaned_fp"))
+      },
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |              x -> trim(x)), x -> length(x) > 0) AS ss
+        | FROM documents
+        |), e AS (
+        | SELECT doc_id, i AS pos, ss[i] AS sent
+        | FROM s, unnest(generate_series(1, len(ss))) AS g(i)
+        |), f AS (
+        | SELECT doc_id, sent, min(pos) AS pos FROM e GROUP BY 1, 2
+        |), re AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(sent, '. ' ORDER BY pos)) AS cleaned_fp
+        | FROM f GROUP BY 1
+        |)
+        |SELECT b.doc_id, CAST(len(b.ss) AS BIGINT) AS n_sentences,
+        | coalesce(re.n_kept, 0) AS n_kept,
+        | coalesce(re.cleaned_fp, md5('')) AS cleaned_fp
+        |FROM s b LEFT JOIN re USING (doc_id)""".stripMargin),
   )
 }
