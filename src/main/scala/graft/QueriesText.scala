@@ -723,6 +723,16 @@ object QueriesText {
                   col("rn").cast("long").as("rn"))
       }),
 
+    "q_ann_pq" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        Similarity.pqTopK(all, all.filter(col("id") % 50 === 0), k = 5,
+                          dim = 64, m = 16, codebookSize = 250, rnd6,
+                          kmeansIters = 2)
+          .select(col("query_id"), col("vec_id"), col("score_r"),
+                  col("rn").cast("long").as("rn"))
+      }),
+
     "q_ann_ivf" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")

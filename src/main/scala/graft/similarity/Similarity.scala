@@ -201,4 +201,102 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("id").as("vec_id"), col("cos_r"), col("rn"))
   }
+
+  /** Product quantization (PQ, Jégou et al. 2011) approximate top-k —
+    * the memory-compression ANN scale path next to IVF (partitioning)
+    * and sign-LSH (bucketing). Vectors are unit-normalized (so cosine
+    * = dot), split into `m` contiguous subspaces; each subvector is
+    * encoded as the id of its nearest codeword (L2) from a
+    * deterministic per-subspace codebook (`id % codebookEvery == 0`
+    * sample, the same seedless convention as IVF's centroids). A query
+    * is answered ADC-style: its dot product against every codeword is
+    * tabulated once (|codebook|·m lookups), and a corpus vector's
+    * approximate score is the sum of m table entries — the corpus is
+    * never re-read at full precision.
+    *
+    * The codebook trains on a FIXED-SIZE deterministic sample
+    * (md5-ordered top-`codebookSize` — a seedless pseudo-random draw
+    * that plans as TakeOrderedAndProject, per-partition heaps, no
+    * global sort), so it stays broadcast-sized no matter how large the
+    * corpus grows — unlike a `%`-sampled codebook, whose size tracks
+    * the corpus and eventually can't broadcast.
+    *
+    * At 100 TB this is the point: the scoring pass touches only the
+    * (vec_id, subspace, code) triples — m small ints per vector
+    * instead of `dim` floats (16× compression at dim=64, m=4) — and
+    * every join on the big side is against a broadcast table.
+    *
+    * Determinism: per (query, vector, subspace) exactly one table row
+    * matches, so the approximate score is assembled with a fixed-order
+    * sum of m per-subspace singletons (no float accumulation-order
+    * ambiguity); ranking uses the rounded score + vec_id tie-break. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             dim: Int, m: Int, codebookSize: Int,
+             roundedScore: Column => Column, kmeansIters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    def unit(df: DataFrame): DataFrame =
+      df.select(col("id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    // (id, subspace j, subvector) — m rows per vector
+    def subs(df: DataFrame, idAs: String, svAs: String): DataFrame =
+      unit(df).select(col("id").as(idAs),
+        posexplode(array((0 until m).map(j =>
+          slice(col("u"), j * sub + 1, sub)): _*)).as(Seq("sj", svAs)))
+
+    // nearest codeword by L2 = argmax(2·x·c − |c|²); max_by gets
+    // map-side partial reduction, ties break on lowest cid
+    def l2score(sv: Column): Column =
+      lit(2) * dot(sv, col("cv")) - dot(col("cv"), col("cv"))
+    def encode(corpusSubs: DataFrame, cb: DataFrame): DataFrame =
+      corpusSubs.join(broadcast(cb), Seq("sj"))
+        .groupBy(col("vec_id"), col("sj"))
+        .agg(max_by(col("cid"), struct(l2score(col("sv")), -col("cid")))
+               .as("code"),
+             first(col("sv")).as("sv"))
+
+    val corpusSubs = subs(corpus, "vec_id", "sv")
+    val sample = corpus
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(codebookSize)
+    val cb0 = subs(sample, "cid", "cv")
+    // per-subspace Lloyd refinement (standard PQ codebook training):
+    // assign every corpus subvector, recompute each codeword as the
+    // element-wise mean of its members. Empty codewords drop out —
+    // deterministic, no reseeding. Same map-side-reduced plan shape as
+    // refineCentroids; the codebook stays broadcast-sized throughout.
+    val codebook = broadcast((1 to kmeansIters).foldLeft(cb0) { (cb, _) =>
+      encode(corpusSubs, cb)
+        .groupBy(col("sj"), col("code"))
+        .agg(graft.functions.NativeFunctions.vectorSum(col("sv")).as("vs"),
+             count(lit(1)).as("cnt"))
+        .select(col("sj"), col("code").as("cid"),
+                transform(col("vs"), x => x / col("cnt")).as("cv"))
+    })
+
+    val codes = encode(corpusSubs, codebook).drop("sv")
+
+    // ADC table: query × codeword partial dot products (small: |Q|·m·|codebook|)
+    // — keys renamed so the join with `codes` (same subs() lineage)
+    // can't hit ambiguous-attribute resolution
+    val table = broadcast(subs(queries, "query_id", "qv")
+      .join(codebook, Seq("sj"))
+      .select(col("query_id"), col("sj").as("tsj"), col("cid"),
+              dot(col("qv"), col("cv")).as("qdot")))
+
+    // fixed-order sum of the m per-subspace singletons
+    val parts = (0 until m).map(j =>
+      sum(when(col("tsj") === j, col("qdot"))).as(s"__p$j"))
+    val approx = codes
+      .join(table, col("sj") === col("tsj") && col("code") === col("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("score_r",
+        roundedScore((0 until m).map(j => col(s"__p$j")).reduce(_ + _)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_r").desc, col("vec_id"))
+    approx.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("score_r"), col("rn"))
+  }
 }

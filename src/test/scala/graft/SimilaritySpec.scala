@@ -67,6 +67,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == lsh)
   }
 
+  test("pq topk on testdata: k results per query, recall vs brute force, deterministic") {
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+    val queries = all.filter(col("id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(queries, all, 5, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    val pq = Similarity.pqTopK(all, queries, 5, dim = 64, m = 16,
+        codebookSize = 250, rnd6, kmeansIters = 2)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    // PQ always returns exactly k per query (every vector is scored)
+    assert(pq.size == bf.size)
+    val recall = (pq & bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"pq recall $recall too low")
+    // deterministic across runs (seedless codebooks, fixed-order sums)
+    val again = Similarity.pqTopK(all, queries, 5, dim = 64, m = 16,
+        codebookSize = 250, rnd6, kmeansIters = 2)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(again == pq)
+  }
+
   test("semdedup: one survivor per cluster, sizes partition the shard") {
     val out = QueriesText.defs("q_semdedup").fn(spark, "/root/testdata/sf0.01")
       .as[(Long, Long, Long, Boolean)].collect()
