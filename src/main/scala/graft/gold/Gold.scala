@@ -110,15 +110,19 @@ object Gold {
         exactSum(revenue, 4, 2).as("total_revenue"),
         countDistinct("p_partkey").as("unique_parts"),
         exactAvg(revenue, 4, 4).as("avg_item_revenue"))
-    val brandOrders = li.select(col("p_brand"), col("l_orderkey")).distinct()
-    val uo = brandOrders.groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("unique_orders"))
-    val uc = brandOrders
+    // one branch for BOTH order/customer distincts: the distinct
+    // (brand, orderkey) pair set is computed once (uncached branches
+    // would rescan lineitem per consumer), joined 1:1 to orders, and
+    // aggregated with count + a single countDistinct — the ×2 Expand
+    // this costs runs over the narrow pre-deduplicated pair set, far
+    // cheaper than the extra full lineitem scan it replaces
+    val ouc = li.select(col("p_brand"), col("l_orderkey")).distinct()
       .join(c.orders.select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-      .select(col("p_brand"), col("o_custkey")).distinct()
-      .groupBy(col("p_brand")).agg(count(lit(1)).as("unique_customers"))
-    rev.join(uo, "p_brand").join(uc, "p_brand")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("unique_orders"),
+           countDistinct("o_custkey").as("unique_customers"))
+    rev.join(ouc, "p_brand")
       .select(col("p_brand"), col("total_revenue"), col("unique_parts"),
               col("unique_orders"), col("unique_customers"),
               col("avg_item_revenue"))
