@@ -249,6 +249,22 @@ object QueriesAnalytics {
         | count(*) AS n_items
         |FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1""".stripMargin),
 
+    // ── approx percentiles — the 100 TB escape hatch for the exact
+    // query below: percentile_approx is a mergeable sketch
+    // (Greenwald-Khanna), so it aggregates map-side and never needs
+    // the per-group sort the exact interpolating percentile pays.
+    // Sketches aren't portable across engines → rows-only; accuracy
+    // vs the exact result is pinned in PlanSpec (≤1 % of range). ─────
+    "q_approx_percentiles" -> q(
+      c => c.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          rnd6(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)))
+            .as("qty_p50_approx"),
+          rnd6(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)))
+            .as("price_median_approx"),
+          count(lit(1)).as("n_items"))),
+
     // ── exact percentiles (interpolating; both engines use p·(n−1)) ───
     "q_percentiles" -> q(
       c => c.lineitem

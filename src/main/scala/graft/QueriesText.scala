@@ -1331,5 +1331,46 @@ object QueriesText {
         | coalesce(re.n_kept, 0) AS n_kept,
         | coalesce(re.cleaned_fp, md5('')) AS cleaned_fp
         |FROM s b LEFT JOIN re USING (doc_id)""".stripMargin),
+
+    // ── out-of-vocabulary rate against a fixed-size corpus vocabulary
+    // (the tokenizer-coverage question every training run asks): the
+    // top-K vocabulary is a bounded deterministic set (count desc,
+    // word asc — TakeOrderedAndProject, per-partition heaps, never a
+    // global sort), so its broadcast is safe at any corpus size; the
+    // token stream then left-joins it map-side and reduces per doc.
+    // Counts stay integer; one division at the end. ──────────────────
+    "q_oov_rate" -> q(
+      c => {
+        val toks = c.documents
+          .withColumn("__w", TF.words(lower(col("text"))))
+          .select(col("doc_id"), explode_outer(col("__w")).as("word"))
+          .filter(col("word").isNotNull)
+        val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word")).limit(20)
+          .select(col("word"), lit(true).as("__in"))
+        toks.join(broadcast(vocab), Seq("word"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+                  rnd6(col("n_oov").cast("double") / col("n_tokens"))
+                    .as("oov_rate"))
+      },
+      """WITH w AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        | FROM documents
+        |), v AS (
+        | SELECT word FROM (
+        |  SELECT word, count(*) AS cnt FROM w GROUP BY 1
+        |  ORDER BY cnt DESC, word LIMIT 20)
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_oov,
+        | floor(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) * 1000000 + 0.5) / 1000000 AS oov_rate
+        |FROM w LEFT JOIN v ON w.word = v.word
+        |GROUP BY 1""".stripMargin),
   )
 }

@@ -122,4 +122,29 @@ class PlanSpec extends AnyFunSuite {
     assert(math.abs(ao - eo).toDouble / eo < 0.05, s"$ao vs $eo")
     assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$ap vs $ep")
   }
+
+  test("approx percentiles track exact within 1% of the group's value") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = QueriesAnalytics.defs("q_percentiles").fn(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val approx = QueriesAnalytics.defs("q_approx_percentiles").fn(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, (q50, p50)) <- exact) {
+      val (aq, ap) = approx(flag)
+      assert(math.abs(aq - q50) / q50 < 0.01, s"$flag qty $aq vs $q50")
+      assert(math.abs(ap - p50) / p50 < 0.01, s"$flag price $ap vs $p50")
+    }
+  }
+
+  test("char-bigram LM joins its bounded count table broadcast") {
+    val p = planOf(QueriesText.defs("q_char_bigram_lm").fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("oov vocabulary is a TakeOrdered top-k, never a global sort") {
+    val p = planOf(QueriesText.defs("q_oov_rate").fn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
