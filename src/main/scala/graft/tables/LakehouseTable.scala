@@ -295,6 +295,56 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       .map { s => fs.delete(s.getPath, true); s"deleted:${s.getPath.getName}" }
   }
 
+  // ── file-skipping statistics (Delta data-skipping parity) ──────────
+  // Directory-partitioned pruning only helps predicates on the
+  // partition key. For other clustered columns (after
+  // [[optimizeClustered]]), per-FILE min/max stats let a range read
+  // open only the files whose range intersects the predicate — the
+  // Delta `stats` / Iceberg manifest idea, as a tiny sibling parquet.
+
+  private def fileStatsPath = s"$path.filestats"
+
+  /** One row per data file with min/max of each tracked column,
+    * computed distributed off `_metadata.file_path` (one scan, no
+    * driver state) and swapped in atomically. Call after writes —
+    * typically right after [[optimizeClustered]], which is what makes
+    * the per-file ranges disjoint enough to skip. */
+  def writeFileStats(cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+      org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+    val stats = read
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // manifest scale: one row per data file
+    val tag = UUID.randomUUID().toString.take(8)
+    val staged = s"$fileStatsPath.staged-$tag"
+    stats.write.mode("overwrite").parquet(staged)
+    swapIn(new Path(staged), new Path(fileStatsPath),
+           new Path(s"$fileStatsPath.tombstone-$tag"))
+  }
+
+  /** Range read through the stats: open only files whose [min,max]
+    * intersects [lo,hi], then re-apply the exact predicate. The file
+    * list is collected on the driver — manifest-scale (one entry per
+    * file), the same driver-side planning Delta/Iceberg do. Falls back
+    * to a plain filtered read when stats were never written. Results
+    * are identical to `read.filter(c between lo,hi)` by construction:
+    * a file outside the range can hold no matching row. */
+  def readPruned(c: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val filtered = (df: DataFrame) => df.filter(col(c).between(lit(lo), lit(hi)))
+    if (!fs.exists(new Path(fileStatsPath))) return filtered(read)
+    val files = spark.read.parquet(fileStatsPath)
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty) read.limit(0)
+    // basePath lets a partitioned table's explicit file list still
+    // recover its key=value partition columns from the paths
+    else filtered(spark.read.option("basePath", path)
+      .schema(read.schema).parquet(files.toIndexedSeq: _*))
+  }
+
   // ── version retention (Delta time-travel parity, single-writer) ────
   // Instead of deleting the tombstone after a swap, versioned
   // overwrites archive the previous live dir under <path>.versions/v<n>

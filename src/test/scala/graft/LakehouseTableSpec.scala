@@ -137,6 +137,36 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).list().exists(_.contains("tombstone")))
   }
 
+  test("file stats prune the range read to intersecting files only") {
+    val dir = TestSpark.tmpDir("skip")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    // clustered on k across 4 files -> disjoint per-file ranges
+    // (explicit partition count: AQE would coalesce this tiny set to 1)
+    t.overwrite((1 to 1000).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val nFiles = t.read.inputFiles.length
+    assert(nFiles > 1, s"need multiple files to demonstrate skipping, got $nFiles")
+    t.writeFileStats(Seq("k"))
+
+    val pruned = t.readPruned("k", 100, 120)
+    // identical rows to the unpruned filtered read
+    val expect = t.read.filter(col("k").between(100, 120))
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(pruned.as[(Int, String)].collect().sortBy(_._1).toSeq == expect.toSeq)
+    // and strictly fewer files opened
+    assert(pruned.inputFiles.length < nFiles,
+      s"${pruned.inputFiles.length} vs $nFiles")
+
+    // empty-range read: no files, empty result, schema intact
+    val none = t.readPruned("k", 5000, 6000)
+    assert(none.isEmpty && none.columns.toSeq == Seq("k", "v"))
+
+    // stats never written -> falls back to a plain filtered read
+    val t2 = LakehouseTable(spark, s"$dir/t2", Seq("k"))
+    t2.overwrite((1 to 10).map(i => (i, "x")).toDF("k", "v"))
+    assert(t2.readPruned("k", 3, 5).count() == 3)
+  }
+
   test("versioned overwrite: time travel, retention pruning, rollback") {
     val dir = TestSpark.tmpDir("lake")
     val t = LakehouseTable(spark, s"$dir/tt", Seq("k"))
