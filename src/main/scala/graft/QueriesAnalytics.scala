@@ -552,5 +552,137 @@ object QueriesAnalytics {
         |SELECT l_returnflag, 'sum_price', sum_price FROM wide
         |UNION ALL
         |SELECT l_returnflag, 'n_items', n_items FROM wide""".stripMargin),
+
+    // ── per-group least-squares regression + Pearson correlation from
+    // EXACT integer sums: built-in corr()/covar would hash-mismatch
+    // (Welford merge order differs per engine), so instead each row is
+    // scaled to long units, the five sufficient statistics (n, Σx, Σy,
+    // Σx², Σxy, Σy²) are summed exactly, and both engines combine them
+    // through the IDENTICAL sequence of double ops — bit-equal output
+    // even where a sum exceeds 2^53, because long→double rounding is
+    // the same IEEE operation everywhere. One pass, one shuffle, and
+    // the partial sums are map-side combined — the textbook
+    // mergeable-statistics shape that scales to any row count. ───────
+    "q_linreg" -> q(
+      c => {
+        val x = units(col("l_quantity"), 2).cast("long")
+        val y = units(col("l_extendedprice"), 2).cast("long")
+        val stats = c.lineitem.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+               sum(x * x).as("sxx"), sum(x * y).as("sxy"),
+               sum(y * y).as("syy"))
+        val (n, sx, sy, sxx, sxy, syy) =
+          (col("n").cast("double"), col("sx").cast("double"),
+           col("sy").cast("double"), col("sxx").cast("double"),
+           col("sxy").cast("double"), col("syy").cast("double"))
+        val covN  = n * sxy - sx * sy
+        val varXN = n * sxx - sx * sx
+        val varYN = n * syy - sy * sy
+        // unit scaling cancels in slope/corr; intercept is in y-units
+        stats.select(col("l_returnflag"), col("n"),
+          rnd6(covN / varXN).as("slope"),
+          rnd6(((sy - (covN / varXN) * sx) / n) / 100.0).as("intercept"),
+          rnd6(covN / (sqrt(varXN) * sqrt(varYN))).as("corr_xy"))
+      },
+      """WITH s AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy
+        | FROM lineitem GROUP BY 1
+        |), d AS (
+        | SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
+        |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |  CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+        |  CAST(syy AS DOUBLE) AS syy
+        | FROM s
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        | floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
+        |   / 1000000 AS slope,
+        | floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+        |   / 100.0 * 1000000 + 0.5) / 1000000 AS intercept,
+        | floor((n * sxy - sx * sy)
+        |   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |   * 1000000 + 0.5) / 1000000 AS corr_xy
+        |FROM d""".stripMargin),
+
+    // ── weekly cohort retention on the events stream: cohort = ISO
+    // week of a user's first event, retention = distinct users active
+    // at each whole-week offset. Two shuffles (user-level min, then
+    // the cohort×offset distinct count); the first-seen side joins
+    // back on user_id — at 100 TB that's a co-partitioned shuffle
+    // join on the natural key, no driver state. ──────────────────────
+    "q_cohort_retention" -> q(
+      c => {
+        val first = c.events.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_ts"))
+          .select(col("user_id"),
+                  date_trunc("week", col("first_ts")).as("cohort_week"))
+        c.events.join(first, "user_id")
+          .withColumn("week_offset",
+            floor(datediff(to_date(col("ts")), to_date(col("cohort_week"))) / 7)
+              .cast("long"))
+          .groupBy(dateStr(col("cohort_week")).as("cohort_week"),
+                   col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      """WITH f AS (
+        | SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        | FROM events GROUP BY 1
+        |)
+        |SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+        | CAST(floor(date_diff('day', CAST(f.cohort_week AS DATE),
+        |                      CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+        |   AS week_offset,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin),
+
+    // ── ordered conversion funnel (view → click → purchase, strictly
+    // increasing timestamps): each stage is a conditional-min
+    // aggregation keyed on user_id, the next stage filters on the
+    // previous stage's timestamp. Three user-keyed agg shuffles, no
+    // window, no per-user sort — the stage DAG scales linearly and
+    // the tiny per-stage results broadcast back. ─────────────────────
+    "q_event_funnel" -> q(
+      c => {
+        val ev = c.events.select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        s1.select(lit(1).as("__k"), col("user_id"))
+          .groupBy("__k").agg(count(lit(1)).as("n_view"))
+          .join(s2.groupBy().agg(count(lit(1)).as("n_view_click"))
+                  .withColumn("__k", lit(1)), "__k")
+          .join(s3.groupBy().agg(count(lit(1)).as("n_full_funnel"))
+                  .withColumn("__k", lit(1)), "__k")
+          .select(col("n_view"), col("n_view_click"), col("n_full_funnel"))
+      },
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t1 FROM events
+        | WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        | SELECT e.user_id, min(e.ts) AS t2
+        | FROM events e JOIN s1 USING (user_id)
+        | WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        |), s3 AS (
+        | SELECT e.user_id, min(e.ts) AS t3
+        | FROM events e JOIN s2 USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        |)
+        |SELECT (SELECT count(*) FROM s1) AS n_view,
+        | (SELECT count(*) FROM s2) AS n_view_click,
+        | (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin),
   )
 }
