@@ -423,6 +423,49 @@ object QueriesAnalytics {
         |   OR value > p75 + (p75 - p25) * 1.5
         |GROUP BY 1""".stripMargin),
 
+    // ── robust outlier screening via MAD (median absolute deviation —
+    // the robust-statistics sibling of the IQR fences above; immune to
+    // the outliers it hunts, unlike stddev-based z-scores). Two
+    // group-level median passes, each joined back broadcast (per-group
+    // results are group-count-sized), deviations stay codegen'd scan
+    // work. Rounded medians feed the fence on BOTH engines so the
+    // boundary comparison is bit-identical. ──────────────────────────
+    "q_mad_outliers" -> q(
+      c => {
+        val med = c.events.groupBy(col("event_type"))
+          .agg(rnd6(percentile(col("value"), lit(0.5))).as("med"))
+        val dev = c.events.join(broadcast(med), "event_type")
+          .withColumn("__dev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(rnd6(percentile(col("__dev"), lit(0.5))).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .filter(col("__dev") > col("mad") * 3.0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_outliers"),
+               rnd2(max(col("__dev"))).as("max_abs_dev"))
+          .join(med, "event_type").join(mad, "event_type")
+          .select(col("event_type"), col("med"), col("mad"),
+                  col("n_outliers"), col("max_abs_dev"))
+      },
+      """WITH med AS (
+        | SELECT event_type,
+        |  floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS med
+        | FROM events GROUP BY 1
+        |), dev AS (
+        | SELECT e.event_type, med, abs(value - med) AS d
+        | FROM events e JOIN med USING (event_type)
+        |), mad AS (
+        | SELECT event_type,
+        |  floor(quantile_cont(d, 0.5) * 1000000 + 0.5) / 1000000 AS mad
+        | FROM dev GROUP BY 1
+        |)
+        |SELECT dev.event_type, any_value(dev.med) AS med,
+        | any_value(mad.mad) AS mad, count(*) AS n_outliers,
+        | floor(max(d) * 100 + 0.5) / 100 AS max_abs_dev
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE d > mad.mad * 3.0
+        |GROUP BY 1""".stripMargin),
+
     // ── supplier-side star join (completes table coverage: the last
     //    unexercised testdata table) ───────────────────────────────────
     "q_supplier_share" -> q(
