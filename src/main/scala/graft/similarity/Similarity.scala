@@ -102,7 +102,11 @@ object Similarity {
              count(lit(1)).as("cnt"))
         .select(col("cid"),
                 transform(col("vs"), x => x / col("cnt")).as("cv"))
-      means.withColumn("cn", norm(col("cv")))
+      // localCheckpoint per iteration: centroids are K tiny rows, but
+      // without truncation each fold step embeds the previous one's
+      // full corpus-assignment plan — Catalyst re-plans (and can
+      // re-execute) a plan that grows with iteration count
+      means.withColumn("cn", norm(col("cv"))).localCheckpoint()
     }
 
   /** IVF (inverted-file) approximate top-k: centroids start as a
@@ -271,6 +275,9 @@ object Similarity {
              count(lit(1)).as("cnt"))
         .select(col("sj"), col("code").as("cid"),
                 transform(col("vs"), x => x / col("cnt")).as("cv"))
+        // truncate lineage per Lloyd iteration (codebook is tiny;
+        // the embedded corpus-encode plan is not)
+        .localCheckpoint()
     })
 
     val codes = encode(corpusSubs, codebook).drop("sv")
