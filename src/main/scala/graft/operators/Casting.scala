@@ -20,18 +20,24 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
 object Casting {
   def castTo(df: DataFrame, schema: StructType): DataFrame = {
     val present = df.columns.toSet
+    // ANSI-off sessions (the engine's standard, and the reference's
+    // Spark 3.5 semantics) get the legacy cast: it nulls malformed
+    // values WITHOUT exceptions. try_cast is kept only for ANSI-on
+    // sessions — its TryEval catches a real JVM exception per failing
+    // row, which on a systematically uncastable column turns a scan
+    // into an exception storm (600k throws ≈ seconds at sf0.1).
+    val ansiOn = df.sparkSession.conf
+      .get("spark.sql.ansi.enabled", "true").toBoolean
     schema.fields.filter(f => present.contains(f.name)).foldLeft(df) {
       (acc, f) =>
-        // try_cast, not cast: Spark 4 defaults to ANSI mode where a
-        // malformed cast throws; the reference (Spark 3.5, ANSI off)
-        // nulls instead. try_cast gives null-on-error under either mode.
         val c = f.dataType match {
           // try_to_timestamp, not to_timestamp: under ANSI mode
           // (Spark 4 default) to_timestamp throws on malformed input;
           // the null-on-error contract must hold independent of the
           // session's spark.sql.ansi.enabled setting.
           case TimestampType => try_to_timestamp(col(f.name))
-          case dt            => col(f.name).try_cast(dt)
+          case dt if ansiOn  => col(f.name).try_cast(dt)
+          case dt            => col(f.name).cast(dt)
         }
         acc.withColumn(f.name, c)
     }
