@@ -1215,15 +1215,26 @@ object QueriesText {
     // broadcast is safe at ANY corpus size. ──────────────────────────
     "q_char_bigram_lm" -> q(
       c => {
+        // the string is split to a char ARRAY once per doc, then each
+        // exploded position does two O(1) element_at lookups —
+        // substr(__t, i, 2) here would be O(i) (UTF8String seeks char
+        // boundaries from the start), turning the pass into O(len²)
+        // per doc (~3× slower at 300-char docs, worse as docs grow).
+        // The length guard keeps sequence() off its descending-range
+        // trap. repartition BEFORE the ~300× char fan-out: one 128 MB
+        // scan partition of docs becomes ~38 GB of generated rows —
+        // the narrow input must spread before the explode, at any
+        // scale (sf0.1: 4.0 s → 1.6 s, single-file scan).
         val bg = c.documents
+          .repartition(col("doc_id"))
           .withColumn("__t", TF.normalize(col("text")))
-          .withColumn("__bg",
-            when(length(col("__t")) < 2, array().cast("array<string>"))
-              .otherwise(transform(
-                sequence(lit(1), length(col("__t")) - 1),
-                i => col("__t").substr(i, lit(2)))))
-          .select(col("doc_id"), explode_outer(col("__bg")).as("bg"))
-          .filter(col("bg").isNotNull)
+          .filter(length(col("__t")) >= 2)
+          .withColumn("__a", split(col("__t"), ""))
+          .select(col("doc_id"), col("__a"),
+                  explode(sequence(lit(1), length(col("__t")) - 1)).as("__i"))
+          .select(col("doc_id"),
+                  concat(element_at(col("__a"), col("__i")),
+                         element_at(col("__a"), col("__i") + 1)).as("bg"))
         val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
         bg.join(broadcast(counts), "bg")
           .groupBy("doc_id")
@@ -1252,15 +1263,13 @@ object QueriesText {
     // Two shuffles, both keyed on doc_id — scales linearly. ──────────
     "q_char_diversity" -> q(
       c => {
+        // chars come straight off one split per doc; repartition
+        // before the char fan-out (see q_char_bigram_lm for both)
         val ch = c.documents
+          .repartition(col("doc_id"))
           .withColumn("__t", TF.normalize(col("text")))
-          .withColumn("__c",
-            when(length(col("__t")) < 1, array().cast("array<string>"))
-              .otherwise(transform(
-                sequence(lit(1), length(col("__t"))),
-                i => col("__t").substr(i, lit(1)))))
-          .select(col("doc_id"), explode_outer(col("__c")).as("ch"))
-          .filter(col("ch").isNotNull)
+          .filter(length(col("__t")) >= 1)
+          .select(col("doc_id"), explode(split(col("__t"), "")).as("ch"))
         ch.groupBy(col("doc_id"), col("ch"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy("doc_id")
