@@ -354,6 +354,51 @@ object QueriesText {
         |   / toks * 10000 + 0.5) / 10000 AS oversample
         |FROM r""".stripMargin),
 
+    // ── temperature-scaled mix (the multilingual up-sampling trick:
+    // allocate by weight^α so low-resource sources get a larger share
+    // than proportional). α = 0.5 via sqrt — correctly rounded IEEE in
+    // every engine, unlike pow(x, α) which is libm-dependent; the
+    // sqrt weight is then QUANTIZED to integer units so the weight
+    // total is an exact long sum (a raw double sum is partial-order-
+    // dependent and would make the remainder ranking flaky). Same
+    // largest-remainder operator and scale shape as q_domain_mix. ────
+    "q_temperature_mix" -> q(
+      c => {
+        val tok = c.documents.groupBy(col("source"))
+          .agg(sum(TF.wsTokenCount(col("text"))).as("toks"))
+          .withColumn("w",
+            floor(sqrt(col("toks").cast("double")) * 10000 + 0.5).cast("long"))
+        graft.operators.Allocation
+          .largestRemainder(tok, "source", "w", budget = 1000000L)
+          .withColumn("oversample",
+            rnd4(col("alloc").cast("double") / col("toks")))
+          .select("source", "toks", "alloc", "oversample")
+      },
+      """WITH tok AS (
+        | SELECT source,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS toks
+        | FROM documents GROUP BY 1
+        |), wt AS (
+        | SELECT source, toks,
+        |  CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+        | FROM tok
+        |), t AS (SELECT *, sum(w) OVER () AS total FROM wt),
+        |f AS (
+        | SELECT source, toks, w,
+        |  CAST(floor(w * 1000000.0 / total) AS BIGINT) AS floor_alloc,
+        |  w * 1000000.0 / total - floor(w * 1000000.0 / total) AS frac
+        | FROM t
+        |), r AS (
+        | SELECT *, CAST(row_number() OVER (ORDER BY frac DESC, source) AS BIGINT) AS rk,
+        |  sum(floor_alloc) OVER () AS fsum
+        | FROM f
+        |)
+        |SELECT source, toks,
+        | CAST(floor_alloc + CASE WHEN rk <= 1000000 - fsum THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+        | floor(CAST(floor_alloc + CASE WHEN rk <= 1000000 - fsum THEN 1 ELSE 0 END AS DOUBLE)
+        |   / toks * 10000 + 0.5) / 10000 AS oversample
+        |FROM r""".stripMargin),
+
     "q_lang_id" -> q(
       c => {
         // Split the text ONCE into a lower projection and score the
