@@ -1225,6 +1225,55 @@ object QueriesText {
         |FROM g WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM e)
         |GROUP BY 1""".stripMargin),
 
+    // ── cross-source contamination matrix: pairwise 3-gram overlap
+    // between sources (the "is my web scrape leaking into my books
+    // split?" audit). The unit is the distinct (source, shingle) pair
+    // set — one explode + distinct, then a self-join keyed on the
+    // high-cardinality shingle; output is |sources|² rows. No step is
+    // corpus-quadratic: the join fan-out is bounded by how many
+    // sources share each shingle (≤ |sources|). ──────────────────────
+    "q_source_overlap" -> q(
+      c => {
+        val sh = c.documents
+          .withColumn("__w", TF.words(col("text")))
+          .withColumn("__sh", array_distinct(TF.shingles(col("__w"), 3)))
+          .select(col("source"), explode_outer(col("__sh")).as("sh"))
+          .filter(col("sh").isNotNull)
+          .distinct()
+        val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val shared = sh.select(col("source").as("source_a"), col("sh"))
+          .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(broadcast(counts.select(col("source").as("source_a"),
+                                        col("n").as("n_a"))), "source_a")
+          .join(broadcast(counts.select(col("source").as("source_b"),
+                                        col("n").as("n_b"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+                  rnd6(col("n_shared").cast("double") /
+                       (col("n_a") + col("n_b") - col("n_shared")))
+                    .as("jaccard"))
+      },
+      """WITH w AS (
+        | SELECT doc_id, source,
+        |  regexp_split_to_array(trim(text), '\s+') AS a
+        | FROM documents
+        |), g AS (
+        | SELECT DISTINCT source, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS sh
+        | FROM w, unnest(generate_series(1, len(a) - 2)) AS t(i)
+        |), n AS (SELECT source, count(*) AS n FROM g GROUP BY 1)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | count(*) AS n_shared,
+        | floor(CAST(count(*) AS DOUBLE)
+        |   / (any_value(na.n) + any_value(nb.n) - count(*))
+        |   * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+        |JOIN n na ON na.source = a.source
+        |JOIN n nb ON nb.source = b.source
+        |GROUP BY 1, 2""".stripMargin),
+
     // ── deterministic eval-holdout split: every doc lands in exactly
     // one of train/validation/test by its md5 bucket — reproducible
     // across engines, runs, and partitionings (rand()-based splits are
