@@ -431,22 +431,8 @@ object QueriesAnalytics {
     // work. Rounded medians feed the fence on BOTH engines so the
     // boundary comparison is bit-identical. ──────────────────────────
     "q_mad_outliers" -> q(
-      c => {
-        val med = c.events.groupBy(col("event_type"))
-          .agg(rnd6(percentile(col("value"), lit(0.5))).as("med"))
-        val dev = c.events.join(broadcast(med), "event_type")
-          .withColumn("__dev", abs(col("value") - col("med")))
-        val mad = dev.groupBy(col("event_type"))
-          .agg(rnd6(percentile(col("__dev"), lit(0.5))).as("mad"))
-        dev.join(broadcast(mad), "event_type")
-          .filter(col("__dev") > col("mad") * 3.0)
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_outliers"),
-               rnd2(max(col("__dev"))).as("max_abs_dev"))
-          .join(med, "event_type").join(mad, "event_type")
-          .select(col("event_type"), col("med"), col("mad"),
-                  col("n_outliers"), col("max_abs_dev"))
-      },
+      c => graft.operators.Analytics
+        .madOutliers(c.events, "event_type", "value", k = 3.0),
       """WITH med AS (
         | SELECT event_type,
         |  floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS med
@@ -607,26 +593,8 @@ object QueriesAnalytics {
     // the partial sums are map-side combined — the textbook
     // mergeable-statistics shape that scales to any row count. ───────
     "q_linreg" -> q(
-      c => {
-        val x = units(col("l_quantity"), 2).cast("long")
-        val y = units(col("l_extendedprice"), 2).cast("long")
-        val stats = c.lineitem.groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-               sum(x * x).as("sxx"), sum(x * y).as("sxy"),
-               sum(y * y).as("syy"))
-        val (n, sx, sy, sxx, sxy, syy) =
-          (col("n").cast("double"), col("sx").cast("double"),
-           col("sy").cast("double"), col("sxx").cast("double"),
-           col("sxy").cast("double"), col("syy").cast("double"))
-        val covN  = n * sxy - sx * sy
-        val varXN = n * sxx - sx * sx
-        val varYN = n * syy - sy * sy
-        // unit scaling cancels in slope/corr; intercept is in y-units
-        stats.select(col("l_returnflag"), col("n"),
-          rnd6(covN / varXN).as("slope"),
-          rnd6(((sy - (covN / varXN) * sx) / n) / 100.0).as("intercept"),
-          rnd6(covN / (sqrt(varXN) * sqrt(varYN))).as("corr_xy"))
-      },
+      c => graft.operators.Analytics.linregBy(
+        c.lineitem, "l_returnflag", "l_quantity", "l_extendedprice", d = 2),
       """WITH s AS (
         | SELECT l_returnflag, count(*) AS n,
         |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
@@ -662,19 +630,10 @@ object QueriesAnalytics {
     // back on user_id — at 100 TB that's a co-partitioned shuffle
     // join on the natural key, no driver state. ──────────────────────
     "q_cohort_retention" -> q(
-      c => {
-        val first = c.events.groupBy(col("user_id"))
-          .agg(min(col("ts")).as("first_ts"))
-          .select(col("user_id"),
-                  date_trunc("week", col("first_ts")).as("cohort_week"))
-        c.events.join(first, "user_id")
-          .withColumn("week_offset",
-            floor(datediff(to_date(col("ts")), to_date(col("cohort_week"))) / 7)
-              .cast("long"))
-          .groupBy(dateStr(col("cohort_week")).as("cohort_week"),
-                   col("week_offset"))
-          .agg(countDistinct(col("user_id")).as("n_active"))
-      },
+      c => graft.operators.Analytics
+        .cohortRetention(c.events, "user_id", "ts")
+        .select(dateStr(col("cohort_week")).as("cohort_week"),
+                col("week_offset"), col("n_active")),
       """WITH f AS (
         | SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
         | FROM events GROUP BY 1
@@ -694,24 +653,12 @@ object QueriesAnalytics {
     // window, no per-user sort — the stage DAG scales linearly and
     // the tiny per-stage results broadcast back. ─────────────────────
     "q_event_funnel" -> q(
-      c => {
-        val ev = c.events.select(col("user_id"), col("event_type"), col("ts"))
-        val s1 = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val s2 = ev.filter(col("event_type") === "click")
-          .join(s1, "user_id").filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        val s3 = ev.filter(col("event_type") === "purchase")
-          .join(s2, "user_id").filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        s1.select(lit(1).as("__k"), col("user_id"))
-          .groupBy("__k").agg(count(lit(1)).as("n_view"))
-          .join(s2.groupBy().agg(count(lit(1)).as("n_view_click"))
-                  .withColumn("__k", lit(1)), "__k")
-          .join(s3.groupBy().agg(count(lit(1)).as("n_full_funnel"))
-                  .withColumn("__k", lit(1)), "__k")
-          .select(col("n_view"), col("n_view_click"), col("n_full_funnel"))
-      },
+      c => graft.operators.Analytics
+        .funnelTimes(c.events, "user_id", "event_type", "ts",
+                     Seq("view", "click", "purchase"))
+        .agg(count(col("t1")).as("n_view"),
+             count(col("t2")).as("n_view_click"),
+             count(col("t3")).as("n_full_funnel")),
       """WITH s1 AS (
         | SELECT user_id, min(ts) AS t1 FROM events
         | WHERE event_type = 'view' GROUP BY 1

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: only strictly-ordered conversions count") {
+    val ev = Seq(
+      // A: full ordered funnel
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // B: click BEFORE view — click must not count
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 09:30:00")),
+      // C: view only
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      // D: purchase before click — view→click counts, purchase doesn't
+      (4L, "purchase", ts("2024-01-01 07:00:00")),
+      (4L, "view", ts("2024-01-01 07:30:00")),
+      (4L, "click", ts("2024-01-01 08:00:00")),
+      // E: no view at all — absent from the funnel entirely
+      (5L, "click", ts("2024-01-01 06:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val f = Analytics.funnelTimes(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(f.keySet == Set(1L, 2L, 3L, 4L))
+    assert(f(1L)._3.isDefined && f(1L)._4.isDefined)
+    assert(f(2L)._3.isEmpty, "pre-view click counted")
+    assert(f(3L)._3.isEmpty)
+    assert(f(4L)._3.isDefined && f(4L)._4.isEmpty, "pre-click purchase counted")
+    // earliest qualifying stage time, not just any
+    assert(f(1L)._2 == ts("2024-01-01 10:00:00"))
+  }
+
+  test("cohort retention: offsets are whole weeks from the cohort's Monday") {
+    val ev = Seq(
+      // first event Wed Jan 3 -> cohort Monday Jan 1
+      (1L, ts("2024-01-03 12:00:00")), // offset 0 (day 2)
+      (1L, ts("2024-01-09 12:00:00")), // day 8 -> offset 1
+      (1L, ts("2024-01-16 12:00:00")), // day 15 -> offset 2
+      // second user, first seen the following week
+      (2L, ts("2024-01-10 00:00:00")) // cohort Monday Jan 8, offset 0
+    ).toDF("user_id", "ts")
+    val r = Analytics.cohortRetention(ev, "user_id", "ts")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("w"),
+              col("week_offset"), col("n_active"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(r == Set(("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+                    ("2024-01-01", 2L, 1L), ("2024-01-08", 0L, 1L)))
+  }
+
+  test("linreg recovers an exact line; corr is ±1 on perfect fits") {
+    // y = 2x + 3 exactly, 2-decimal values
+    val up = (1 to 50).map(i => ("up", i.toDouble, 2.0 * i + 3))
+    val dn = (1 to 50).map(i => ("dn", i.toDouble, -0.5 * i + 10))
+    val r = Analytics.linregBy((up ++ dn).toDF("g", "x", "y"),
+        "g", "x", "y", d = 2)
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("up")._2 == 50L)
+    assert(r("up")._3 == 2.0 && r("up")._4 == 3.0 && r("up")._5 == 1.0)
+    assert(r("dn")._3 == -0.5 && r("dn")._4 == 10.0 && r("dn")._5 == -1.0)
+  }
+
+  test("mad outliers: fences ignore the outlier they catch") {
+    // 99 values at 10.0 +- 0.5, one wild point; median/MAD unmoved by it
+    val vals = (1 to 99).map(i => ("a", 10.0 + (i % 2) * 0.5)) :+ (("a", 1e6))
+    val r = Analytics.madOutliers(vals.toDF("g", "v"), "g", "v")
+      .as[(String, Double, Double, Long, Double)].collect()
+    assert(r.length == 1)
+    val (_, med, mad, n, maxDev) = r.head
+    // devs sorted: 0 x50, 0.5 x49, outlier -> interpolated median 0.25
+    assert(med == 10.5 && mad == 0.25)
+    assert(n == 1L, s"expected exactly the planted outlier, got $n")
+    assert(maxDev == 1e6 - 10.5)
+    // a clean group produces no row at all
+    val clean = Analytics.madOutliers(
+      (1 to 20).map(i => ("b", 5.0 + (i % 3) * 0.1)).toDF("g", "v"), "g", "v")
+    assert(clean.isEmpty)
+  }
+}
