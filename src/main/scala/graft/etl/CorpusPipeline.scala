@@ -119,6 +119,92 @@ object CorpusPipeline {
     exactUnique.unpersist()
     (sampled, funnel)
   }
+
+  final case class IncrementalFunnel(batch: Funnel, crossExactDropped: Long,
+                                     crossNearDropped: Long, admitted: Long)
+
+  /** Incremental curation — the production shape: each new crawl batch
+    * runs the standard funnel, then admits only docs that duplicate
+    * NOTHING already curated, and lands atomically via appendBatch.
+    *
+    * The curated table persists, per admitted doc, its exact
+    * fingerprint and k-minhash signature next to the metadata — enough
+    * to dedup every future batch WITHOUT retaining corpus text (the
+    * standard trade at 100 TB: signatures are ~0.5 KB/doc; the text
+    * is not re-read). Cross-batch admission:
+    *   1. exact: batch fingerprints anti-join stored fingerprints;
+    *   2. near: LSH band collisions between batch and stored
+    *      signatures, verified by the signature-estimated Jaccard
+    *      (fraction of agreeing planes — unbiased estimator of J, the
+    *      text-free verification);
+    *   3. survivors append atomically with their fp + sig.
+    *
+    * Contract: doc_ids are unique corpus-wide (they key the LSH union).
+    * First-batch-wins: an existing curated doc is never replaced by a
+    * later near-duplicate, even a "better" one — append-only tables
+    * don't re-adjudicate survivors.
+    */
+  def curateIncremental(newDocs: DataFrame, curated: graft.tables.LakehouseTable,
+                        minWords: Int = 30, maxPunctRatio: Double = 0.2,
+                        maxTopBigramShare: Double = 0.1,
+                        jaccardThreshold: Double = 0.9, perLangCap: Int = 1000,
+                        k: Int = 64, bands: Int = 8): IncrementalFunnel = {
+    val (sampled, funnel) = curate(newDocs, minWords, maxPunctRatio,
+                                   maxTopBigramShare, jaccardThreshold,
+                                   perLangCap)
+    NativeFunctions.register(newDocs.sparkSession)
+    // re-attach the dedup artifacts for the batch's admitted candidates
+    val art = sampled
+      .join(newDocs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .withColumn("__toks", NativeFunctions.hashedTokenSet(TF.wordSet(col("text"))))
+    val sigs = MinHashLSH.signatures(
+      art.select(col("doc_id"), col("__toks")), "doc_id", "__toks", k)
+    val cand = art.join(sigs, "doc_id").drop("__toks", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+
+    if (!curated.exists) {
+      curated.appendBatch(cand)
+      cand.unpersist(); sampled.unpersist()
+      return IncrementalFunnel(funnel, 0L, 0L, nCand)
+    }
+    val existing = curated.read
+
+    // 1. exact cross-batch dedup on the stored fingerprints
+    val exactNew = cand.join(existing.select("fp"), Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exactNew.count()
+
+    // 2. near-dup vs the curated corpus: band-join the two signature
+    // sets (tagged union through the same candidatePairs machinery),
+    // keep only cross pairs, verify by plane agreement
+    val u = exactNew.select(col("doc_id"), col("sig"))
+      .withColumn("__old", lit(false))
+      .unionByName(existing.select(col("doc_id"), col("sig"))
+        .withColumn("__old", lit(true)))
+    val flags = u.select(col("doc_id"), col("__old"), col("sig"))
+    val nearIds = MinHashLSH.candidatePairs(u, "doc_id", bands, k / bands)
+      .join(flags.select(col("doc_id").as("id_a"), col("__old").as("oa"),
+                         col("sig").as("sa")), "id_a")
+      .join(flags.select(col("doc_id").as("id_b"), col("__old").as("ob"),
+                         col("sig").as("sb")), "id_b")
+      .filter(col("oa") =!= col("ob"))
+      .withColumn("__est",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+                    b => b)).cast("double") / k)
+      .filter(col("__est") >= jaccardThreshold)
+      .select(when(col("oa"), col("id_b")).otherwise(col("id_a")).as("doc_id"))
+      .distinct()
+    val admitted = exactNew.join(nearIds, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAdm = admitted.count()
+
+    if (nAdm > 0) curated.appendBatch(admitted)
+    cand.unpersist(); exactNew.unpersist(); admitted.unpersist()
+    sampled.unpersist()
+    IncrementalFunnel(funnel, nCand - nExact, nExact - nAdm, nAdm)
+  }
 }
 
 /** CLI: curate the documents table of a testdata dir and print the

@@ -42,4 +42,42 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
            curated.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("incremental curation: cross-batch dedup against the stored corpus, idempotent") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = TestSpark.tmpDir("inccorpus")
+    val t = graft.tables.LakehouseTable(spark, s"$dir/corpus", Seq("doc_id"))
+
+    // bootstrap batch: even doc_ids
+    val r1 = CorpusPipeline.curateIncremental(
+      docs.filter(col("doc_id") % 2 === 0), t, perLangCap = 1000)
+    assert(r1.admitted > 0 && r1.crossExactDropped == 0 && r1.crossNearDropped == 0)
+    assert(t.read.count() == r1.admitted)
+    // the table carries the dedup artifacts for future batches
+    assert(t.read.columns.toSet.contains("fp") && t.read.columns.contains("sig"))
+
+    // second batch: the FULL corpus — every even doc is an exact dup of
+    // batch 1; odd docs may be near-dups of stored evens
+    val r2 = CorpusPipeline.curateIncremental(docs, t, perLangCap = 1000)
+    assert(r2.crossExactDropped > 0, "exact cross-batch dups not caught")
+    val total = t.read.count()
+    assert(total == r1.admitted + r2.admitted)
+
+    // invariant: no duplicate fingerprints survive across batches
+    val fps = t.read.select("fp")
+    assert(fps.count() == fps.distinct().count())
+    // and no duplicate doc_ids
+    val ids = t.read.select("doc_id")
+    assert(ids.count() == ids.distinct().count())
+
+    // replaying the same batch admits nothing (exact dedup catches all)
+    val r3 = CorpusPipeline.curateIncremental(docs, t, perLangCap = 1000)
+    assert(r3.admitted == 0, s"replay admitted ${r3.admitted}")
+    assert(t.read.count() == total)
+
+    // near-dup screening actually fired across batches somewhere in
+    // r2/r3 (this corpus plants word-set near-dups across parities)
+    assert(r2.crossNearDropped + r3.crossNearDropped > 0,
+      s"expected cross-batch near-dups, got ${r2.crossNearDropped}/${r3.crossNearDropped}")
+  }
 }
