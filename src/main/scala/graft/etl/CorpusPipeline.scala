@@ -164,6 +164,12 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = cand.count()
 
+    // a fully-filtered batch must not touch the table at all (an empty
+    // bootstrap append would leave a data-less dir)
+    if (nCand == 0) {
+      cand.unpersist(); sampled.unpersist()
+      return IncrementalFunnel(funnel, 0L, 0L, 0L)
+    }
     if (!curated.exists) {
       curated.appendBatch(cand)
       cand.unpersist(); sampled.unpersist()

@@ -42,4 +42,42 @@ object CorpusIngestStream {
       .drop("__w")
     DedupStream.exactOnceWithinWatermark(gated, tsCol, delay, Seq("fp"))
   }
+
+  /** foreachBatch sink closing the loop: each microbatch lands in the
+    * curated table through
+    * [[graft.etl.CorpusPipeline.curateIncremental]] — the stream
+    * becomes an incrementally-curated corpus with cross-batch exact
+    * AND near dedup. The dedup "state" is the table's own fp/sig
+    * columns, not streaming state: corpus-lifetime memory with zero
+    * state-store growth, and microbatch REPLAY after a crash admits
+    * nothing (every fingerprint is already stored) — exactly-once
+    * landing from an at-least-once stream without relying on the
+    * checkpoint's dedup window.
+    *
+    * `docs` must carry (doc_id, text, lang, source, n_chars); pair
+    * with [[ingest]] upstream when the raw feed needs the quality gate
+    * and watermark dedup first. */
+  def curateSink(docs: DataFrame, table: graft.tables.LakehouseTable,
+                 checkpoint: String, minWords: Int = 30,
+                 maxPunctRatio: Double = 0.2, maxTopBigramShare: Double = 0.1,
+                 jaccardThreshold: Double = 0.9, perLangCap: Int = 1000,
+                 availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.CorpusPipeline.curateIncremental(
+          batch, table, minWords, maxPunctRatio, maxTopBigramShare,
+          jaccardThreshold, perLangCap)
+        ()
+      }
+    // AvailableNow snapshots offsets at START and then terminates —
+    // right for scheduled drain-the-backlog runs, wrong for a live
+    // feed (data arriving after start would never process)
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w)
+      .start()
+  }
 }

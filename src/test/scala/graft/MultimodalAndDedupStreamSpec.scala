@@ -101,4 +101,40 @@ class MultimodalAndDedupStreamSpec extends AnyFunSuite {
       assert(got == Seq(1L, 4L))
     } finally q.stop()
   }
+
+  test("streaming curate sink: microbatches land deduped; replay admits nothing") {
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .as[(Long, String, String, String, Long)].collect()
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    val dir = TestSpark.tmpDir("streamcorpus")
+    val t = graft.tables.LakehouseTable(spark, s"$dir/corpus", Seq("doc_id"))
+
+    val q = graft.streaming.CorpusIngestStream.curateSink(
+      ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      t, s"$dir/ckpt")
+    try {
+      ms.addData(docs.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      val afterB1 = t.read.count()
+      assert(afterB1 > 0)
+
+      // batch 2 re-delivers all of batch 1 plus the odd half
+      ms.addData(docs.toSeq)
+      q.processAllAvailable()
+      val afterB2 = t.read.count()
+      assert(afterB2 >= afterB1)
+
+      // cross-batch invariants: unique fingerprints and doc_ids
+      val fps = t.read.select("fp")
+      assert(fps.count() == fps.distinct().count())
+      val ids = t.read.select("doc_id")
+      assert(ids.count() == ids.distinct().count())
+
+      // full replay (at-least-once delivery) admits nothing more
+      ms.addData(docs.toSeq)
+      q.processAllAvailable()
+      assert(t.read.count() == afterB2)
+    } finally q.stop()
+  }
 }
