@@ -768,17 +768,12 @@ object QueriesText {
                   col("rn").cast("long").as("rn"))
       }),
 
-    // PQ cost scales with m × |codebook| per encode pass (each corpus
-    // vector becomes m sub-rows, each scored against every codeword),
-    // so the query runs the lean operating point (128 codewords, one
-    // Lloyd iteration); SimilaritySpec pins recall at the richer
-    // 250/iters=2 point where the corpus is small.
     "q_ann_pq" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
         Similarity.pqTopK(all, all.filter(col("id") % 50 === 0), k = 5,
-                          dim = 64, m = 16, codebookSize = 128, rnd6,
-                          kmeansIters = 1)
+                          dim = 64, m = 16, codebookSize = 250, rnd6,
+                          kmeansIters = 2)
           .select(col("query_id"), col("vec_id"), col("score_r"),
                   col("rn").cast("long").as("rn"))
       }),

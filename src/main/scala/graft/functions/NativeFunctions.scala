@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -256,6 +256,165 @@ object LshSignBits {
   }
 }
 
+/** argmin-by-L2 codeword index for product quantization: `left` is a
+  * subvector (array<double>, length dim), `right` a FLAT row-major
+  * codebook (array<double> of n·dim values, normally a literal).
+  * Returns the 0-based index of the codeword maximizing 2·x·c − |c|²
+  * (= minimizing ||x−c||²), ties → lowest index.
+  *
+  * The codebook being a literal is the point: encoding becomes ONE
+  * tight codegen loop per subvector — the DataFrame formulation this
+  * replaces joined every subvector against all n codewords (n× row
+  * blowup) just to pick one via an argmax aggregate. */
+case class PqArgmin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_argmin expects (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_argmin"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val n = cb.numElements() / dim
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < n) {
+      var s = 0.0
+      var nc = 0.0
+      var d = 0
+      while (d < dim) {
+        val cv = cb.getDouble(c * dim + d)
+        s += x.getDouble(d) * cv
+        nc += cv * cv
+        d += 1
+      }
+      val sc = 2 * s - nc
+      if (sc > bestScore) { bestScore = sc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (dim, n, best, bestScore, c, d, s, nc, cv, sc) =
+        (ctx.freshName("dim"), ctx.freshName("n"), ctx.freshName("best"),
+         ctx.freshName("bestScore"), ctx.freshName("c"), ctx.freshName("d"),
+         ctx.freshName("s"), ctx.freshName("nc"), ctx.freshName("cv"),
+         ctx.freshName("sc"))
+      s"""
+         |int $dim = $a.numElements();
+         |int $n = $b.numElements() / $dim;
+         |int $best = -1;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $n; $c++) {
+         |  double $s = 0.0;
+         |  double $nc = 0.0;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    double $cv = $b.getDouble($c * $dim + $d);
+         |    $s += $a.getDouble($d) * $cv;
+         |    $nc += $cv * $cv;
+         |  }
+         |  double $sc = 2 * $s - $nc;
+         |  if ($sc > $bestScore) { $bestScore = $sc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC scoring for product quantization: given one corpus vector's
+  * `codes` (array<int>, one code per subspace) and the DRIVER-built
+  * lookup tables for ALL queries (`tables`: flat array<double>, query-
+  * major, stride = Σ_j n_j; `offsets`: array<int> prefix offsets per
+  * subspace within a query's block), returns array<double> of one
+  * approximate score per query: score(q) = Σ_j tables[q·stride +
+  * offsets[j] + codes[j]], summed in ascending-j order (fixed → bit-
+  * deterministic).
+  *
+  * This is the no-join formulation: the joined alternative has to
+  * carry every query's tables (tens of KB) through each join-output
+  * row — materializing GBs of UnsafeRow just to read m doubles per
+  * row. Here the tables ride along as ONE literal evaluated once, and
+  * the scan emits narrow (vector × query) scores directly. */
+case class AdcScores(first: Expression, second: Expression,
+                     third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _),
+            ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_adc_scores expects (array<int>, array<double>, array<int>), got ($a, $b, $c)")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_adc_scores"
+
+  override def nullSafeEval(codesAny: Any, tablesAny: Any, offAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val tables = tablesAny.asInstanceOf[ArrayData]
+    val off = offAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val stride = if (m == 0) 1 else {
+      // offsets carries m prefix offsets + the total stride as entry m
+      off.getInt(m)
+    }
+    val nq = tables.numElements() / stride
+    val out = new Array[Double](nq)
+    var q = 0
+    while (q < nq) {
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        s += tables.getDouble(q * stride + off.getInt(j) + codes.getInt(j))
+        j += 1
+      }
+      out(q) = s
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, tables, off) => {
+      val (m, stride, nq, out, q, j, s) =
+        (ctx.freshName("m"), ctx.freshName("stride"), ctx.freshName("nq"),
+         ctx.freshName("out"), ctx.freshName("q"), ctx.freshName("j"),
+         ctx.freshName("s"))
+      s"""
+         |int $m = $codes.numElements();
+         |int $stride = $m == 0 ? 1 : $off.getInt($m);
+         |int $nq = $tables.numElements() / $stride;
+         |double[] $out = new double[$nq];
+         |for (int $q = 0; $q < $nq; $q++) {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $tables.getDouble($q * $stride + $off.getInt($j) + $codes.getInt($j));
+         |  }
+         |  $out[$q] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object NativeFunctions {
   /** Single source of truth for the native function surface —
     * (name, usage, builder), consumed by BOTH the per-session
@@ -283,6 +442,12 @@ object NativeFunctions {
     ("graft_vector_sum",
      "graft_vector_sum(v) - element-wise sum aggregate of array<double>",
      exprs => VectorSum(exprs.head)),
+    ("graft_pq_argmin",
+     "graft_pq_argmin(sv, flat_codebook) - nearest-codeword index (L2, ties low)",
+     exprs => PqArgmin(exprs.head, exprs(1))),
+    ("graft_adc_scores",
+     "graft_adc_scores(codes, flat_tables, offsets) - per-query ADC score array",
+     exprs => AdcScores(exprs.head, exprs(1), exprs(2))),
     // Spark ships distributed bloom build/probe expressions for its own
     // runtime row-level filters but does not expose them in the public
     // registry; surfacing them here reuses the battle-tested codegen'd
@@ -313,6 +478,14 @@ object NativeFunctions {
   def vectorSum(v: Column): Column = call_function("graft_vector_sum", v)
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Nearest-codeword index against a flat codebook (see [[PqArgmin]]). */
+  def pqArgmin(sv: Column, flatCodebook: Column): Column =
+    call_function("graft_pq_argmin", sv, flatCodebook)
+
+  /** Per-query ADC score array (see [[AdcScores]]). */
+  def adcScores(codes: Column, tables: Column, offsets: Column): Column =
+    call_function("graft_adc_scores", codes, tables, offsets)
 
   def intersectCount(a: Column, b: Column): Column =
     call_function("graft_intersect_count", a, b)

@@ -239,70 +239,95 @@ object Similarity {
              roundedScore: Column => Column, kmeansIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
+    graft.functions.NativeFunctions.register(corpus.sparkSession)
     def unit(df: DataFrame): DataFrame =
       df.select(col("id"), transform(col("v"), x => x / col("nrm")).as("u"))
-    // (id, subspace j, subvector) — m rows per vector
-    def subs(df: DataFrame, idAs: String, svAs: String): DataFrame =
-      unit(df).select(col("id").as(idAs),
-        posexplode(array((0 until m).map(j =>
-          slice(col("u"), j * sub + 1, sub)): _*)).as(Seq("sj", svAs)))
+    val cu = unit(corpus)
 
-    // nearest codeword by L2 = argmax(2·x·c − |c|²); max_by gets
-    // map-side partial reduction, ties break on lowest cid
-    def l2score(sv: Column): Column =
-      lit(2) * dot(sv, col("cv")) - dot(col("cv"), col("cv"))
-    def encode(corpusSubs: DataFrame, cb: DataFrame): DataFrame =
-      corpusSubs.join(broadcast(cb), Seq("sj"))
-        .groupBy(col("vec_id"), col("sj"))
-        .agg(max_by(col("cid"), struct(l2score(col("sv")), -col("cid")))
-               .as("code"),
-             first(col("sv")).as("sv"))
+    // Codebooks live DRIVER-side as flat row-major arrays — model-scale
+    // data (m · |codebook| · sub doubles, ~64 KB), the same place
+    // MLlib keeps k-means centers. Encoding is then ONE codegen'd
+    // PqArgmin loop per subvector instead of a |codebook|-way join +
+    // argmax aggregation (the former 10M-row blowup per encode pass).
+    val seed = cu
+      .join(corpus
+        .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+        .limit(codebookSize).select("id"), "id")
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    var cb: Array[Array[Double]] = Array.tabulate(m)(j =>
+      seed.flatMap(v => v.slice(j * sub, (j + 1) * sub)))
 
-    val corpusSubs = subs(corpus, "vec_id", "sv")
-    val sample = corpus
-      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
-      .limit(codebookSize)
-    val cb0 = subs(sample, "cid", "cv")
-    // per-subspace Lloyd refinement (standard PQ codebook training):
-    // assign every corpus subvector, recompute each codeword as the
-    // element-wise mean of its members. Empty codewords drop out —
-    // deterministic, no reseeding. Same map-side-reduced plan shape as
-    // refineCentroids; the codebook stays broadcast-sized throughout.
-    val codebook = broadcast((1 to kmeansIters).foldLeft(cb0) { (cb, _) =>
-      encode(corpusSubs, cb)
-        .groupBy(col("sj"), col("code"))
+    def codeCols(cbArr: Array[Array[Double]]): Seq[Column] =
+      (0 until m).map(j => graft.functions.NativeFunctions
+        .pqArgmin(slice(col("u"), j * sub + 1, sub), lit(cbArr(j)))
+        .as(s"code_$j"))
+
+    // per-subspace Lloyd refinement: assign (one projection), melt to
+    // (sj, code, subvector) rows — m per vector, no codebook join —
+    // mean via the VectorSum aggregate, collect the tiny model back.
+    // Codewords that lose all members drop; driver sort keeps index
+    // assignment deterministic.
+    for (_ <- 1 to kmeansIters) {
+      val assigned = cu.select(col("u") +: codeCols(cb): _*)
+      val melted = assigned.select(posexplode(array((0 until m).map(j =>
+          struct(lit(j).as("sj"), col(s"code_$j").as("code"),
+                 slice(col("u"), j * sub + 1, sub).as("sv"))): _*))
+          .as(Seq("__p", "e")))
+        .select(col("e.sj").as("sj"), col("e.code").as("code"),
+                col("e.sv").as("sv"))
+      val means = melted.groupBy("sj", "code")
         .agg(graft.functions.NativeFunctions.vectorSum(col("sv")).as("vs"),
              count(lit(1)).as("cnt"))
-        .select(col("sj"), col("code").as("cid"),
+        .select(col("sj"), col("code"),
                 transform(col("vs"), x => x / col("cnt")).as("cv"))
-        // truncate lineage per Lloyd iteration (codebook is tiny;
-        // the embedded corpus-encode plan is not)
-        .localCheckpoint()
-    })
+        .collect()
+      cb = Array.tabulate(m)(j =>
+        means.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+          .flatMap(_.getSeq[Double](2)))
+    }
 
-    val codes = encode(corpusSubs, codebook).drop("sv")
+    // encode the corpus: m int codes per vector, single codegen'd pass
+    val codes = cu.select(col("id").as("vec_id"),
+                          array(codeCols(cb): _*).as("codes"))
 
-    // ADC table: query × codeword partial dot products (small: |Q|·m·|codebook|)
-    // — keys renamed so the join with `codes` (same subs() lineage)
-    // can't hit ambiguous-attribute resolution
-    val table = broadcast(subs(queries, "query_id", "qv")
-      .join(codebook, Seq("sj"))
-      .select(col("query_id"), col("sj").as("tsj"), col("cid"),
-              dot(col("qv"), col("cv")).as("qdot")))
+    // ADC lookup tables for ALL queries, built DRIVER-side (queries
+    // are broadcast-small by the same contract as bruteForceTopK; the
+    // tables are |Q| · Σ n_j doubles — model scale). Scoring is then a
+    // pure corpus projection: ONE AdcScores loop emits every query's
+    // score per vector, posexplode pairs them with query ids, and the
+    // rank window sees only narrow (query, vec, score) rows. The
+    // joined formulation this replaces dragged each query's tables
+    // (~16 KB) through every join-output row — GBs of UnsafeRow
+    // materialization just to read m doubles per row.
+    val qRows = unit(queries).collect().sortBy(_.getLong(0))
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Double](1).toArray)
+    val njs = (0 until m).map(j => cb(j).length / sub)
+    val offsets = njs.scanLeft(0)(_ + _) // m prefix offsets + total stride
+    val stride = offsets(m)
+    val tables = new Array[Double](qIds.length * stride)
+    for (qi <- qIds.indices; j <- 0 until m; ci <- 0 until njs(j)) {
+      var s = 0.0
+      var d2 = 0
+      while (d2 < sub) {
+        s += qVecs(qi)(j * sub + d2) * cb(j)(ci * sub + d2)
+        d2 += 1
+      }
+      tables(qi * stride + offsets(j) + ci) = s
+    }
 
-    // fixed-order sum of the m per-subspace singletons
-    val parts = (0 until m).map(j =>
-      sum(when(col("tsj") === j, col("qdot"))).as(s"__p$j"))
-    val approx = codes
-      .join(table, col("sj") === col("tsj") && col("code") === col("cid"))
+    val scored = codes
+      .select(col("vec_id"),
+        posexplode(graft.functions.NativeFunctions.adcScores(
+          col("codes"), lit(tables), lit(offsets.toArray)))
+          .as(Seq("__qi", "score")))
+      .select(element_at(lit(qIds), col("__qi") + 1).as("query_id"),
+              col("vec_id"), roundedScore(col("score")).as("score_r"))
       .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(parts.head, parts.tail: _*)
-      .withColumn("score_r",
-        roundedScore((0 until m).map(j => col(s"__p$j")).reduce(_ + _)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_r").desc, col("vec_id"))
-    approx.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("score_r"), col("rn"))
   }
