@@ -52,4 +52,36 @@ class NativeFunctionsSpec extends AnyFunSuite {
       .as[(Long, Seq[Long])].collect().toMap
     assert(fast == ref)
   }
+
+  test("pq_argmin picks the true L2-nearest codeword, ties to the lowest index") {
+    NativeFunctions.register(spark)
+    // flat codebook of three 2-dim codewords: (0,0), (1,0), (1,0) dup
+    val cb = Array(0.0, 0.0, 1.0, 0.0, 1.0, 0.0)
+    val df = Seq(
+      (Seq(0.1, 0.0), 0),  // nearest (0,0)
+      (Seq(0.9, 0.1), 1),  // nearest (1,0); the index-2 duplicate ties -> 1
+      (Seq(0.5, 0.0), 0)   // equidistant between cw0 and cw1 -> lowest index
+    ).toDF("sv", "expect")
+    val got = df.select(
+      NativeFunctions.pqArgmin(col("sv"), lit(cb)).as("got"), col("expect"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
+
+  test("adc_scores equals per-query manual lookup sums") {
+    NativeFunctions.register(spark)
+    // m=2 subspaces with 2 and 3 codewords: offsets [0,2,5], stride 5
+    val offsets = Array(0, 2, 5)
+    // two queries' tables, query-major
+    val tables = Array(
+      1.0, 2.0, /* q0 sj0 */ 10.0, 20.0, 30.0, /* q0 sj1 */
+      -1.0, -2.0, /* q1 sj0 */ 0.5, 0.25, 0.125 /* q1 sj1 */)
+    val df = Seq((Seq(1, 2), Seq(2.0 + 30.0, -2.0 + 0.125)),
+                 (Seq(0, 0), Seq(1.0 + 10.0, -1.0 + 0.5)))
+      .toDF("codes", "expect")
+    val got = df.select(NativeFunctions.adcScores(
+        col("codes"), lit(tables), lit(offsets)).as("got"), col("expect"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
 }
