@@ -540,7 +540,7 @@ object QueriesText {
     // exact over ALL pairs with no blocking key and no quadratic step:
     // candidate count is bounded by prefix-token collisions, the knob
     // the threshold controls. Prefix length uses integer arithmetic
-    // (⌈4n/5⌉ as (4n+4) div 5) — a float 0.8·n would round the prefix
+    // (⌈9n/10⌉ as (9n+9) div 10) — a float 0.9·n would round the prefix
     // short and silently drop true pairs. On THIS corpus (31-word
     // vocabulary) the true answer is itself ~O(n²) pairs, so runtime
     // is output-bound — still ~15× faster than the oracle engine's
@@ -548,14 +548,14 @@ object QueriesText {
     "q_prefix_jaccard" -> q(
       c => {
         graft.functions.NativeFunctions.register(c.spark)
-        val t = 0.8
+        val t = 0.9
         val d = c.documents
           .select(col("doc_id"),
                   graft.functions.NativeFunctions
                     .hashedTokenSet(TF.wordSet(col("text"))).as("ws"))
           .withColumn("n", size(col("ws")))
           .withColumn("plen",
-            col("n") - floor((col("n") * 4 + 4) / lit(5.0)).cast("int") + 1)
+            col("n") - floor((col("n") * 9 + 9) / lit(10.0)).cast("int") + 1)
         val pref = d
           .select(col("doc_id"), col("n"),
                   explode_outer(slice(col("ws"), lit(1), col("plen"))).as("tok"))
@@ -565,9 +565,9 @@ object QueriesText {
           .join(pref.select(col("doc_id").as("id_b"), col("n").as("n_b"),
                             col("tok")), "tok")
           .filter(col("id_a") < col("id_b"))
-          // length prune: J ≥ 4/5 ⟹ 5·min ≥ 4·max (exact int compare)
-          .filter(least(col("n_a"), col("n_b")) * 5 >=
-                  greatest(col("n_a"), col("n_b")) * 4)
+          // length prune: J ≥ 9/10 ⟹ 10·min ≥ 9·max (exact int compare)
+          .filter(least(col("n_a"), col("n_b")) * 10 >=
+                  greatest(col("n_a"), col("n_b")) * 9)
           .select("id_a", "id_b").distinct()
         cand
           .join(d.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
@@ -584,7 +584,7 @@ object QueriesText {
         |   / len(list_distinct(list_concat(a.ws, b.ws))) * 10000 + 0.5) / 10000 AS jaccard
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8""".stripMargin),
+        |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9""".stripMargin),
 
     // near-dup pairs → connected components → dedup clusters
     // (min-id label propagation; oracle = recursive transitive closure)
