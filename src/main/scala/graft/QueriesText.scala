@@ -555,7 +555,7 @@ object QueriesText {
                     .hashedTokenSet(TF.wordSet(col("text"))).as("ws"))
           .withColumn("n", size(col("ws")))
           .withColumn("plen",
-            col("n") - floor((col("n") * 9 + 9) / lit(10.0)).cast("int") + 1)
+            col("n") - expr("(n * 9 + 9) div 10").cast("int") + 1)
         val pref = d
           .select(col("doc_id"), col("n"),
                   explode_outer(slice(col("ws"), lit(1), col("plen"))).as("tok"))

@@ -142,7 +142,13 @@ object CorpusPipeline {
     * Contract: doc_ids are unique corpus-wide (they key the LSH union).
     * First-batch-wins: an existing curated doc is never replaced by a
     * later near-duplicate, even a "better" one — append-only tables
-    * don't re-adjudicate survivors.
+    * don't re-adjudicate survivors. Near-dups are adjudicated WITHIN a
+    * source (the same blocking policy as the batch funnel's LSH stage),
+    * in-batch and cross-batch alike — so admission does not depend on
+    * how the stream happens to chunk into batches. `perLangCap` caps
+    * each BATCH's admission, not the corpus: the corpus-global budget
+    * is the stream of caps, by design (a table-global cap would mean
+    * re-reading and re-capping history per batch).
     */
   def curateIncremental(newDocs: DataFrame, curated: graft.tables.LakehouseTable,
                         minWords: Int = 30, maxPunctRatio: Double = 0.2,
@@ -184,13 +190,18 @@ object CorpusPipeline {
 
     // 2. near-dup vs the curated corpus: band-join the two signature
     // sets (tagged union through the same candidatePairs machinery),
-    // keep only cross pairs, verify by plane agreement
-    val u = exactNew.select(col("doc_id"), col("sig"))
+    // keep only cross pairs, verify by plane agreement. SOURCE-BLOCKED
+    // like curate()'s own near-dup stage — one dedup policy ("near-dups
+    // are adjudicated within a source") whether two docs arrive in the
+    // same batch or different ones; an unblocked cross stage would make
+    // the admitted set depend on microbatch chunking.
+    val u = exactNew.select(col("doc_id"), col("source"), col("sig"))
       .withColumn("__old", lit(false))
-      .unionByName(existing.select(col("doc_id"), col("sig"))
+      .unionByName(existing.select(col("doc_id"), col("source"), col("sig"))
         .withColumn("__old", lit(true)))
     val flags = u.select(col("doc_id"), col("__old"), col("sig"))
-    val nearIds = MinHashLSH.candidatePairs(u, "doc_id", bands, k / bands)
+    val nearIds = MinHashLSH.candidatePairs(u, "doc_id", bands, k / bands,
+                                            blockCol = Some("source"))
       .join(flags.select(col("doc_id").as("id_a"), col("__old").as("oa"),
                          col("sig").as("sa")), "id_a")
       .join(flags.select(col("doc_id").as("id_b"), col("__old").as("ob"),

@@ -283,6 +283,10 @@ case class PqArgmin(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val cb = b.asInstanceOf[ArrayData]
     val dim = x.numElements()
+    // empty subvector (ragged input row) or empty codebook: no
+    // codeword exists — return the -1 sentinel rather than dividing
+    // by zero / letting the caller read an arbitrary index
+    if (dim == 0 || cb.numElements() < dim) return -1
     val n = cb.numElements() / dim
     var best = -1
     var bestScore = Double.NegativeInfinity
@@ -313,7 +317,8 @@ case class PqArgmin(left: Expression, right: Expression)
          ctx.freshName("sc"))
       s"""
          |int $dim = $a.numElements();
-         |int $n = $b.numElements() / $dim;
+         |int $n = ($dim == 0 || $b.numElements() < $dim)
+         |  ? 0 : $b.numElements() / $dim;
          |int $best = -1;
          |double $bestScore = Double.NEGATIVE_INFINITY;
          |for (int $c = 0; $c < $n; $c++) {
@@ -378,7 +383,10 @@ case class AdcScores(first: Expression, second: Expression,
       var s = 0.0
       var j = 0
       while (j < m) {
-        s += tables.getDouble(q * stride + off.getInt(j) + codes.getInt(j))
+        val code = codes.getInt(j)
+        // -1 = PqArgmin's no-codeword sentinel: contributes nothing
+        // instead of reading an unrelated table entry
+        if (code >= 0) s += tables.getDouble(q * stride + off.getInt(j) + code)
         j += 1
       }
       out(q) = s
@@ -401,7 +409,10 @@ case class AdcScores(first: Expression, second: Expression,
          |for (int $q = 0; $q < $nq; $q++) {
          |  double $s = 0.0;
          |  for (int $j = 0; $j < $m; $j++) {
-         |    $s += $tables.getDouble($q * $stride + $off.getInt($j) + $codes.getInt($j));
+         |    int ${j}_c = $codes.getInt($j);
+         |    if (${j}_c >= 0) {
+         |      $s += $tables.getDouble($q * $stride + $off.getInt($j) + ${j}_c);
+         |    }
          |  }
          |  $out[$q] = $s;
          |}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.CrossEngine._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over event streams and fact tables
@@ -83,20 +83,27 @@ object Analytics {
 
   /** Per-group least-squares fit + Pearson correlation of `yCol` on
     * `xCol`, both ≤`d`-decimal columns. The five sufficient statistics
-    * are EXACT long sums of integer units (one map-side-combined
+    * are EXACT integer sums of integer units (one map-side-combined
     * pass); both engines then combine the same integers through the
     * same IEEE double sequence, so results are bit-equal even where a
-    * sum exceeds 2^53 (long→double rounding is itself deterministic).
-    * Output: group, n, slope, intercept (y-units), corr_xy. */
+    * sum exceeds 2^53 (integer→double rounding is itself
+    * deterministic). The quadratic sums accumulate as DECIMAL(38,0) —
+    * a long Σy² wraps silently under ANSI-off at ~10⁹ rows of 10⁵-unit
+    * values (measured: sf0.1 already sits at 80 % of Long.MaxValue),
+    * while decimal sums stay exact to 10³⁸ and match the oracle's
+    * HUGEINT. Output: group, n, slope, intercept (y-units), corr_xy. */
   def linregBy(df: DataFrame, groupCol: String, xCol: String, yCol: String,
                d: Int): DataFrame = {
     val scale = math.pow(10, d)
     val x = units(col(xCol), d).cast("long")
     val y = units(col(yCol), d).cast("long")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // cast BEFORE multiplying: a long×long product wraps first
+    val (xd, yd) = (x.cast(dec), y.cast(dec))
     val stats = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-           sum(x * x).as("sxx"), sum(x * y).as("sxy"),
-           sum(y * y).as("syy"))
+      .agg(count(lit(1)).as("n"), sum(xd).as("sx"), sum(yd).as("sy"),
+           sum(xd * xd).as("sxx"), sum(xd * yd).as("sxy"),
+           sum(yd * yd).as("syy"))
     val (n, sx, sy, sxx, sxy, syy) =
       (col("n").cast("double"), col("sx").cast("double"),
        col("sy").cast("double"), col("sxx").cast("double"),
@@ -110,7 +117,4 @@ object Analytics {
       rnd6(((sy - (covN / varXN) * sx) / n) / scale).as("intercept"),
       rnd6(covN / (sqrt(varXN) * sqrt(varYN))).as("corr_xy"))
   }
-
-  /** Column helper: count of non-null values (funnel stage counts). */
-  def nonNull(c: Column): Column = count(c)
 }

@@ -20,12 +20,17 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
 object Casting {
   def castTo(df: DataFrame, schema: StructType): DataFrame = {
     val present = df.columns.toSet
-    // ANSI-off sessions (the engine's standard, and the reference's
-    // Spark 3.5 semantics) get the legacy cast: it nulls malformed
-    // values WITHOUT exceptions. try_cast is kept only for ANSI-on
-    // sessions — its TryEval catches a real JVM exception per failing
-    // row, which on a systematically uncastable column turns a scan
-    // into an exception storm (600k throws ≈ seconds at sf0.1).
+    // ANSI-off sessions (the engine's standard everywhere) get the
+    // legacy cast — the REFERENCE's exact semantics (Spark 3.5, ANSI
+    // off): malformed strings null WITHOUT exceptions, and numeric
+    // downcasts wrap exactly as the reference job would wrap them.
+    // try_cast is kept only for ANSI-on sessions, where a plain cast
+    // would throw; note it is a slightly different contract there
+    // (numeric overflow nulls instead of wrapping), and its TryEval
+    // catches a real JVM exception per failing row — on a
+    // systematically uncastable column that turns a scan into an
+    // exception storm (600k throws ≈ seconds at sf0.1), which is why
+    // it must never be the ANSI-off path.
     val ansiOn = df.sparkSession.conf
       .get("spark.sql.ansi.enabled", "true").toBoolean
     schema.fields.filter(f => present.contains(f.name)).foldLeft(df) {

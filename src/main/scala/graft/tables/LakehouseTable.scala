@@ -90,6 +90,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * repair would resurrect old-generation data into the new table. */
   def overwrite(df: DataFrame): Unit = {
     repairInterruptedSwaps()
+    invalidateFileStats()
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)
@@ -131,6 +132,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * reference parity; the pipeline's append-only tables (bronze
     * landing, quarantine) use [[appendBatch]] instead. */
   def append(df: DataFrame): Unit = {
+    invalidateFileStats()
     val w = df.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
@@ -151,6 +153,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // full-table tombstone would make a later repair treat the swap as
     // completed and drop the tombstone — losing the pre-crash rows
     repairInterruptedSwaps()
+    invalidateFileStats()
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.appendstage-$tag"
     write(df, staged)
@@ -205,6 +208,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * by the batch's partition count (e.g. dates per delivery), not row
     * count. */
   private def upsertPartitions(deduped: DataFrame): Unit = {
+    invalidateFileStats()
     val pc = partitionCols.head
     val values = deduped.select(col(pc)).distinct().collect().map(_.get(0))
     // null AND empty-string partition values both land in
@@ -288,7 +292,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     if (parent == null || !fs.exists(parent)) return Nil
     val repaired = repairInterruptedSwaps()
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    val prefixes = Seq(".staged-", ".appendstage-").map(live.getName + _)
+    val prefixes = Seq(".staged-", ".appendstage-", ".filestats.staged-")
+      .map(live.getName + _)
     repaired ++ fs.listStatus(parent).toSeq
       .filter(s => prefixes.exists(s.getPath.getName.startsWith))
       .filter(_.getModificationTime < cutoff)
@@ -304,11 +309,24 @@ final case class LakehouseTable(spark: SparkSession, path: String,
 
   private def fileStatsPath = s"$path.filestats"
 
+  /** Stats are DERIVED data: every mutating entry point deletes them
+    * (a stale manifest would silently drop appended files from pruned
+    * reads, or point at part-files an overwrite removed); readers fall
+    * back to a full filtered scan until [[writeFileStats]] runs again. */
+  private def invalidateFileStats(): Unit = {
+    fs.delete(new Path(fileStatsPath), true)
+    ()
+  }
+
   /** One row per data file with min/max of each tracked column,
     * computed distributed off `_metadata.file_path` (one scan, no
-    * driver state) and swapped in atomically. Call after writes —
-    * typically right after [[optimizeClustered]], which is what makes
-    * the per-file ranges disjoint enough to skip. */
+    * driver state). Call after writes — typically right after
+    * [[optimizeClustered]], which is what makes the per-file ranges
+    * disjoint enough to skip. Derived data gets the simple
+    * delete+rename protocol, not the tombstone swap: a crash in the
+    * gap leaves NO stats, which [[readPruned]] degrades around
+    * gracefully — whereas a stats tombstone would sit outside
+    * [[repairInterruptedSwaps]]' naming contract forever. */
   def writeFileStats(cols: Seq[String]): Unit = {
     val aggs = cols.flatMap(c => Seq(
       org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
@@ -320,17 +338,19 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$fileStatsPath.staged-$tag"
     stats.write.mode("overwrite").parquet(staged)
-    swapIn(new Path(staged), new Path(fileStatsPath),
-           new Path(s"$fileStatsPath.tombstone-$tag"))
+    fs.delete(new Path(fileStatsPath), true)
+    renameOrFail(new Path(staged), new Path(fileStatsPath))
   }
 
   /** Range read through the stats: open only files whose [min,max]
     * intersects [lo,hi], then re-apply the exact predicate. The file
     * list is collected on the driver — manifest-scale (one entry per
     * file), the same driver-side planning Delta/Iceberg do. Falls back
-    * to a plain filtered read when stats were never written. Results
-    * are identical to `read.filter(c between lo,hi)` by construction:
-    * a file outside the range can hold no matching row. */
+    * to a plain filtered read when stats are absent — never written,
+    * or invalidated by a mutation since. Results are identical to
+    * `read.filter(c between lo,hi)` by construction: stats can only be
+    * present when they describe the current files, and a file outside
+    * the range can hold no matching row. */
   def readPruned(c: String, lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val filtered = (df: DataFrame) => df.filter(col(c).between(lit(lo), lit(hi)))

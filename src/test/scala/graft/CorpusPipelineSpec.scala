@@ -75,9 +75,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(r3.admitted == 0, s"replay admitted ${r3.admitted}")
     assert(t.read.count() == total)
 
-    // near-dup screening actually fired across batches somewhere in
-    // r2/r3 (this corpus plants word-set near-dups across parities)
-    assert(r2.crossNearDropped + r3.crossNearDropped > 0,
-      s"expected cross-batch near-dups, got ${r2.crossNearDropped}/${r3.crossNearDropped}")
+    // cross-batch NEAR dedup (same-source policy): a later batch
+    // delivering a lightly perturbed copy of a curated doc — new id,
+    // one word swapped, so the exact fingerprint differs — must be
+    // caught by the signature stage, not admitted
+    // longest curated doc -> highest set-Jaccard after a 1-word swap
+    val src = docs.join(t.read.select("doc_id"), "doc_id")
+      .orderBy(length(col("text")).desc, col("doc_id"))
+      .as[(Long, String, String, String, Long)].head()
+    val words = src._2.split("\\s+")
+    val mutated = (words.take(words.length - 1) :+ "zzzmutant").mkString(" ")
+    val perturbed = Seq((999999L, mutated, src._3, src._4,
+                         mutated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r4 = CorpusPipeline.curateIncremental(perturbed, t, perLangCap = 1000)
+    assert(r4.crossNearDropped == 1 && r4.admitted == 0,
+      s"perturbed copy not near-deduped: $r4")
+    assert(t.read.count() == total)
   }
 }

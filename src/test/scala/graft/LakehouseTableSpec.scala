@@ -165,6 +165,16 @@ class LakehouseTableSpec extends AnyFunSuite {
     val t2 = LakehouseTable(spark, s"$dir/t2", Seq("k"))
     t2.overwrite((1 to 10).map(i => (i, "x")).toDF("k", "v"))
     assert(t2.readPruned("k", 3, 5).count() == 3)
+
+    // mutations INVALIDATE stats: rows appended after writeFileStats
+    // must still appear in pruned reads (stale stats would silently
+    // drop them), and an overwrite must not leave stats pointing at
+    // deleted part-files
+    t.append(Seq((110, "late")).toDF("k", "v"))
+    assert(t.readPruned("k", 100, 120).count() == expect.length + 1)
+    t.overwrite(Seq((115, "only")).toDF("k", "v"))
+    assert(t.readPruned("k", 100, 120).as[(Int, String)].collect().toSeq ==
+           Seq((115, "only")))
   }
 
   test("versioned overwrite: time travel, retention pruning, rollback") {
