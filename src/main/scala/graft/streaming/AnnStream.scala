@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming approximate-nearest-neighbor lookup (beyond-reference):
+  * each microbatch of incoming embeddings is answered against a STATIC
+  * prepared corpus with the same sign-bit-LSH buckets + exact-cosine
+  * rerank as the batch [[Similarity.lshTopK]] — per microbatch the
+  * plan is identical to the batch one, so batch/stream parity is by
+  * construction, and there is NO streaming state: hyperplanes are
+  * hash-derived (no model to distribute), buckets are computed by a
+  * stateless codegen'd expression on the stream side, and the corpus
+  * side is a static DataFrame the planner treats as a stream-static
+  * join input.
+  *
+  * The per-query top-k needs a rank over each query's candidates,
+  * which append-mode streaming cannot express directly — foreachBatch
+  * runs the finished batch operator per microbatch instead (the same
+  * pattern as [[CorpusIngestStream.curateSink]]), handing each result
+  * to `sink` (write to a table, upsert, alert...).
+  */
+object AnnStream {
+  /** `stream` needs (`idCol`, `vecCol` array<float>); `corpus` is a
+    * [[Similarity.prepare]]d static frame. */
+  def lshTopKSink(stream: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String,
+                  k: Int, nbits: Int, bands: Int, checkpoint: String,
+                  sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val queries = Similarity.prepare(batch, idCol, vecCol)
+        sink(Similarity.lshTopK(queries, corpus, k, nbits, bands,
+                                graft.functions.CrossEngine.rnd6))
+        ()
+      }
+      .start()
+}

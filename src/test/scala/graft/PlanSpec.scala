@@ -142,6 +142,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("prefix-filter similarity join plans as equi-joins, no cartesian") {
+    val p = planOf(QueriesText.defs("q_prefix_jaccard").fn(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(3000))
+  }
+
   test("oov vocabulary is a TakeOrdered top-k, never a global sort") {
     val p = planOf(QueriesText.defs("q_oov_rate").fn(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))

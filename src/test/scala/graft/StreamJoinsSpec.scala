@@ -54,4 +54,38 @@ class StreamJoinsSpec extends AnyFunSuite {
       assert(got == Set((1L, "ad", 9.99)))
     } finally q.stop()
   }
+
+  test("streaming ANN lookup equals the batch lshTopK per microbatch") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val corpus = graft.similarity.Similarity
+      .prepare(c.embeddings, "vec_id", "embedding")
+    val queryRows = c.embeddings.filter(col("vec_id") % 50 === 0)
+      .as[(Long, Seq[Float], Int)].collect().map(r => (r._1, r._2))
+
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.Set[(Long, Long)]()
+    val q = graft.streaming.AnnStream.lshTopKSink(
+      ms.toDF().toDF("qid", "qvec"), corpus, "qid", "qvec",
+      k = 5, nbits = 64, bands = 16,
+      checkpoint = TestSpark.tmpDir("annstream") + "/ckpt",
+      sink = df => results.synchronized {
+        results ++= df.select("query_id", "vec_id")
+          .as[(Long, Long)].collect()
+      })
+    try {
+      val (b1, b2) = queryRows.splitAt(queryRows.length / 2)
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      val batch = graft.similarity.Similarity
+        .lshTopK(corpus.filter(col("id") % 50 === 0), corpus, 5, 64, 16,
+                 graft.functions.CrossEngine.rnd6)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      // streamed answers (self-match included for streamed queries,
+      // which the batch path's identical ids also exclude) match batch
+      assert(results.toSet == batch,
+        s"stream ${results.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
