@@ -411,4 +411,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * a versioned overwrite, so the pre-rollback state is itself
     * archived. */
   def rollbackTo(v: Long): Unit = overwriteVersioned(readVersion(v))
+
+  /** Change feed between two retained versions (Delta CDF parity for
+    * the versioned-overwrite protocol): row-level inserted / deleted /
+    * updated classification on the pk via [[SnapshotDiff.diff]].
+    * `to = None` diffs against the LIVE table. Change-sized output,
+    * one pk shuffle per side — the incremental-consumer primitive
+    * ("what changed since the snapshot I last processed?") without a
+    * transaction log. */
+  def changesSince(from: Long, to: Option[Long] = None): DataFrame =
+    SnapshotDiff.diff(readVersion(from),
+                      to.map(readVersion).getOrElse(read), pk)
 }

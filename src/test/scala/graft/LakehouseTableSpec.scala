@@ -195,4 +195,18 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(t.versions.nonEmpty)
     assert(t.readVersion(t.versions.last).as[(Int, String)].head() == ((5, "gen5")))
   }
+
+  test("change feed between retained versions classifies row-level changes") {
+    val dir = TestSpark.tmpDir("lake")
+    val t = LakehouseTable(spark, s"$dir/cf", Seq("k"))
+    t.overwriteVersioned(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    t.overwriteVersioned(Seq((1, "a"), (2, "B2"), (4, "d")).toDF("k", "v"))
+    // v1 -> live: 2 updated, 3 deleted, 4 inserted, 1 unchanged (absent)
+    val changes = t.changesSince(1).as[(Int, String)].collect().toSet
+    assert(changes == Set((2, "updated"), (3, "deleted"), (4, "inserted")))
+    // explicit to-version works the same way once a later archive exists
+    t.overwriteVersioned(Seq((1, "a")).toDF("k", "v"))
+    assert(t.changesSince(1, Some(2)).as[(Int, String)].collect().toSet ==
+           Set((2, "updated"), (3, "deleted"), (4, "inserted")))
+  }
 }
