@@ -263,28 +263,40 @@ object Similarity {
         .pqArgmin(slice(col("u"), j * sub + 1, sub), lit(cbArr(j)))
         .as(s"code_$j"))
 
-    // per-subspace Lloyd refinement: assign (one projection), melt to
-    // (sj, code, subvector) rows — m per vector, no codebook join —
-    // mean via the VectorSum aggregate, collect the tiny model back.
-    // Codewords that lose all members drop; driver sort keeps index
-    // assignment deterministic.
+    // per-subspace Lloyd refinement ON THE TRAINING SAMPLE, entirely
+    // driver-side (the faiss/MLlib convention: codebooks train on a
+    // bounded sample, not the corpus — a corpus-wide assignment pass
+    // per iteration costs full scans for marginal centroid quality).
+    // Same semantics the Spark formulation had: L2 argmin via
+    // 2·x·c − |c|², ties to the lowest index, empty codewords drop
+    // with index order preserved. Deterministic throughout.
     for (_ <- 1 to kmeansIters) {
-      val assigned = cu.select(col("u") +: codeCols(cb): _*)
-      val melted = assigned.select(posexplode(array((0 until m).map(j =>
-          struct(lit(j).as("sj"), col(s"code_$j").as("code"),
-                 slice(col("u"), j * sub + 1, sub).as("sv"))): _*))
-          .as(Seq("__p", "e")))
-        .select(col("e.sj").as("sj"), col("e.code").as("code"),
-                col("e.sv").as("sv"))
-      val means = melted.groupBy("sj", "code")
-        .agg(graft.functions.NativeFunctions.vectorSum(col("sv")).as("vs"),
-             count(lit(1)).as("cnt"))
-        .select(col("sj"), col("code"),
-                transform(col("vs"), x => x / col("cnt")).as("cv"))
-        .collect()
-      cb = Array.tabulate(m)(j =>
-        means.filter(_.getInt(0) == j).sortBy(_.getInt(1))
-          .flatMap(_.getSeq[Double](2)))
+      cb = Array.tabulate(m) { j =>
+        val cbj = cb(j)
+        val n = cbj.length / sub
+        val sums = Array.fill(n)(new Array[Double](sub))
+        val cnts = new Array[Long](n)
+        seed.foreach { v =>
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < n) {
+            var s = 0.0; var nc = 0.0; var d2 = 0
+            while (d2 < sub) {
+              val cv = cbj(c * sub + d2)
+              s += v(j * sub + d2) * cv; nc += cv * cv; d2 += 1
+            }
+            val sc = 2 * s - nc
+            if (sc > bestScore) { bestScore = sc; best = c }
+            c += 1
+          }
+          cnts(best) += 1
+          var d2 = 0
+          while (d2 < sub) { sums(best)(d2) += v(j * sub + d2); d2 += 1 }
+        }
+        (0 until n).filter(cnts(_) > 0).toArray
+          .flatMap(c => sums(c).map(_ / cnts(c)))
+      }
     }
 
     // encode the corpus: m int codes per vector, single codegen'd pass
