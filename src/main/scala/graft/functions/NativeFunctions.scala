@@ -341,6 +341,34 @@ case class PqArgmin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object PqArgmin {
+  /** The same argmin over primitive arrays, for driver-side codebook
+    * training ([[graft.similarity.Similarity.pqTopK]]) — kept next to
+    * the expression so the three evaluation paths (interpreted,
+    * codegen, driver) share ONE semantics definition: maximize
+    * 2·x·c − |c|², ties to the lowest index, and -1 when no codeword
+    * wins (empty codebook, or NaN scores from a degenerate vector —
+    * NaN comparisons are always false, so `best` never advances). */
+  def bestIndex(v: Array[Double], off: Int, cbj: Array[Double],
+                sub: Int): Int = {
+    val n = cbj.length / sub
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < n) {
+      var s = 0.0; var nc = 0.0; var d = 0
+      while (d < sub) {
+        val cv = cbj(c * sub + d)
+        s += v(off + d) * cv; nc += cv * cv; d += 1
+      }
+      val sc = 2 * s - nc
+      if (sc > bestScore) { bestScore = sc; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 /** ADC scoring for product quantization: given one corpus vector's
   * `codes` (array<int>, one code per subspace) and the DRIVER-built
   * lookup tables for ALL queries (`tables`: flat array<double>, query-

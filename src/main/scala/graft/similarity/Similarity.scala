@@ -186,10 +186,22 @@ object Similarity {
     * all-pairs step and its size is bounded by construction. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nbits: Int, bands: Int,
-              roundedCos: Column => Column): DataFrame = {
+              roundedCos: Column => Column): DataFrame =
+    lshTopKWith(queries, corpus, lshBuckets(corpus, nbits, bands),
+                k, nbits, bands, roundedCos)
+
+  /** [[lshTopK]] with the corpus bucket table supplied by the caller —
+    * for repeated lookups against the same corpus (a streaming sink, a
+    * query service), where recomputing the corpus signatures per call
+    * would dominate: buckets are deterministic (hash-derived
+    * hyperplanes), so compute them once, persist, and reuse. */
+  def lshTopKWith(queries: DataFrame, corpus: DataFrame,
+                  corpusBuckets: DataFrame, k: Int,
+                  nbits: Int, bands: Int,
+                  roundedCos: Column => Column): DataFrame = {
     val qb = broadcast(lshBuckets(queries, nbits, bands)
       .withColumnRenamed("id", "query_id"))
-    val cand = lshBuckets(corpus, nbits, bands)
+    val cand = corpusBuckets
       .join(qb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("id"))
       .select("query_id", "id").distinct()
@@ -276,23 +288,18 @@ object Similarity {
         val n = cbj.length / sub
         val sums = Array.fill(n)(new Array[Double](sub))
         val cnts = new Array[Long](n)
-        seed.foreach { v =>
-          var best = -1
-          var bestScore = Double.NegativeInfinity
-          var c = 0
-          while (c < n) {
-            var s = 0.0; var nc = 0.0; var d2 = 0
-            while (d2 < sub) {
-              val cv = cbj(c * sub + d2)
-              s += v(j * sub + d2) * cv; nc += cv * cv; d2 += 1
-            }
-            val sc = 2 * s - nc
-            if (sc > bestScore) { bestScore = sc; best = c }
-            c += 1
+        // ragged (short) vectors are skipped up front; then
+        // PqArgmin.bestIndex is the ONE definition of the argmin
+        // semantics — its -1 (degenerate NaN vector from a zero-norm
+        // embedding, or empty codebook) contributes to no cluster,
+        // exactly like the expression's sentinel on the encode side
+        seed.filter(_.length >= (j + 1) * sub).foreach { v =>
+          val best = graft.functions.PqArgmin.bestIndex(v, j * sub, cbj, sub)
+          if (best >= 0) {
+            cnts(best) += 1
+            var d2 = 0
+            while (d2 < sub) { sums(best)(d2) += v(j * sub + d2); d2 += 1 }
           }
-          cnts(best) += 1
-          var d2 = 0
-          while (d2 < sub) { sums(best)(d2) += v(j * sub + d2); d2 += 1 }
         }
         (0 until n).filter(cnts(_) > 0).toArray
           .flatMap(c => sums(c).map(_ / cnts(c)))

@@ -23,19 +23,33 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object AnnStream {
   /** `stream` needs (`idCol`, `vecCol` array<float>); `corpus` is a
-    * [[Similarity.prepare]]d static frame. */
+    * [[Similarity.prepare]]d static frame.
+    *
+    * CONTRACT: lshTopK broadcasts the query side, so each MICROBATCH
+    * must stay broadcast-small (the same precondition as the batch
+    * operator) — bound it with the source's rate limit
+    * (maxOffsetsPerTrigger / maxFilesPerTrigger) when draining a
+    * backlog. The corpus bucket table is computed ONCE here and
+    * persisted together with the prepared corpus; without that, every
+    * microbatch would re-scan and re-hash the full static corpus just
+    * to answer a handful of queries. */
   def lshTopKSink(stream: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String,
                   k: Int, nbits: Int, bands: Int, checkpoint: String,
-                  sink: DataFrame => Unit): StreamingQuery =
+                  sink: DataFrame => Unit): StreamingQuery = {
+    val corpusP = corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = Similarity.lshBuckets(corpusP, nbits, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val queries = Similarity.prepare(batch, idCol, vecCol)
-        sink(Similarity.lshTopK(queries, corpus, k, nbits, bands,
-                                graft.functions.CrossEngine.rnd6))
+        sink(Similarity.lshTopKWith(queries, corpusP, buckets, k, nbits,
+                                    bands, graft.functions.CrossEngine.rnd6))
         ()
       }
       .start()
+  }
 }

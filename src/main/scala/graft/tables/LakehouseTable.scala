@@ -399,11 +399,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       fs.delete(new Path(versionsRoot, s"v$v"), true))
   }
 
-  /** Read an archived version (time travel). */
+  /** Read an archived version (time travel) — with the SAME reader
+    * options as [[read]]: an archive is the live dir renamed verbatim,
+    * so an appendBatch-layout table's batch-subdir structure needs the
+    * recursive lookup in its archives too. */
   def readVersion(v: Long): DataFrame = {
     val p = new Path(versionsRoot, s"v$v")
     require(fs.exists(p), s"version $v of $path is not retained")
-    spark.read.parquet(p.toString)
+    val r = spark.read
+    (if (partitionCols.isEmpty) r.option("recursiveFileLookup", "true") else r)
+      .parquet(p.toString)
   }
 
   /** Roll the live table back to an archived version (the rollback

@@ -208,5 +208,15 @@ class LakehouseTableSpec extends AnyFunSuite {
     t.overwriteVersioned(Seq((1, "a")).toDF("k", "v"))
     assert(t.changesSince(1, Some(2)).as[(Int, String)].collect().toSet ==
            Set((2, "updated"), (3, "deleted"), (4, "inserted")))
+
+    // archives of appendBatch-layout tables (batch-<tag> subdirs) read
+    // through the same recursive lookup as the live table
+    val ab = LakehouseTable(spark, s"$dir/ab", Seq("k"))
+    ab.appendBatch(Seq((1, "x")).toDF("k", "v"))
+    ab.appendBatch(Seq((2, "y")).toDF("k", "v"))
+    ab.overwriteVersioned(Seq((1, "x"), (2, "Y2")).toDF("k", "v"))
+    assert(ab.readVersion(1).count() == 2)
+    assert(ab.changesSince(1).as[(Int, String)].collect().toSet ==
+           Set((2, "updated")))
   }
 }
