@@ -228,7 +228,8 @@ object CorpusPipeline {
   * funnel — `runMain graft.etl.CorpusMain <sfDir> <outDir>`. */
 object CorpusMain {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: CorpusMain <sfDir> <outDir>")
+    require(args.length == 2 || args.length == 3,
+      "usage: CorpusMain <sfDir> <outDir> [--incremental]")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName("graft-corpus")
@@ -240,12 +241,26 @@ object CorpusMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.load(spark, args(0), "documents")
-    val (curated, f) = CorpusPipeline.curate(docs)
-    curated.write.mode("overwrite").parquet(args(1))
-    println(s"[corpus] input=${f.input} quality=${f.qualityPass} " +
-      s"repetition=${f.repetitionPass} lang=${f.langPass} " +
-      s"exact=${f.exactUnique} neardup=${f.nearDupSurvivors} " +
-      s"sampled=${f.sampled}")
+    if (args.length == 3 && args(2) == "--incremental") {
+      // outDir is a LakehouseTable: repeated runs dedup against what
+      // earlier runs admitted (replaying the same input admits 0)
+      val t = graft.tables.LakehouseTable(spark, args(1), Seq("doc_id"))
+      val r = CorpusPipeline.curateIncremental(docs, t)
+      val f = r.batch
+      println(s"[corpus] input=${f.input} quality=${f.qualityPass} " +
+        s"repetition=${f.repetitionPass} lang=${f.langPass} " +
+        s"exact=${f.exactUnique} neardup=${f.nearDupSurvivors} " +
+        s"sampled=${f.sampled} crossExact=${r.crossExactDropped} " +
+        s"crossNear=${r.crossNearDropped} admitted=${r.admitted} " +
+        s"corpus=${t.read.count()}")
+    } else {
+      val (curated, f) = CorpusPipeline.curate(docs)
+      curated.write.mode("overwrite").parquet(args(1))
+      println(s"[corpus] input=${f.input} quality=${f.qualityPass} " +
+        s"repetition=${f.repetitionPass} lang=${f.langPass} " +
+        s"exact=${f.exactUnique} neardup=${f.nearDupSurvivors} " +
+        s"sampled=${f.sampled}")
+    }
     spark.stop()
   }
 }

@@ -94,6 +94,14 @@ object EtlMain {
     Seq(pipe.silverProducts, pipe.silverOrders, pipe.silverOrderItems)
       .foreach { t => t.compact(256L * 1024 * 1024); t.vacuum() }
     println("[etl] silver compaction + vacuum done")
+
+    // data skipping on the hottest non-partition predicate: cluster
+    // silver_orders by user, then write the per-file min/max
+    // manifest so user-scoped reads open only intersecting files
+    // (OPTIMIZE ZORDER + Delta stats parity, docs/etl_processes.md:382)
+    pipe.silverOrders.optimizeClustered(Seq("user_id"))
+    pipe.silverOrders.writeFileStats(Seq("user_id"))
+    println("[etl] silver_orders clustered + file stats written")
     spark.stop()
   }
 }
