@@ -105,11 +105,20 @@ object Gold {
     val li = c.lineitem
       .join(broadcast(c.part.select("p_partkey", "p_brand")),
             col("l_partkey") === col("p_partkey"))
-    val rev = li.groupBy(col("p_brand"))
+    // revenue branch pre-aggregates by (brand, partkey): the distinct
+    // part count becomes a plain second-level count (NO Expand — even
+    // a single countDistinct alongside other aggs doubles every input
+    // row), and the long unit-sums re-sum exactly, so the fixed-point
+    // results are bit-identical to the direct exactSum/exactAvg forms
+    // (same integer totals through the same IEEE op sequence)
+    val perPart = li.groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(units(revenue, 4)).as("__su"), count(revenue).as("__n"))
+    val rev = perPart.groupBy(col("p_brand"))
       .agg(
-        exactSum(revenue, 4, 2).as("total_revenue"),
-        countDistinct("p_partkey").as("unique_parts"),
-        exactAvg(revenue, 4, 4).as("avg_item_revenue"))
+        (floor(sum(col("__su")) / 100.0 + 0.5) / 100.0).as("total_revenue"),
+        count(lit(1)).as("unique_parts"),
+        (floor(sum(col("__su")) * 1.0 / sum(col("__n")) + 0.5) / 10000.0)
+          .as("avg_item_revenue"))
     // one branch for BOTH order/customer distincts: the distinct
     // (brand, orderkey) pair set is computed once (uncached branches
     // would rescan lineitem per consumer), joined 1:1 to orders, and
