@@ -228,8 +228,11 @@ object CorpusPipeline {
   * funnel — `runMain graft.etl.CorpusMain <sfDir> <outDir>`. */
 object CorpusMain {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
+    require(args.length == 2 ||
+            (args.length == 3 && args(2) == "--incremental"),
       "usage: CorpusMain <sfDir> <outDir> [--incremental]")
+    // an unrecognized third arg must fail fast: falling through to the
+    // batch path would overwrite an existing incremental table layout
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName("graft-corpus")

@@ -400,6 +400,10 @@ case class AdcScores(first: Expression, second: Expression,
     val tables = tablesAny.asInstanceOf[ArrayData]
     val off = offAny.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    if (off.numElements() < m + 1)
+      throw new IllegalArgumentException(
+        s"graft_adc_scores: offsets must carry m+1 entries (m prefix " +
+        s"offsets + total stride); got ${off.numElements()} for m=$m")
     val stride = if (m == 0) 1 else {
       // offsets carries m prefix offsets + the total stride as entry m
       off.getInt(m)
@@ -431,6 +435,11 @@ case class AdcScores(first: Expression, second: Expression,
          ctx.freshName("s"))
       s"""
          |int $m = $codes.numElements();
+         |if ($off.numElements() < $m + 1) {
+         |  throw new IllegalArgumentException(
+         |    "graft_adc_scores: offsets must carry m+1 entries (m prefix " +
+         |    "offsets + total stride); got " + $off.numElements() + " for m=" + $m);
+         |}
          |int $stride = $m == 0 ? 1 : $off.getInt($m);
          |int $nq = $tables.numElements() / $stride;
          |double[] $out = new double[$nq];

@@ -41,7 +41,7 @@ object AnnStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = Similarity.lshBuckets(corpusP, nbits, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    stream.writeStream
+    val query = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -51,5 +51,25 @@ object AnnStream {
         ()
       }
       .start()
+    // The cached corpus/bucket blocks are owned by THIS query: release
+    // them when it terminates, else each sink restart stacks another
+    // cached copy of the same corpus for the session lifetime.
+    val spark = corpus.sparkSession
+    val cleanup = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit = if (cleanup.compareAndSet(false, true)) {
+      corpusP.unpersist(); buckets.unpersist(); ()
+    }
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) { release(); spark.streams.removeListener(this) }
+    }
+    spark.streams.addListener(listener)
+    // A query that failed between start() and addListener never posts
+    // to this listener — the isActive check closes that window.
+    if (!query.isActive) { release(); spark.streams.removeListener(listener) }
+    query
   }
 }

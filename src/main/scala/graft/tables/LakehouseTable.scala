@@ -385,6 +385,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   /** Atomic replace that archives the outgoing live data as the next
     * version and prunes archives beyond `retain`. */
   def overwriteVersioned(df: DataFrame, retain: Int = 3): Unit = {
+    invalidateFileStats() // like every mutating entry point: a stale
+    // manifest would point at part-files renamed into .versions/
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)

@@ -175,6 +175,15 @@ class LakehouseTableSpec extends AnyFunSuite {
     t.overwrite(Seq((115, "only")).toDF("k", "v"))
     assert(t.readPruned("k", 100, 120).as[(Int, String)].collect().toSeq ==
            Seq((115, "only")))
+
+    // overwriteVersioned (and rollbackTo through it) must ALSO
+    // invalidate: the outgoing files move under .versions/, so a stale
+    // manifest would point at archived paths — either throwing on the
+    // moved file or silently matching nothing and returning empty
+    t.writeFileStats(Seq("k"))
+    t.overwriteVersioned(Seq((118, "versioned")).toDF("k", "v"))
+    assert(t.readPruned("k", 100, 120).as[(Int, String)].collect().toSeq ==
+           Seq((118, "versioned")))
   }
 
   test("versioned overwrite: time travel, retention pruning, rollback") {

@@ -84,4 +84,20 @@ class NativeFunctionsSpec extends AnyFunSuite {
       .as[(Seq[Double], Seq[Double])].collect()
     got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
   }
+
+  test("adc_scores rejects an offsets array without the m+1 stride entry") {
+    NativeFunctions.register(spark)
+    // m=2 codes but only 2 offsets (missing total-stride entry): must
+    // fail with the function name, not an opaque index error
+    val df = Seq(Tuple1(Seq(0, 1))).toDF("codes")
+    val ex = intercept[Exception] {
+      df.select(NativeFunctions.adcScores(
+        col("codes"), lit(Array(1.0, 2.0, 3.0, 4.0)), lit(Array(0, 2))))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("graft_adc_scores")),
+      s"expected graft_adc_scores in error chain, got: ${msgs(ex)}")
+  }
 }
