@@ -531,50 +531,21 @@ object QueriesText {
         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8""".stripMargin),
 
-    // ── EXACT all-pairs similarity join via prefix filtering (the
-    // PPJoin family, Xiao et al.): two sorted sets with J ≥ t must
-    // share a token within each set's first |s| − ⌈t·|s|⌉ + 1 elements
-    // (pigeonhole over the shared global token order) — so candidates
-    // come from an equi-join on PREFIX tokens only, then exact-verify.
+    // ── EXACT all-pairs similarity join via prefix filtering, in
+    // canonical df-ascending PPJoin order (see [[text.PrefixJoin]]).
     // Unlike q_ngram_jaccard's source-blocked quadratic twin, this is
     // exact over ALL pairs with no blocking key and no quadratic step:
-    // candidate count is bounded by prefix-token collisions, the knob
-    // the threshold controls. Prefix length uses integer arithmetic
-    // (⌈9n/10⌉ as (9n+9) div 10) — a float 0.9·n would round the prefix
-    // short and silently drop true pairs. On THIS corpus (31-word
-    // vocabulary) the true answer is itself ~O(n²) pairs, so runtime
-    // is output-bound — still ~15× faster than the oracle engine's
-    // quadratic at sf0.1. ────────────────────────────────────────────
+    // candidates come from an equi-join on each set's RAREST tokens,
+    // so bucket sizes stay bounded on zipfian corpora. On THIS corpus
+    // (31-word vocabulary) the true answer is itself ~O(n²) pairs, so
+    // runtime is output-bound — still ~15× faster than the oracle
+    // engine's quadratic at sf0.1. ────────────────────────────────────
     "q_prefix_jaccard" -> q(
       c => {
-        graft.functions.NativeFunctions.register(c.spark)
-        val t = 0.9
-        val d = c.documents
-          .select(col("doc_id"),
-                  graft.functions.NativeFunctions
-                    .hashedTokenSet(TF.wordSet(col("text"))).as("ws"))
-          .withColumn("n", size(col("ws")))
-          .withColumn("plen",
-            col("n") - expr("(n * 9 + 9) div 10").cast("int") + 1)
-        val pref = d
-          .select(col("doc_id"), col("n"),
-                  explode_outer(slice(col("ws"), lit(1), col("plen"))).as("tok"))
-          .filter(col("tok").isNotNull)
-        val cand = pref.select(col("doc_id").as("id_a"), col("n").as("n_a"),
-                               col("tok"))
-          .join(pref.select(col("doc_id").as("id_b"), col("n").as("n_b"),
-                            col("tok")), "tok")
-          .filter(col("id_a") < col("id_b"))
-          // length prune: J ≥ 9/10 ⟹ 10·min ≥ 9·max (exact int compare)
-          .filter(least(col("n_a"), col("n_b")) * 10 >=
-                  greatest(col("n_a"), col("n_b")) * 9)
-          .select("id_a", "id_b").distinct()
-        cand
-          .join(d.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
-          .join(d.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
-          .withColumn("jaccard",
-            graft.functions.NativeFunctions.sortedJaccard(col("ws_a"), col("ws_b")))
-          .filter(col("jaccard") >= t)
+        val docs = c.documents
+          .select(col("doc_id"), TF.wordSet(col("text")).as("toks"))
+        graft.text.PrefixJoin
+          .joinAll(docs, "doc_id", "toks", threshold = 0.9, num = 9, den = 10)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
                   rnd4(col("jaccard")).as("jaccard"))
       },

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.NativeFunctions
+import graft.text.PrefixJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two properties that make [[PrefixJoin]] the flagship exact
+  * similarity join: (1) exactness — identical pairs to a brute-force
+  * all-pairs Jaccard; (2) the CANONICAL df-ascending prefix order
+  * generates strictly fewer candidates than a hash order on a zipfian
+  * corpus (the hot-key risk the frequency dictionary exists to kill).
+  * Reverting the dictionary to hash order fails the ratio assertion.
+  */
+class PrefixJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic zipfian corpus: slot j of doc i draws from 2^j
+    * variants, so slot-0 tokens appear in EVERY doc (df = N) and
+    * slot-9 tokens in ~N/512 (df ≈ 1) — a frequency skew like a real
+    * vocabulary. Odd docs drop their rarest token: a true J = 9/10
+    * near-dup pair per even/odd couple. */
+  private def zipfDocs(n: Int): Seq[(Int, Seq[String])] =
+    (0 until n).map { i =>
+      val full = (0 until 10).map(j => s"w${j}_${i / 2 % (1 << j)}")
+      (i, if (i % 2 == 0) full else full.dropRight(1))
+    }
+
+  test("exactness: identical pairs to brute-force all-pairs Jaccard") {
+    val data = zipfDocs(600)
+    val docs = data.toDF("doc_id", "toks")
+    val got = PrefixJoin.joinAll(docs, "doc_id", "toks",
+                                 threshold = 0.9, num = 9, den = 10)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))
+      .as[(Int, Int, Double)].collect().toSet
+
+    val sets = data.map { case (i, ts) => (i, ts.toSet) }
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.9
+    } yield (a, b, math.round(j * 10000) / 10000.0)).toSet
+
+    assert(brute.nonEmpty, "fixture must contain true near-dup pairs")
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("df-ascending prefix order beats hash order on candidate count") {
+    NativeFunctions.register(spark)
+    val docs = zipfDocs(600).toDF("doc_id", "toks")
+
+    val dfOrdered = PrefixJoin.encodeDfAscending(docs, "doc_id", "toks")
+    val nDf = PrefixJoin.candidates(dfOrdered, "doc_id", 9, 10).count()
+
+    // the distributed (zipWithIndex) re-encode is rank-identical to
+    // the map-literal fast path: same sets, same candidate pairs
+    val bigPath = PrefixJoin.encodeDfAscending(docs, "doc_id", "toks",
+                                               literalVocabLimit = 0)
+    assert(bigPath.select(col("doc_id"), col("ws"))
+             .as[(Int, Seq[Long])].collect().toMap ==
+           dfOrdered.select(col("doc_id"), col("ws"))
+             .as[(Int, Seq[Long])].collect().toMap)
+
+    // the round-3..5 encoding: xxhash64 + array_sort — order-blind
+    val hashOrdered = docs
+      .select(col("doc_id"),
+              NativeFunctions.hashedTokenSet(col("toks")).as("ws"))
+      .withColumn("n", size(col("ws")))
+    val nHash = PrefixJoin.candidates(hashOrdered, "doc_id", 9, 10).count()
+
+    // every true pair must still be a candidate (PPJoin completeness
+    // holds under ANY shared total order — the order buys efficiency)
+    assert(nDf >= 300, s"true pairs missing from candidates: $nDf")
+    // zipfian skew puts universal tokens in hash-order prefixes; the
+    // df dictionary keeps buckets rare → strictly fewer candidates
+    assert(nDf * 2 < nHash,
+      s"df-ascending ($nDf) should at least halve hash-order ($nHash)")
+  }
+}
