@@ -44,7 +44,13 @@ object EcommerceSchemas {
     StructField("product_name", StringType, nullable = false)))
 }
 
-final case class StageResult(valid: Long, rejected: Long)
+/** Batch-level stage outcome: rows this batch MERGED into silver
+  * (post-dedup) and rows this batch quarantined. Deliberately O(batch)
+  * — reporting must never re-scan the full silver table in the
+  * incremental path (at scale a table-total count would dominate a
+  * small nightly batch); callers wanting a table total read it
+  * explicitly (see EtlMain's opt-in totals print). */
+final case class StageResult(upserted: Long, rejected: Long)
 
 class EcommercePipeline(spark: SparkSession, warehouse: String) {
   import EcommerceSchemas._
@@ -150,26 +156,33 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   private def stage(df: DataFrame, rules: Seq[Rule], target: LakehouseTable,
                     sourceName: String,
                     helperCols: Seq[String] = Nil): StageResult = {
-    if (df.isEmpty)
-      return StageResult(if (target.exists) target.read.count() else 0L, 0L)
+    if (df.isEmpty) return StageResult(0L, 0L)
     val (valid0, rejected0) = Validation.split(df, rules)
     val valid = helperCols.foldLeft(valid0)(_.drop(_))
     val rejected = helperCols.foldLeft(rejected0)(_.drop(_))
     val nRejected = rejected.count()
     if (nRejected > 0)
+      // one bucket per source: replay rewrites O(bucket), not O(table)
       quarantine.appendBatch(
         rejected.withColumn("source_table", lit(sourceName))
           .withColumn("rejected_at", current_timestamp())
           .select(to_json(struct(col("*"))).as("record"),
                   col(Validation.ErrCol), col("source_table"),
-                  col("rejected_at")))
+                  col("rejected_at")),
+        bucket = s"src-$sourceName")
+    // persisted so the count and the upsert share one computation —
+    // both actions are batch-scale, never a full-table scan
     val deduped = Dedup.keepFirst(valid, target.pk,
       Seq(col("ingestion_timestamp").desc, col("source_file").desc))
-    // upsert itself no-ops on an empty batch (an all-rejected batch
-    // must not create a data-file-less partitioned table), so the
-    // all-rejected bootstrap case leaves target nonexistent
-    target.upsert(deduped)
-    StageResult(if (target.exists) target.read.count() else 0L, nRejected)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nUpserted = deduped.count()
+      // upsert itself no-ops on an empty batch (an all-rejected batch
+      // must not create a data-file-less partitioned table), so the
+      // all-rejected bootstrap case leaves target nonexistent
+      target.upsert(deduped)
+      StageResult(nUpserted, nRejected)
+    } finally { deduped.unpersist(); () }
   }
 
   def runProducts(csvPath: String): StageResult = {
@@ -288,7 +301,8 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     // wait in quarantine for a later replay otherwise
     if (name == "order_items" &&
         (!silverOrders.exists || !silverProducts.exists)) return 0L
-    val qrows = quarantine.read.filter(col("source_table") === name)
+    // bucket-pruned read: only this source's dead letters are scanned
+    val qrows = quarantine.readBucket(s"src-$name").getOrElse(return 0L)
     if (qrows.isEmpty) return 0L
     val parsed = qrows
       .select(col("record"),
@@ -303,10 +317,10 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     val n = valid.count()
     if (n > 0) {
       target.upsert(valid.drop("record"))
-      quarantine.overwrite(
-        quarantine.read.join(
-          valid.select(col("record")).withColumn("source_table", lit(name)),
-          Seq("record", "source_table"), "left_anti"))
+      // bucket-scoped rewrite: drop the recovered records from THIS
+      // source's bucket only — other sources' dead letters untouched
+      quarantine.replaceBucket(s"src-$name",
+        qrows.join(valid.select(col("record")), Seq("record"), "left_anti"))
     }
     n
   }

@@ -33,8 +33,15 @@ object EtlMain {
     val pipe = new EcommercePipeline(spark, warehouse)
     val results = pipe.run(productsCsv, ordersCsv, itemsCsv)
     results.foreach { case (name, r) =>
-      println(f"[etl] $name%-12s silver=${r.valid}%7d rejected=${r.rejected}%5d")
+      println(f"[etl] $name%-12s upserted=${r.upserted}%7d rejected=${r.rejected}%5d")
     }
+    // table totals are a FULL scan per table — diagnostic only, opt-in
+    // so the incremental path stays O(batch) by default
+    if (sys.env.get("GRAFT_ETL_TOTALS").contains("1"))
+      Seq("products" -> pipe.silverProducts, "orders" -> pipe.silverOrders,
+          "order_items" -> pipe.silverOrderItems).foreach { case (n, t) =>
+        println(f"[etl] $n%-12s total=${if (t.exists) t.read.count() else 0L}%7d")
+      }
 
     val gold = Map(
       "gold_daily_sales"          -> pipe.goldDailySales(),

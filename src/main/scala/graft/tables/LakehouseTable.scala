@@ -146,9 +146,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * file-level-idempotence contract sound: a source_file can only be
     * observed in bronze once ALL of its rows are durable, so the rerun
     * anti-join on seen files never skips a half-written file. */
-  def appendBatch(df: DataFrame): String = {
+  def appendBatch(df: DataFrame, bucket: String = ""): String = {
     require(partitionCols.isEmpty,
       s"appendBatch is for unpartitioned append-only tables: $path")
+    require(bucket.isEmpty ||
+            (!bucket.contains("/") && !bucket.contains("=") &&
+             !bucket.startsWith("batch-") && !bucket.startsWith(".")),
+      s"bucket must be a single plain dir name, got '$bucket'")
     // repair BEFORE mkdirs: recreating the live dir over an unrepaired
     // full-table tombstone would make a later repair treat the swap as
     // completed and drop the tombstone — losing the pre-crash rows
@@ -157,10 +161,45 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.appendstage-$tag"
     write(df, staged)
-    fs.mkdirs(new Path(path))
-    val batchDir = s"$path/batch-$tag"
+    val parent = if (bucket.isEmpty) path else s"$path/$bucket"
+    fs.mkdirs(new Path(parent))
+    val batchDir = s"$parent/batch-$tag"
     renameOrFail(new Path(staged), new Path(batchDir))
     batchDir
+  }
+
+  // ── buckets: protocol-level partitioning for appendBatch tables ────
+  // A bucket is a named child dir batches land under (e.g. one per
+  // source feeding a dead-letter table). It buys the two things hive
+  // partitioning would — pruned reads and bucket-scoped rewrites —
+  // while keeping the batch-dir atomic-rename contract hive-partitioned
+  // appends can't offer (a multi-partition append has no single dir to
+  // rename). The bucket key stays a DATA column; the recursive-lookup
+  // reader sees bucketed and unbucketed batches uniformly.
+
+  /** Pruned read of ONE bucket (None when it was never written). */
+  def readBucket(bucket: String): Option[DataFrame] = {
+    val p = new Path(s"$path/$bucket")
+    if (!fs.exists(p)) None
+    else Some(spark.read.option("recursiveFileLookup", "true")
+                .parquet(p.toString))
+  }
+
+  /** Atomic bucket-scoped replace — the per-partition tombstone swap
+    * applied to a bucket dir, so rewriting one bucket is O(bucket),
+    * never O(table). An empty `df` still swaps in (the staged write
+    * keeps a schema-only file), preserving readability and the
+    * single-protocol crash story. */
+  def replaceBucket(bucket: String, df: DataFrame): Unit = {
+    require(bucket.nonEmpty && !bucket.contains("/"),
+      s"bucket must be a single dir name, got '$bucket'")
+    repairInterruptedSwaps()
+    invalidateFileStats()
+    val tag = UUID.randomUUID().toString.take(8)
+    val staged = s"$path.staged-$tag"
+    write(df, staged)
+    swapIn(new Path(staged), new Path(s"$path/$bucket"),
+           new Path(s"$path.tombstone-$tag-$bucket"))
   }
 
   /** Delta-MERGE parity (S6): dedup the batch on pk (reference

@@ -187,7 +187,10 @@ class EcommercePipelineSpec extends AnyFunSuite {
     val orders2 = writeCsv(dir, "orders2.csv", Seq(
       "order_num,order_id,user_id,order_timestamp,total_amount,date",
       "2,999,2,2025-04-02T09:00:00,30.0,2025-04-02"))
-    pipe.runOrders(orders2)
+    // BATCH semantics: the second batch reports its own 1 merged row,
+    // not the table total of 2 — incremental reporting is O(batch)
+    assert(pipe.runOrders(orders2) == graft.etl.StageResult(1, 0))
+    assert(pipe.silverOrders.read.count() == 2)
     val rec = pipe.replayQuarantine()
     assert(rec == Map("products" -> 0L, "orders" -> 0L, "order_items" -> 1L), rec)
     val items2 = pipe.silverOrderItems.read

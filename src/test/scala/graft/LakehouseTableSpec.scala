@@ -69,6 +69,47 @@ class LakehouseTableSpec extends AnyFunSuite {
       p.appendBatch(Seq((1, "x", "a")).toDF("k", "v", "part")))
   }
 
+  test("buckets: pruned reads, bucket-scoped replace, crash repair") {
+    val dir = TestSpark.tmpDir("lakebk")
+    val t = LakehouseTable(spark, s"$dir/q", Seq("k"))
+    t.appendBatch(Seq((1, "a"), (2, "b")).toDF("k", "v"), bucket = "src-x")
+    t.appendBatch(Seq((3, "c")).toDF("k", "v"), bucket = "src-y")
+    t.appendBatch(Seq((4, "d")).toDF("k", "v"), bucket = "src-x")
+    // whole-table read sees every bucket; bucket read prunes to one
+    assert(t.read.count() == 4)
+    assert(t.readBucket("src-x").get.as[(Int, String)].collect().toMap ==
+           Map(1 -> "a", 2 -> "b", 4 -> "d"))
+    assert(t.readBucket("missing").isEmpty)
+    // the pruned read opens ONLY the bucket's files
+    assert(t.readBucket("src-x").get.inputFiles
+             .forall(_.contains("src-x")))
+
+    // bucket-scoped replace: src-y keeps its batch dirs untouched
+    val yDirsBefore = new java.io.File(s"$dir/q/src-y").list().toSeq.sorted
+    t.replaceBucket("src-x", Seq((1, "a")).toDF("k", "v"))
+    assert(t.readBucket("src-x").get.count() == 1)
+    assert(new java.io.File(s"$dir/q/src-y").list().toSeq.sorted == yDirsBefore)
+    assert(t.read.count() == 2)
+
+    // replace with an EMPTY frame keeps the bucket readable (0 rows)
+    t.replaceBucket("src-x", Seq.empty[(Int, String)].toDF("k", "v"))
+    assert(t.readBucket("src-x").get.count() == 0 && t.read.count() == 1)
+
+    // crash inside the bucket swap: tombstone present, live missing →
+    // repair restores the pre-swap bucket
+    assert(new java.io.File(s"$dir/q/src-y")
+      .renameTo(new java.io.File(s"$dir/q.tombstone-deadbeef-src-y")))
+    assert(t.readBucket("src-y").isEmpty)
+    t.repairInterruptedSwaps()
+    assert(t.readBucket("src-y").get.count() == 1)
+
+    // malformed bucket names refuse fast
+    intercept[IllegalArgumentException](
+      t.appendBatch(Seq((9, "z")).toDF("k", "v"), bucket = "a/b"))
+    intercept[IllegalArgumentException](
+      t.replaceBucket("", Seq((9, "z")).toDF("k", "v")))
+  }
+
   test("partition-scoped upsert touches only the batch's partitions") {
     val dir = TestSpark.tmpDir("lakeps")
     val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
