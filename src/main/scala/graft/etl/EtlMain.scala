@@ -23,6 +23,8 @@ object EtlMain {
       .appName("graft-etl")
       .config("spark.sql.shuffle.partitions",
               sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      // layer databases' metadata dirs live inside the warehouse arg
+      .config("spark.sql.warehouse.dir", s"$warehouse/_catalog")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
@@ -94,13 +96,45 @@ object EtlMain {
       println(s"[etl] quarantine replay recovered: " +
         recovered.map { case (k, v) => s"$k=$v" }.mkString(" "))
 
-    // maintenance: compact silver toward the reference's 256 MB target
-    // (docs/data_model.md:304-308) — incremental upserts fragment files;
-    // vacuum sweeps staged-write leftovers (repairing any interrupted
-    // swap first)
+    // per-layer catalog databases (reference config/settings.py:115-121
+    // registers bronze/silver/gold Glue databases): every output table
+    // under its layer's namespace, analysts navigate db-first
+    pipe.bronzeProducts.registerAs("bronze.products")
+    pipe.bronzeOrders.registerAs("bronze.orders")
+    pipe.bronzeOrderItems.registerAs("bronze.order_items")
+    pipe.silverProducts.registerAs("silver.products")
+    pipe.silverOrders.registerAs("silver.orders")
+    pipe.silverOrderItems.registerAs("silver.order_items")
+    graft.tables.LakehouseTable(
+      spark, s"$warehouse/silver_products_history", Seq("product_id"))
+      .registerAs("silver.products_history")
+    gold.keys.foreach { name =>
+      graft.tables.LakehouseTable(spark, s"$warehouse/$name", Seq.empty)
+        .registerAs(s"gold.${name.stripPrefix("gold_")}")
+    }
+    // qualified-name smoke read proves the catalog route end-to-end
+    val viaCatalog = spark.sql(
+      "SELECT count(*) AS n FROM silver.orders").head().getLong(0)
+    require(viaCatalog > 0, "catalog smoke read failed for silver.orders")
+    println(s"[etl] catalog registered: bronze/silver/gold databases " +
+      s"(silver.orders rows=$viaCatalog)")
+
+    // maintenance: compact each layer toward its documented target
+    // (docs/data_model.md:304-308: bronze 128 MB, silver 256 MB, gold
+    // 512 MB) — append batches and incremental upserts fragment files;
+    // the compaction rewrite is the same atomic tombstone swap as any
+    // overwrite, so a crash mid-compact repairs like any other write.
+    // Vacuum sweeps staged-write leftovers (repairing interrupted
+    // swaps first).
+    Seq(pipe.bronzeProducts, pipe.bronzeOrders, pipe.bronzeOrderItems)
+      .foreach { t => t.compact(128L * 1024 * 1024); t.vacuum() }
     Seq(pipe.silverProducts, pipe.silverOrders, pipe.silverOrderItems)
       .foreach { t => t.compact(256L * 1024 * 1024); t.vacuum() }
-    println("[etl] silver compaction + vacuum done")
+    gold.keys.foreach { name =>
+      val t = graft.tables.LakehouseTable(spark, s"$warehouse/$name", Seq.empty)
+      t.compact(512L * 1024 * 1024); t.vacuum()
+    }
+    println("[etl] bronze/silver/gold compaction + vacuum done")
 
     // data skipping on the hottest non-partition predicate: cluster
     // silver_orders by user, then write the per-file min/max

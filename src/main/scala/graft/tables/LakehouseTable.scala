@@ -277,11 +277,25 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * without it the catalog table would silently show zero rows for a
     * table the DataFrame API reads fine. */
   def registerAs(name: String): Unit = {
+    // per-layer catalog databases (reference config/settings.py:115-121
+    // registers one database per medallion layer): a `db.table` name
+    // creates its database on first use, so bronze/silver/gold render
+    // as navigable namespaces instead of flat default-db names
+    val parts = name.split('.')
+    require(parts.length <= 2 && parts.forall(_.nonEmpty),
+      s"table name must be 'table' or 'db.table', got '$name'")
+    if (parts.length == 2)
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts(0)}")
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val opts = if (partitionCols.isEmpty)
       " OPTIONS (recursiveFileLookup 'true')" else ""
     spark.sql(
       s"CREATE TABLE $name USING PARQUET$opts LOCATION '$path'")
+    // a partitioned external table starts with an EMPTY partition list
+    // in the catalog — without recovery every SELECT silently returns
+    // zero rows (the classic MSCK trap)
+    if (partitionCols.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE $name")
     ()
   }
 
@@ -298,13 +312,24 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * compaction strategy: bronze 128 MB / silver 256 MB / gold 512 MB,
     * docs/data_model.md:304-308; Delta autoCompact parity). Lists the
     * live files, rewrites into ceil(bytes/target) files via an atomic
-    * staged swap. Run after many small appends (quarantine) or
-    * fine-grained upsert batches. */
+    * staged swap. Run after many small appends (bronze batch dirs) or
+    * fine-grained upsert batches. Flattens batch-dir layout (the
+    * source_file lineage lives in a DATA column, so bronze's
+    * file-level idempotence survives); tables using [[readBucket]]
+    * buckets should compact per bucket with [[replaceBucket]] instead
+    * — a whole-table compact would flatten the bucket dirs away. */
   def compact(targetFileBytes: Long): Unit = {
     val live = new Path(path)
     val bytes = fs.getContentSummary(live).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    overwrite(read.repartition(nFiles))
+    // partitioned tables cluster on the partition key so each task
+    // holds whole partitions — a plain repartition(n) before the
+    // partitionBy write would scatter every partition across n tasks
+    // and emit up to n files PER partition, the opposite of compaction
+    val df = if (partitionCols.isEmpty) read.repartition(nFiles)
+             else read.repartition(nFiles,
+                                   partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    overwrite(df)
   }
 
   /** Spark-native approximation of OPTIMIZE ZORDER BY

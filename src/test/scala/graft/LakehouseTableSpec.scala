@@ -39,6 +39,19 @@ class LakehouseTableSpec extends AnyFunSuite {
     t.compact(targetFileBytes = 512L * 1024 * 1024)
     assert(dataFiles == 1, s"expected 1 file, got $dataFiles")
     assert(t.read.count() == 20)
+
+    // PARTITIONED compaction: fragmented per-partition files collapse
+    // to one file per partition, never nFiles × partitions
+    val p = LakehouseTable(spark, s"$dir/p", Seq("k"), Seq("part"))
+    (1 to 10).foreach(i =>
+      p.append(Seq((i, s"v$i", s"p${i % 2}")).toDF("k", "v", "part")))
+    def partFiles(sub: String) = new java.io.File(s"$dir/p/part=$sub")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(partFiles("p0") >= 5 && partFiles("p1") >= 5)
+    p.compact(targetFileBytes = 512L * 1024 * 1024)
+    assert(partFiles("p0") == 1 && partFiles("p1") == 1,
+      s"p0=${partFiles("p0")} p1=${partFiles("p1")}")
+    assert(p.read.count() == 10)
   }
 
   test("appendBatch: batches land atomically as dirs, read sees all rows") {
@@ -55,6 +68,12 @@ class LakehouseTableSpec extends AnyFunSuite {
     // SQL catalog registration sees the batch dirs exactly like read()
     t.registerAs("batched_t")
     assert(spark.sql("SELECT count(*) FROM batched_t").head().getLong(0) == 3)
+    // layer-database registration: db.table creates its database and
+    // the qualified name reads through (reference per-layer Glue DBs)
+    t.registerAs("layertest.batched")
+    assert(spark.sql("SELECT count(*) FROM layertest.batched")
+      .head().getLong(0) == 3)
+    intercept[IllegalArgumentException](t.registerAs("a.b.c"))
     // a crashed first append (dir created, no batch landed) must read
     // as nonexistent, not wedge later reads
     val crashed = LakehouseTable(spark, s"$dir/crashed", Seq("k"))
@@ -115,6 +134,11 @@ class LakehouseTableSpec extends AnyFunSuite {
     val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
     t.upsert(Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2"))
       .toDF("k", "v", "part"))
+    // partitioned registration must recover partitions into the
+    // catalog — without MSCK the qualified read returns zero rows
+    t.registerAs("layertest.parted")
+    assert(spark.sql("SELECT count(*) FROM layertest.parted")
+      .head().getLong(0) == 3)
     def filesOf(part: String) =
       new java.io.File(s"$dir/t/part=$part").listFiles()
         .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq

@@ -16,6 +16,9 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // database metadata dirs (registerAs("db.table")) land in tmp,
+      // not a spark-warehouse dir polluting the repo checkout
+      .config("spark.sql.warehouse.dir", tmpDir("warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
