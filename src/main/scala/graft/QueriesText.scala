@@ -729,6 +729,28 @@ object QueriesText {
                         blockCol = Some("source"))
         .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))),
 
+    // MinHash mechanism replay, ORACLE-checked: the production
+    // signature (q_minhash_neardup) uses xxhash64, which no SQL oracle
+    // can reproduce — this k=4 variant derives each plane's hash from
+    // md5 (identical hex in both engines; lexicographic min of hex =
+    // min of the 128-bit value), so the min-over-shingles mechanism
+    // itself is hash-matched cross-engine rather than only pinned by
+    // ScalaTest recall. Per-row array fold, no shuffle at all.
+    "q_minhash_replay" -> q(
+      c => {
+        val d = c.documents.withColumn("ws", TF.wordSet(col("text")))
+        def mh(j: Int) = array_min(transform(col("ws"),
+          w => md5(concat(lit(s"$j:"), w).cast("binary")))).as(s"mh$j")
+        d.select(col("doc_id"), mh(0), mh(1), mh(2), mh(3))
+      },
+      s"""WITH d AS (SELECT doc_id, $wsSql AS ws FROM documents)
+        |SELECT doc_id,
+        | list_min(list_transform(ws, w -> md5('0:' || w))) AS mh0,
+        | list_min(list_transform(ws, w -> md5('1:' || w))) AS mh1,
+        | list_min(list_transform(ws, w -> md5('2:' || w))) AS mh2,
+        | list_min(list_transform(ws, w -> md5('3:' || w))) AS mh3
+        |FROM d""".stripMargin),
+
     "q_simhash_neardup" -> q(
       c => {
         val sigs = SimHash.simhash(
