@@ -254,8 +254,11 @@ object CorpusMain {
         s"repetition=${f.repetitionPass} lang=${f.langPass} " +
         s"exact=${f.exactUnique} neardup=${f.nearDupSurvivors} " +
         s"sampled=${f.sampled} crossExact=${r.crossExactDropped} " +
-        s"crossNear=${r.crossNearDropped} admitted=${r.admitted} " +
-        s"corpus=${t.read.count()}")
+        s"crossNear=${r.crossNearDropped} admitted=${r.admitted}" +
+        // the corpus total is a full-table scan — opt-in diagnostic,
+        // the incremental path stays O(batch) by default
+        (if (sys.env.get("GRAFT_ETL_TOTALS").contains("1"))
+           s" corpus=${t.read.count()}" else ""))
     } else {
       val (curated, f) = CorpusPipeline.curate(docs)
       curated.write.mode("overwrite").parquet(args(1))
