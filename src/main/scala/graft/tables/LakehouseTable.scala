@@ -2,7 +2,7 @@ package graft.tables
 
 import graft.operators.Upsert
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import java.util.UUID
@@ -340,6 +340,58 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   def optimizeClustered(cols: Seq[String]): Unit = {
     val cs = cols.map(org.apache.spark.sql.functions.col)
     overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*))
+  }
+
+  /** TRUE multi-column Z-order (Delta `OPTIMIZE ZORDER BY` semantics,
+    * docs/etl_processes.md:382-385): [[optimizeClustered]]'s
+    * lexicographic order skips well on its FIRST column only — files
+    * span the full range of every later column. Bit-interleaving
+    * per-column rank buckets makes each file a small hyper-rectangle
+    * in ALL listed dimensions, so [[readPruned]] skips on any of them.
+    *
+    * Mechanics: per column, 2^bits−1 range boundaries via
+    * approxQuantile (driver artifact, (2^bits−1)·|cols| doubles —
+    * model-scale, the Delta range-id convention); per row, the bucket
+    * rank is an `aggregate` fold over the boundary literal and the
+    * z-key interleaves rank bits arithmetically — built-in codegen'd
+    * expressions end to end, evaluated once inside repartitionByRange.
+    * One shuffle, schema unchanged (the z-key never materializes as a
+    * column). Numeric/date/timestamp columns (cast to double rank
+    * space); strings would need a dictionary pass — not needed by any
+    * current table. Intended for unpartitioned tables: on a
+    * dir-partitioned table each task's z-range spans many partition
+    * values and the partitionBy write re-splits it, multiplying file
+    * count — there, z-order the partition column's residual dims and
+    * accept per-partition granularity. */
+  def optimizeZOrder(cols: Seq[String], bits: Int = 4,
+                     numFiles: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "z-order needs >= 2 columns (use " +
+      "optimizeClustered for one)")
+    require(bits >= 1 && bits * cols.size <= 30,
+      s"bits*cols must fit an int z-key, got $bits*${cols.size}")
+    val d = cols.size
+    val snapshot = read
+    val boundaries: Seq[Array[Double]] = cols.map { c =>
+      val probs = (1 until (1 << bits)).map(_ / (1 << bits).toDouble)
+      snapshot.select(col(c).cast("double").as("v"))
+        .stat.approxQuantile("v", probs.toArray, 0.001)
+    }
+    val zkey = cols.zipWithIndex.map { case (c, i) =>
+      // rank ∈ [0, 2^bits): count of boundaries ≤ value (nulls rank 0)
+      val rank = aggregate(lit(boundaries(i)), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+      // spread rank's bits to positions j*d + i of the z-key
+      (0 until bits).map { j =>
+        shiftleft(shiftright(rank, j).bitwiseAND(lit(1)), j * d + i)
+      }.reduce[Column](_ + _)
+    }.reduce[Column](_ + _)
+    // explicit file count pins the skipping granularity (AQE would
+    // coalesce small tables to one file = zero skipping)
+    val parted = numFiles
+      .map(n => snapshot.repartitionByRange(n, zkey))
+      .getOrElse(snapshot.repartitionByRange(zkey))
+    overwrite(parted.sortWithinPartitions(zkey))
   }
 
   /** Delta-VACUUM parity for the staged-write protocol: first repair

@@ -251,6 +251,51 @@ class LakehouseTableSpec extends AnyFunSuite {
            Seq((118, "versioned")))
   }
 
+  test("z-order clustering skips files on BOTH dimensions") {
+    val dir = TestSpark.tmpDir("zorder")
+    // two independent uniform dimensions: lexicographic clustering on
+    // (a, b) leaves every file spanning b's full range
+    val rows = for { a <- 1 to 100; b <- 1 to 100 } yield (a, b, a * b)
+    def build(t: LakehouseTable): Int = {
+      t.writeFileStats(Seq("a", "b"))
+      t.read.inputFiles.length
+    }
+    def filesFor(t: LakehouseTable, c: String): Int =
+      t.readPruned(c, 10, 20).inputFiles.length
+
+    val lex = LakehouseTable(spark, s"$dir/lex", Seq("a"))
+    lex.overwrite(rows.toDF("a", "b", "v")
+      .repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions("a", "b")) // lexicographic, 16 files
+    val lexFiles = build(lex)
+
+    val zed = LakehouseTable(spark, s"$dir/zed", Seq("a"))
+    zed.overwrite(rows.toDF("a", "b", "v").repartition(8))
+    zed.optimizeZOrder(Seq("a", "b"), numFiles = Some(16))
+    val zedFiles = build(zed)
+    assert(lexFiles > 2 && zedFiles > 2, s"$lexFiles/$zedFiles")
+
+    // identical rows to the unclustered filtered read, both dims
+    for (c <- Seq("a", "b")) {
+      val got = zed.readPruned(c, 10, 20).as[(Int, Int, Int)]
+        .collect().toSet
+      val want = rows.filter(r => (if (c == "a") r._1 else r._2) >= 10 &&
+                                  (if (c == "a") r._1 else r._2) <= 20).toSet
+      assert(got == want, s"dim $c: ${got.size} vs ${want.size}")
+    }
+
+    // lexicographic skips on a but NOT on b; z-order skips on both
+    assert(filesFor(lex, "a") < lexFiles)
+    assert(filesFor(lex, "b") == lexFiles,
+      s"lex should NOT skip on b: ${filesFor(lex, "b")} of $lexFiles")
+    assert(filesFor(zed, "a") < zedFiles,
+      s"zorder must skip on a: ${filesFor(zed, "a")} of $zedFiles")
+    assert(filesFor(zed, "b") < zedFiles,
+      s"zorder must skip on b: ${filesFor(zed, "b")} of $zedFiles")
+
+    intercept[IllegalArgumentException](zed.optimizeZOrder(Seq("a")))
+  }
+
   test("versioned overwrite: time travel, retention pruning, rollback") {
     val dir = TestSpark.tmpDir("lake")
     val t = LakehouseTable(spark, s"$dir/tt", Seq("k"))
