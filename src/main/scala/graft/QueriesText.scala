@@ -933,12 +933,18 @@ object QueriesText {
     // exact-distinct's documented scale escape hatch (SURVEY §2.4):
     // HLL sketches differ across engines, so rows-only; relative
     // error vs exact is pinned in ScalaTest
+    // decomposed per key: two distinct GROUPS in one agg would Expand
+    // every row 2x before the shuffle (the department_analytics
+    // lesson); per-key branches each keep the single-distinct-group
+    // no-Expand plan over a one-column pruned scan, and the 1-row
+    // results cross-join for free
     "q_approx_distinct" -> q(
       c => c.lineitem.agg(
-        countDistinct("l_orderkey").as("exact_orders"),
-        approx_count_distinct("l_orderkey").as("approx_orders"),
-        countDistinct("l_partkey").as("exact_parts"),
-        approx_count_distinct("l_partkey").as("approx_parts"))),
+          countDistinct("l_orderkey").as("exact_orders"),
+          approx_count_distinct("l_orderkey").as("approx_orders"))
+        .crossJoin(c.lineitem.agg(
+          countDistinct("l_partkey").as("exact_parts"),
+          approx_count_distinct("l_partkey").as("approx_parts")))),
 
     // ── multimodal plumbing ───────────────────────────────────────────
     "q_multimodal_features" -> q(

@@ -24,7 +24,11 @@ class ScalingSpec extends AnyFunSuite {
     "q_ann_pq",
     "q_department_analytics",
     "q_ann_ivf",
-    "q_source_overlap")
+    "q_source_overlap",
+    // the other quadratic-risk family: banded LSH candidate joins and
+    // iterative connected components — both must stay ~linear too
+    "q_minhash_neardup",
+    "q_cluster_sizes")
 
   private val MaxRatio = 15.0
 
