@@ -142,7 +142,14 @@ object EtlMain {
     // (OPTIMIZE ZORDER + Delta stats parity, docs/etl_processes.md:382)
     pipe.silverOrders.optimizeClustered(Seq("user_id"))
     pipe.silverOrders.writeFileStats(Seq("user_id"))
-    println("[etl] silver_orders clustered + file stats written")
+    // gold_customer_insights serves BOTH user-scoped lookups and
+    // spend-band analytics: true Z-order makes each file a small
+    // rectangle in (user_id, total_spend) so either predicate skips
+    val gci = graft.tables.LakehouseTable(
+      spark, s"$warehouse/gold_customer_insights", Seq.empty)
+    gci.optimizeZOrder(Seq("user_id", "total_spend"))
+    gci.writeFileStats(Seq("user_id", "total_spend"))
+    println("[etl] silver_orders clustered + gold z-ordered; file stats written")
     spark.stop()
   }
 }
