@@ -424,13 +424,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   // Delta `stats` / Iceberg manifest idea, as a tiny sibling parquet.
 
   private def fileStatsPath = s"$path.filestats"
+  private def bloomStatsPath = s"$path.bloomstats"
 
   /** Stats are DERIVED data: every mutating entry point deletes them
     * (a stale manifest would silently drop appended files from pruned
     * reads, or point at part-files an overwrite removed); readers fall
-    * back to a full filtered scan until [[writeFileStats]] runs again. */
+    * back to a full filtered scan until [[writeFileStats]] /
+    * [[writeFileBlooms]] run again. */
   private def invalidateFileStats(): Unit = {
     fs.delete(new Path(fileStatsPath), true)
+    fs.delete(new Path(bloomStatsPath), true)
     ()
   }
 
@@ -456,6 +459,61 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     stats.write.mode("overwrite").parquet(staged)
     fs.delete(new Path(fileStatsPath), true)
     renameOrFail(new Path(staged), new Path(fileStatsPath))
+  }
+
+  /** Per-file BLOOM manifest (Delta bloom-filter-index parity): where
+    * min/max stats skip RANGE predicates on clustered columns, blooms
+    * skip EQUALITY lookups on high-cardinality columns regardless of
+    * layout — an unclustered user-id point lookup spans every file's
+    * min/max range but only a few blooms answer "maybe".
+    *
+    * Build is one distributed pass reusing Spark's own codegen'd
+    * BloomFilterAggregate over `xxhash64(col)` per file (the battle-
+    * tested sketch, not a reimplementation); the manifest holds one
+    * `numBits/8`-byte bitmap per (file, column). Probe happens on the
+    * DRIVER over the manifest — file-count rows, the same
+    * planning-time scale as Delta/Iceberg pruning. */
+  def writeFileBlooms(cols: Seq[String], numBits: Long = 1L << 20,
+                      estItems: Long = 100000L): Unit = {
+    graft.functions.NativeFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+    val hashed = read.select(
+      col("_metadata.file_path").as("file") +:
+        cols.map(c => xxhash64(col(c)).as(s"h_$c")): _*)
+    val aggs = cols.map(c => call_function("graft_bloom_agg",
+      col(s"h_$c"), lit(estItems), lit(numBits)).as(s"bloom_$c"))
+    val stats = hashed.groupBy("file").agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+    val tag = UUID.randomUUID().toString.take(8)
+    val staged = s"$bloomStatsPath.staged-$tag"
+    stats.write.mode("overwrite").parquet(staged)
+    fs.delete(new Path(bloomStatsPath), true)
+    renameOrFail(new Path(staged), new Path(bloomStatsPath))
+  }
+
+  /** Equality lookup through the bloom manifest: open only files whose
+    * bloom answers "maybe", then re-apply the exact predicate. A bloom
+    * never false-negatives, so results are identical to
+    * `read.filter(col === value)` — blooms can only be present when
+    * they describe the current files (every mutation invalidates).
+    * Falls back to the plain filtered scan when absent. */
+  def readBloomFiltered(c: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val filtered = (df: DataFrame) => df.filter(col(c) === lit(value))
+    if (!fs.exists(new Path(bloomStatsPath))) return filtered(read)
+    // hash exactly as the build did: same column type, same xxhash64
+    val hash = spark.range(1)
+      .select(xxhash64(lit(value).cast(read.schema(c).dataType)))
+      .head().getLong(0)
+    val files = spark.read.parquet(bloomStatsPath)
+      .select("file", s"bloom_$c").collect().filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          .mightContainLong(hash)
+      }.map(_.getString(0))
+    if (files.isEmpty) read.limit(0).filter(col(c) === lit(value))
+    else filtered(spark.read.option("basePath", path)
+      .schema(read.schema).parquet(files.toIndexedSeq: _*))
   }
 
   /** Range read through the stats: open only files whose [min,max]

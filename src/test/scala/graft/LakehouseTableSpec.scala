@@ -251,6 +251,38 @@ class LakehouseTableSpec extends AnyFunSuite {
            Seq((118, "versioned")))
   }
 
+  test("bloom manifest skips files on equality lookups; mutations invalidate") {
+    val dir = TestSpark.tmpDir("bloomskip")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    // high-cardinality keys scattered UNSORTED across 8 files: every
+    // file's min/max spans nearly the full range, so range stats would
+    // skip nothing — blooms are the only index that can
+    val rows = (1 to 4000).map(i => (i * 2654435761L % 100000, s"v$i"))
+    t.overwrite(rows.toDF("k", "v").repartition(8))
+    val nFiles = t.read.inputFiles.length
+    assert(nFiles == 8, s"got $nFiles")
+    t.writeFileBlooms(Seq("k"))
+
+    val target = rows(1234)._1
+    val got = t.readBloomFiltered("k", target)
+    assert(got.as[(Long, String)].collect().toSet ==
+           rows.filter(_._1 == target).toSet)
+    // the key lives in ~1 file; false positives allow a few more, but
+    // a working bloom must skip most of the 8
+    assert(got.inputFiles.length < nFiles,
+      s"${got.inputFiles.length} of $nFiles")
+
+    // a key that was never inserted: no file's bloom should answer
+    // maybe (at this fill factor), and the result is empty either way
+    val miss = t.readBloomFiltered("k", -1L)
+    assert(miss.isEmpty)
+
+    // mutation invalidates: the appended row must be found via the
+    // full-scan fallback, never dropped by a stale manifest
+    t.append(Seq((-5L, "late")).toDF("k", "v"))
+    assert(t.readBloomFiltered("k", -5L).count() == 1)
+  }
+
   test("z-order clustering skips files on BOTH dimensions") {
     val dir = TestSpark.tmpDir("zorder")
     // two independent uniform dimensions: lexicographic clustering on
