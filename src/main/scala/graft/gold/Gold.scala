@@ -170,10 +170,13 @@ object Gold {
       .join(c.orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("custkey"), col("l_partkey"))
       .agg(count(lit(1)).as("purchase_count"))
-    val w = Window.partitionBy(col("custkey"))
-                  .orderBy(col("purchase_count").desc)
-    counts.withColumn("rnk", rank().over(w))
-      .filter(col("rnk") === 1)
+    // rank()=1 with ties kept ≡ equality against the per-customer max:
+    // two hash aggregates + an equi-join instead of a per-group SORT —
+    // at scale the window's shuffle+sort per custkey partition is the
+    // expensive half, and the max table is customer-sized
+    val maxes = counts.groupBy("custkey")
+      .agg(max(col("purchase_count")).as("purchase_count"))
+    counts.join(maxes, Seq("custkey", "purchase_count"))
       .select(col("custkey"), col("l_partkey").as("favorite_partkey"),
               col("purchase_count").as("favorite_purchase_count"))
   }
