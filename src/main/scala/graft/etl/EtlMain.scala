@@ -149,7 +149,12 @@ object EtlMain {
       spark, s"$warehouse/gold_customer_insights", Seq.empty)
     gci.optimizeZOrder(Seq("user_id", "total_spend"))
     gci.writeFileStats(Seq("user_id", "total_spend"))
-    println("[etl] silver_orders clustered + gold z-ordered; file stats written")
+    // order_items is clustered by nothing product-shaped (date
+    // partitions, pk layout): product point lookups span every file's
+    // min/max — per-file blooms are the index that works there
+    pipe.silverOrderItems.writeFileBlooms(Seq("product_id"))
+    println("[etl] silver_orders clustered + gold z-ordered; " +
+      "min/max + bloom file stats written")
     spark.stop()
   }
 }
