@@ -264,11 +264,39 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     * Tables replay in dependency order so a recovered product can
     * unblock an order_items row within one call. Returns per-table
     * recovered counts. */
+  /** One-time layout migration: quarantine batches written before
+    * source-bucketing landed live as TOP-LEVEL batch-* dirs, which the
+    * bucket-scoped replay would never look at — dead letters stranded
+    * forever on an upgraded warehouse. Move their rows into per-source
+    * buckets, then drop the legacy dirs. Append-then-delete: a crash
+    * in between duplicates rows, which is safe — replay's upsert
+    * dedups on pk, and the bucket rewrite removes every copy of a
+    * recovered record. */
+  private def migrateLegacyQuarantine(): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/rejected_records")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val legacy = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+    if (legacy.isEmpty) return
+    val rows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(legacy.map(_.getPath.toString): _*)
+    // bounded collect: one value per source table, not per row
+    val sources = rows.select("source_table").distinct()
+      .collect().map(_.getString(0))
+    sources.foreach { s =>
+      quarantine.appendBatch(rows.filter(col("source_table") === s),
+                             bucket = s"src-$s")
+    }
+    legacy.foreach(s => fs.delete(s.getPath, true))
+  }
+
   def replayQuarantine(): Map[String, Long] = {
     // heal a replay that crashed inside its own quarantine rewrite —
     // without this, the dead-letter queue itself could stay dark
     quarantine.repairInterruptedSwaps()
     if (!quarantine.exists) return Map.empty
+    migrateLegacyQuarantine()
     scala.collection.immutable.ListMap(
       "products"    -> replayTable("products", silverProducts),
       "orders"      -> replayTable("orders", silverOrders),

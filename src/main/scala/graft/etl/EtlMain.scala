@@ -130,7 +130,10 @@ object EtlMain {
       .foreach { t => t.compact(128L * 1024 * 1024); t.vacuum() }
     Seq(pipe.silverProducts, pipe.silverOrders, pipe.silverOrderItems)
       .foreach { t => t.compact(256L * 1024 * 1024); t.vacuum() }
-    gold.keys.foreach { name =>
+    // gold_customer_insights is compacted BY its z-order pass below
+    // (same 512 MB target, one rewrite) — compacting it here too would
+    // rewrite the identical data twice
+    gold.keys.filterNot(_ == "gold_customer_insights").foreach { name =>
       val t = graft.tables.LakehouseTable(spark, s"$warehouse/$name", Seq.empty)
       t.compact(512L * 1024 * 1024); t.vacuum()
     }
@@ -147,7 +150,8 @@ object EtlMain {
     // rectangle in (user_id, total_spend) so either predicate skips
     val gci = graft.tables.LakehouseTable(
       spark, s"$warehouse/gold_customer_insights", Seq.empty)
-    gci.optimizeZOrder(Seq("user_id", "total_spend"))
+    gci.optimizeZOrder(Seq("user_id", "total_spend")) // 512 MB default
+    gci.vacuum()
     gci.writeFileStats(Seq("user_id", "total_spend"))
     // order_items is clustered by nothing product-shaped (date
     // partitions, pk layout): product point lookups span every file's

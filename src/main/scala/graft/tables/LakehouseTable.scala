@@ -31,8 +31,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * an existing-but-empty dir, and dir-presence semantics would wedge
     * every later read ('Unable to infer schema') until hand-cleaned.
     * The listing short-circuits at the first data file. */
-  def exists: Boolean = {
-    val p = new Path(path)
+  private def hasDataFiles(p: Path): Boolean =
     fs.exists(p) && {
       val it = fs.listFiles(p, true)
       var found = false
@@ -42,7 +41,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       }
       found
     }
-  }
+
+  def exists: Boolean = hasDataFiles(new Path(path))
 
   /** Unpartitioned tables list files recursively so [[appendBatch]]'s
     * batch-directory layout reads transparently; partitioned tables
@@ -177,10 +177,14 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   // rename). The bucket key stays a DATA column; the recursive-lookup
   // reader sees bucketed and unbucketed batches uniformly.
 
-  /** Pruned read of ONE bucket (None when it was never written). */
+  /** Pruned read of ONE bucket (None when it was never written).
+    * Data-file presence semantics, same as [[exists]]: a crash between
+    * appendBatch's mkdirs and its batch rename leaves an empty bucket
+    * dir, and dir-presence semantics would wedge every later read
+    * ('Unable to infer schema') until hand-cleaned. */
   def readBucket(bucket: String): Option[DataFrame] = {
     val p = new Path(s"$path/$bucket")
-    if (!fs.exists(p)) None
+    if (!hasDataFiles(p)) None
     else Some(spark.read.option("recursiveFileLookup", "true")
                 .parquet(p.toString))
   }
@@ -191,8 +195,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * keeps a schema-only file), preserving readability and the
     * single-protocol crash story. */
   def replaceBucket(bucket: String, df: DataFrame): Unit = {
-    require(bucket.nonEmpty && !bucket.contains("/"),
-      s"bucket must be a single dir name, got '$bucket'")
+    require(bucket.nonEmpty && !bucket.contains("/") &&
+            !bucket.contains("=") && !bucket.startsWith("batch-") &&
+            !bucket.startsWith("."),
+      s"bucket must be a single plain dir name, got '$bucket'")
     repairInterruptedSwaps()
     invalidateFileStats()
     val tag = UUID.randomUUID().toString.take(8)
@@ -364,7 +370,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * count — there, z-order the partition column's residual dims and
     * accept per-partition granularity. */
   def optimizeZOrder(cols: Seq[String], bits: Int = 4,
-                     numFiles: Option[Int] = None): Unit = {
+                     numFiles: Option[Int] = None,
+                     targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
     import org.apache.spark.sql.functions._
     require(cols.size >= 2, "z-order needs >= 2 columns (use " +
       "optimizeClustered for one)")
@@ -386,12 +393,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
         shiftleft(shiftright(rank, j).bitwiseAND(lit(1)), j * d + i)
       }.reduce[Column](_ + _)
     }.reduce[Column](_ + _)
-    // explicit file count pins the skipping granularity (AQE would
-    // coalesce small tables to one file = zero skipping)
-    val parted = numFiles
-      .map(n => snapshot.repartitionByRange(n, zkey))
-      .getOrElse(snapshot.repartitionByRange(zkey))
-    overwrite(parted.sortWithinPartitions(zkey))
+    // explicit file count pins the skipping granularity — with AQE on,
+    // an unpinned repartitionByRange coalesces small tables to one
+    // file and the z-order silently buys zero skipping. Default: the
+    // compaction target, so z-ordering IS the compaction pass (one
+    // rewrite, never compact-then-zorder twice).
+    val n = numFiles.getOrElse {
+      val bytes = fs.getContentSummary(new Path(path)).getLength
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    }
+    overwrite(snapshot.repartitionByRange(n, zkey).sortWithinPartitions(zkey))
   }
 
   /** Delta-VACUUM parity for the staged-write protocol: first repair
@@ -408,7 +419,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     if (parent == null || !fs.exists(parent)) return Nil
     val repaired = repairInterruptedSwaps()
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    val prefixes = Seq(".staged-", ".appendstage-", ".filestats.staged-")
+    val prefixes = Seq(".staged-", ".appendstage-", ".filestats.staged-",
+                       ".bloomstats.staged-")
       .map(live.getName + _)
     repaired ++ fs.listStatus(parent).toSeq
       .filter(s => prefixes.exists(s.getPath.getName.startsWith))
@@ -501,11 +513,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val filtered = (df: DataFrame) => df.filter(col(c) === lit(value))
     if (!fs.exists(new Path(bloomStatsPath))) return filtered(read)
+    val manifest = spark.read.parquet(bloomStatsPath)
+    // manifest present but built for OTHER columns: degrade to the
+    // plain scan, per the fallback contract — never throw
+    if (!manifest.columns.contains(s"bloom_$c")) return filtered(read)
     // hash exactly as the build did: same column type, same xxhash64
     val hash = spark.range(1)
       .select(xxhash64(lit(value).cast(read.schema(c).dataType)))
       .head().getLong(0)
-    val files = spark.read.parquet(bloomStatsPath)
+    val files = manifest
       .select("file", s"bloom_$c").collect().filter { r =>
         org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))

@@ -74,9 +74,14 @@ object PrefixJoin {
         .iterator.zipWithIndex
         .map { case ((t, _), i) => (t, i.toLong) }.toMap
       val dict = typedlit(ranks)
+      // parity with the distributed path: drop null tokens, and drop
+      // docs with no valid tokens at all (null/empty arrays) — the
+      // explode/groupBy route never emits those rows
       docs.select(col(idCol),
-          array_sort(transform(col(toksCol), t => element_at(dict, t)))
-            .as("ws"))
+          array_sort(transform(
+            filter(col(toksCol), t => t.isNotNull),
+            t => element_at(dict, t))).as("ws"))
+        .filter(col("ws").isNotNull && size(col("ws")) > 0)
         .withColumn("n", size(col("ws")))
     } else {
       // Global df-ascending total order WITHOUT a single-partition

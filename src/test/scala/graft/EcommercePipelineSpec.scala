@@ -204,6 +204,49 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(pipe.replayQuarantine().values.sum == 0L)
   }
 
+  test("legacy unbucketed quarantine rows migrate and replay recovers them") {
+    val dir = TestSpark.tmpDir("ecom_legacy")
+    val products = writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A"))
+    val orders1 = writeCsv(dir, "orders1.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01"))
+    val items = writeCsv(dir, "items.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1001,100,1,,1,1,0,2025-04-01T10:00:00,2025-04-01",
+      "1002,999,2,,1,1,0,2025-04-02T10:00:00,2025-04-02")) // orphan order
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    pipe.run(products, orders1, items)
+
+    // simulate a pre-bucketing warehouse: hoist the bucket's batch
+    // dirs to the quarantine top level and drop the bucket dir
+    val q = new java.io.File(s"$dir/warehouse/rejected_records")
+    val bucket = new java.io.File(q, "src-order_items")
+    assert(bucket.isDirectory)
+    bucket.listFiles().filter(_.getName.startsWith("batch-")).foreach { b =>
+      assert(b.renameTo(new java.io.File(q, b.getName)))
+    }
+    assert(bucket.listFiles().forall(!_.getName.startsWith("batch-")))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(bucket)
+
+    // the missing order arrives — replay must migrate the legacy rows
+    // into buckets and recover the reject, not silently skip it
+    val orders2 = writeCsv(dir, "orders2.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "2,999,2,2025-04-02T09:00:00,30.0,2025-04-02"))
+    pipe.runOrders(orders2)
+    val rec = pipe.replayQuarantine()
+    assert(rec("order_items") == 1L, rec)
+    assert(pipe.silverOrderItems.read.filter(col("id") === 1002).count() == 1)
+    // legacy dirs are gone; what remains is bucketed
+    assert(!q.listFiles().exists(_.getName.startsWith("batch-")))
+    assert(pipe.quarantine.read.count() == 0)
+  }
+
   test("all-rejected first batch doesn't wedge silver; replay bootstraps it") {
     val dir = TestSpark.tmpDir("ecom_boot")
     val products = writeCsv(dir, "products.csv", Seq(

@@ -99,6 +99,10 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(t.readBucket("src-x").get.as[(Int, String)].collect().toMap ==
            Map(1 -> "a", 2 -> "b", 4 -> "d"))
     assert(t.readBucket("missing").isEmpty)
+    // a crash between appendBatch's mkdirs and its rename leaves an
+    // EMPTY bucket dir — must read as absent, not wedge schema inference
+    new java.io.File(s"$dir/q/src-crashed").mkdirs()
+    assert(t.readBucket("src-crashed").isEmpty)
     // the pruned read opens ONLY the bucket's files
     assert(t.readBucket("src-x").get.inputFiles
              .forall(_.contains("src-x")))
@@ -276,6 +280,11 @@ class LakehouseTableSpec extends AnyFunSuite {
     // maybe (at this fill factor), and the result is empty either way
     val miss = t.readBloomFiltered("k", -1L)
     assert(miss.isEmpty)
+
+    // manifest built for k only: a lookup on another column degrades
+    // to the plain scan per the fallback contract — never throws
+    assert(t.readBloomFiltered("v", "v77").count() ==
+           rows.count(_._2 == "v77"))
 
     // mutation invalidates: the appended row must be found via the
     // full-scan fallback, never dropped by a stale manifest
