@@ -1168,6 +1168,83 @@ object QueriesText {
         |FROM (SELECT doc_id, n_chunks FROM base) b
         |LEFT JOIN re USING (doc_id)""".stripMargin),
 
+    // ── content-defined chunking (ROLLING-hash fingerprinting, the
+    // gear/Rabin CDC family): a chunk boundary falls wherever the
+    // rolling hash of the trailing 4-word window lands in a 1/16
+    // target band — boundaries depend on LOCAL content only, so an
+    // insertion re-chunks one neighborhood while fixed-k chunking
+    // (q_chunk_dedup) shifts every downstream chunk. The rolling
+    // window is 3 codegen'd lags (no per-position substring loops),
+    // chunk ids are a per-doc prefix sum, and cross-doc dedup is one
+    // shuffle on chunk text — every window partitions by doc_id, so
+    // nothing grows beyond doc length. Output per doc: chunk count,
+    // chunks shared with other docs, and an order-sensitive doc
+    // fingerprint over the chunk hashes. ─────────────────────────────
+    "q_cdc_chunks" -> q(
+      c => {
+        val pos = c.documents
+          .select(col("doc_id"),
+                  posexplode_outer(TF.words(lower(col("text"))))
+                    .as(Seq("pos", "word")))
+          .filter(col("word").isNotNull)
+        val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+        val winStr = concat_ws(" ",
+          lag(col("word"), 3).over(wOrd), lag(col("word"), 2).over(wOrd),
+          lag(col("word"), 1).over(wOrd), col("word"))
+        val tagged = pos
+          .withColumn("bnd",
+            when(substring(md5(winStr.cast("binary")), 1, 1) === "0", 1)
+              .otherwise(0))
+          .withColumn("chunk_id", coalesce(
+            sum(col("bnd")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0)))
+        val chunks = tagged.groupBy(col("doc_id"), col("chunk_id"))
+          .agg(concat_ws(" ", transform(
+                 array_sort(collect_list(struct(col("pos"), col("word")))),
+                 x => x.getField("word"))).as("chunk"))
+          .withColumn("cfp", md5(col("chunk").cast("binary")))
+        val shared = chunks.groupBy("chunk")
+          .agg(countDistinct("doc_id").as("nd"))
+        chunks.join(shared, Seq("chunk"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+               count(when(col("nd") > 1, 1)).as("dup_chunks"),
+               md5(concat_ws("|", transform(
+                     array_sort(collect_list(struct(col("chunk_id"), col("cfp")))),
+                     x => x.getField("cfp"))).cast("binary")).as("doc_fp"))
+      },
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents
+        |), p AS (
+        | SELECT doc_id, i - 1 AS pos, a[i] AS word
+        | FROM w, unnest(generate_series(1, len(a))) AS t(i)
+        |), b AS (
+        | SELECT doc_id, pos, word,
+        |  CASE WHEN substring(md5(concat_ws(' ',
+        |    lag(word, 3) OVER win, lag(word, 2) OVER win,
+        |    lag(word, 1) OVER win, word)), 1, 1) = '0' THEN 1 ELSE 0 END AS bnd
+        | FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |), t2 AS (
+        | SELECT doc_id, pos, word,
+        |  coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        | FROM b
+        |), ch AS (
+        | SELECT doc_id, chunk_id, string_agg(word, ' ' ORDER BY pos) AS chunk
+        | FROM t2 GROUP BY 1, 2
+        |), cf AS (
+        | SELECT doc_id, chunk_id, chunk, md5(chunk) AS cfp FROM ch
+        |), d AS (
+        | SELECT chunk, count(DISTINCT doc_id) AS nd FROM cf GROUP BY 1
+        |)
+        |SELECT cf.doc_id,
+        | count(*) AS n_chunks,
+        | count(CASE WHEN d.nd > 1 THEN 1 END) AS dup_chunks,
+        | md5(string_agg(cfp, '|' ORDER BY chunk_id)) AS doc_fp
+        |FROM cf JOIN d ON cf.chunk = d.chunk
+        |GROUP BY 1""".stripMargin),
+
     // ── SemDeDup (Abbas et al. 2023): embedding-cosine near-dup graph
     // → connected components → one survivor (min id) per semantic
     // cluster. Pair generation here is the exact all-pairs oracle twin
