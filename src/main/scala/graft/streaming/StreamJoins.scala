@@ -34,4 +34,22 @@ object StreamJoins {
       .join(right.withWatermark(tsR, delay),
         expr(s"$key = $rightKey AND $tsR >= $tsL AND " +
              s"$tsR <= $tsL + INTERVAL $window"))
+
+  /** LEFT OUTER variant of [[intervalJoin]]: matched pairs emit as the
+    * inner join does; an UNMATCHED left row emits with null right
+    * columns only once the watermark passes the end of its match
+    * interval — before that, a matching right row could still arrive,
+    * so outer results are inherently watermark-delayed (the documented
+    * Structured Streaming contract, not a bug). State stays
+    * O(rate × window) exactly like the inner form: the time bound is
+    * what lets both sides' buffers expire. The join shape for "orders
+    * that never got a payment within the hour" alerting. */
+  def leftOuterIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                            rightKey: String, tsL: String, tsR: String,
+                            window: String, delay: String): DataFrame =
+    left.withWatermark(tsL, delay)
+      .join(right.withWatermark(tsR, delay),
+        expr(s"$key = $rightKey AND $tsR >= $tsL AND " +
+             s"$tsR <= $tsL + INTERVAL $window"),
+        "leftOuter")
 }

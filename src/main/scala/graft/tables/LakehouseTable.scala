@@ -591,6 +591,33 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       fs.delete(new Path(versionsRoot, s"v$v"), true))
   }
 
+  /** DESCRIBE HISTORY parity for the versioned-overwrite protocol:
+    * one row per retained archive plus the live state, with dir
+    * mtime, bytes, and file count — the operational "what do I have,
+    * how big, since when" view Delta's history gives, driver-side
+    * from listing alone (no data read). The live row's version is the
+    * number the NEXT overwriteVersioned would archive it under. */
+  def history: DataFrame = {
+    import spark.implicits._
+    def statsOf(p: Path) = {
+      val cs = fs.getContentSummary(p)
+      (new java.sql.Timestamp(fs.getFileStatus(p).getModificationTime),
+       cs.getLength, cs.getFileCount)
+    }
+    val archived = versions.map { v =>
+      val (ts, bytes, files) = statsOf(new Path(versionsRoot, s"v$v"))
+      (v, ts, bytes, files, "archived")
+    }
+    val live =
+      if (!exists) Nil
+      else {
+        val (ts, bytes, files) = statsOf(new Path(path))
+        Seq((versions.lastOption.getOrElse(0L) + 1, ts, bytes, files, "live"))
+      }
+    (archived ++ live)
+      .toDF("version", "modified_at", "bytes", "n_files", "state")
+  }
+
   /** Read an archived version (time travel) — with the SAME reader
     * options as [[read]]: an archive is the live dir renamed verbatim,
     * so an appendBatch-layout table's batch-subdir structure needs the

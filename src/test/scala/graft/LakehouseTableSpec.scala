@@ -354,6 +354,14 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(t.read.as[(Int, String)].head() == ((3, "gen3")))
     assert(t.versions.nonEmpty)
     assert(t.readVersion(t.versions.last).as[(Int, String)].head() == ((5, "gen5")))
+
+    // DESCRIBE HISTORY parity: one row per archive + the live state,
+    // bytes/files populated, live version = next archive number
+    val h = t.history.as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(h.map(_._5).count(_ == "live") == 1)
+    assert(h.map(_._1).toSeq == (t.versions :+ (t.versions.last + 1)).sorted)
+    assert(h.forall(r => r._3 > 0 && r._4 > 0))
   }
 
   test("change feed between retained versions classifies row-level changes") {

@@ -55,6 +55,41 @@ class StreamJoinsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows after the watermark") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = StreamJoins.leftOuterIntervalJoin(
+      clicks.toDF(), buys.toDF(), "user", "buyer",
+      "click_ts", "buy_ts", window = "1 HOUR", delay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("outer_attr")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Click(1, ts("2024-01-01 10:00:00"), "ad"),   // converts
+                     Click(2, ts("2024-01-01 10:00:00"), "ad"))   // never does
+      buys.addData(Buy(1, ts("2024-01-01 10:30:00"), 9.99))
+      q.processAllAvailable()
+      // matched pair emits immediately; the unmatched click must NOT
+      // emit yet — a matching buy could still arrive
+      val early = spark.table("outer_attr").select("user").as[Long].collect()
+      assert(early.toSet == Set(1L), early.toSeq)
+
+      // advance both watermarks past click_ts + window + delay: the
+      // unmatched click's interval can no longer be matched → it emits
+      // with null right columns
+      clicks.addData(Click(99, ts("2024-01-01 13:00:00"), "later"))
+      buys.addData(Buy(98, ts("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // second batch lets the outer emit flush
+      val got = spark.table("outer_attr")
+        .select("user", "page", "amount")
+        .as[(Long, String, Option[Double])].collect().toSet
+      assert(got.contains((1L, "ad", Some(9.99))), got)
+      assert(got.contains((2L, "ad", None)),
+        s"unmatched left row must emit with null rights after watermark: $got")
+    } finally q.stop()
+  }
+
   test("streaming ANN lookup equals the batch lshTopK per microbatch") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions._
