@@ -122,6 +122,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PrefixJoin equals brute-force Jaccard on random corpora") {
+    // random docs over a small vocabulary (high collision probability:
+    // near-dups, exact dups, empty docs, singleton docs all arise);
+    // PPJoin completeness must hold at several thresholds
+    val docGen = Gen.listOfN(60, tokens)
+    for ((seedDocs, si) <- samples(docGen, 3).zipWithIndex) {
+      val data = seedDocs.zipWithIndex.map { case (ts, i) => (i, ts.distinct) }
+      val docs = data.toDF("doc_id", "toks")
+      for ((num, den) <- Seq((9, 10), (4, 5))) {
+        val t = num.toDouble / den
+        val got = graft.text.PrefixJoin
+          .joinAll(docs, "doc_id", "toks", t, num, den)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6))
+          .as[(Int, Int, Double)].collect().toSet
+        val sets = data.map { case (i, ts) => (i, ts.toSet) }
+        val want = (for {
+          (a, sa) <- sets; (b, sb) <- sets
+          if a < b && sa.nonEmpty && sb.nonEmpty
+          j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+          if j >= t
+        } yield (a, b, math.round(j * 1e6) / 1e6)).toSet
+        assert(got == want,
+          s"seed=$si t=$t missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      }
+    }
+  }
+
   test("exactSum matches BigDecimal arithmetic on random cent amounts") {
     val cents = Gen.nonEmptyListOf(Gen.choose(-10000000L, 10000000L))
     samples(cents, 20).foreach { cs =>
