@@ -22,7 +22,18 @@ object Archiver {
     var moved = 0
     files.grouped(batchSize).foreach { batch =>
       batch.foreach { f =>
-        if (fs.rename(f, new Path(dst, f.getName))) moved += 1
+        val target = new Path(dst, f.getName)
+        if (fs.exists(target)) {
+          // a same-named file was archived before (re-delivered input):
+          // suffix with the source mtime so the move always completes —
+          // silently skipping would leave the file in srcDir forever,
+          // re-failing on every run (the 'resumable' contract never
+          // draining)
+          val mtime = fs.getFileStatus(f).getModificationTime
+          require(fs.rename(f, new Path(dst, s"${f.getName}.$mtime")),
+            s"archive rename failed for $f")
+        } else require(fs.rename(f, target), s"archive rename failed for $f")
+        moved += 1
       }
     }
     moved

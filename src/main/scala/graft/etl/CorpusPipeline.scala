@@ -182,6 +182,15 @@ object CorpusPipeline {
       return IncrementalFunnel(funnel, 0L, 0L, nCand)
     }
     val existing = curated.read
+    // stored signatures must match this run's k: zip_with against a
+    // different-length stored sig pads with nulls and the /k estimate
+    // silently dilutes — a 60/64-plane near-dup scored against k=128
+    // reads 0.47 and slips into the corpus. Fail loud instead.
+    val storedK = existing.select(size(col("sig"))).head().getInt(0)
+    require(storedK == k,
+      s"curated table stores k=$storedK minhash planes but this run " +
+      s"uses k=$k — signature estimates would silently dilute; rerun " +
+      s"with k=$storedK or rebuild the table")
 
     // 1. exact cross-batch dedup on the stored fingerprints
     val exactNew = cand.join(existing.select("fp"), Seq("fp"), "left_anti")

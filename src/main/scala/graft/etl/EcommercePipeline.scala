@@ -225,6 +225,27 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     * broadcast anti-join membership tags. */
   def runOrderItems(csvPath: String): StageResult = {
     val df = castBronze(ingestBronze(csvPath, bronzeOrderItems), orderItems)
+    // A dim silver table can be nonexistent here (the all-rejected
+    // bootstrap case leaves it uncreated) — tagItems would then crash
+    // AFTER the file landed in bronze, and the rerun's file-level
+    // idempotence would make the batch empty forever: rows stranded in
+    // bronze with no road to silver OR quarantine. Quarantine the
+    // whole batch instead; replay (which guards on dim existence)
+    // recovers it once the dims bootstrap.
+    if (!silverOrders.exists || !silverProducts.exists) {
+      if (df.isEmpty) return StageResult(0L, 0L)
+      val n = df.count()
+      quarantine.appendBatch(
+        df.withColumn(Validation.ErrCol,
+            array(lit("dimension tables not yet available")))
+          .withColumn("source_table", lit("order_items"))
+          .withColumn("rejected_at", current_timestamp())
+          .select(to_json(struct(col("*"))).as("record"),
+                  col(Validation.ErrCol), col("source_table"),
+                  col("rejected_at")),
+        bucket = "src-order_items")
+      return StageResult(0L, n)
+    }
     val (tagged, rules, helpers) = tagItems(df)
     stage(tagged, rules, silverOrderItems, "order_items", helperCols = helpers)
   }

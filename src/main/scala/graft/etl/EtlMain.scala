@@ -128,7 +128,10 @@ object EtlMain {
     // swaps first).
     Seq(pipe.bronzeProducts, pipe.bronzeOrders, pipe.bronzeOrderItems)
       .foreach { t => t.compact(128L * 1024 * 1024); t.vacuum() }
-    Seq(pipe.silverProducts, pipe.silverOrders, pipe.silverOrderItems)
+    // silver_orders is rewritten BY its clustering pass below (the
+    // partition-leading range layout is also compaction-shaped) —
+    // compacting it here too would rewrite the identical data twice
+    Seq(pipe.silverProducts, pipe.silverOrderItems)
       .foreach { t => t.compact(256L * 1024 * 1024); t.vacuum() }
     // gold_customer_insights is compacted BY its z-order pass below
     // (same 512 MB target, one rewrite) — compacting it here too would
@@ -144,6 +147,7 @@ object EtlMain {
     // manifest so user-scoped reads open only intersecting files
     // (OPTIMIZE ZORDER + Delta stats parity, docs/etl_processes.md:382)
     pipe.silverOrders.optimizeClustered(Seq("user_id"))
+    pipe.silverOrders.vacuum()
     pipe.silverOrders.writeFileStats(Seq("user_id"))
     // gold_customer_insights serves BOTH user-scoped lookups and
     // spend-band analytics: true Z-order makes each file a small

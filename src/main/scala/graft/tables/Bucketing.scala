@@ -20,9 +20,20 @@ object Bucketing {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // the in-memory catalog forgets tables across sessions but their
-    // warehouse dirs persist; clear any orphaned location
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/" + table)
+    // warehouse dirs persist; clear any orphaned location. The real
+    // dir is catalog-normalized: identifiers lowercase, and a
+    // db-qualified name lives under <db>.db/ — naive warehouse+name
+    // concatenation would miss it and saveAsTable would fail with
+    // 'location already exists'.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val rel = table.toLowerCase.split('.') match {
+      case Array(db, t) => s"$db.db/$t"
+      case Array(t)     => t
+      case _ => throw new IllegalArgumentException(
+        s"table must be 'table' or 'db.table', got '$table'")
+    }
+    val loc = new org.apache.hadoop.fs.Path(s"$wh/$rel")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.format("parquet").bucketBy(buckets, bucketCol)

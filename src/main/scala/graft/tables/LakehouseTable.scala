@@ -325,6 +325,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * buckets should compact per bucket with [[replaceBucket]] instead
     * — a whole-table compact would flatten the bucket dirs away. */
   def compact(targetFileBytes: Long): Unit = {
+    // repair BEFORE snapshotting: `read` lists files eagerly, so a
+    // partition still sitting in a tombstone would be absent from the
+    // rewrite and the later swap would silently delete it for good
+    repairInterruptedSwaps()
     val live = new Path(path)
     val bytes = fs.getContentSummary(live).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -344,7 +348,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * stats become selective — the same data-skipping intent, no Delta
     * required. */
   def optimizeClustered(cols: Seq[String]): Unit = {
-    val cs = cols.map(org.apache.spark.sql.functions.col)
+    repairInterruptedSwaps() // before the eager `read` snapshot — see compact
+    // On a dir-partitioned table the partition key LEADS the range
+    // keys: each task then holds a contiguous (partition, cols) slice,
+    // so a partition's files cover disjoint col ranges and a task
+    // rarely straddles partition dirs. Ranging on `cols` alone would
+    // scatter every partition across all tasks — the partitionBy write
+    // re-splits each task per partition value, re-fragmenting the
+    // files a compaction just merged.
+    val cs = (partitionCols ++ cols.filterNot(partitionCols.contains))
+      .map(org.apache.spark.sql.functions.col)
     overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*))
   }
 
@@ -378,6 +391,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     require(bits >= 1 && bits * cols.size <= 30,
       s"bits*cols must fit an int z-key, got $bits*${cols.size}")
     val d = cols.size
+    repairInterruptedSwaps() // before the eager `read` snapshot — see compact
     val snapshot = read
     val boundaries: Seq[Array[Double]] = cols.map { c =>
       val probs = (1 until (1 << bits)).map(_ / (1 << bits).toDouble)
@@ -575,18 +589,30 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   /** Atomic replace that archives the outgoing live data as the next
     * version and prunes archives beyond `retain`. */
   def overwriteVersioned(df: DataFrame, retain: Int = 3): Unit = {
-    invalidateFileStats() // like every mutating entry point: a stale
-    // manifest would point at part-files renamed into .versions/
+    repairInterruptedSwaps() // every mutator repairs first — a stale
+    // partition tombstone surviving into the NEXT generation would be
+    // "restored" into it later, resurrecting old-generation rows
+    invalidateFileStats() // a stale manifest would point at part-files
+    // renamed into .versions/
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)
     val live = new Path(path)
     if (fs.exists(live)) {
+      // archive through the TOMBSTONE protocol, not a direct rename:
+      // live→tombstone, staged→live, tombstone→archive. A crash before
+      // staged→live repairs back to the pre-write state; a crash
+      // before the archive rename loses only that one archive (repair
+      // drops the superseded tombstone) — the live table is never the
+      // casualty, which a direct live→archive rename cannot promise
+      // (its crash window leaves NO live dir and NO tombstone).
       val next = versions.lastOption.getOrElse(0L) + 1
       fs.mkdirs(versionsRoot)
-      renameOrFail(live, new Path(versionsRoot, s"v$next"))
-    }
-    renameOrFail(new Path(staged), live)
+      val ts = new Path(s"$path.tombstone-$tag")
+      renameOrFail(live, ts)
+      renameOrFail(new Path(staged), live)
+      renameOrFail(ts, new Path(versionsRoot, s"v$next"))
+    } else renameOrFail(new Path(staged), live)
     versions.dropRight(retain).foreach(v =>
       fs.delete(new Path(versionsRoot, s"v$v"), true))
   }

@@ -54,4 +54,25 @@ class ClustersAndBucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("db-qualified + mixed-case bucketed writes land in <db>.db/ and rewrite cleanly") {
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    Bucketing.writeBucketed(df, "bktdb.Mixed_Case", "k", 4)
+    assert(Bucketing.read(spark, "bktdb.mixed_case").count() == 100)
+
+    // simulate a prior session's orphan: drop from the catalog but
+    // leave the warehouse dir behind (the in-memory catalog forgets,
+    // dirs persist) — the rewrite must clear the normalized
+    // <db>.db/<table> location, not a naive <warehouse>/<name> path
+    spark.sql("DROP TABLE bktdb.mixed_case")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val orphan = new java.io.File(s"$wh/bktdb.db/mixed_case")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(orphan.getPath, "stale.parquet"), "x".getBytes)
+    Bucketing.writeBucketed(df, "bktdb.Mixed_Case", "k", 4)
+    assert(Bucketing.read(spark, "bktdb.mixed_case").count() == 100)
+    assert(!new java.io.File(orphan, "stale.parquet").exists())
+  }
 }

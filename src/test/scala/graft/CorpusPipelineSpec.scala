@@ -92,5 +92,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(r4.crossNearDropped == 1 && r4.admitted == 0,
       s"perturbed copy not near-deduped: $r4")
     assert(t.read.count() == total)
+
+    // a run whose k disagrees with the stored signatures must fail
+    // loud — zip_with against a different-length sig would silently
+    // dilute the /k similarity estimate instead
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.curateIncremental(perturbed, t, perLangCap = 1000, k = 32)
+    }
+    assert(e.getMessage.contains("k=64"), e.getMessage)
   }
 }

@@ -204,6 +204,40 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(pipe.replayQuarantine().values.sum == 0L)
   }
 
+  test("order_items before any dim bootstraps: quarantined, then replayed") {
+    val dir = TestSpark.tmpDir("ecom_nodims")
+    // EVERY orders row invalid -> silver_orders never created
+    val badOrders = writeCsv(dir, "orders.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "1,100,1,2025-04-01T10:00:00,-50.0,2025-04-01"))
+    val products = writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A"))
+    val items = writeCsv(dir, "items.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1001,100,1,,1,1,0,2025-04-01T10:00:00,2025-04-01"))
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    pipe.runProducts(products)
+    assert(pipe.runOrders(badOrders) == graft.etl.StageResult(0, 1))
+    assert(!pipe.silverOrders.exists)
+    // items must NOT crash on the missing dim (the file has already
+    // landed in bronze — a crash here would strand it forever); the
+    // whole batch goes to quarantine instead
+    assert(pipe.runOrderItems(items) == graft.etl.StageResult(0, 1))
+    assert(!pipe.silverOrderItems.exists)
+    assert(pipe.quarantine.read
+      .filter(col("source_table") === "order_items").count() == 1)
+
+    // the corrected orders file bootstraps the dim; replay recovers
+    val goodOrders = writeCsv(dir, "orders2.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01"))
+    pipe.runOrders(goodOrders)
+    val rec = pipe.replayQuarantine()
+    assert(rec("order_items") == 1L, rec)
+    assert(pipe.silverOrderItems.read.count() == 1)
+  }
+
   test("legacy unbucketed quarantine rows migrate and replay recovers them") {
     val dir = TestSpark.tmpDir("ecom_legacy")
     val products = writeCsv(dir, "products.csv", Seq(

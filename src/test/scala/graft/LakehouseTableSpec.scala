@@ -255,6 +255,33 @@ class LakehouseTableSpec extends AnyFunSuite {
            Seq((118, "versioned")))
   }
 
+  test("maintenance rewrites repair interrupted swaps BEFORE snapshotting") {
+    val dir = TestSpark.tmpDir("repairfirst")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+    t.upsert(Seq((1, "a", "p1"), (2, "b", "p2")).toDF("k", "v", "part"))
+    // crash mid-swap: p1 sits only in a tombstone, live p1 missing
+    assert(new java.io.File(s"$dir/t/part=p1")
+      .renameTo(new java.io.File(s"$dir/t.tombstone-deadbeef-part=p1")))
+    // compact must restore p1 first — a stale pre-repair listing would
+    // rewrite the table without it and the swap would delete it forever
+    t.compact(512L * 1024 * 1024)
+    assert(t.read.select("k").as[Int].collect().toSet == Set(1, 2))
+
+    // same for the versioned overwrite: a stale partition tombstone
+    // must not survive into (and later resurrect rows into) the next
+    // generation
+    val u = LakehouseTable(spark, s"$dir/u", Seq("k"))
+    u.overwrite(Seq((1, "old")).toDF("k", "v"))
+    assert(new java.io.File(s"$dir/u")
+      .renameTo(new java.io.File(s"$dir/u.tombstone-deadbeef")))
+    u.overwriteVersioned(Seq((2, "new")).toDF("k", "v"))
+    assert(u.read.as[(Int, String)].collect().toSeq == Seq((2, "new")))
+    // the repaired pre-crash generation was archived, not lost
+    assert(u.versions.nonEmpty &&
+           u.readVersion(u.versions.last).as[(Int, String)]
+             .collect().toSeq == Seq((1, "old")))
+  }
+
   test("bloom manifest skips files on equality lookups; mutations invalidate") {
     val dir = TestSpark.tmpDir("bloomskip")
     val t = LakehouseTable(spark, s"$dir/t", Seq("k"))

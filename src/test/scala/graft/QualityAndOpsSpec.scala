@@ -47,6 +47,14 @@ class QualityAndOpsSpec extends AnyFunSuite {
     assert(new java.io.File(src).list().isEmpty)
     assert(new java.io.File(dst).list().length == 7)
     assert(Archiver.archive(spark, src, dst) == 0) // rerun: nothing left
+
+    // a re-delivered file with an already-archived name must still
+    // drain (mtime-suffixed), not silently stall in srcDir forever
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "f1.csv"),
+      "x1-redelivered".getBytes)
+    assert(Archiver.archive(spark, src, dst) == 1)
+    assert(new java.io.File(src).list().isEmpty)
+    assert(new java.io.File(dst).list().count(_.startsWith("f1.csv")) == 2)
   }
 
   test("analyze + clustered rewrite keep data identical and register stats") {
