@@ -1245,6 +1245,111 @@ object QueriesText {
         |FROM cf JOIN d ON cf.chunk = d.chunk
         |GROUP BY 1""".stripMargin),
 
+    // ── exact duplicated-substring detection (the suffix-array dedup
+    // family, Lee et al. 2022 "Deduplicating Training Data Makes
+    // Language Models Better"): find every maximal token span of
+    // length ≥ L that some OTHER document also contains, and report
+    // per doc how much of it is such boilerplate. Spark-first shape:
+    // a suffix array is a single-machine structure, but its product —
+    // "which length-L windows repeat across docs" — is exactly an
+    // L-gram self-aggregation: hash every L-token window (one derived
+    // array per doc, no per-position substring loops), one shuffle on
+    // the gram to find cross-doc grams, a semi-join back, then a
+    // per-doc gaps-and-islands merge of overlapping windows into
+    // maximal spans. Every stage keys on gram or doc_id — nothing is
+    // corpus-quadratic, and window state is bounded by doc length.
+    // Granularity vs the true suffix array: spans shorter than L are
+    // invisible (by contract), spans ≥ L are found exactly. ──────────
+    "q_substring_dedup" -> q(
+      c => {
+        val L = 5
+        val docs = c.documents
+          .withColumn("__ws", TF.words(lower(col("text"))))
+          .select(col("doc_id"), col("__ws"),
+                  size(col("__ws")).cast("long").as("n_tokens"))
+        // md5 of the joined window, not xxhash64: the oracle replays
+        // the same hash, so a collision (if one ever happened) would
+        // collide identically in both engines instead of diverging
+        val grams = docs
+          .select(col("doc_id"),
+                  posexplode_outer(
+                    // the when-guard matters: sequence(1, n-4) on a
+                    // short doc (n<5) would count DOWN (Spark defaults
+                    // to step -1 when start > stop), not return empty
+                    when(size(col("__ws")) >= L,
+                      transform(sequence(lit(1), size(col("__ws")) - (L - 1)),
+                        i => md5(concat_ws(" ", slice(col("__ws"), i, lit(L)))
+                                   .cast("binary")))))
+                    .as(Seq("pos", "g")))
+          .filter(col("g").isNotNull)
+        val crossDoc = grams.groupBy("g")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1)
+        val hits = grams.join(crossDoc, Seq("g"), "left_semi")
+        // merge overlapping/adjacent [pos, pos+L-1] windows: a new
+        // maximal span starts where the gap from the previous window
+        // start exceeds L (strictly: next start > prev start + L)
+        val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+        val spans = hits
+          .withColumn("prev", lag("pos", 1).over(wOrd))
+          .withColumn("newi",
+            when(col("prev").isNull || col("pos") - col("prev") > L, 1)
+              .otherwise(0))
+          .withColumn("span_id",
+            sum("newi").over(
+              wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("span_id"))
+          .agg((max("pos") - min("pos") + L).cast("long").as("cov"))
+        val perDoc = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"), sum("cov").as("dup_tokens"))
+        docs.select("doc_id", "n_tokens")
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+                  coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+                  coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+                  // boilerplate gate at 20% — integer arithmetic, so
+                  // the flag is bit-identical in every engine
+                  (coalesce(col("dup_tokens"), lit(0L)) * 5 > col("n_tokens"))
+                    .as("flagged"))
+      },
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents
+        |), base AS (
+        | SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens, a FROM w
+        |), g AS (
+        | SELECT doc_id, i AS pos,
+        |  md5(array_to_string(a[i : i+4], ' ')) AS g
+        | FROM base, unnest(generate_series(1, len(a) - 4)) AS t(i)
+        |), d AS (
+        | SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) > 1
+        |), h AS (
+        | SELECT doc_id, pos FROM g JOIN d USING (g)
+        |), isl AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL
+        |         OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS newi
+        | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), sp AS (
+        | SELECT doc_id, pos,
+        |  sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS span_id
+        | FROM isl
+        |), cov AS (
+        | SELECT doc_id, span_id,
+        |  CAST(max(pos) - min(pos) + 5 AS BIGINT) AS cov
+        | FROM sp GROUP BY 1, 2
+        |), agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(cov) AS BIGINT) AS dup_tokens
+        | FROM cov GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_tokens,
+        | coalesce(agg.n_spans, 0) AS n_spans,
+        | coalesce(agg.dup_tokens, 0) AS dup_tokens,
+        | coalesce(agg.dup_tokens, 0) * 5 > b.n_tokens AS flagged
+        |FROM base b LEFT JOIN agg USING (doc_id)""".stripMargin),
+
     // ── SemDeDup (Abbas et al. 2023): embedding-cosine near-dup graph
     // → connected components → one survivor (min id) per semantic
     // cluster. Pair generation here is the exact all-pairs oracle twin

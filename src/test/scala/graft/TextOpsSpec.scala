@@ -156,6 +156,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bloom == exact, "bloom-prefiltered result drifted from exact")
   }
 
+  test("substring dedup: maximal cross-doc spans, merging, within-doc repeats ignored") {
+    val dir = TestSpark.tmpDir("subdup")
+    Seq(
+      // 1 & 2 share one 8-token run -> one merged span of 8 each
+      (1L, "a b c d e f g h i j"),
+      (2L, "x1 x2 a b c d e f g h x3 x4"),
+      // no cross-doc content
+      (3L, "p q r s t u"),
+      // 4 & 5 share two runs separated by unique tokens -> 2 spans
+      (4L, "m1 m2 m3 m4 m5 zz4a zz4b n1 n2 n3 n4 n5"),
+      (5L, "m1 m2 m3 m4 m5 yy5a yy5b n1 n2 n3 n4 n5"),
+      // a WITHIN-doc repeat is not duplication across the corpus
+      (6L, "r1 r2 r3 r4 r5 w r1 r2 r3 r4 r5"),
+      // shorter than L tokens: no windows at all
+      (7L, "s1 s2 s3"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = QueriesText.defs("q_substring_dedup").fn(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((10L, 1L, 8L, true)))
+    assert(out(2L) == ((12L, 1L, 8L, true)))
+    assert(out(3L) == ((6L, 0L, 0L, false)))
+    assert(out(4L) == ((12L, 2L, 10L, true)))
+    assert(out(5L) == ((12L, 2L, 10L, true)))
+    assert(out(6L) == ((11L, 0L, 0L, false)))
+    assert(out(7L) == ((3L, 0L, 0L, false)))
+  }
+
   test("bloom probe sits in the plan as a constant-bloom filter") {
     val p = QueriesText.defs("q_bloom_decontaminate").fn(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(
