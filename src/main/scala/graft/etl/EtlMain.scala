@@ -163,6 +163,35 @@ object EtlMain {
     pipe.silverOrderItems.writeFileBlooms(Seq("product_id"))
     println("[etl] silver_orders clustered + gold z-ordered; " +
       "min/max + bloom file stats written")
+
+    // the gold layer as a SERVING layer, not just parallel tables: a
+    // date-grain summary of silver_orders is materialized and
+    // registered with the MV rewrite rule, so any aggregate query at
+    // or above that grain transparently scans the summary instead of
+    // re-scanning silver (at 100 TB: KBs instead of the fact table).
+    // Registration happens here — right after the rebuild — because
+    // the rewrite is only sound while summary and source are in sync.
+    val summaryPath = s"$warehouse/gold_orders_date_summary"
+    graft.tables.LakehouseTable(spark, summaryPath, Seq.empty).overwrite(
+      graft.plans.MaterializedAgg.build(
+        pipe.silverOrders.read, Seq("date"), Seq("total_amount")))
+    graft.plans.MaterializedAgg.attach(spark)
+    graft.plans.MaterializedAgg.register(spark, pipe.silverOrders.path,
+      summaryPath, Seq("date"), Seq("total_amount"))
+    val probe = pipe.silverOrders.read.groupBy(org.apache.spark.sql.functions.col("date"))
+      .agg(org.apache.spark.sql.functions.sum("total_amount").as("revenue"))
+    val served = probe.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("gold_orders_date_summary"))
+          case _ => false
+        }
+    }
+    require(served.nonEmpty && served.forall(identity),
+      "MV rewrite did not serve the daily-revenue probe from the summary")
+    println(s"[etl] gold_orders_date_summary registered; daily revenue " +
+      s"served from summary (${probe.count()} dates)")
     spark.stop()
   }
 }

@@ -22,11 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     // same registry the per-session register() consumes — one list,
     // two registration paths, no drift
     NativeFunctions.registry.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // materialized-aggregate rewrite: a no-op map probe per Aggregate
+    // until a summary is registered (MaterializedAgg.register)
+    ext.injectOptimizerRule(_ => graft.plans.MaterializedAgg.Rewrite)
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.plans.MaterializedAgg
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaterializedAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).mkString(",")
+        case _ => ""
+      }
+    }
+
+  test("covered aggregates are served by the summary scan, bit-identical") {
+    val dir = TestSpark.tmpDir("mvagg")
+    // w sums exactly in binary (quarters) so avg comparison is exact
+    (1 to 1000).map(i => (i % 7, s"d${i % 3}", i, (i % 100) / 4.0))
+      .toDF("k", "d", "v", "w").write.parquet(s"$dir/src")
+    val srcT = spark.read.parquet(s"$dir/src")
+    MaterializedAgg.build(srcT, Seq("k", "d"), Seq("v", "w"))
+      .write.parquet(s"$dir/gold")
+
+    def query() = srcT.filter($"d" === "d1").groupBy($"k")
+      .agg(sum($"v").as("sv"), min($"v").as("mn"), max($"w").as("mx"),
+           count(lit(1)).as("n"), avg($"v").as("av"), count($"w").as("cw"))
+    def global() = srcT.agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+
+    val expected  = query().orderBy("k").collect().toSeq
+    val expGlobal = global().collect().toSeq
+
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold",
+                             Seq("k", "d"), Seq("v", "w"))
+    try {
+      val q = query()
+      val scans = scanPaths(q)
+      assert(scans.nonEmpty && scans.forall(_.contains("gold")),
+        s"expected the summary scan, got $scans")
+      assert(q.orderBy("k").collect().toSeq == expected)
+
+      // group-subset re-aggregation + global aggregate both rewrite
+      val g = global()
+      assert(scanPaths(g).forall(_.contains("gold")))
+      assert(g.collect().toSeq == expGlobal)
+    } finally MaterializedAgg.clear()
+  }
+
+  test("uncovered shapes bail to the source scan, still correct") {
+    val dir = TestSpark.tmpDir("mvagg2")
+    (1 to 500).map(i => (i % 5, s"d${i % 2}", i)).toDF("k", "d", "v")
+      .write.parquet(s"$dir/src")
+    val srcT = spark.read.parquet(s"$dir/src")
+    MaterializedAgg.build(srcT, Seq("k", "d"), Seq("v"))
+      .write.parquet(s"$dir/gold")
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold",
+                             Seq("k", "d"), Seq("v"))
+    try {
+      // filter on a measure: the summary has no row detail to re-filter
+      val f = srcT.filter($"v" > 250).groupBy($"k").agg(sum($"v").as("s"))
+      assert(scanPaths(f).forall(_.contains("src")), scanPaths(f))
+      assert(f.orderBy("k").as[(Int, Long)].collect().toSeq ==
+        (0 until 5).map(k => k ->
+          (251 to 500).filter(_ % 5 == k).map(_.toLong).sum))
+
+      // distinct aggregate: not derivable from the summary
+      val dq = srcT.groupBy($"k").agg(countDistinct($"d").as("nd"))
+      assert(scanPaths(dq).forall(_.contains("src")))
+      assert(dq.orderBy("k").as[(Int, Long)].collect().forall(_._2 == 2))
+
+      // computed grouping key: bail
+      val cg = srcT.groupBy(($"k" + 1).as("k1")).agg(sum($"v").as("s"))
+      assert(scanPaths(cg).forall(_.contains("src")))
+
+      // empty-summary global count comes back 0, matching Count
+      val dir3 = TestSpark.tmpDir("mvagg3")
+      srcT.filter(lit(false)).write.parquet(s"$dir3/src")
+      val empty = spark.read.parquet(s"$dir3/src")
+      MaterializedAgg.build(empty, Seq("k"), Seq("v"))
+        .write.parquet(s"$dir3/gold")
+      MaterializedAgg.register(spark, s"$dir3/src", s"$dir3/gold",
+                               Seq("k"), Seq("v"))
+      val eg = empty.agg(count(lit(1)).as("n"))
+      assert(scanPaths(eg).forall(_.contains("gold")))
+      assert(eg.as[Long].head() == 0L)
+    } finally MaterializedAgg.clear()
+  }
+}
