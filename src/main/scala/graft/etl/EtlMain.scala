@@ -171,9 +171,11 @@ object EtlMain {
     // re-scanning silver (at 100 TB: KBs instead of the fact table).
     // Registration happens here — right after the rebuild — because
     // the rewrite is only sound while summary and source are in sync.
+    // partitioned by date like its source, so incremental runs can
+    // refresh only the dates a batch touched (MaterializedAgg.refresh)
     val summaryPath = s"$warehouse/gold_orders_date_summary"
-    graft.tables.LakehouseTable(spark, summaryPath, Seq.empty).overwrite(
-      graft.plans.MaterializedAgg.build(
+    graft.tables.LakehouseTable(spark, summaryPath, Seq("date"), Seq("date"))
+      .overwrite(graft.plans.MaterializedAgg.build(
         pipe.silverOrders.read, Seq("date"), Seq("total_amount")))
     graft.plans.MaterializedAgg.attach(spark)
     graft.plans.MaterializedAgg.register(spark, pipe.silverOrders.path,

@@ -109,6 +109,36 @@ object MaterializedAgg {
 
   def clear(): Unit = registry.clear()
 
+  /** Partition-scoped summary maintenance: after a source change
+    * touching partition values `changed` (the pipeline knows its
+    * batch's partitions), recompute ONLY those summary partitions and
+    * atomically replace them, then re-register (the cached summary
+    * relation holds a file listing that the swap invalidates). The
+    * summary table must be partitioned by the leading group column,
+    * which must be the source's partition column — the EtlMain layout
+    * (both keyed on `date`). Cost: one pruned scan of the affected
+    * source partitions + the partition swap — O(affected), never a
+    * full rebuild; the incremental twin of the register-after-rebuild
+    * contract. */
+  def refresh(source: graft.tables.LakehouseTable,
+              summary: graft.tables.LakehouseTable,
+              groupCols: Seq[String], measures: Seq[String],
+              changed: Seq[Any]): Unit = {
+    require(summary.partitionCols == Seq(groupCols.head),
+      s"summary must be partitioned by the leading group column " +
+      s"${groupCols.head}, got ${summary.partitionCols}")
+    if (changed.isEmpty) return
+    // deregister FIRST: the rebuild below is itself an Aggregate over
+    // the registered source — left registered, the rewrite rule would
+    // serve it from the stale summary, recomputing the summary from
+    // itself (the classic MV self-reference loop)
+    deregister(source.spark, source.path)
+    val slice = source.read
+      .filter(col(groupCols.head).isInCollection(changed))
+    summary.replacePartitions(build(slice, groupCols, measures))
+    register(source.spark, source.path, summary.path, groupCols, measures)
+  }
+
   /** Attach the rewrite to an existing session (idempotent). */
   def attach(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(Rewrite))

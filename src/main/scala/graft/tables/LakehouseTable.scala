@@ -264,9 +264,18 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       s"partition-scoped upsert requires non-null, non-empty $pc values: $path")
     val affected = read.filter(col(pc).isInCollection(values.toSeq))
     val merged = Upsert.upsert(affected, deduped, pk)
+    swapStagedPartitions(merged)
+  }
+
+  /** Stage `slice` partitioned, then tombstone-swap each of its
+    * partition dirs into the live table. Shared by the merge path
+    * ([[upsertPartitions]]) and the replace path
+    * ([[replacePartitions]]); each partition's swap is atomic. */
+  private def swapStagedPartitions(slice: DataFrame): Unit = {
+    val pc = partitionCols.head
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
-    write(merged, staged)
+    write(slice, staged)
     val children = fs.listStatus(new Path(staged)).toSeq
       .map(_.getPath).filter(_.getName.startsWith(s"$pc="))
     children.foreach { child =>
@@ -275,6 +284,28 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     }
     fs.delete(new Path(staged), true)
     ()
+  }
+
+  /** Partition-scoped REPLACE (Delta `replaceWhere` shape): every
+    * partition value present in `slice` is atomically swapped to
+    * exactly the slice's rows for it; partitions absent from the slice
+    * are untouched. Use this when the caller recomputed whole
+    * partitions (summary refresh, backfill); use [[upsert]] to merge
+    * row-level changes instead. A partition cannot be replaced *to
+    * empty* through this (a value with no rows writes no dir) — that
+    * is a partition drop, a different operation on purpose. */
+  def replacePartitions(slice: DataFrame): Unit = {
+    require(partitionCols.size == 1,
+      s"replacePartitions needs a single-column-partitioned table: $path")
+    repairInterruptedSwaps()
+    invalidateFileStats()
+    val pc = partitionCols.head
+    val values = slice.select(col(pc)).distinct().collect().map(_.get(0))
+    require(!values.contains(null) && !values.contains(""),
+      s"replacePartitions requires non-null, non-empty $pc values: $path")
+    if (values.isEmpty) return
+    if (!exists) { overwrite(slice); return }
+    swapStagedPartitions(slice)
   }
 
   /** Catalog registration (S7): session-catalog external table.

@@ -52,6 +52,35 @@ class MaterializedAggSpec extends AnyFunSuite {
     } finally MaterializedAgg.clear()
   }
 
+  test("partition-scoped refresh keeps a mutating source's summary serving exactly") {
+    val dir = TestSpark.tmpDir("mvrefresh")
+    val src = graft.tables.LakehouseTable(spark, s"$dir/src", Seq("id"), Seq("d"))
+    src.overwrite(Seq((1, "d1", 10), (2, "d1", 20), (3, "d2", 5))
+      .toDF("id", "d", "v"))
+    val goldT = graft.tables.LakehouseTable(spark, s"$dir/gold", Seq("d"), Seq("d"))
+    goldT.overwrite(MaterializedAgg.build(src.read, Seq("d"), Seq("v")))
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, src.path, goldT.path, Seq("d"), Seq("v"))
+    try {
+      def probe() = src.read.groupBy($"d")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      assert(scanPaths(probe()).forall(_.contains("gold")))
+      assert(probe().orderBy("d").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("d1", 30L, 2L), ("d2", 5L, 1L)))
+
+      // a batch touches d1 only: one update, one insert
+      src.upsert(Seq((1, "d1", 100), (4, "d1", 1)).toDF("id", "d", "v"))
+      MaterializedAgg.refresh(src, goldT, Seq("d"), Seq("v"), Seq("d1"))
+      val p2 = probe()
+      assert(scanPaths(p2).forall(_.contains("gold")), scanPaths(p2))
+      assert(p2.orderBy("d").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("d1", 121L, 3L), ("d2", 5L, 1L)))
+      // the untouched partition kept its original summary rows: the
+      // replace swapped only d=d1
+      assert(goldT.read.filter($"d" === "d2").count() == 1)
+    } finally MaterializedAgg.clear()
+  }
+
   test("uncovered shapes bail to the source scan, still correct") {
     val dir = TestSpark.tmpDir("mvagg2")
     (1 to 500).map(i => (i % 5, s"d${i % 2}", i)).toDF("k", "d", "v")
