@@ -131,14 +131,16 @@ object PrefixJoin {
     * Output: (id_a, id_b, jaccard) for all pairs with J ≥ threshold,
     * no blocking key, no quadratic step. */
   def joinAll(docs: DataFrame, idCol: String, toksCol: String,
-              threshold: Double, num: Int, den: Int): DataFrame = {
+              threshold: Double, num: Int, den: Int,
+              literalVocabLimit: Int = 1 << 16): DataFrame = {
     require(num.toDouble / den <= threshold,
       s"prune ratio $num/$den exceeds threshold $threshold")
     NativeFunctions.register(docs.sparkSession)
     // the encoded corpus feeds three consumers (prefix self-join + two
     // verify joins); checkpoint so the dictionary build runs ONCE
     // instead of once per consumer (the DedupClusters pattern)
-    val d = encodeDfAscending(docs, idCol, toksCol).localCheckpoint()
+    val d = encodeDfAscending(docs, idCol, toksCol, literalVocabLimit)
+      .localCheckpoint()
     candidates(d, idCol, num, den)
       .join(d.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
       .join(d.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")

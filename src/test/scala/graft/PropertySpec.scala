@@ -130,21 +130,34 @@ class PropertySpec extends AnyFunSuite {
     for ((seedDocs, si) <- samples(docGen, 3).zipWithIndex) {
       val data = seedDocs.zipWithIndex.map { case (ts, i) => (i, ts.distinct) }
       val docs = data.toDF("doc_id", "toks")
-      for ((num, den) <- Seq((9, 10), (4, 5))) {
+      // vocabLimit 0 forces the DISTRIBUTED dictionary branch
+      // (repartitionByRange + zipWithIndex rank); the default takes
+      // the literal-map fast path — the property must hold on both
+      for ((num, den, vocabLimit) <- Seq((9, 10, 1 << 16), (4, 5, 0))) {
         val t = num.toDouble / den
+        // compare pair SETS exactly but scores by tolerance — exact
+        // equality of two differently-implemented roundings (Spark
+        // decimal HALF_UP vs math.round binary floor(x+.5)) only
+        // holds while union sizes divide 1e6 cleanly, a trap for
+        // anyone enlarging the generator later
         val got = graft.text.PrefixJoin
-          .joinAll(docs, "doc_id", "toks", t, num, den)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6))
-          .as[(Int, Int, Double)].collect().toSet
+          .joinAll(docs, "doc_id", "toks", t, num, den, vocabLimit)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .as[(Int, Int, Double)].collect()
+          .map { case (a, b, j) => (a, b) -> j }.toMap
         val sets = data.map { case (i, ts) => (i, ts.toSet) }
         val want = (for {
           (a, sa) <- sets; (b, sb) <- sets
           if a < b && sa.nonEmpty && sb.nonEmpty
           j = sa.intersect(sb).size.toDouble / sa.union(sb).size
           if j >= t
-        } yield (a, b, math.round(j * 1e6) / 1e6)).toSet
-        assert(got == want,
-          s"seed=$si t=$t missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+        } yield (a, b) -> j).toMap
+        assert(got.keySet == want.keySet,
+          s"seed=$si t=$t missing=${(want.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- want.keySet).take(3)}")
+        want.foreach { case (k, j) =>
+          assert(math.abs(got(k) - j) < 1e-9, s"seed=$si $k: ${got(k)} vs $j")
+        }
       }
     }
   }
