@@ -1271,6 +1271,11 @@ object QueriesText {
         // the same hash, so a collision (if one ever happened) would
         // collide identically in both engines instead of diverging
         val grams = docs
+          // the fixture parquet is single-row-group (unsplittable):
+          // without this shuffle ONE task md5-hashes every window in
+          // the corpus; repartitioned, gram generation parallelizes
+          // across cores (at real scale file splits do this for free)
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
                   posexplode_outer(
                     // the when-guard matters: sequence(1, n-4) on a
@@ -1282,9 +1287,11 @@ object QueriesText {
                                    .cast("binary")))))
                     .as(Seq("pos", "g")))
           .filter(col("g").isNotNull)
+        // "appears in >1 distinct doc" ≡ min(doc)≠max(doc): one plain
+        // min/max pass, no distinct-tracking aggregation state
         val crossDoc = grams.groupBy("g")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") > 1)
+          .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
         val hits = grams.join(crossDoc, Seq("g"), "left_semi")
         // merge overlapping/adjacent [pos, pos+L-1] windows: a new
         // maximal span starts where the gap from the previous window

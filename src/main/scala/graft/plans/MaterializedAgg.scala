@@ -119,7 +119,12 @@ object MaterializedAgg {
     * (both keyed on `date`). Cost: one pruned scan of the affected
     * source partitions + the partition swap — O(affected), never a
     * full rebuild; the incremental twin of the register-after-rebuild
-    * contract. */
+    * contract. Limit inherited from [[graft.tables.LakehouseTable
+    * .replacePartitions]]: a changed partition whose source rows were
+    * ALL deleted produces no replacement rows and would keep its stale
+    * summary — callers with delete-capable sources (CDC apply_changes)
+    * should full-rebuild instead; the e-commerce pipeline's upserts
+    * never delete. */
   def refresh(source: graft.tables.LakehouseTable,
               summary: graft.tables.LakehouseTable,
               groupCols: Seq[String], measures: Seq[String],

@@ -148,6 +148,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p.take(3000))
   }
 
+  test("substring dedup: equi-joins only, windows partition by doc") {
+    val p = planOf(QueriesText.defs("q_substring_dedup").fn(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(3000))
+    // the span merge must never sort globally — every window keys on
+    // doc_id, so per-node state is bounded by one document's grams
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(3000))
+  }
+
   test("oov vocabulary is a TakeOrdered top-k, never a global sort") {
     val p = planOf(QueriesText.defs("q_oov_rate").fn(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))

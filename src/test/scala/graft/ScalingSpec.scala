@@ -28,7 +28,11 @@ class ScalingSpec extends AnyFunSuite {
     // the other quadratic-risk family: banded LSH candidate joins and
     // iterative connected components — both must stay ~linear too
     "q_minhash_neardup",
-    "q_cluster_sizes")
+    "q_cluster_sizes",
+    // gram-explode + per-doc window family: token-count-linear by
+    // construction, and the cross-doc gram join must never fan out
+    "q_cdc_chunks",
+    "q_substring_dedup")
 
   private val MaxRatio = 15.0
 
