@@ -1183,6 +1183,10 @@ object QueriesText {
     "q_cdc_chunks" -> q(
       c => {
         val pos = c.documents
+          // NO pre-explode repartition here (unlike q_substring_dedup):
+          // the very next operator is a window keyed on doc_id whose
+          // shuffle already parallelizes the heavy per-position md5 —
+          // an extra exchange costs what it saves (measured)
           .select(col("doc_id"),
                   posexplode_outer(TF.words(lower(col("text"))))
                     .as(Seq("pos", "word")))

@@ -28,10 +28,16 @@ object Archiver {
           // suffix with the source mtime so the move always completes —
           // silently skipping would leave the file in srcDir forever,
           // re-failing on every run (the 'resumable' contract never
-          // draining)
+          // draining). mtime alone is NOT unique (rsync -t / distcp -p
+          // preserve it across re-deliveries), so fall through to a
+          // random tag rather than crash-looping on the same suffix.
           val mtime = fs.getFileStatus(f).getModificationTime
-          require(fs.rename(f, new Path(dst, s"${f.getName}.$mtime")),
-            s"archive rename failed for $f")
+          val suffixed = new Path(dst, s"${f.getName}.$mtime")
+          val unique =
+            if (!fs.exists(suffixed)) suffixed
+            else new Path(dst, s"${f.getName}.$mtime." +
+              java.util.UUID.randomUUID().toString.take(8))
+          require(fs.rename(f, unique), s"archive rename failed for $f")
         } else require(fs.rename(f, target), s"archive rename failed for $f")
         moved += 1
       }

@@ -187,10 +187,16 @@ object CorpusPipeline {
     // silently dilutes — a 60/64-plane near-dup scored against k=128
     // reads 0.47 and slips into the corpus. Fail loud instead.
     val storedK = existing.select(size(col("sig"))).head().getInt(0)
-    require(storedK == k,
-      s"curated table stores k=$storedK minhash planes but this run " +
-      s"uses k=$k — signature estimates would silently dilute; rerun " +
-      s"with k=$storedK or rebuild the table")
+    if (storedK != k) {
+      // release the cached batch frames before failing: a driver loop
+      // that catches this and moves to the next source must not
+      // accumulate orphaned cached partitions for the session lifetime
+      cand.unpersist(); sampled.unpersist()
+      throw new IllegalArgumentException(
+        s"curated table stores k=$storedK minhash planes but this run " +
+        s"uses k=$k — signature estimates would silently dilute; rerun " +
+        s"with k=$storedK or rebuild the table")
+    }
 
     // 1. exact cross-batch dedup on the stored fingerprints
     val exactNew = cand.join(existing.select("fp"), Seq("fp"), "left_anti")

@@ -62,7 +62,10 @@ object MaterializedAgg {
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          Some(fs.location.rootPaths.map(_.toUri.getPath).toSet)
+          // FULL URI, not .getPath: scheme-stripping would collide
+          // same-pathed tables on different filesystems (hdfs://a vs
+          // file:) and serve one's aggregates from the other's summary
+          Some(fs.location.rootPaths.map(_.toUri.toString).toSet)
         case _ => None
       }
     case _ => None
@@ -198,7 +201,12 @@ object MaterializedAgg {
       val newFilter: Option[Expression] = filterOpt match {
         case None => None
         case Some(cond) =>
-          val ok = cond.references.forall(a => groupAttr(a.name).isDefined)
+          // deterministic is load-bearing: rand() has an EMPTY
+          // reference set (vacuously within the grain) but filters
+          // source ROWS in the original and whole GROUPS after the
+          // rewrite — silently different results
+          val ok = cond.deterministic &&
+            cond.references.forall(a => groupAttr(a.name).isDefined)
           if (!ok) return None
           Some(cond.transform {
             case a: AttributeReference => groupAttr(a.name).get

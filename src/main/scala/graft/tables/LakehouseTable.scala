@@ -300,12 +300,18 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     repairInterruptedSwaps()
     invalidateFileStats()
     val pc = partitionCols.head
-    val values = slice.select(col(pc)).distinct().collect().map(_.get(0))
-    require(!values.contains(null) && !values.contains(""),
-      s"replacePartitions requires non-null, non-empty $pc values: $path")
-    if (values.isEmpty) return
-    if (!exists) { overwrite(slice); return }
-    swapStagedPartitions(slice)
+    // the slice is often an aggregation (summary refresh); persist it
+    // across the two actions here (values collect + staged write) or
+    // that aggregation runs twice
+    val cached = slice.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val values = cached.select(col(pc)).distinct().collect().map(_.get(0))
+      require(!values.contains(null) && !values.contains(""),
+        s"replacePartitions requires non-null, non-empty $pc values: $path")
+      if (values.isEmpty) return
+      if (!exists) { overwrite(cached); return }
+      swapStagedPartitions(cached)
+    } finally { cached.unpersist(); () }
   }
 
   /** Catalog registration (S7): session-catalog external table.

@@ -108,6 +108,18 @@ class MaterializedAggSpec extends AnyFunSuite {
       val cg = srcT.groupBy(($"k" + 1).as("k1")).agg(sum($"v").as("s"))
       assert(scanPaths(cg).forall(_.contains("src")))
 
+      // non-deterministic filter: bail even though rand() references
+      // no column at all — it samples source ROWS in the original but
+      // would sample whole GROUPS after a rewrite. Grouping on every
+      // column keeps ColumnPruning from inserting a Project, so the
+      // Filter sits directly on the scan and the deterministic guard
+      // (not the shape match) is what must reject it. rand() < 0.999,
+      // not < 2.0: Spark constant-folds always-true rand comparisons
+      // away entirely (which would make the rewrite legitimate).
+      val nd = srcT.filter(rand() < 0.999)
+        .groupBy($"k", $"d").agg(sum($"v").as("s"))
+      assert(scanPaths(nd).forall(_.contains("src")), scanPaths(nd))
+
       // empty-summary global count comes back 0, matching Count
       val dir3 = TestSpark.tmpDir("mvagg3")
       srcT.filter(lit(false)).write.parquet(s"$dir3/src")

@@ -52,9 +52,20 @@ class QualityAndOpsSpec extends AnyFunSuite {
     // drain (mtime-suffixed), not silently stall in srcDir forever
     java.nio.file.Files.write(java.nio.file.Paths.get(src, "f1.csv"),
       "x1-redelivered".getBytes)
+    val pinnedMtime = 1700000000000L // rsync -t style preserved mtime
+    assert(new java.io.File(src, "f1.csv").setLastModified(pinnedMtime))
     assert(Archiver.archive(spark, src, dst) == 1)
     assert(new java.io.File(src).list().isEmpty)
     assert(new java.io.File(dst).list().count(_.startsWith("f1.csv")) == 2)
+
+    // and a THIRD delivery with the SAME name and SAME mtime (delivery
+    // tools preserve mtimes) must not crash-loop on the taken suffix
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "f1.csv"),
+      "x1-redelivered-again".getBytes)
+    assert(new java.io.File(src, "f1.csv").setLastModified(pinnedMtime))
+    assert(Archiver.archive(spark, src, dst) == 1)
+    assert(new java.io.File(src).list().isEmpty)
+    assert(new java.io.File(dst).list().count(_.startsWith("f1.csv")) == 3)
   }
 
   test("analyze + clustered rewrite keep data identical and register stats") {
