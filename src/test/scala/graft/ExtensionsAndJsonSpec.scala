@@ -34,6 +34,38 @@ class ExtensionsAndJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects the MV rewrite rule — fires with no attach()") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("extmv")
+    (1 to 100).map(i => (i % 3, i)).toDF("k", "v").write.parquet(s"$dir/src")
+    val srcT = spark.read.parquet(s"$dir/src")
+    graft.plans.MaterializedAgg.build(srcT, Seq("k"), Seq("v"))
+      .write.parquet(s"$dir/gold")
+    graft.plans.MaterializedAgg.register(
+      spark, s"$dir/src", s"$dir/gold", Seq("k"), Seq("v"))
+    try {
+      // injected via spark.sql.extensions only — NO attach() here; the
+      // newSession() clone is the thrift-server / streaming-restart
+      // path that per-session experimental.extraOptimizations misses
+      for (s <- Seq(spark, spark.newSession())) {
+        val q = s.read.parquet(s"$dir/src").groupBy("k")
+          .agg(sum($"v").as("s"))
+        val roots = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString).mkString(",")
+              case _ => ""
+            }
+        }
+        assert(roots.nonEmpty && roots.forall(_.contains("gold")), roots)
+        assert(q.orderBy("k").as[(Int, Long)].collect().toSeq ==
+          (0 until 3).map(k => k -> (1 to 100).filter(_ % 3 == k).map(_.toLong).sum))
+      }
+    } finally graft.plans.MaterializedAgg.clear()
+  }
+
   test("json-lines source: schema'd read, corrupt-record quarantine, column parse") {
     val spark = TestSpark.spark
     import spark.implicits._

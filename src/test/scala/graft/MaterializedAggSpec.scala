@@ -49,6 +49,13 @@ class MaterializedAggSpec extends AnyFunSuite {
       val g = global()
       assert(scanPaths(g).forall(_.contains("gold")))
       assert(g.collect().toSeq == expGlobal)
+
+      // HAVING (a Filter above the Aggregate referencing its output)
+      // works because the rewrite preserves output expression ids
+      val hv = query().filter($"sv" > 1000)
+      assert(scanPaths(hv).forall(_.contains("gold")))
+      assert(hv.orderBy("k").collect().toSeq ==
+        expected.filter(_.getAs[Long]("sv") > 1000))
     } finally MaterializedAgg.clear()
   }
 
