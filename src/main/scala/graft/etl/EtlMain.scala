@@ -174,9 +174,14 @@ object EtlMain {
     // partitioned by date like its source, so incremental runs can
     // refresh only the dates a batch touched (MaterializedAgg.refresh)
     val summaryPath = s"$warehouse/gold_orders_date_summary"
-    graft.tables.LakehouseTable(spark, summaryPath, Seq("date"), Seq("date"))
-      .overwrite(graft.plans.MaterializedAgg.build(
-        pipe.silverOrders.read, Seq("date"), Seq("total_amount")))
+    val summaryT =
+      graft.tables.LakehouseTable(spark, summaryPath, Seq("date"), Seq("date"))
+    summaryT.overwrite(graft.plans.MaterializedAgg.build(
+      pipe.silverOrders.read, Seq("date"), Seq("total_amount")))
+    // analysts can also hit it directly by name — and because the MV
+    // registry keys on the scan's root path, their SQL aggregates over
+    // silver.orders are served from it without knowing it exists
+    summaryT.registerAs("gold.orders_date_summary")
     graft.plans.MaterializedAgg.attach(spark)
     graft.plans.MaterializedAgg.register(spark, pipe.silverOrders.path,
       summaryPath, Seq("date"), Seq("total_amount"))

@@ -62,10 +62,17 @@ object MaterializedAgg {
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          // FULL URI, not .getPath: scheme-stripping would collide
-          // same-pathed tables on different filesystems (hdfs://a vs
-          // file:) and serve one's aggregates from the other's summary
-          Some(fs.location.rootPaths.map(_.toUri.toString).toSet)
+          // keep scheme AND authority (stripping them would collide
+          // same-pathed tables on different filesystems and serve one's
+          // aggregates from the other's summary) but normalize null vs
+          // empty authority: a DataFrame read stringifies as
+          // file:/tmp/x while a catalog LOCATION is file:///tmp/x —
+          // same filesystem, different raw URI strings
+          Some(fs.location.rootPaths.map { p =>
+            val u = p.toUri
+            val auth = Option(u.getAuthority).getOrElse("")
+            s"${Option(u.getScheme).getOrElse("")}://$auth${u.getPath}"
+          }.toSet)
         case _ => None
       }
     case _ => None

@@ -88,6 +88,32 @@ class MaterializedAggSpec extends AnyFunSuite {
     } finally MaterializedAgg.clear()
   }
 
+  test("SQL text through a catalog table name is MV-served too") {
+    val dir = TestSpark.tmpDir("mvsql")
+    val src = graft.tables.LakehouseTable(spark, s"$dir/src", Seq("id"))
+    src.overwrite(Seq((1, "a", 10), (2, "b", 20), (3, "a", 30))
+      .toDF("id", "d", "v"))
+    // the Athena-analyst path: a registered catalog name, plain SQL —
+    // the catalog relation's root path is the same dir, so the rewrite
+    // serves it with zero per-query opt-in
+    src.registerAs("mvsql_src")
+    MaterializedAgg.build(src.read, Seq("d"), Seq("v"))
+      .write.parquet(s"$dir/gold")
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, src.path, s"$dir/gold", Seq("d"), Seq("v"))
+    try {
+      val q = spark.sql(
+        "SELECT d, sum(v) AS sv, count(*) AS n FROM mvsql_src GROUP BY d")
+      assert(scanPaths(q).nonEmpty && scanPaths(q).forall(_.contains("gold")),
+        scanPaths(q))
+      assert(q.orderBy("d").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("a", 40L, 2L), ("b", 20L, 1L)))
+    } finally {
+      MaterializedAgg.clear()
+      spark.sql("DROP TABLE IF EXISTS mvsql_src")
+    }
+  }
+
   test("uncovered shapes bail to the source scan, still correct") {
     val dir = TestSpark.tmpDir("mvagg2")
     (1 to 500).map(i => (i % 5, s"d${i % 2}", i)).toDF("k", "d", "v")
