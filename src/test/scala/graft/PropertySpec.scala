@@ -122,6 +122,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MV rewrite equals the direct aggregation across random data and query shapes") {
+    import graft.plans.MaterializedAgg
+    // random fact rows: small key space forces group collisions, nulls
+    // in the measure exercise count(m)/avg null semantics
+    val rowGen = Gen.listOfN(300, Gen.zip(
+      Gen.chooseNum(0, 4), Gen.oneOf("x", "y", "z"),
+      Gen.option(Gen.chooseNum(-50, 50))))
+    for ((rows, si) <- samples(rowGen, 2).zipWithIndex) {
+      val dir = TestSpark.tmpDir(s"mvprop$si")
+      rows.map { case (k, d, v) => (k, d, v.map(Integer.valueOf).orNull) }
+        .toDF("k", "d", "v").write.parquet(s"$dir/src")
+      val srcT = spark.read.parquet(s"$dir/src")
+      MaterializedAgg.build(srcT, Seq("k", "d"), Seq("v"))
+        .write.parquet(s"$dir/gold")
+      MaterializedAgg.attach(spark)
+
+      val shapes: Seq[org.apache.spark.sql.DataFrame] = Seq(
+        srcT.groupBy($"k", $"d").agg(sum($"v").as("s"), count(lit(1)).as("n")),
+        srcT.groupBy($"k").agg(min($"v").as("mn"), max($"v").as("mx"),
+                               count($"v").as("cv")),
+        srcT.groupBy($"d").agg(avg($"v").as("a"), sum($"v").as("s")),
+        srcT.filter($"d" =!= "z").groupBy($"k").agg(sum($"v").as("s")),
+        srcT.filter($"k" > 1 && $"d" === "x").agg(count(lit(1)).as("n")),
+        srcT.agg(sum($"v").as("s"), avg($"v").as("a"), count($"v").as("c")))
+      def collectAll() = shapes.map(_.collect().map(_.toString).sorted.toSeq)
+
+      MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold",
+                               Seq("k", "d"), Seq("v"))
+      // guard against a vacuous pass: if registration silently failed
+      // to match, rewritten == direct trivially
+      val roots = shapes.head.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.mkString(",")
+            case _ => ""
+          }
+      }
+      assert(roots.exists(_.contains("gold")), s"rewrite never fired: $roots")
+      val rewritten = try collectAll() finally MaterializedAgg.clear()
+      val direct = collectAll()
+      rewritten.zip(direct).zipWithIndex.foreach { case ((r, e), qi) =>
+        assert(r == e, s"seed=$si shape=$qi")
+      }
+    }
+  }
+
   test("PrefixJoin equals brute-force Jaccard on random corpora") {
     // random docs over a small vocabulary (high collision probability:
     // near-dups, exact dups, empty docs, singleton docs all arise);
