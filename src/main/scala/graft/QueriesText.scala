@@ -690,6 +690,52 @@ object QueriesText {
         | SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC, word)
         |   AS BIGINT) AS rk FROM a) WHERE rk <= 20""".stripMargin),
 
+    // ── exact per-source heavy hitters via a Misra-Gries candidate
+    // pass (sketch → exact recount, the two-phase frequent-items plan):
+    // phase 1 runs the custom MisraGries TypedImperativeAggregate —
+    // one O(k)-memory mergeable pass per source whose output is
+    // GUARANTEED to contain every item with frequency > n/(k+1) —
+    // and phase 2 recounts only those ≤k candidates (broadcast
+    // semi-join) and applies the exact threshold. The corpus is never
+    // aggregated at full vocabulary cardinality: at 100 TB the wide
+    // groupBy(word) this replaces is the difference between shuffling
+    // every token and shuffling k counters per source. Output is
+    // exact, so the sketch's partition-order sensitivity is invisible
+    // (candidates are a superset by the deterministic MG bound, and
+    // the recount filter prunes to the true answer). ─────────────────
+    "q_heavy_hitters" -> q(
+      c => {
+        val k = 32
+        graft.functions.NativeFunctions.register(c.spark)
+        val words = c.documents
+          .select(col("source"),
+                  explode_outer(TF.words(col("text"))).as("word"))
+          .filter(col("word").isNotNull)
+        val cand = words.groupBy("source")
+          .agg(graft.functions.NativeFunctions
+                 .heavyHitters(col("word"), k).as("sketch"))
+          .select(col("source"), explode(map_keys(col("sketch"))).as("word"))
+        val counts = words
+          .join(broadcast(cand), Seq("source", "word"), "left_semi")
+          .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+        val totals = words.groupBy("source").agg(count(lit(1)).as("n"))
+        counts.join(totals, "source")
+          .filter(col("cnt") * (k + 1) > col("n"))
+          .select(col("source"), col("word"), col("cnt"))
+      },
+      """WITH w AS (
+        | SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        | FROM documents
+        |), c AS (
+        | SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        | FROM w GROUP BY 1, 2
+        |), t AS (
+        | SELECT source, sum(cnt) AS n FROM c GROUP BY 1
+        |)
+        |SELECT c.source, c.word, c.cnt
+        |FROM c JOIN t USING (source)
+        |WHERE c.cnt * 33 > t.n""".stripMargin),
+
     // stratified deterministic sampling: first 25 docs per language in
     // md5 order — balanced per-class samples, reproducible across
     // engines and partitionings (unlike rand()-based sampleBy).

@@ -501,6 +501,9 @@ object NativeFunctions {
     // registry; surfacing them here reuses the battle-tested codegen'd
     // sketch instead of reimplementing one. Probe side requires a
     // constant or scalar-subquery bloom (Spark's own analysis rule).
+    ("graft_heavy_hitters",
+     "graft_heavy_hitters(item, k) - Misra-Gries k-counter heavy-hitters sketch (map<item,est>)",
+     exprs => MisraGries(exprs.head, exprs(1).eval().asInstanceOf[Int])),
     ("graft_bloom_agg",
      "graft_bloom_agg(xxhash64(x), estItems, numBits) - bloom-filter sketch aggregate (binary)",
      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -542,6 +545,11 @@ object NativeFunctions {
     * allocation-free single merge walk. */
   def sortedJaccard(a: Column, b: Column): Column =
     call_function("graft_jaccard", a, b)
+
+  /** Misra-Gries heavy-hitters sketch (see [[MisraGries]]). */
+  def heavyHitters(item: Column, k: Int): Column =
+    call_function("graft_heavy_hitters", item,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Dictionary-encode a distinct token array into the sorted long
     * array [[SortedJaccard]]'s fast path consumes. */

@@ -85,6 +85,42 @@ class NativeFunctionsSpec extends AnyFunSuite {
     got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
   }
 
+  test("misra-gries: superset + bounded-undercount guarantee on adversarial streams") {
+    NativeFunctions.register(spark)
+    val k = 9
+    // one hot item (40%) drowned in a long tail of singletons — the
+    // shape that evicts counters hardest; interleave so decrements
+    // happen throughout, and repartition so the merge path (subtract
+    // (k+1)-th largest) runs across partial buffers
+    val hot = Seq.fill(400)("HOT")
+    val tail = (1 to 600).map(i => s"t$i")
+    val interleaved = hot.zipWithIndex.map { case (w, i) => (i * 3, w) } ++
+      tail.zipWithIndex.map { case (w, i) => (i * 2 + 1, w) }
+    val df = interleaved.sortBy(_._1).map(_._2).toDF("w").repartition(7)
+    val n = 1000
+    val bound = n / (k + 1) // = 100
+    val sketch = df
+      .agg(NativeFunctions.heavyHitters(col("w"), k).as("s"))
+      .head().getAs[Map[String, Long]]("s")
+    assert(sketch.size <= k)
+    // every item with true freq > n/(k+1) MUST be present
+    assert(sketch.contains("HOT"), sketch)
+    // every estimate undercounts its true frequency by at most bound
+    sketch.foreach { case (item, est) =>
+      val exact = if (item == "HOT") 400L else 1L
+      assert(est <= exact && exact - est <= bound, s"$item est=$est")
+    }
+
+    // several concurrent heavy hitters survive together
+    val multi = (Seq.fill(200)("A") ++ Seq.fill(200)("B") ++
+      Seq.fill(200)("C") ++ (1 to 400).map(i => s"z$i"))
+    val ms = multi.zipWithIndex.sortBy { case (_, i) => i % 97 }.map(_._1)
+      .toDF("w").repartition(5)
+      .agg(NativeFunctions.heavyHitters(col("w"), k).as("s"))
+      .head().getAs[Map[String, Long]]("s")
+    for (h <- Seq("A", "B", "C")) assert(ms.contains(h), ms)
+  }
+
   test("adc_scores rejects an offsets array without the m+1 stride entry") {
     NativeFunctions.register(spark)
     // m=2 codes but only 2 offsets (missing total-stride entry): must
