@@ -674,5 +674,60 @@ object QueriesAnalytics {
         |SELECT (SELECT count(*) FROM s1) AS n_view,
         | (SELECT count(*) FROM s2) AS n_view_click,
         | (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin),
+
+    // ── PageRank over the customer↔part interaction graph (who bought
+    // what), symmetrized so the walk is well-defined — node importance
+    // for sampling weights / crawl priority. The operator is the
+    // textbook distributed power iteration (O(E) shuffle per pass,
+    // checkpointed lineage — see operators.PageRank); the oracle is
+    // the SAME 5 iterations unrolled as chained CTEs, generated by the
+    // loop below so both engines execute the identical IEEE formula
+    // (e0-suffixed literals keep DuckDB in DOUBLE, not DECIMAL).
+    // Ranks are emitted scaled by |V| (≈1.0) and floor-rounded at 1e-6
+    // — the cross-engine sum-order drift after 5 iterations sits ≥6
+    // orders of magnitude below the rounding step. ───────────────────
+    "q_pagerank" -> q(
+      c => {
+        val e0 = c.orders.select(col("o_orderkey"), col("o_custkey"))
+          .join(c.lineitem.select(col("l_orderkey"), col("l_partkey")),
+                col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+                  (col("l_partkey") * 2 + 1).as("dst"))
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val pr = graft.operators.PageRank.run(edges, iters = 5)
+        // |V| is one scalar off a checkpointed O(V) table — model-scale
+        val nNodes = pr.count()
+        pr.select(col("node"), rnd6(col("r") * lit(nNodes)).as("scaled_rank"))
+      }, {
+        val iters = (1 to 5).map { k =>
+          s"""r$k AS (
+             | SELECT e.dst AS node,
+             |  (1e0 - 0.85e0) / nn.n + 0.85e0 * sum(r${k - 1}.r / deg.deg) AS r
+             | FROM e
+             | JOIN r${k - 1} ON e.src = r${k - 1}.node
+             | JOIN deg ON e.src = deg.src
+             | CROSS JOIN nn
+             | GROUP BY e.dst, nn.n
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH e0 AS (
+           | SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |), e AS (
+           | SELECT src, dst FROM e0
+           | UNION
+           | SELECT dst AS src, src AS dst FROM e0
+           |), deg AS (
+           | SELECT src, count(*) AS deg FROM e GROUP BY 1
+           |), nn AS (
+           | SELECT count(*) AS n FROM deg
+           |), r0 AS (
+           | SELECT src AS node, 1e0 / nn.n AS r FROM deg CROSS JOIN nn
+           |), $iters
+           |SELECT node,
+           | floor(r * nn.n * 1000000 + 0.5) / 1000000 AS scaled_rank
+           |FROM r5 CROSS JOIN nn""".stripMargin
+      }),
   )
 }

@@ -5,7 +5,7 @@ import graft.functions.CrossEngine._
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{DedupClusters, MinHashLSH, SimHash, TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1768,5 +1768,94 @@ object QueriesText {
         |   / count(*) * 1000000 + 0.5) / 1000000 AS oov_rate
         |FROM w LEFT JOIN v ON w.word = v.word
         |GROUP BY 1""".stripMargin),
+
+    // ── BM25 ranked retrieval (Robertson–Spärck Jones), the scoring
+    // half of corpus search / hard-negative mining. One pass: a single
+    // groupBy(doc_id) over the exploded token stream computes doc
+    // length AND per-term tf together (map-side partial agg → the
+    // shuffle carries one narrow row per doc, not per token); corpus
+    // stats (N, Σdl, per-term df) reduce that to ONE row that
+    // cross-joins back as a broadcast. No join against a corpus-sized
+    // side, no window. avgdl = exact long Σdl / exact count, and the
+    // score expression is the same left-associated IEEE sequence in
+    // both engines, so scores are bit-identical before the belt-and-
+    // braces rounding; ordering uses the ROUNDED score (+ doc_id) so
+    // the top-k row set is engine-independent even at a tie boundary.
+    // orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    // global sort) — the whole plan is two reduce-style shuffles of
+    // O(docs) narrow rows regardless of corpus size.
+    "q_bm25_topk" -> q(
+      c => {
+        val terms = Seq("spark", "window", "stream")
+        val k1 = 1.2
+        val b  = 0.75
+        val toks = c.documents.select(
+          col("doc_id"),
+          explode(TF.words(lower(col("text")))).as("word"))
+        val perDoc = toks.groupBy("doc_id").agg(
+          count(lit(1)).as("dl"),
+          terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L))
+            .as(s"tf_$t")): _*)
+        val stats = perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("dl")).as("tot_dl") +:
+            terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+              .as(s"df_$t"))): _*)
+        val avgdl = col("tot_dl").cast("double") / col("n_docs")
+        def termScore(t: String): Column = {
+          val tf  = col(s"tf_$t").cast("double")
+          val idf = log((col("n_docs") - col(s"df_$t") + 0.5) /
+                        (col(s"df_$t") + 0.5) + 1.0)
+          // 2.2 as a literal, not k1+1.0: the runtime sum rounds to a
+          // different double than the SQL literal the oracle parses
+          idf * (tf * 2.2) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+        }
+        val scored = perDoc.crossJoin(broadcast(stats))
+          .withColumn("score", rnd6(terms.map(termScore).reduce(_ + _)))
+          .filter(col("score") > 0)
+        scored.orderBy(col("score").desc, col("doc_id"))
+          .select(col("doc_id"), col("score"))
+          .limit(20)
+      },
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        | FROM documents
+        |), d AS (
+        | SELECT doc_id, count(*) AS dl,
+        |  sum(CASE WHEN word = 'spark'  THEN 1 ELSE 0 END) AS tf_spark,
+        |  sum(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS tf_window,
+        |  sum(CASE WHEN word = 'stream' THEN 1 ELSE 0 END) AS tf_stream
+        | FROM t GROUP BY 1
+        |), s AS (
+        | SELECT count(*) AS n_docs, sum(dl) AS tot_dl,
+        |  sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |  sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |  sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+        | FROM d
+        |), sc AS (
+        | SELECT d.doc_id,
+        |  floor((
+        |   ln((s.n_docs - s.df_spark + 0.5) / (s.df_spark + 0.5) + 1.0)
+        |    * (CAST(tf_spark AS DOUBLE) * 2.2)
+        |    / (CAST(tf_spark AS DOUBLE)
+        |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
+        |   + ln((s.n_docs - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0)
+        |    * (CAST(tf_window AS DOUBLE) * 2.2)
+        |    / (CAST(tf_window AS DOUBLE)
+        |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
+        |   + ln((s.n_docs - s.df_stream + 0.5) / (s.df_stream + 0.5) + 1.0)
+        |    * (CAST(tf_stream AS DOUBLE) * 2.2)
+        |    / (CAST(tf_stream AS DOUBLE)
+        |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
+        |  ) * 1000000 + 0.5) / 1000000 AS score
+        | FROM d, s
+        |)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
   )
 }

@@ -89,4 +89,25 @@ class AnalyticsSpec extends AnyFunSuite {
       (1 to 20).map(i => ("b", 5.0 + (i % 3) * 0.1)).toDF("g", "v"), "g", "v")
     assert(clean.isEmpty)
   }
+
+  test("pagerank: mass conserved, hubs outrank leaves, dangling handled") {
+    import graft.operators.PageRank
+    // star: hub 0 <-> leaves 1..8 (symmetric), plus chain 9 -> 0
+    val sym = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L))) :+ ((9L, 0L))
+    val r = PageRank.run(sym.toDF("src", "dst"), iters = 10)
+      .as[(Long, Double)].collect().toMap
+    // node 9 has an out-edge but no in-edge: it keeps only the base mass;
+    // the hub, fed by every leaf, must dominate any leaf
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"rank mass not conserved: ${r.values.sum}")
+    assert(r(0L) > r(1L) && r(1L) > r(9L), r.toString)
+    // directed sink: 0 -> 1, 1 has no out-edges. Without dangling
+    // redistribution node 1's mass would leak and the total would decay
+    // toward (1-d); with it, mass stays exactly 1.
+    val sink = PageRank.run(Seq((0L, 1L)).toDF("src", "dst"), iters = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(sink.values.sum - 1.0) < 1e-9,
+      s"dangling mass leaked: ${sink.values.sum}")
+    assert(sink(1L) > sink(0L), "the sink absorbs the walk, it must outrank")
+  }
 }

@@ -162,4 +162,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("bm25: corpus stats broadcast, top-k heaps, no window, no sort-merge") {
+    val p = planOf(QueriesText.defs("q_bm25_topk").fn(spark, sf))
+    // the 1-row stats side must come back as a broadcast nested-loop
+    // over one row, never a shuffled join against the per-doc table
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-sized join crept into BM25:\n" + p.take(3000))
+  }
 }
