@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
   * co-occurrence / interaction graphs (page importance for crawl
   * prioritization, node weights for sampling curricula).
   *
-  * Shape per iteration (the textbook distributed formulation):
-  * one shuffle-join of the degree-annotated edge list with the current
-  * rank vector on `src`, then one `groupBy(dst)` sum — O(E) shuffled
-  * bytes per iteration, no driver-side state beyond the two scalars
-  * (node count, dangling mass). The edge list is degree-annotated ONCE
-  * and `localCheckpoint`ed so the 5-iteration loop re-reads a
-  * materialized narrow table instead of re-running the
+  * Shape per iteration (the textbook distributed formulation): join
+  * the degree-annotated edge list with the current rank vector on
+  * `src`, then one `groupBy(dst)` sum. The edge list is degree-
+  * annotated ONCE and `localCheckpoint`ed so the iteration loop
+  * re-reads a materialized narrow table instead of re-running the
   * distinct+groupBy lineage every pass (the Lloyd-iteration lesson:
-  * without truncation every iteration replays the whole history).
-  * Rank vectors are checkpointed per iteration for the same reason —
-  * each is O(V) narrow rows.
+  * without truncation every iteration replays the whole history);
+  * rank vectors are checkpointed per iteration for the same reason.
+  * The edge⋈rank join runs in one of two regimes picked ONCE from the
+  * exact node count (see inline comment): broadcast rank (small V —
+  * edges never exchanged at all) or edge-side pre-partitioning (large
+  * V — only the O(V) rank side reshuffles per iteration). Either way
+  * the O(E) side moves at most once for the whole run.
   *
   * Dangling nodes (out-degree 0) have their rank mass redistributed
   * uniformly, the standard correction; on symmetric (undirected)
@@ -40,39 +42,101 @@ object PageRank {
     * @return one row per node: (node: Long, r: Double) after `iters`
     *         iterations of r' = (1-d)/V + d·(Σ_in r/deg + dangling/V).
     */
-  def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
+          maxBroadcastNodes: Long = 500000): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // ONE job materializes the degree-annotated edge list: e appears
+    // twice in the plan (once raw, once under the degree groupBy) but
+    // its exchange is computed once and reused (ReuseExchange — the
+    // two subplans canonicalize identically). Everything downstream
+    // (nodes, dangling set, iterations) reads this materialized
+    // narrow table, never the caller's edge-construction lineage.
     val e = edges
       .select(col("src").cast("long").as("src"),
               col("dst").cast("long").as("dst"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree-annotated edges: the loop's only big operand, built once
-    val withDeg = e.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val n = nodes.count()
+    // laid out by the aggregation key up front: the repartition is one
+    // extra stage inside this same job, and it is exactly the layout
+    // the (common) broadcast regime wants — so that regime needs no
+    // second materialization pass at all
+    val withDegRaw = e.join(deg, "src").repartition(col("dst"))
+      .localCheckpoint()
+    // one union+groupBy pass enumerates the nodes AND classifies each:
+    // has_out=0 → dangling (needs mass redistribution), has_in=0 →
+    // unreachable (needs the left-outer completion join). Folding the
+    // classification in here means no separate distinct / anti-join
+    // jobs over the O(E) table.
+    val nodeTab = withDegRaw
+      .select(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i"))
+      .union(withDegRaw
+        .select(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy("node")
+      .agg(max("o").as("has_out"), max("i").as("has_in"))
+      .localCheckpoint()
+    val n = nodeTab.count()
+    val nodes = nodeTab.select("node")
+    // Join-strategy choice, made ONCE on an exact driver-side statistic
+    // (checkpointed rank vectors are LogicalRDDs — AQE never sees their
+    // size, so compile-time stats would force a sort-merge join even
+    // for a 35k-row rank table). Small V: broadcast the rank vector
+    // each iteration AND pre-partition the edges by the AGGREGATION key
+    // `dst` — the broadcast join preserves that layout, so an iteration
+    // has no exchange at all (partial aggregation is useless here: each
+    // edge partition sees nearly every dst, so the per-iteration
+    // shuffle this removes is O(E), not O(V)). Large V: pre-partition
+    // and sort by the JOIN key `src` instead; iterations then reshuffle
+    // only the O(V) rank side plus the unavoidable dst aggregation.
+    // localCheckpoint preserves partitioning + ordering through
+    // LogicalRDD, so the layout survives into every iteration.
+    val broadcastRanks = n <= maxBroadcastNodes
+    val withDeg =
+      if (broadcastRanks) withDegRaw
+      else withDegRaw.repartition(col("src")).sortWithinPartitions("src")
+        .localCheckpoint()
     val base = (1.0 - damping) / n
-    val outDeg = deg.withColumnRenamed("src", "node")
+    // Both structural facts are STATIC (graph shape, not rank state),
+    // so they are resolved once, driver-side, from the tiny node
+    // table. When there are no dangling nodes — every undirected
+    // graph — the per-iteration dangling-mass job disappears and the
+    // retained formula is bit-identical (c + 0.0 == c in IEEE); when
+    // every node has an in-edge, the contribution table already covers
+    // all nodes and the left-outer completion join disappears too.
+    val flags = nodeTab
+      .agg(min("has_out").as("mo"), min("has_in").as("mi")).collect()(0)
+    val hasDangling = flags.getLong(0) == 0
+    val allHaveIn   = flags.getLong(1) == 1
+    val danglingNodes = nodeTab.filter(col("has_out") === 0).select("node")
 
     var rank = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to iters) {
+      val rankBySrc = rank.withColumnRenamed("node", "src")
       val contrib = withDeg
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(if (broadcastRanks) broadcast(rankBySrc) else rankBySrc, "src")
         .groupBy("dst")
         .agg(sum(col("r") / col("deg")).as("c"))
         .withColumnRenamed("dst", "node")
-      // rank mass parked on out-degree-0 nodes, redistributed uniformly
-      val dangling = rank.join(outDeg, Seq("node"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0)).as("dang"))
-      rank = nodes
-        .join(contrib, Seq("node"), "left_outer")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit(base) + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + col("dang") / n)).as("r"))
-        .localCheckpoint()
+      val withAll = if (allHaveIn) contrib
+                    else nodes.join(contrib, Seq("node"), "left_outer")
+      val cexpr   = if (allHaveIn) col("c")
+                    else coalesce(col("c"), lit(0.0))
+      val next =
+        if (hasDangling) {
+          // rank mass parked on out-degree-0 nodes, redistributed
+          // uniformly; the semi join leaves the strategy to AQE (the
+          // dangling set can be arbitrarily large on crawl graphs)
+          val dangling = rank
+            .join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum("r"), lit(0.0)).as("dang"))
+          withAll.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(base) + lit(damping) *
+                (cexpr + col("dang") / n)).as("r"))
+        } else {
+          withAll.select(col("node"),
+            (lit(base) + lit(damping) * cexpr).as("r"))
+        }
+      rank = next.localCheckpoint()
     }
     rank
   }
