@@ -4,7 +4,7 @@ import graft.Queries.{Q, QueryDef}
 import graft.functions.CrossEngine._
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.{DedupClusters, MinHashLSH, SimHash, TextFunctions => TF}
+import graft.text.{Bpe, DedupClusters, MinHashLSH, SimHash, TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -466,6 +466,35 @@ object QueriesText {
         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS wt,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bt
         | FROM documents) GROUP BY 1""".stripMargin),
+
+    // trained subword tokenizer: BPE merge rules learned from the
+    // corpus's word-frequency dictionary (one shuffle + a capped
+    // collect + a driver loop — the SentencePiece convention; scale
+    // argument in text/Bpe.scala). Iterative training is not
+    // SQL-expressible → rows-only; BpeSpec pins a hand-computed golden
+    // merge sequence, run-to-run determinism, and the encode
+    // round-trip property (concat(tokens) == word for every vocab word).
+    "q_bpe_merges" -> q(
+      c => Bpe.mergesDf(c, Bpe.train(c.documents, col("text"), numMerges = 48))),
+
+    // the corpus encoded with the trained tokenizer: the iterative
+    // merge loop runs once per DISTINCT word (Heaps-law vocab rows),
+    // occurrences get token arrays back via a vocab-side equi-join,
+    // and per-doc sequences reassemble positionally — corpus-side work
+    // is all codegen'd array ops. Rows-only for the same reason as
+    // q_bpe_merges (output depends on the trained merges).
+    "q_bpe_encode" -> q(
+      c => {
+        val merges = Bpe.train(c.documents, col("text"), numMerges = 48)
+        val enc = Bpe.encodeDocs(c.documents, col("doc_id"), col("text"), merges)
+        c.documents.select(col("doc_id"), col("lang")).join(enc, Seq("doc_id"))
+          .withColumn("n_tokens", size(col("tokens")).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_tokens").as("total_bpe_tokens"),
+               rnd4(avg("n_tokens")).as("avg_tokens_per_doc"))
+          .orderBy(col("lang"))
+      }),
 
     // document segmentation: sentence boundaries on [.!?]+ runs —
     // the pre-tokenization step of a text pipeline
