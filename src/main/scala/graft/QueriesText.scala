@@ -3,7 +3,7 @@ package graft
 import graft.Queries.{Q, QueryDef}
 import graft.functions.CrossEngine._
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{DimReduce, Similarity}
 import graft.text.{Bpe, DedupClusters, MinHashLSH, SimHash, TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -962,6 +962,75 @@ object QueriesText {
         | CAST(list_max(qv) AS BIGINT) AS q_max,
         | CAST(list_min(qv) AS BIGINT) AS q_min
         |FROM dz""".stripMargin),
+
+    // PCA over the embedding corpus (the SemDeDup-style reduction
+    // step): one distributed moment pass, driver-side 64x64 Jacobi
+    // eigensolve (model-scale, the PQ-codebook contract), literal
+    // components in a codegen'd projection scan. Iterative eigensolve
+    // isn't one SQL query → rows-only; DimReduceSpec pins golden
+    // eigenpairs, orthonormality, the eigen equation, a local
+    // covariance cross-check, Parseval residuals, and determinism.
+    "q_embed_pca" -> q(
+      c => {
+        val model = DimReduce.fit(c.embeddings, col("embedding"), k = 8)
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val mu = typedlit(model.mean.toSeq)
+        DimReduce.project(c.embeddings, col("embedding"), model, "pc")
+          // residual via Parseval (components orthonormal):
+          // ||x-mu||^2 - sum(pc^2) is the unexplained energy, so the
+          // ratio needs no reconstruction pass
+          .withColumn("centered_sq",
+            aggregate(zip_with(v, mu, (x, m) => (x - m) * (x - m)),
+                      lit(0.0), (a, x) => a + x))
+          .withColumn("pc_sq",
+            aggregate(transform(col("pc"), x => x * x),
+                      lit(0.0), (a, x) => a + x))
+          .select(col("vec_id"),
+            rnd4(element_at(col("pc"), 1)).as("pc1"),
+            rnd4(element_at(col("pc"), 2)).as("pc2"),
+            rnd4(element_at(col("pc"), 3)).as("pc3"),
+            rnd4(element_at(col("pc"), 4)).as("pc4"),
+            rnd4(when(col("centered_sq") === 0, 0.0)
+              .otherwise(greatest(lit(0.0),
+                lit(1.0) - col("pc_sq") / col("centered_sq"))))
+              .as("resid_ratio"),
+            rnd4(lit(model.explained(8))).as("explained8"))
+      }),
+
+    // Johnson-Lindenstrauss sparse random projection (Achlioptas ±1
+    // signs), the data-INDEPENDENT reducer next to PCA. Signs derive
+    // from md5 and embeddings are fixed-pointed (1e4, exact in
+    // doubles), so DuckDB replays the whole projection bit-exactly —
+    // the q_minhash_replay convention applied to dim reduction.
+    "q_jl_project" -> q(
+      c => {
+        val k = 8
+        val signs = DimReduce.jlSigns(k, d = 64)
+        val base = c.embeddings.select(col("vec_id"),
+          transform(col("embedding"),
+            e => floor(e.cast("double") * 10000 + 0.5)).as("iv"))
+        val projs = (0 until k).map { j =>
+          aggregate(zip_with(col("iv"), typedlit(signs(j).toSeq),
+                             (x, s) => x * s),
+                    lit(0.0), (a, x) => a + x).cast("long")
+        }
+        base.select(col("vec_id"), posexplode(array(projs: _*)))
+          .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
+                  col("col").as("proj"))
+      },
+      """WITH signs AS (
+        | SELECT j, [CASE WHEN substr(md5('jl' || j::VARCHAR || '_' || i::VARCHAR), 1, 1)
+        |              BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END
+        |            FOR i IN range(0, 64)] AS s
+        | FROM (SELECT unnest(range(0, 8)) AS j)
+        |), iv AS (
+        | SELECT vec_id,
+        |  [floor(CAST(e AS DOUBLE) * 10000 + 0.5) FOR e IN embedding] AS v
+        | FROM embeddings
+        |)
+        |SELECT iv.vec_id, CAST(s.j AS BIGINT) AS dim_idx,
+        | CAST(list_dot_product(iv.v, s.s) AS BIGINT) AS proj
+        |FROM iv CROSS JOIN signs s""".stripMargin),
 
     // TF-IDF-style keyword extraction (rational idf surrogate
     // tf·N/df — no transcendentals, which differ in the last ulp
