@@ -172,4 +172,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "corpus-sized join crept into BM25:\n" + p.take(3000))
   }
+
+  test("jl projection is map-only: zero exchanges, zero joins") {
+    // the whole point of a data-independent projection: the sign
+    // matrix is a literal, so the query is scan → project → generate —
+    // any Exchange here means the literals regressed to a join
+    val p = planOf(QueriesText.defs("q_jl_project").fn(spark, sf))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("pca projection scan is exchange-free (components are literals)") {
+    val c = Ctx(spark, sf)
+    val model = graft.similarity.DimReduce.fit(
+      c.embeddings, org.apache.spark.sql.functions.col("embedding"), k = 4)
+    val p = planOf(graft.similarity.DimReduce.project(
+      c.embeddings, org.apache.spark.sql.functions.col("embedding"),
+      model, "pc"))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("bpe dictionary cap is a TakeOrdered top-k, never a global sort") {
+    // the training collect is bounded by the PLAN (per-partition heaps),
+    // not by trust: a plain sort+limit would still work at sf0.001 but
+    // single-task the vocabulary at scale
+    val c = Ctx(spark, sf)
+    val p = planOf(graft.text.Bpe.wordDict(
+      c.documents, org.apache.spark.sql.functions.col("text"),
+      maxVocab = 1000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }

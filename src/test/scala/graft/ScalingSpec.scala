@@ -32,7 +32,12 @@ class ScalingSpec extends AnyFunSuite {
     // gram-explode + per-doc window family: token-count-linear by
     // construction, and the cross-doc gram join must never fan out
     "q_cdc_chunks",
-    "q_substring_dedup")
+    "q_substring_dedup",
+    // iterative family: fixed iteration counts, so each pass must stay
+    // O(E) (pagerank) / O(tokens) (bpe vocab join) for the total to
+    // scale linearly
+    "q_pagerank",
+    "q_bpe_encode")
 
   private val MaxRatio = 15.0
 
