@@ -39,6 +39,46 @@ import scala.collection.mutable
   * result set does — only the guarantee is stable), so downstream use
   * must treat it as a candidate superset, never as exact counts.
   */
+object MisraGries {
+  /** One MG update step: fold `item` into a ≤k-counter buffer. Shared
+    * by the batch aggregate below and the streaming per-key state in
+    * [[graft.streaming.HeavyHittersStream]] so the two surfaces cannot
+    * drift. */
+  def offer(buf: mutable.HashMap[String, Long], item: String, k: Int): Unit =
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + 1)
+      case None if buf.size < k => buf.update(item, 1L)
+      case None =>
+        // decrement-all: every tracked item pays one occurrence to
+        // absorb the untracked one; zeros free their slots
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.foreach { case (key, c) =>
+          if (c == 1L) dead += key else buf.update(key, c - 1)
+        }
+        dead.foreach(buf.remove)
+    }
+
+  /** Merge `b` into `a` with the Agarwal-et-al rule: sum counters,
+    * subtract the (k+1)-th largest, drop non-positives — preserves the
+    * n/(k+1) bound across partials. */
+  def mergeInto(a: mutable.HashMap[String, Long],
+                b: collection.Map[String, Long], k: Int): Unit = {
+    b.foreach { case (key, c) =>
+      a.update(key, a.getOrElse(key, 0L) + c)
+    }
+    if (a.size > k) {
+      val counts = a.values.toArray
+      java.util.Arrays.sort(counts)
+      val threshold = counts(counts.length - k - 1)
+      val dead = mutable.ArrayBuffer.empty[String]
+      a.foreach { case (key, c) =>
+        if (c - threshold <= 0L) dead += key else a.update(key, c - threshold)
+      }
+      dead.foreach(a.remove)
+    }
+  }
+}
+
 case class MisraGries(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
@@ -59,40 +99,14 @@ case class MisraGries(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       // UTF8String buffers are reused by the row reader — materialize
-      val item = v.asInstanceOf[UTF8String].toString
-      buf.get(item) match {
-        case Some(c) => buf.update(item, c + 1)
-        case None if buf.size < k => buf.update(item, 1L)
-        case None =>
-          // decrement-all: every tracked item pays one occurrence to
-          // absorb the untracked one; zeros free their slots
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.foreach { case (key, c) =>
-            if (c == 1L) dead += key else buf.update(key, c - 1)
-          }
-          dead.foreach(buf.remove)
-      }
+      MisraGries.offer(buf, v.asInstanceOf[UTF8String].toString, k)
     }
     buf
   }
 
   override def merge(a: mutable.HashMap[String, Long],
                      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (key, c) =>
-      a.update(key, a.getOrElse(key, 0L) + c)
-    }
-    if (a.size > k) {
-      // subtract the (k+1)-th largest count, drop non-positives: the
-      // mergeable-summaries rule that keeps the n/(k+1) bound
-      val counts = a.values.toArray
-      java.util.Arrays.sort(counts)
-      val threshold = counts(counts.length - k - 1)
-      val dead = mutable.ArrayBuffer.empty[String]
-      a.foreach { case (key, c) =>
-        if (c - threshold <= 0L) dead += key else a.update(key, c - threshold)
-      }
-      dead.foreach(a.remove)
-    }
+    MisraGries.mergeInto(a, b, k)
     a
   }
 
