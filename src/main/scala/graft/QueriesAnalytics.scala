@@ -729,5 +729,63 @@ object QueriesAnalytics {
            | floor(r * nn.n * 1000000 + 0.5) / 1000000 AS scaled_rank
            |FROM r5 CROSS JOIN nn""".stripMargin
       }),
+
+    // ── market-basket co-occurrence (the association-rule support/
+    // lift core): part pairs bought together in ≥ 2 orders, scored by
+    // lift = P(a,b) / (P(a)·P(b)). The pair generation self-joins the
+    // distinct (order, part) set ON THE ORDER KEY, so fan-out per
+    // order is (basket size choose 2) — bounded by the largest basket
+    // (~7 in this schema), never corpus-quadratic; the pair
+    // aggregation then shuffles on the high-cardinality (p_a, p_b).
+    // Corpus totals reduce to one broadcast row; part counts join
+    // AFTER pair aggregation, touching only surviving pairs. Top-k by
+    // (support, pair id) → TakeOrderedAndProject, and the float lift
+    // is one identically-parenthesized expression in both engines
+    // before the fixed-point rounding. ───────────────────────────────
+    "q_market_basket" -> q(
+      c => {
+        val items = c.lineitem
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+        val partCnt = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+        val pairs = items.select(col("ok"), col("pk").as("p_a"))
+          .join(items.select(col("ok"), col("pk").as("p_b")), Seq("ok"))
+          .filter(col("p_a") < col("p_b"))
+          .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 2)
+        pairs
+          .join(partCnt.select(col("pk").as("p_a"), col("cnt").as("n_a")),
+                Seq("p_a"))
+          .join(partCnt.select(col("pk").as("p_b"), col("cnt").as("n_b")),
+                Seq("p_b"))
+          .crossJoin(broadcast(nOrders))
+          .withColumn("lift",
+            rnd4(col("n_pair").cast("double") * col("n_orders") /
+                 (col("n_a") * col("n_b"))))
+          .select(col("p_a"), col("p_b"), col("n_pair"),
+                  col("n_a"), col("n_b"), col("lift"))
+          .orderBy(col("n_pair").desc, col("p_a"), col("p_b"))
+          .limit(100)
+      },
+      """WITH it AS (
+        | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), no AS (
+        | SELECT count(DISTINCT ok) AS n_orders FROM it
+        |), pc AS (
+        | SELECT pk, count(*) AS cnt FROM it GROUP BY 1
+        |), pr AS (
+        | SELECT a.pk AS p_a, b.pk AS p_b, count(*) AS n_pair
+        | FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        | GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT pr.p_a, pr.p_b, pr.n_pair, ca.cnt AS n_a, cb.cnt AS n_b,
+        | floor(CAST(pr.n_pair AS DOUBLE) * no.n_orders / (ca.cnt * cb.cnt)
+        |       * 10000 + 0.5) / 10000 AS lift
+        |FROM pr
+        |JOIN pc ca ON ca.pk = pr.p_a
+        |JOIN pc cb ON cb.pk = pr.p_b
+        |CROSS JOIN no
+        |ORDER BY pr.n_pair DESC, pr.p_a, pr.p_b LIMIT 100""".stripMargin),
   )
 }

@@ -61,6 +61,81 @@ object QueriesText {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val wsSql   = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
 
+  /** locate() with a COLUMN needle (the functions-API overloads only
+    * take literal needles): position of `needle` in the constant
+    * `hay`, 1-based, 0 if absent — matches DuckDB strpos(hay, c). */
+  private def locate_col(needle: Column, hay: String): Column =
+    call_function("locate", needle, lit(hay))
+
+  // ── winnowing (k=4-word grams, window w=5) — shared by q_winnow and
+  // q_winnow_overlap so the fingerprint definition lives in one place.
+  private val WinnowK = 4
+  private val WinnowW = 5
+
+  /** doc_id + gram count (full k-grams only: n_words − k + 1, floored
+    * at 0 — docs shorter than k words have none). */
+  private def winnowBase(c: Ctx): DataFrame =
+    c.documents
+      .select(col("doc_id"), TF.words(lower(col("text"))).as("__a"))
+      .select(col("doc_id"),
+              greatest(size(col("__a")).cast("long") - (WinnowK - 1), lit(0L))
+                .as("n_grams"))
+
+  /** Distinct selected fingerprints per doc: `sel` = 32-char gram md5
+    * followed by the zero-padded REVERSED gram position, so the plain
+    * windowed min() realizes min-hash-then-rightmost-position in one
+    * lexicographic compare. Two window passes (gram lag, winnow min)
+    * share the (doc_id, pos) partitioning+sort — one shuffle total. */
+  private def winnowSelected(c: Ctx): DataFrame = {
+    val pos = c.documents
+      .select(col("doc_id"),
+              posexplode_outer(TF.words(lower(col("text"))))
+                .as(Seq("pos", "word")))
+      .filter(col("word").isNotNull)
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val gram = concat_ws(" ",
+      lag(col("word"), 3).over(wOrd), lag(col("word"), 2).over(wOrd),
+      lag(col("word"), 1).over(wOrd), col("word"))
+    pos
+      .withColumn("h", md5(gram.cast("binary")))
+      .filter(col("pos") >= WinnowK - 1)
+      .withColumn("g", col("pos") - (WinnowK - 1))
+      .withColumn("key", concat(col("h"),
+        lpad((lit(999999999) - col("g")).cast("string"), 9, "0")))
+      .withColumn("sel",
+        min(col("key")).over(wOrd.rowsBetween(-(WinnowW - 1), 0)))
+      .filter(col("g") >= WinnowW - 1)
+      .select(col("doc_id"), col("sel"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[winnowSelected]] (CTEs `wd` → `sl`), spliced
+    * into both winnow oracles. */
+  private val winnowSelSql: String =
+    """wd AS (
+      | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      | FROM documents
+      |), p AS (
+      | SELECT doc_id, i - 1 AS pos, a[i] AS word
+      | FROM wd, unnest(generate_series(1, len(a))) AS t(i)
+      |), gh AS (
+      | SELECT doc_id, pos,
+      |  md5(concat_ws(' ', lag(word, 3) OVER win, lag(word, 2) OVER win,
+      |                lag(word, 1) OVER win, word)) AS h
+      | FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |), ky AS (
+      | SELECT doc_id, pos - 3 AS g,
+      |  h || lpad(CAST(999999999 - (pos - 3) AS VARCHAR), 9, '0') AS key
+      | FROM gh WHERE pos >= 3
+      |), sl AS (
+      | SELECT DISTINCT doc_id, sel FROM (
+      |  SELECT doc_id, g,
+      |   min(key) OVER (PARTITION BY doc_id ORDER BY g
+      |                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+      |  FROM ky)
+      | WHERE g >= 4
+      |)""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ── exact dedup + fingerprinting ──────────────────────────────────
@@ -765,6 +840,84 @@ object QueriesText {
         |FROM c JOIN t USING (source)
         |WHERE c.cnt * 33 > t.n""".stripMargin),
 
+    // ── Count-Min sketch (Cormode/Muthukrishnan), d=4 rows × w=256
+    // buckets, probed for point-frequency estimates. Unlike the HLL /
+    // Misra-Gries sketches (rows-only checks), this one is md5-derived
+    // end to end, so the ENTIRE sketch construction and probe replay
+    // exactly in the oracle — a hash-matched sketch. Scale shape: the
+    // token stream first reduces to vocabulary-sized word counts (one
+    // map-side-combined shuffle — the only pass over corpus-scale
+    // data); the ×4 hash-row explode and the 1024-cell sketch build
+    // run on the vocab, and probes join against the ≤1024-row sketch.
+    // The bucket index is two hex chars of md5 mapped through a
+    // 16-char locate() table — the one hex→int path both engines
+    // evaluate identically. Estimates upper-bound true counts by
+    // construction (an empty bucket proves absence → est 0). ─────────
+    "q_cms_estimate" -> q(
+      c => {
+        val hexTab = "0123456789abcdef"
+        val probes = Seq("the", "spark", "window", "data", "stream",
+                         "model", "a", "zzz_absent")
+        def bucket(j: Column, word: Column): Column = {
+          val h = md5(concat(j.cast("string"), lit(":"), word).cast("binary"))
+          (locate_col(substring(h, 1, 1), hexTab) - 1) * 16 +
+            (locate_col(substring(h, 2, 1), hexTab) - 1)
+        }
+        val wc = c.documents
+          .select(explode_outer(TF.words(lower(col("text")))).as("word"))
+          .filter(col("word").isNotNull)
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        val sketch = wc
+          .select(posexplode(transform(sequence(lit(0), lit(3)),
+                    j => bucket(j, col("word")))).as(Seq("j", "bucket")),
+                  col("cnt"))
+          .groupBy("j", "bucket").agg(sum(col("cnt")).as("c"))
+        val probeDf = c.spark.createDataFrame(
+            probes.map(Tuple1.apply)).toDF("word")
+          .select(col("word"),
+                  posexplode(transform(sequence(lit(0), lit(3)),
+                    j => bucket(j, col("word")))).as(Seq("j", "bucket")))
+        val est = probeDf
+          .join(broadcast(sketch), Seq("j", "bucket"), "left_outer")
+          .groupBy("word")
+          .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+        est.join(wc, Seq("word"), "left_outer")
+          .select(col("word"), col("est"),
+                  coalesce(col("cnt"), lit(0L)).as("true_cnt"))
+      },
+      """WITH t AS (
+        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        | FROM documents
+        |), wc AS (
+        | SELECT word, count(*) AS cnt FROM t GROUP BY 1
+        |), hb AS (
+        | SELECT j, (strpos('0123456789abcdef',
+        |             substring(md5(concat(CAST(j AS VARCHAR), ':', word)), 1, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef',
+        |             substring(md5(concat(CAST(j AS VARCHAR), ':', word)), 2, 1)) - 1)
+        |           AS bucket,
+        |        cnt
+        | FROM wc, unnest([0, 1, 2, 3]) AS u(j)
+        |), sk AS (
+        | SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS c
+        | FROM hb GROUP BY 1, 2
+        |), pw AS (
+        | SELECT unnest(['the', 'spark', 'window', 'data', 'stream',
+        |                'model', 'a', 'zzz_absent']) AS word
+        |), pb AS (
+        | SELECT word, j, (strpos('0123456789abcdef',
+        |             substring(md5(concat(CAST(j AS VARCHAR), ':', word)), 1, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef',
+        |             substring(md5(concat(CAST(j AS VARCHAR), ':', word)), 2, 1)) - 1)
+        |           AS bucket
+        | FROM pw, unnest([0, 1, 2, 3]) AS u(j)
+        |), es AS (
+        | SELECT word, min(coalesce(sk.c, 0)) AS est
+        | FROM pb LEFT JOIN sk USING (j, bucket) GROUP BY 1
+        |)
+        |SELECT es.word, es.est, coalesce(wc.cnt, 0) AS true_cnt
+        |FROM es LEFT JOIN wc USING (word)""".stripMargin),
+
     // stratified deterministic sampling: first 25 docs per language in
     // md5 order — balanced per-class samples, reproducible across
     // engines and partitionings (unlike rand()-based sampleBy).
@@ -1392,6 +1545,96 @@ object QueriesText {
         | md5(string_agg(cfp, '|' ORDER BY chunk_id)) AS doc_fp
         |FROM cf JOIN d ON cf.chunk = d.chunk
         |GROUP BY 1""".stripMargin),
+
+    // ── winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // scheme): hash every k-word gram, then in each window of w
+    // consecutive gram hashes select the minimum (rightmost on ties —
+    // encoded by appending the 9-digit REVERSED gram position to the
+    // md5, so one lexicographic min does hash-then-rightmost in a
+    // single windowed min both engines evaluate identically). The
+    // selected set is position-robust: any shared run of ≥ w+k-1
+    // words is guaranteed to contribute a common fingerprint, and
+    // density is ~2/(w+1) of grams regardless of doc length. Both
+    // window passes partition by doc_id and share one sort order, so
+    // the whole per-doc half is ONE shuffle; nothing is
+    // corpus-quadratic. ──────────────────────────────────────────────
+    "q_winnow" -> q(
+      c => {
+        val base = winnowBase(c)
+        val agg = winnowSelected(c).groupBy("doc_id").agg(
+          count(lit(1)).as("n_fps"),
+          md5(concat_ws("|", array_sort(collect_list(col("sel"))))
+            .cast("binary")).as("fps_fp"))
+        base.join(agg, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_grams"),
+                  coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+                  coalesce(col("fps_fp"), md5(lit("").cast("binary")))
+                    .as("fps_fp"))
+      },
+      s"""WITH $winnowSelSql, ag AS (
+        | SELECT doc_id, count(*) AS n_fps,
+        |  md5(string_agg(sel, '|' ORDER BY sel)) AS fps_fp
+        | FROM sl GROUP BY 1
+        |)
+        |SELECT b.doc_id,
+        | greatest(CAST(len(b.a) AS BIGINT) - 3, 0) AS n_grams,
+        | coalesce(ag.n_fps, 0) AS n_fps,
+        | coalesce(ag.fps_fp, md5('')) AS fps_fp
+        |FROM wd b LEFT JOIN ag USING (doc_id)""".stripMargin),
+
+    // ── winnow-based partial-overlap detection (what MOSS does with
+    // the fingerprints): doc pairs sharing ≥ 3 selected hashes, with
+    // containment = shared / smaller fingerprint set. Fingerprints in
+    // > 50 distinct docs are dropped first (the standard
+    // stop-fingerprint rule) — that bound caps every join bucket's
+    // fan-out at 50²/2 pairs per hash, so candidate generation stays
+    // linear in corpus size however common the boilerplate; without
+    // it one hot gram would produce a quadratic bucket. All shuffles
+    // key on the high-cardinality fp or on doc_id. ───────────────────
+    "q_winnow_overlap" -> q(
+      c => {
+        val fps = winnowSelected(c)
+          .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+          .distinct()
+        // fps is distinct (doc_id, fp), so count(*) IS the doc count
+        val keptFp = fps.groupBy("fp")
+          .agg(count(lit(1)).as("nd")).filter(col("nd") <= 50)
+        val kept = fps.join(keptFp.select("fp"), Seq("fp"))
+        val perDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+        val pairs = kept.select(col("fp"), col("doc_id").as("id_a"))
+          .join(kept.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+        pairs
+          .join(perDoc.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")),
+                Seq("id_a"))
+          .join(perDoc.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")),
+                Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+                  rnd4(col("n_shared").cast("double") /
+                       least(col("n_a"), col("n_b"))).as("containment"))
+      },
+      s"""WITH $winnowSelSql, fp AS (
+        | SELECT DISTINCT doc_id, substring(sel, 1, 32) AS fp FROM sl
+        |), kf AS (
+        | SELECT fp FROM (SELECT fp, count(*) AS nd FROM fp GROUP BY 1)
+        | WHERE nd <= 50
+        |), kept AS (
+        | SELECT fp.doc_id, fp.fp FROM fp JOIN kf USING (fp)
+        |), n AS (
+        | SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY 1
+        |), pr AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        | FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT pr.id_a, pr.id_b, pr.n_shared,
+        | floor(CAST(pr.n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp)
+        |       * 10000 + 0.5) / 10000 AS containment
+        |FROM pr
+        |JOIN n na ON na.doc_id = pr.id_a
+        |JOIN n nb ON nb.doc_id = pr.id_b""".stripMargin),
 
     // ── exact duplicated-substring detection (the suffix-array dedup
     // family, Lee et al. 2022 "Deduplicating Training Data Makes

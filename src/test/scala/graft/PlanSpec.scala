@@ -204,4 +204,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("market basket: order-key equi-join, top-k heaps, broadcast totals") {
+    val p = planOf(QueriesAnalytics.defs("q_market_basket").fn(spark, sf))
+    // pair generation must key on the order — a cartesian/nested-loop
+    // here would be corpus-quadratic instead of per-basket-bounded
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 should plan as per-partition heaps\n" + p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"),
+      "the 1-row n_orders total should broadcast\n" + p.take(3000))
+  }
+
+  test("winnow: both window passes share one doc_id shuffle") {
+    val p = planOf(QueriesText.defs("q_winnow").fn(spark, sf))
+    // the gram-hash lag and the winnow min partition AND sort
+    // identically — a second Exchange between them would mean the
+    // window specs drifted apart
+    val exchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"winnow windows re-shuffled on doc_id $exchanges times\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("cms: sketch probe joins broadcast; corpus reduces before the explode") {
+    val p = planOf(QueriesText.defs("q_cms_estimate").fn(spark, sf))
+    // the ≤1024-row sketch must broadcast to the probe side
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the ×4 hash-row Generate must consume the AGGREGATED vocab (its
+    // formatted-explain Input list carries the count column), not the
+    // raw token stream — the corpus-scale pass happens exactly once
+    val sketchGen = "(?s)\\) Generate[^(]*?Input \\[\\d+\\]: \\[[^\\]]*cnt".r
+    assert(sketchGen.findFirstIn(p).isDefined,
+      "sketch explode must consume the aggregated vocab\n" + p.take(3000))
+  }
 }
