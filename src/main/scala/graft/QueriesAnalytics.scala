@@ -787,5 +787,152 @@ object QueriesAnalytics {
         |JOIN pc cb ON cb.pk = pr.p_b
         |CROSS JOIN no
         |ORDER BY pr.n_pair DESC, pr.p_a, pr.p_b LIMIT 100""".stripMargin),
+
+    // ── exponentially-weighted moving average (half-life smoothing)
+    // of per-supplier monthly revenue, J=10 periods deep. Cross-engine
+    // float trap avoided by construction: weights are 2^(J−d) — exact
+    // integers — over fixed-point revenue units, so numerator and
+    // denominator are ORDER-INDEPENDENT integer sums (a pow(0.5,d)
+    // float formulation would differ per summation order). The window
+    // arithmetic is an explode-by-11 + equi-join on (supplier, month):
+    // fan-out is the constant J+1, never data-sized, and the heavy
+    // input was already reduced to supplier×month aggregate rows by a
+    // map-side-combined groupBy. Calendar gaps contribute nothing to
+    // either sum (the join drops absent months) — decay is by
+    // calendar distance over observed months. ────────────────────────
+    "q_ewma" -> q(
+      c => {
+        val J = 10
+        val monthly = c.lineitem
+          .withColumn("mi", (year(col("l_shipdate")) * 12 +
+                             month(col("l_shipdate"))).cast("long"))
+          .groupBy(col("l_suppkey").as("suppkey"), col("mi"))
+          .agg(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+                     .cast("long")).as("cents"))
+        val exploded = monthly
+          .select(col("suppkey"), col("cents"),
+                  explode(sequence(lit(0L), lit(J.toLong))).as("d"),
+                  col("mi"))
+          .select(col("suppkey"), (col("mi") + col("d")).as("mi_t"),
+                  col("cents"), col("d"))
+        val weight = pow(lit(2.0), (lit(J.toLong) - col("d")).cast("double"))
+          .cast("long")
+        val smoothed = exploded
+          .join(monthly.select(col("suppkey"), col("mi").as("mi_t")),
+                Seq("suppkey", "mi_t"))
+          .groupBy(col("suppkey"), col("mi_t"))
+          .agg(sum(col("cents") * weight).as("num"), sum(weight).as("den"))
+        smoothed.select(
+          col("suppkey"),
+          format_string("%04d-%02d",
+            floor((col("mi_t") - 1) / lit(12.0)).cast("int"),
+            (col("mi_t") - floor((col("mi_t") - 1) / lit(12.0)) * 12).cast("int"))
+            .as("ym"),
+          rnd4(col("num").cast("double") / (col("den") * lit(10000.0)))
+            .as("ewma"))
+      },
+      """WITH m AS (
+        | SELECT l_suppkey AS suppkey,
+        |  CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |      AS BIGINT)) AS cents
+        | FROM lineitem GROUP BY 1, 2
+        |), e AS (
+        | SELECT suppkey, mi + d AS mi_t, cents, d
+        | FROM m, unnest(generate_series(0, 10)) AS t(d)
+        |), j AS (
+        | SELECT e.suppkey, e.mi_t,
+        |  CAST(sum(e.cents * CAST(power(2, 10 - e.d) AS BIGINT)) AS BIGINT)
+        |    AS num,
+        |  CAST(sum(CAST(power(2, 10 - e.d) AS BIGINT)) AS BIGINT) AS den
+        | FROM e JOIN (SELECT suppkey, mi FROM m) t2
+        |   ON e.suppkey = t2.suppkey AND e.mi_t = t2.mi
+        | GROUP BY 1, 2
+        |)
+        |SELECT suppkey,
+        | printf('%04d-%02d', CAST(floor((mi_t - 1) / 12.0) AS INT),
+        |        CAST(mi_t - floor((mi_t - 1) / 12.0) * 12 AS INT)) AS ym,
+        | floor(CAST(num AS DOUBLE) / (den * 10000.0) * 10000 + 0.5) / 10000
+        |   AS ewma
+        |FROM j""".stripMargin),
+
+    // ── triangle counting on the co-purchase graph (parts linked when
+    // ≥ 2 orders contain both) via DEGREE-ORDERED orientation — the
+    // standard distributed algorithm: orient every edge from the
+    // (degree, id)-smaller endpoint to the larger, enumerate wedges as
+    // out-neighbor pairs of each source, and close them against the
+    // oriented edge list. Orientation bounds every out-degree by
+    // O(√|E|) regardless of hub skew (a raw neighbor self-join would
+    // square the hub degree), so wedge generation — the only fan-out —
+    // is O(|E|^1.5) worst-case and each triangle is counted exactly
+    // once, with no post-hoc /3. The oracle closes the canonical
+    // a<b<c triple-join directly. ────────────────────────────────────
+    "q_triangles" -> q(
+      c => {
+        val items = c.lineitem
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = items.select(col("ok"), col("pk").as("p_a"))
+          .join(items.select(col("ok"), col("pk").as("p_b")), Seq("ok"))
+          .filter(col("p_a") < col("p_b"))
+          .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select("p_a", "p_b")
+        val deg = edges.select(explode(array(col("p_a"), col("p_b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val withDeg = edges
+          .join(deg.select(col("node").as("p_a"), col("deg").as("deg_a")), Seq("p_a"))
+          .join(deg.select(col("node").as("p_b"), col("deg").as("deg_b")), Seq("p_b"))
+        // orient by (deg, id): struct compare gives the lexicographic order
+        val aFirst = struct(col("deg_a"), col("p_a")) < struct(col("deg_b"), col("p_b"))
+        val oriented = withDeg.select(
+          when(aFirst, col("p_a")).otherwise(col("p_b")).as("src"),
+          when(aFirst, col("p_b")).otherwise(col("p_a")).as("dst"),
+          when(aFirst, struct(col("deg_b").as("d"), col("p_b").as("n")))
+            .otherwise(struct(col("deg_a").as("d"), col("p_a").as("n")))
+            .as("dord"))
+        val wedges = oriented.select(col("src"), col("dst").as("b"), col("dord").as("bord"))
+          .join(oriented.select(col("src"), col("dst").as("c1"), col("dord").as("cord")),
+                Seq("src"))
+          .filter(col("bord") < col("cord"))
+        val closed = wedges.join(
+          oriented.select(col("src").as("b"), col("dst").as("c1")),
+          Seq("b", "c1"), "left_semi")
+        val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+        val nWedge = deg.agg(
+          sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"),
+          count(lit(1)).as("n_nodes"))
+        val nEdge = edges.agg(count(lit(1)).as("n_edges"))
+        nTri.crossJoin(nWedge).crossJoin(nEdge)
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+                  col("n_triangles"),
+                  rnd4(col("n_triangles") * lit(3.0) / col("n_wedges"))
+                    .as("clustering"))
+      },
+      """WITH it AS (
+        | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), ed AS (
+        | SELECT a.pk AS p_a, b.pk AS p_b
+        | FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        | GROUP BY 1, 2 HAVING count(*) >= 2
+        |), dg AS (
+        | SELECT node, count(*) AS deg FROM (
+        |  SELECT p_a AS node FROM ed UNION ALL SELECT p_b FROM ed)
+        | GROUP BY 1
+        |), tri AS (
+        | SELECT count(*) AS n_triangles
+        | FROM ed e1 JOIN ed e2 ON e1.p_b = e2.p_a
+        |      JOIN ed e3 ON e3.p_a = e1.p_a AND e3.p_b = e2.p_b
+        |), wn AS (
+        | SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+        |  count(*) AS n_nodes
+        | FROM dg
+        |), en AS (
+        | SELECT count(*) AS n_edges FROM ed
+        |)
+        |SELECT wn.n_nodes, en.n_edges, wn.n_wedges, tri.n_triangles,
+        | floor(tri.n_triangles * 3.0 / wn.n_wedges * 10000 + 0.5) / 10000
+        |   AS clustering
+        |FROM tri CROSS JOIN wn CROSS JOIN en""".stripMargin),
   )
 }

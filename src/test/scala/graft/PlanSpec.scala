@@ -239,4 +239,24 @@ class PlanSpec extends AnyFunSuite {
     assert(sketchGen.findFirstIn(p).isDefined,
       "sketch explode must consume the aggregated vocab\n" + p.take(3000))
   }
+
+  test("ewma: constant-fanout explode+equi-join — no window, no cartesian") {
+    val p = planOf(QueriesAnalytics.defs("q_ewma").fn(spark, sf))
+    // the decay arithmetic must stay the J+1-fanout explode + join on
+    // (supplier, month): a Window formulation would per-partition sort
+    // the whole fact table; a non-equi range join would nested-loop
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // and the explode consumes the supplier x month AGGREGATE, not the scan
+    val aggGen = "(?s)\\) Generate[^(]*?Input \\[\\d+\\]: \\[[^\\]]*cents".r
+    assert(aggGen.findFirstIn(p).isDefined,
+      "ewma explode must consume the monthly aggregate\n" + p.take(3000))
+  }
+
+  test("triangles: equi-join wedges + semi-join closure, no cartesian blowup") {
+    val p = planOf(QueriesAnalytics.defs("q_triangles").fn(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // triangle closure is a semi-join against the oriented edge list
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
 }

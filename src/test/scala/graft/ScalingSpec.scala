@@ -37,7 +37,14 @@ class ScalingSpec extends AnyFunSuite {
     // O(E) (pagerank) / O(tokens) (bpe vocab join) for the total to
     // scale linearly
     "q_pagerank",
-    "q_bpe_encode")
+    "q_bpe_encode",
+    // pair-generation family: winnow overlap must stay bounded by the
+    // stop-fingerprint rule, triangles by the degree orientation, and
+    // market basket by basket size — each has a quadratic failure mode
+    // one careless edit away
+    "q_winnow_overlap",
+    "q_triangles",
+    "q_market_basket")
 
   private val MaxRatio = 15.0
 
