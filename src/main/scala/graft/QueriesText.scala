@@ -1593,13 +1593,22 @@ object QueriesText {
     // key on the high-cardinality fp or on doc_id. ───────────────────
     "q_winnow_overlap" -> q(
       c => {
+        // localCheckpoint: fps feeds FOUR downstream branches (stop-fp
+        // count, kept join, both pair sides via kept, per-doc totals)
+        // whose differing pushed-down projections defeat ReuseExchange
+        // — without it the corpus-scale token+window pipeline executes
+        // up to 8x (16 Window nodes in the uncheckpointed plan). The
+        // checkpoint pins the fingerprint set (corpus-fingerprint-
+        // sized, ~0.3 rows/gram) and every branch reads THAT.
         val fps = winnowSelected(c)
           .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
           .distinct()
+          .localCheckpoint()
         // fps is distinct (doc_id, fp), so count(*) IS the doc count
         val keptFp = fps.groupBy("fp")
           .agg(count(lit(1)).as("nd")).filter(col("nd") <= 50)
         val kept = fps.join(keptFp.select("fp"), Seq("fp"))
+          .localCheckpoint()
         val perDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
         val pairs = kept.select(col("fp"), col("doc_id").as("id_a"))
           .join(kept.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
@@ -2126,77 +2135,147 @@ object QueriesText {
     // global sort) — the whole plan is two reduce-style shuffles of
     // O(docs) narrow rows regardless of corpus size.
     "q_bm25_topk" -> q(
-      c => {
-        val terms = Seq("spark", "window", "stream")
-        val k1 = 1.2
-        val b  = 0.75
-        val toks = c.documents.select(
-          col("doc_id"),
-          explode(TF.words(lower(col("text")))).as("word"))
-        val perDoc = toks.groupBy("doc_id").agg(
-          count(lit(1)).as("dl"),
-          terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L))
-            .as(s"tf_$t")): _*)
-        val stats = perDoc.agg(
-          count(lit(1)).as("n_docs"),
-          (sum(col("dl")).as("tot_dl") +:
-            terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
-              .as(s"df_$t"))): _*)
-        val avgdl = col("tot_dl").cast("double") / col("n_docs")
-        def termScore(t: String): Column = {
-          val tf  = col(s"tf_$t").cast("double")
-          val idf = log((col("n_docs") - col(s"df_$t") + 0.5) /
-                        (col(s"df_$t") + 0.5) + 1.0)
-          // 2.2 as a literal, not k1+1.0: the runtime sum rounds to a
-          // different double than the SQL literal the oracle parses
-          idf * (tf * 2.2) /
-            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-        }
-        val scored = perDoc.crossJoin(broadcast(stats))
-          .withColumn("score", rnd6(terms.map(termScore).reduce(_ + _)))
-          .filter(col("score") > 0)
-        scored.orderBy(col("score").desc, col("doc_id"))
-          .select(col("doc_id"), col("score"))
-          .limit(20)
-      },
-      """WITH t AS (
-        | SELECT doc_id,
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
-        | FROM documents
-        |), d AS (
-        | SELECT doc_id, count(*) AS dl,
-        |  sum(CASE WHEN word = 'spark'  THEN 1 ELSE 0 END) AS tf_spark,
-        |  sum(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS tf_window,
-        |  sum(CASE WHEN word = 'stream' THEN 1 ELSE 0 END) AS tf_stream
-        | FROM t GROUP BY 1
-        |), s AS (
-        | SELECT count(*) AS n_docs, sum(dl) AS tot_dl,
-        |  sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
-        |  sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
-        |  sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
-        | FROM d
-        |), sc AS (
-        | SELECT d.doc_id,
-        |  floor((
-        |   ln((s.n_docs - s.df_spark + 0.5) / (s.df_spark + 0.5) + 1.0)
-        |    * (CAST(tf_spark AS DOUBLE) * 2.2)
-        |    / (CAST(tf_spark AS DOUBLE)
-        |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
-        |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
-        |   + ln((s.n_docs - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0)
-        |    * (CAST(tf_window AS DOUBLE) * 2.2)
-        |    / (CAST(tf_window AS DOUBLE)
-        |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
-        |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
-        |   + ln((s.n_docs - s.df_stream + 0.5) / (s.df_stream + 0.5) + 1.0)
-        |    * (CAST(tf_stream AS DOUBLE) * 2.2)
-        |    / (CAST(tf_stream AS DOUBLE)
-        |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
-        |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
-        |  ) * 1000000 + 0.5) / 1000000 AS score
-        | FROM d, s
-        |)
+      c => bm25Scored(c).orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("score"))
+        .limit(20),
+      s"""WITH $bm25CteSql
         |SELECT doc_id, score FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // ── hybrid retrieval: reciprocal-rank fusion (Cormack et al.) of
+    // the lexical BM25 arm and the semantic embedding-cosine arm, the
+    // standard way modern search stacks combine sparse and dense
+    // retrieval. Both arms produce ENGINE-INDEPENDENT rank lists
+    // (ranks assigned on ROUNDED scores with id tie-breaks), so the
+    // fused 1/(60+r) scores are bit-identical across engines. Each
+    // arm's scale story is its own operator's (BM25: two reduce
+    // shuffles; cosine: broadcast single query); the fusion itself
+    // joins two ≤30-row lists. vec_id ≡ doc_id in the fixture (one
+    // embedding per document). ───────────────────────────────────────
+    "q_rrf_fusion" -> q(
+      c => {
+        val kRrf = 60
+        val lex = bm25Scored(c)
+          .orderBy(col("score").desc, col("doc_id")).limit(30)
+        val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+        val lexRank = lex.withColumn("rl", row_number().over(wLex).cast("long"))
+          .select(col("doc_id"), col("rl"))
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        val semRank = Similarity
+          .bruteForceTopK(all.filter(col("id") === 0), all, k = 30, rnd6)
+          .select(col("vec_id").as("doc_id"), col("rn").cast("long").as("rs"))
+        lexRank.join(semRank, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", rnd6(
+            coalesce(lit(1.0) / (col("rl") + kRrf), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rs") + kRrf), lit(0.0))))
+          .select(col("doc_id"), coalesce(col("rl"), lit(0L)).as("rl"),
+                  coalesce(col("rs"), lit(0L)).as("rs"), col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH $bm25CteSql, lex AS (
+        | SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |   AS BIGINT) AS rl
+        | FROM (SELECT * FROM sc WHERE score > 0
+        |       ORDER BY score DESC, doc_id LIMIT 30)
+        |), n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) nrm
+        | FROM embeddings
+        |), qy AS (SELECT * FROM n WHERE vec_id = 0),
+        |sem AS (
+        | SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS rs FROM (
+        |  SELECT c.vec_id,
+        |   row_number() OVER (ORDER BY
+        |     floor(list_dot_product(qy.v, c.v) / (qy.nrm * c.nrm)
+        |           * 1000000 + 0.5) / 1000000 DESC, c.vec_id) AS rn
+        |  FROM qy JOIN n c ON c.vec_id <> qy.vec_id)
+        | WHERE rn <= 30
+        |)
+        |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        | coalesce(lex.rl, 0) AS rl, coalesce(sem.rs, 0) AS rs,
+        | floor((coalesce(1e0 / (lex.rl + 60), 0e0) +
+        |        coalesce(1e0 / (sem.rs + 60), 0e0)) * 1000000 + 0.5)
+        |   / 1000000 AS rrf
+        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
   )
+
+  /** BM25 (k1=1.2, b=0.75) scores for the fixed probe terms — shared
+    * by q_bm25_topk and the RRF fusion. One groupBy(doc_id) pass over
+    * the token stream (doc length and per-term tf together), corpus
+    * stats reduced to ONE broadcast row; the score expression is the
+    * same left-associated IEEE sequence the oracle parses. */
+  private def bm25Scored(c: Ctx): DataFrame = {
+    val terms = Seq("spark", "window", "stream")
+    val k1 = 1.2
+    val b  = 0.75
+    val toks = c.documents.select(
+      col("doc_id"),
+      explode(TF.words(lower(col("text")))).as("word"))
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L))
+        .as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("tot_dl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+          .as(s"df_$t"))): _*)
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    def termScore(t: String): Column = {
+      val tf  = col(s"tf_$t").cast("double")
+      val idf = log((col("n_docs") - col(s"df_$t") + 0.5) /
+                    (col(s"df_$t") + 0.5) + 1.0)
+      // 2.2 as a literal, not k1+1.0: the runtime sum rounds to a
+      // different double than the SQL literal the oracle parses
+      idf * (tf * 2.2) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", rnd6(terms.map(termScore).reduce(_ + _)))
+      .filter(col("score") > 0)
+  }
+
+  /** DuckDB twin of [[bm25Scored]] (CTEs `t` → `sc`). Lazy: `defs`
+    * above interpolates it during object init, before a plain val
+    * this far down would have been assigned. */
+  private lazy val bm25CteSql: String =
+    """t AS (
+      | SELECT doc_id,
+      |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      | FROM documents
+      |), d AS (
+      | SELECT doc_id, count(*) AS dl,
+      |  sum(CASE WHEN word = 'spark'  THEN 1 ELSE 0 END) AS tf_spark,
+      |  sum(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS tf_window,
+      |  sum(CASE WHEN word = 'stream' THEN 1 ELSE 0 END) AS tf_stream
+      | FROM t GROUP BY 1
+      |), s AS (
+      | SELECT count(*) AS n_docs, sum(dl) AS tot_dl,
+      |  sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+      |  sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+      |  sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+      | FROM d
+      |), sc AS (
+      | SELECT d.doc_id,
+      |  floor((
+      |   ln((s.n_docs - s.df_spark + 0.5) / (s.df_spark + 0.5) + 1.0)
+      |    * (CAST(tf_spark AS DOUBLE) * 2.2)
+      |    / (CAST(tf_spark AS DOUBLE)
+      |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
+      |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
+      |   + ln((s.n_docs - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0)
+      |    * (CAST(tf_window AS DOUBLE) * 2.2)
+      |    / (CAST(tf_window AS DOUBLE)
+      |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
+      |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
+      |   + ln((s.n_docs - s.df_stream + 0.5) / (s.df_stream + 0.5) + 1.0)
+      |    * (CAST(tf_stream AS DOUBLE) * 2.2)
+      |    / (CAST(tf_stream AS DOUBLE)
+      |       + 1.2 * (1.0 - 0.75 + 0.75 * dl
+      |                / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))
+      |  ) * 1000000 + 0.5) / 1000000 AS score
+      | FROM d, s
+      |)""".stripMargin
 }
