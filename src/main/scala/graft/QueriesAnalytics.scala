@@ -744,11 +744,17 @@ object QueriesAnalytics {
     // before the fixed-point rounding. ───────────────────────────────
     "q_market_basket" -> q(
       c => {
+        // localCheckpoint: items feeds FOUR branches (totals, part
+        // counts, both pair sides) whose pushed-down projections defeat
+        // ReuseExchange — the distinct shuffle would otherwise run 4x.
+        // Materializing it once costs what one of those shuffles spills.
         val items = c.lineitem
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .localCheckpoint()
         val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
         val partCnt = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         val pairs = items.select(col("ok"), col("pk").as("p_a"))
           .join(items.select(col("ok"), col("pk").as("p_b")), Seq("ok"))
           .filter(col("p_a") < col("p_b"))
@@ -803,12 +809,16 @@ object QueriesAnalytics {
     "q_ewma" -> q(
       c => {
         val J = 10
+        // localCheckpoint: monthly feeds both the exploded side and the
+        // observed-month join target — without it the lineitem scan +
+        // groupBy run twice. monthly is supplier×month-sized.
         val monthly = c.lineitem
           .withColumn("mi", (year(col("l_shipdate")) * 12 +
                              month(col("l_shipdate"))).cast("long"))
           .groupBy(col("l_suppkey").as("suppkey"), col("mi"))
           .agg(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
                      .cast("long")).as("cents"))
+          .localCheckpoint()
         val exploded = monthly
           .select(col("suppkey"), col("cents"),
                   explode(sequence(lit(0L), lit(J.toLong))).as("d"),
@@ -869,17 +879,24 @@ object QueriesAnalytics {
     // a<b<c triple-join directly. ────────────────────────────────────
     "q_triangles" -> q(
       c => {
+        // localCheckpoints: every named stage here has 2-4 consumers
+        // whose projections defeat ReuseExchange; uncheckpointed, the
+        // lineitem distinct + pair self-join would re-execute per
+        // branch. edges/deg/oriented are pair- and node-set-sized.
         val items = c.lineitem
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .localCheckpoint()
         val edges = items.select(col("ok"), col("pk").as("p_a"))
           .join(items.select(col("ok"), col("pk").as("p_b")), Seq("ok"))
           .filter(col("p_a") < col("p_b"))
           .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_co"))
           .filter(col("n_co") >= 2)
           .select("p_a", "p_b")
+          .localCheckpoint()
         val deg = edges.select(explode(array(col("p_a"), col("p_b"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
         val withDeg = edges
           .join(deg.select(col("node").as("p_a"), col("deg").as("deg_a")), Seq("p_a"))
           .join(deg.select(col("node").as("p_b"), col("deg").as("deg_b")), Seq("p_b"))
@@ -891,6 +908,7 @@ object QueriesAnalytics {
           when(aFirst, struct(col("deg_b").as("d"), col("p_b").as("n")))
             .otherwise(struct(col("deg_a").as("d"), col("p_a").as("n")))
             .as("dord"))
+          .localCheckpoint()
         val wedges = oriented.select(col("src"), col("dst").as("b"), col("dord").as("bord"))
           .join(oriented.select(col("src"), col("dst").as("c1"), col("dord").as("cord")),
                 Seq("src"))

@@ -815,15 +815,23 @@ object QueriesText {
           .select(col("source"),
                   explode_outer(TF.words(col("text"))).as("word"))
           .filter(col("word").isNotNull)
+        // the sketch pass emits the per-source total n ALONGSIDE the MG
+        // sketch (one aggregate, two outputs), so the exact threshold
+        // needs no third pass over the token stream: phase 1 = sketch +
+        // totals together, phase 2 = candidate recount. cand is
+        // ≤|sources| rows — checkpointed so its two consumers don't
+        // each re-run the corpus aggregate.
         val cand = words.groupBy("source")
           .agg(graft.functions.NativeFunctions
-                 .heavyHitters(col("word"), k).as("sketch"))
+                 .heavyHitters(col("word"), k).as("sketch"),
+               count(lit(1)).as("n"))
+          .localCheckpoint()
+        val candWords = cand
           .select(col("source"), explode(map_keys(col("sketch"))).as("word"))
         val counts = words
-          .join(broadcast(cand), Seq("source", "word"), "left_semi")
+          .join(broadcast(candWords), Seq("source", "word"), "left_semi")
           .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
-        val totals = words.groupBy("source").agg(count(lit(1)).as("n"))
-        counts.join(totals, "source")
+        counts.join(broadcast(cand.select(col("source"), col("n"))), "source")
           .filter(col("cnt") * (k + 1) > col("n"))
           .select(col("source"), col("word"), col("cnt"))
       },
@@ -863,10 +871,15 @@ object QueriesText {
           (locate_col(substring(h, 1, 1), hexTab) - 1) * 16 +
             (locate_col(substring(h, 2, 1), hexTab) - 1)
         }
+        // localCheckpoint: wc feeds both the sketch build and the
+        // true-count probe join; without it the corpus token pass runs
+        // twice (ReuseExchange can't match the differing projections).
+        // wc is vocabulary-sized.
         val wc = c.documents
           .select(explode_outer(TF.words(lower(col("text")))).as("word"))
           .filter(col("word").isNotNull)
           .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         val sketch = wc
           .select(posexplode(transform(sequence(lit(0), lit(3)),
                     j => bucket(j, col("word")))).as(Seq("j", "bucket")),
@@ -2217,11 +2230,6 @@ object QueriesText {
       count(lit(1)).as("dl"),
       terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L))
         .as(s"tf_$t")): _*)
-    val stats = perDoc.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).as("tot_dl") +:
-        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
-          .as(s"df_$t"))): _*)
     val avgdl = col("tot_dl").cast("double") / col("n_docs")
     def termScore(t: String): Column = {
       val tf  = col(s"tf_$t").cast("double")
@@ -2232,7 +2240,17 @@ object QueriesText {
       idf * (tf * 2.2) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
     }
-    perDoc.crossJoin(broadcast(stats))
+    // localCheckpoint: perDoc feeds both the corpus-stats aggregate and
+    // the scoring crossJoin; differing pushed-down projections defeat
+    // ReuseExchange, so without it the token explode+groupBy runs twice
+    // per query (and 4x in the RRF fusion). perDoc is doc-sized.
+    val perDocCk = perDoc.localCheckpoint()
+    val statsCk = perDocCk.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("tot_dl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+          .as(s"df_$t"))): _*)
+    perDocCk.crossJoin(broadcast(statsCk))
       .withColumn("score", rnd6(terms.map(termScore).reduce(_ + _)))
       .filter(col("score") > 0)
   }
