@@ -1206,7 +1206,13 @@ object QueriesText {
         val tokens = c.documents.select(col("doc_id"),
           explode_outer(TF.words(col("text"))).as("word"))
           .filter(col("word").isNotNull)
+        // localCheckpoint: tf feeds both the document-frequency
+        // aggregate and the scoring join; without it the token explode
+        // + (doc, word) shuffle run twice (ReuseExchange can't match
+        // the branches). Materializing tf costs one copy of the very
+        // shuffle output the second derivation would recompute.
         val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
         val n = c.documents.agg(count(lit(1)).as("n_docs"))
         // df_ has one row per distinct word — vocabulary-sized, far past
@@ -1885,12 +1891,17 @@ object QueriesText {
     // sources share each shingle (≤ |sources|). ──────────────────────
     "q_source_overlap" -> q(
       c => {
+        // localCheckpoint: sh feeds three branches (per-source counts,
+        // both self-join sides) — uncheckpointed, the shingle explode +
+        // distinct shuffle re-execute per branch. The checkpoint stores
+        // exactly one copy of that distinct's output.
         val sh = c.documents
           .withColumn("__w", TF.words(col("text")))
           .withColumn("__sh", array_distinct(TF.shingles(col("__w"), 3)))
           .select(col("source"), explode_outer(col("__sh")).as("sh"))
           .filter(col("sh").isNotNull)
           .distinct()
+          .localCheckpoint()
         val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
         val shared = sh.select(col("source").as("source_a"), col("sh"))
           .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
@@ -2104,6 +2115,10 @@ object QueriesText {
           .withColumn("__w", TF.words(lower(col("text"))))
           .select(col("doc_id"), explode_outer(col("__w")).as("word"))
           .filter(col("word").isNotNull)
+        // (no checkpoint here: the vocab-build and scoring passes are
+        // the algorithmic minimum of two, the broadcast exchange
+        // materializes vocab once, and PlanSpec pins its TakeOrdered
+        // shape — a checkpoint would hide that subplan)
         val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("word")).limit(20)
           .select(col("word"), lit(true).as("__in"))
