@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming EWMA: the incremental twin of `q_ewma` (per-key,
+  * per-month half-life smoothing with exact 2^(J−d) integer weights —
+  * the same order-independent fixed-point arithmetic, so a streamed
+  * result equals the batch query on the same rows).
+  *
+  * State per key is the last 2J+1 months of fixed-point totals —
+  * bounded regardless of stream length: a month needs the J months
+  * before it, and the oldest month a late row may still UPDATE
+  * (max−J, by the lateness contract below) needs J more. Months older
+  * than max_mi − 2J are pruned; rows later than that are dropped and
+  * counted in the emitted `late_dropped` diagnostic rather than
+  * silently skewing a frozen window (the state-store analogue of a
+  * watermark bound).
+  *
+  * Emission (Update mode): every OBSERVED month whose smoothed value
+  * changed this batch — the updated months and the ≤J observed months
+  * after each (decay reaches forward), recomputed from state.
+  * Unobserved months emit nothing, matching the batch query's join
+  * semantics. Downstream upserts by (key, mi), exactly like the batch
+  * table.
+  */
+// Serializable: the state-update closure calls smoothAt, an object
+// method, so the module reference rides inside the serialized lambda.
+object EwmaStream extends Serializable {
+  final case class In(key: Long, mi: Long, cents: Long)
+  final case class EwmaState(months: Map[Long, Long], lateDropped: Long)
+  final case class Out(key: Long, mi: Long, ewma: Double, late_dropped: Long)
+
+  val J = 10
+
+  /** EWMA at month `t` over observed months within J, the q_ewma
+    * formula: Σ cents·2^(J−d) / Σ 2^(J−d), d = t − mi ∈ [0, J]. */
+  private def smoothAt(months: Map[Long, Long], t: Long): Double = {
+    var num = 0L
+    var den = 0L
+    months.foreach { case (mi, cents) =>
+      val d = t - mi
+      if (d >= 0 && d <= J) {
+        val w = 1L << (J - d).toInt
+        num += cents * w
+        den += w
+      }
+    }
+    num.toDouble / (den * 10000.0)
+  }
+
+  /** `rows` needs long `key`, `mi` (year*12+month) and fixed-point
+    * `cents` columns. */
+  def smoothed(rows: DataFrame): Dataset[Out] = {
+    import rows.sparkSession.implicits._
+    val typed = rows.select(col("key").cast("long").as("key"),
+                            col("mi").cast("long").as("mi"),
+                            col("cents").cast("long").as("cents")).as[In]
+
+    def update(key: Long, it: Iterator[In],
+               state: GroupState[EwmaState]): Iterator[Out] = {
+      val prior = state.getOption.getOrElse(EwmaState(Map.empty, 0L))
+      var months = prior.months
+      var late = prior.lateDropped
+      val horizon =
+        if (months.isEmpty) Long.MinValue else months.keys.max - 2L * J
+      val touched = scala.collection.mutable.Set.empty[Long]
+      it.foreach { r =>
+        if (r.mi < horizon) late += 1
+        else {
+          months = months.updated(r.mi, months.getOrElse(r.mi, 0L) + r.cents)
+          touched += r.mi
+        }
+      }
+      if (months.nonEmpty) {
+        val maxMi = months.keys.max
+        months = months.filter { case (mi, _) => mi >= maxMi - 2L * J }
+      }
+      state.update(EwmaState(months, late))
+      // emit every month whose window contains a touched month
+      val affected = touched.flatMap(t => (t to t + J))
+        .filter(months.contains)
+      val lateFinal = late
+      affected.toArray.sorted.iterator.map { mi =>
+        Out(key, mi, smoothAt(months, mi), lateFinal)
+      }
+    }
+
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}

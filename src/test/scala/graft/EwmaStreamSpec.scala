@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.EwmaStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class EwmaStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val J = EwmaStream.J
+
+  /** The q_ewma formula over a set of observed (mi, cents) rows. */
+  private def reference(rows: Seq[(Long, Long)], t: Long): Double = {
+    val byMi = rows.groupBy(_._1).map { case (mi, rs) => mi -> rs.map(_._2).sum }
+    var num = 0L; var den = 0L
+    byMi.foreach { case (mi, cents) =>
+      val d = t - mi
+      if (d >= 0 && d <= J) { val w = 1L << (J - d).toInt; num += cents * w; den += w }
+    }
+    num.toDouble / (den * 10000.0)
+  }
+
+  test("cross-batch smoothing equals the batch formula; decay reaches forward months") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    val b1 = Seq((1L, 100L, 50000L), (1L, 101L, 70000L), (1L, 103L, 20000L))
+    ms.addData(b1: _*)
+    val q = EwmaStream.smoothed(ms.toDF().toDF("key", "mi", "cents"))
+      .writeStream.format("memory").queryName("ewma_s")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 updates month 101 (late-but-in-window) and adds 104:
+      // months 101..104 must re-emit with the refreshed window
+      val b2 = Seq((1L, 101L, 10000L), (1L, 104L, 90000L))
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val all = b1 ++ b2
+      val got = spark.table("ewma_s").as[EwmaStream.Out].collect()
+      // latest emission per month (memory sink appends update-mode rows)
+      val latest = got.groupBy(_.mi).map { case (mi, os) => mi -> os.last.ewma }
+      for (mi <- Seq(101L, 103L, 104L)) {
+        val exp = reference(all.map(r => (r._2, r._3)), mi)
+        assert(latest.contains(mi), s"month $mi must re-emit")
+        assert(latest(mi) == exp, s"month $mi: ${latest(mi)} != $exp")
+      }
+      // month 102 was never observed: like the batch query's join, an
+      // unobserved month has no row at all
+      assert(!latest.contains(102L))
+      // month 100 predates every batch-2 update — not re-emitted, and
+      // its batch-1 value matches the formula over batch-1 rows alone
+      val m100 = got.filter(_.mi == 100L)
+      assert(m100.length == 1)
+      assert(m100.head.ewma == reference(b1.map(r => (r._2, r._3)), 100L))
+    } finally q.stop()
+  }
+
+  test("state stays bounded: months beyond 2J prune, too-late rows count as dropped") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    ms.addData((7L, 100L, 10000L))
+    val q = EwmaStream.smoothed(ms.toDF().toDF("key", "mi", "cents"))
+      .writeStream.format("memory").queryName("ewma_b")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // jump far forward: month 100 falls off the 2J+1 window
+      ms.addData((7L, 200L, 30000L))
+      q.processAllAvailable()
+      // a row for the pruned month is late (200 - 2J horizon)
+      ms.addData((7L, 100L, 99999L))
+      q.processAllAvailable()
+      val got = spark.table("ewma_b").as[EwmaStream.Out].collect()
+      // the too-late row emits nothing new for month 100 and is counted
+      assert(got.count(_.mi == 100L) == 1, "pruned month must not re-emit")
+      assert(got.filter(_.mi == 200L).last.late_dropped == 0L)
+      // late counter surfaces on the NEXT emission for the key
+      ms.addData((7L, 201L, 10000L))
+      q.processAllAvailable()
+      val after = spark.table("ewma_b").as[EwmaStream.Out].collect()
+      assert(after.filter(_.mi == 201L).last.late_dropped == 1L)
+      // and month 201's window sees only months 200-201 (100 pruned):
+      assert(after.filter(_.mi == 201L).last.ewma ==
+        reference(Seq((200L, 30000L), (201L, 10000L)), 201L))
+    } finally q.stop()
+  }
+}
