@@ -794,6 +794,74 @@ object QueriesAnalytics {
         |CROSS JOIN no
         |ORDER BY pr.n_pair DESC, pr.p_a, pr.p_b LIMIT 100""".stripMargin),
 
+    // ── label-propagation community detection (Raghavan et al.) on
+    // the co-purchase graph, made DETERMINISTIC: 5 synchronous
+    // iterations; each node adopts the most frequent label among its
+    // neighbors with ties broken by SMALLEST label. The per-node
+    // argmax is window-free on the Spark side — max(struct(count,
+    // −label)) in one aggregate — so no per-node sort ever happens;
+    // each iteration is one join keyed on the neighbor + two
+    // hash-shuffles on node id, localCheckpointed (the Lloyd rule:
+    // without it every iteration's consumer re-executes the whole
+    // training lineage). Candidate (node, label) pairs per iteration
+    // are bounded by the edge count. The oracle unrolls the same 5
+    // iterations as CTEs with a row_number tie-break — the same
+    // (count DESC, label ASC) selection. ─────────────────────────────
+    "q_label_prop" -> q(
+      c => {
+        val items = c.lineitem
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .localCheckpoint()
+        val und = items.select(col("ok"), col("pk").as("p_a"))
+          .join(items.select(col("ok"), col("pk").as("p_b")), Seq("ok"))
+          .filter(col("p_a") < col("p_b"))
+          .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        val edges = und.select(col("p_a").as("src"), col("p_b").as("dst"))
+          .union(und.select(col("p_b").as("src"), col("p_a").as("dst")))
+          .localCheckpoint()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+          .localCheckpoint()
+        for (_ <- 1 to 5) {
+          val freq = edges
+            .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+            .groupBy(col("src").as("node"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+          labels = freq.groupBy("node")
+            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("label"))
+            .localCheckpoint()
+        }
+        labels
+      }, {
+        val iters = (1 to 5).map { k =>
+          s"""l$k AS (
+             | SELECT node, label FROM (
+             |  SELECT e.src AS node, l.label, count(*) AS n,
+             |   row_number() OVER (PARTITION BY e.src
+             |     ORDER BY count(*) DESC, l.label) AS rn
+             |  FROM e JOIN l${k - 1} l ON e.dst = l.node
+             |  GROUP BY e.src, l.label)
+             | WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH it AS (
+           | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+           |), und AS (
+           | SELECT a.pk AS p_a, b.pk AS p_b
+           | FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+           | GROUP BY 1, 2 HAVING count(*) >= 2
+           |), e AS (
+           | SELECT p_a AS src, p_b AS dst FROM und
+           | UNION ALL SELECT p_b, p_a FROM und
+           |), l0 AS (
+           | SELECT DISTINCT src AS node, src AS label FROM e
+           |), $iters
+           |SELECT node, label FROM l5""".stripMargin
+      }),
+
     // ── exponentially-weighted moving average (half-life smoothing)
     // of per-supplier monthly revenue, J=10 periods deep. Cross-engine
     // float trap avoided by construction: weights are 2^(J−d) — exact

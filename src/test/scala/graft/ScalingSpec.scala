@@ -44,7 +44,8 @@ class ScalingSpec extends AnyFunSuite {
     // one careless edit away
     "q_winnow_overlap",
     "q_triangles",
-    "q_market_basket")
+    "q_market_basket",
+    "q_label_prop")
 
   private val MaxRatio = 15.0
 
