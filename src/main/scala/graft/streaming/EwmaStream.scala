@@ -63,20 +63,21 @@ object EwmaStream extends Serializable {
       val prior = state.getOption.getOrElse(EwmaState(Map.empty, 0L))
       var months = prior.months
       var late = prior.lateDropped
-      val horizon =
-        if (months.isEmpty) Long.MinValue else months.keys.max - 2L * J
+      // the horizon uses the max INCLUDING this batch, so a forward
+      // jump inside one batch classifies that batch's older rows as
+      // late (counted) instead of silently pruning them after merge
+      val batch = it.toArray
+      val horizon = (batch.iterator.map(_.mi) ++ months.keysIterator)
+        .foldLeft(Long.MinValue)(math.max) - 2L * J
       val touched = scala.collection.mutable.Set.empty[Long]
-      it.foreach { r =>
+      batch.foreach { r =>
         if (r.mi < horizon) late += 1
         else {
           months = months.updated(r.mi, months.getOrElse(r.mi, 0L) + r.cents)
           touched += r.mi
         }
       }
-      if (months.nonEmpty) {
-        val maxMi = months.keys.max
-        months = months.filter { case (mi, _) => mi >= maxMi - 2L * J }
-      }
+      months = months.filter { case (mi, _) => mi >= horizon }
       state.update(EwmaState(months, late))
       // emit every month whose window contains a touched month
       val affected = touched.flatMap(t => (t to t + J))

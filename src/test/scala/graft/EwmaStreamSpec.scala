@@ -83,6 +83,14 @@ class EwmaStreamSpec extends AnyFunSuite {
       // and month 201's window sees only months 200-201 (100 pruned):
       assert(after.filter(_.mi == 201L).last.ewma ==
         reference(Seq((200L, 30000L), (201L, 10000L)), 201L))
+      // a forward jump INSIDE one batch: the old row is classified
+      // late against the batch-inclusive horizon, not silently pruned
+      ms.addData((9L, 300L, 10000L), (9L, 100L, 5000L))
+      q.processAllAvailable()
+      val k9 = spark.table("ewma_b").as[EwmaStream.Out].collect()
+        .filter(_.key == 9L)
+      assert(k9.map(_.mi).toSet == Set(300L))
+      assert(k9.last.late_dropped == 1L)
     } finally q.stop()
   }
 }
