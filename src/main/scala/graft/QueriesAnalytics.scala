@@ -794,6 +794,44 @@ object QueriesAnalytics {
         |CROSS JOIN no
         |ORDER BY pr.n_pair DESC, pr.p_a, pr.p_b LIMIT 100""".stripMargin),
 
+    // ── top-k per group WITHOUT a window: the custom TopKPairs
+    // bounded-heap aggregate (top-3 parts by revenue per supplier).
+    // A row_number window shuffles and sorts EVERY (supplier, part)
+    // row; the aggregate's partial buffers cap at 2k entries, so the
+    // shuffle carries ≤ 2k rows per (supplier × input partition)
+    // however hot the supplier — map-side top-k, the same plan shape
+    // Spark gives global top-k via TakeOrderedAndProject, here per
+    // group. Revenue is summed in exact fixed-point units so ordering
+    // and output are engine-identical; ties break by part id inside
+    // the aggregate itself. Oracle = the window formulation — the
+    // hash match proves the bounded-heap path exactly equals it. ─────
+    "q_topk_per_group" -> q(
+      c => {
+        graft.functions.NativeFunctions.register(c.spark)
+        val pp = c.lineitem
+          .groupBy(col("l_suppkey").as("suppkey"),
+                   col("l_partkey").as("partkey"))
+          .agg(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+                     .cast("long")).as("cents"))
+        pp.groupBy("suppkey")
+          .agg(graft.functions.NativeFunctions
+                 .topK(col("cents"), col("partkey"), 3).as("tk"))
+          .select(col("suppkey"), posexplode(col("tk")).as(Seq("rk0", "e")))
+          .select(col("suppkey"), (col("rk0") + 1).cast("long").as("rk"),
+                  col("e.id").as("partkey"), col("e.value").as("cents"))
+      },
+      """WITH pp AS (
+        | SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+        |       + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        | FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT suppkey, CAST(rk AS BIGINT) AS rk, partkey, cents FROM (
+        | SELECT suppkey, partkey, cents,
+        |  row_number() OVER (PARTITION BY suppkey
+        |    ORDER BY cents DESC, partkey) AS rk
+        | FROM pp) WHERE rk <= 3""".stripMargin),
+
     // ── label-propagation community detection (Raghavan et al.) on
     // the co-purchase graph, made DETERMINISTIC: 5 synchronous
     // iterations; each node adopts the most frequent label among its

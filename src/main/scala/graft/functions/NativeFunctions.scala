@@ -504,6 +504,9 @@ object NativeFunctions {
     ("graft_heavy_hitters",
      "graft_heavy_hitters(item, k) - Misra-Gries k-counter heavy-hitters sketch (map<item,est>)",
      exprs => MisraGries(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    ("graft_topk",
+     "graft_topk(value, id, k) - bounded top-k aggregate: array<struct<value,id>> by (value desc, id asc)",
+     exprs => TopKPairs(exprs.head, exprs(1), exprs(2).eval().asInstanceOf[Int])),
     ("graft_bloom_agg",
      "graft_bloom_agg(xxhash64(x), estItems, numBits) - bloom-filter sketch aggregate (binary)",
      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -549,6 +552,11 @@ object NativeFunctions {
   /** Misra-Gries heavy-hitters sketch (see [[MisraGries]]). */
   def heavyHitters(item: Column, k: Int): Column =
     call_function("graft_heavy_hitters", item,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Bounded top-k-per-group aggregate (see [[TopKPairs]]). */
+  def topK(value: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", value, id,
       org.apache.spark.sql.functions.lit(k))
 
   /** Dictionary-encode a distinct token array into the sorted long

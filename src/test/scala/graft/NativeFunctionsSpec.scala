@@ -121,6 +121,35 @@ class NativeFunctionsSpec extends AnyFunSuite {
     for (h <- Seq("A", "B", "C")) assert(ms.contains(h), ms)
   }
 
+  test("topk aggregate: exact top-k with id tie-break across partitions and groups") {
+    NativeFunctions.register(spark)
+    val k = 5
+    // seeded random values with deliberate ties (values mod 17) so the
+    // id tie-break decides order; 3 groups of very different sizes, and
+    // 11 partitions so merge runs across many capped partial buffers
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 3000).map { i =>
+      val g = if (i % 7 == 0) "big" else if (i % 3 == 0) "mid" else "big"
+      (g, rnd.nextInt(17).toLong, i.toLong)
+    } ++ Seq(("tiny", 3L, 1L), ("tiny", 3L, 2L)) // group smaller than k
+    val df = rows.toDF("g", "v", "id").repartition(11)
+    val got = df.groupBy("g")
+      .agg(NativeFunctions.topK(col("v"), col("id"), k).as("tk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+          (e.getLong(0), e.getLong(1)))).toMap
+    // brute-force reference: full sort by (value desc, id asc), take k
+    val exp = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy { case (v, id) => (-v, id) }.take(k)
+    }
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (g, tk) =>
+      assert(tk == exp(g), s"group $g: $tk != ${exp(g)}")
+    }
+    // groups smaller than k return all their rows, still ordered
+    assert(got("tiny") == Seq((3L, 1L), (3L, 2L)))
+  }
+
   test("adc_scores rejects an offsets array without the m+1 stride entry") {
     NativeFunctions.register(spark)
     // m=2 codes but only 2 offsets (missing total-stride entry): must
