@@ -259,4 +259,15 @@ class PlanSpec extends AnyFunSuite {
     // triangle closure is a semi-join against the oriented edge list
     assert(p.contains("LeftSemi"), p.take(3000))
   }
+
+  test("topk per group: aggregate path, zero Window operators") {
+    val p = planOf(QueriesAnalytics.defs("q_topk_per_group").fn(spark, sf))
+    // the whole point of TopKPairs: per-group top-k WITHOUT the
+    // row_number window's full per-group shuffle+sort — a Window here
+    // means someone reverted to the idiom the aggregate replaces
+    assert(!p.contains("Window"), p.take(3000))
+    // TypedImperativeAggregate plans through ObjectHashAggregate with
+    // a partial stage (map-side capped buffers before the shuffle)
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+  }
 }
