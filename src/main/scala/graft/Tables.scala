@@ -17,13 +17,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 has no ns
-      // timestamp type; read as long then truncate to µs (integer div:
-      // ns epochs overflow double precision).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across testdata generations — normalize to
+      // TimestampType µs either way. Nanos: Spark 4 has no ns type, so
+      // read as long (nanosAsLong) and integer-truncate to µs (ns
+      // epochs overflow double precision). Micros: isAdjustedToUTC
+      // false reads as TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+      // cast to TimestampType is instant-preserving.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => df
+        case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -85,6 +85,16 @@ case class MisraGries(child: Expression, k: Int,
 
   require(k >= 1, s"graft_heavy_hitters needs k >= 1, got $k")
 
+  // analysis-time type check: without this a non-string column fails
+  // deep in execution with a ClassCastException instead of a clear error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_heavy_hitters expects a string item column, got $other")
+    }
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType =

@@ -471,6 +471,20 @@ object NativeFunctions {
     * maintaining two lists previously meant a function could work in
     * ad-hoc sessions yet silently fail to resolve on
     * extension-configured deployments. */
+  /** Constant-int argument of a registry builder (k, nbits, …): SQL
+    * integer literals arrive as INT but a user writing `10L` or a
+    * BIGINT-typed constant is equally valid — accept any integral
+    * value that fits an Int instead of ClassCastException-ing. */
+  private def constInt(e: Expression, what: String): Int =
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant integer literal, got $other")
+    }
+
   val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
      "graft_dot(a, b) - dot product of two array<double>",
@@ -483,10 +497,10 @@ object NativeFunctions {
      exprs => SortedJaccard(exprs.head, exprs(1))),
     ("graft_lsh_bits",
      "graft_lsh_bits(v, nbits) - packed sign-bit LSH signature of array<double>",
-     exprs => LshSignBits(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+     exprs => LshSignBits(exprs.head, constInt(exprs(1), "graft_lsh_bits nbits"))),
     ("graft_minhash_sig",
      "graft_minhash_sig(token, k) - k-element MinHash signature aggregate",
-     exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+     exprs => MinHashSignature(exprs.head, constInt(exprs(1), "graft_minhash_sig k"))),
     ("graft_vector_sum",
      "graft_vector_sum(v) - element-wise sum aggregate of array<double>",
      exprs => VectorSum(exprs.head)),
@@ -503,10 +517,10 @@ object NativeFunctions {
     // constant or scalar-subquery bloom (Spark's own analysis rule).
     ("graft_heavy_hitters",
      "graft_heavy_hitters(item, k) - Misra-Gries k-counter heavy-hitters sketch (map<item,est>)",
-     exprs => MisraGries(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+     exprs => MisraGries(exprs.head, constInt(exprs(1), "graft_heavy_hitters k"))),
     ("graft_topk",
      "graft_topk(value, id, k) - bounded top-k aggregate: array<struct<value,id>> by (value desc, id asc)",
-     exprs => TopKPairs(exprs.head, exprs(1), exprs(2).eval().asInstanceOf[Int])),
+     exprs => TopKPairs(exprs.head, exprs(1), constInt(exprs(2), "graft_topk k"))),
     ("graft_bloom_agg",
      "graft_bloom_agg(xxhash64(x), estItems, numBits) - bloom-filter sketch aggregate (binary)",
      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate

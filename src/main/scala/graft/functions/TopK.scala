@@ -28,9 +28,19 @@ import scala.collection.mutable
   * ignored.
   */
 object TopKPairs {
+  /** (value DESC, id ASC) as a comparator — NOT `sortBy(-v)`:
+    * negating Long.MinValue overflows back to Long.MinValue, which
+    * would sort an extreme-negative value as the largest. */
+  val ordering: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   /** Keep the best ≤ k of `buf` by (value desc, id asc), in order. */
   def compact(buf: mutable.ArrayBuffer[(Long, Long)], k: Int): Unit = {
-    val best = buf.sortBy { case (v, id) => (-v, id) }.take(k)
+    val best = buf.sorted(ordering).take(k)
     buf.clear()
     buf ++= best
   }
@@ -42,6 +52,16 @@ case class TopKPairs(value: Expression, id: Expression, k: Int,
 
   require(k >= 1, s"graft_topk needs k >= 1, got $k")
 
+  // analysis-time type check: non-long inputs fail here with a clear
+  // message rather than a ClassCastException mid-execution
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (value.dataType, id.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (v, i) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk expects (bigint value, bigint id), got ($v, $i)")
+    }
   override def children: Seq[Expression] = value :: id :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

@@ -12,11 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State per key is the last 2J+1 months of fixed-point totals —
   * bounded regardless of stream length: a month needs the J months
   * before it, and the oldest month a late row may still UPDATE
-  * (max−J, by the lateness contract below) needs J more. Months older
-  * than max_mi − 2J are pruned; rows later than that are dropped and
-  * counted in the emitted `late_dropped` diagnostic rather than
-  * silently skewing a frozen window (the state-store analogue of a
-  * watermark bound).
+  * (max−J, the UPDATE horizon) needs J more, hence the PRUNE horizon
+  * max−2J. The two horizons are distinct on purpose: a row is
+  * classified late once mi < max−J — accepting it any deeper would
+  * re-emit an EWMA whose [mi−J, mi] lookback is partly pruned,
+  * silently diverging from the batch `q_ewma` this module claims to
+  * equal. Late rows are dropped and counted in the emitted
+  * `late_dropped` diagnostic rather than skewing a frozen window (the
+  * state-store analogue of a watermark bound).
   *
   * Emission (Update mode): every OBSERVED month whose smoothed value
   * changed this batch — the updated months and the ≤J observed months
@@ -67,17 +70,19 @@ object EwmaStream extends Serializable {
       // jump inside one batch classifies that batch's older rows as
       // late (counted) instead of silently pruning them after merge
       val batch = it.toArray
-      val horizon = (batch.iterator.map(_.mi) ++ months.keysIterator)
-        .foldLeft(Long.MinValue)(math.max) - 2L * J
+      val maxMi = (batch.iterator.map(_.mi) ++ months.keysIterator)
+        .foldLeft(Long.MinValue)(math.max)
+      val updateHorizon = maxMi - J      // oldest month a row may update
+      val pruneHorizon = maxMi - 2L * J  // lookback support for the above
       val touched = scala.collection.mutable.Set.empty[Long]
       batch.foreach { r =>
-        if (r.mi < horizon) late += 1
+        if (r.mi < updateHorizon) late += 1
         else {
           months = months.updated(r.mi, months.getOrElse(r.mi, 0L) + r.cents)
           touched += r.mi
         }
       }
-      months = months.filter { case (mi, _) => mi >= horizon }
+      months = months.filter { case (mi, _) => mi >= pruneHorizon }
       state.update(EwmaState(months, late))
       // emit every month whose window contains a touched month
       val affected = touched.flatMap(t => (t to t + J))

@@ -34,9 +34,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object PrefixJoin {
 
-  /** Dictionary-encode each document's distinct-token set as a SORTED
+  /** Dictionary-encode each document's token SET as a SORTED
     * `array<long>` of df-ascending dictionary ranks (position 0 = the
     * document's globally rarest token). Output: (idCol, ws, n).
+    * Raw (non-distinct) token arrays are accepted: both paths
+    * deduplicate internally, so n/ws/df are always set-semantics.
     *
     * Injective by construction over the corpus vocabulary (ranks are
     * distinct by assignment, unlike a 64-bit hash which is only
@@ -59,9 +61,13 @@ object PrefixJoin {
     // explode_outer + isNotNull on the GENERATED attribute: a plain
     // explode of a derived array lets InferFiltersFromGenerate re-inline
     // the array expression below the projection (see verify SKILL.md)
+    // distinct (doc, tok): callers may pass RAW token arrays — without
+    // this, duplicate tokens inflate n/ws (wrong Jaccard denominators)
+    // and df becomes an occurrence count instead of document frequency
     val toks = docs
       .select(col(idCol), explode_outer(col(toksCol)).as("tok"))
       .filter(col("tok").isNotNull)
+      .distinct()
     val dfCounts = toks.groupBy("tok").agg(count("*").as("df"))
 
     // bounded-cardinality probe: limit+1 rows collect iff the whole
@@ -79,7 +85,7 @@ object PrefixJoin {
       // explode/groupBy route never emits those rows
       docs.select(col(idCol),
           array_sort(transform(
-            filter(col(toksCol), t => t.isNotNull),
+            array_distinct(filter(col(toksCol), t => t.isNotNull)),
             t => element_at(dict, t))).as("ws"))
         .filter(col("ws").isNotNull && size(col("ws")) > 0)
         .withColumn("n", size(col("ws")))

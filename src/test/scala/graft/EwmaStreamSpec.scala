@@ -93,4 +93,39 @@ class EwmaStreamSpec extends AnyFunSuite {
       assert(k9.last.late_dropped == 1L)
     } finally q.stop()
   }
+
+  test("rows in the [max-2J, max-J) band are late: in state-prune range but past the update horizon") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    ms.addData((3L, 100L, 10000L))
+    val q = EwmaStream.smoothed(ms.toDF().toDF("key", "mi", "cents"))
+      .writeStream.format("memory").queryName("ewma_band")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // advance to 100 + 1.5J: month 100 is still IN state (>= max-2J)
+      // but BELOW the update horizon (< max-J)
+      val mid = 100L + J + J / 2 // 115 for J=10
+      ms.addData((3L, mid, 30000L))
+      q.processAllAvailable()
+      // a late row for month 100: accepting it would re-emit months
+      // [100, 100+J] whose lookback below max-2J is already pruned —
+      // it must be DROPPED and counted, even though 100 is in state
+      ms.addData((3L, 100L, 77777L))
+      q.processAllAvailable()
+      val got = spark.table("ewma_band").as[EwmaStream.Out].collect()
+      assert(got.count(_.mi == 100L) == 1, "band-late month must not re-emit")
+      assert(got.filter(_.mi == 100L).head.ewma ==
+        reference(Seq((100L, 10000L)), 100L), "original value untouched")
+      // the drop surfaces on the next emission
+      ms.addData((3L, mid + 1, 10000L))
+      q.processAllAvailable()
+      val after = spark.table("ewma_band").as[EwmaStream.Out].collect()
+      assert(after.filter(_.mi == mid + 1).last.late_dropped == 1L)
+      // and mid+1 smooths over exactly the non-late rows — the batch
+      // formula over what was accepted, proving no partial-window skew
+      assert(after.filter(_.mi == mid + 1).last.ewma ==
+        reference(Seq((mid, 30000L), (mid + 1, 10000L)), mid + 1))
+    } finally q.stop()
+  }
 }

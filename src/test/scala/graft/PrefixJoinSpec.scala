@@ -78,4 +78,29 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(nDf * 2 < nHash,
       s"df-ascending ($nDf) should at least halve hash-order ($nHash)")
   }
+
+  test("raw (non-distinct) token arrays encode identically to pre-distinct sets") {
+    // duplicate tokens must NOT inflate n, ws, or df — both encode
+    // paths deduplicate internally (generic-API contract)
+    val raw = zipfDocs(100).map { case (i, ts) => (i, ts ++ ts.take(3)) }
+    val rawDf = raw.toDF("doc_id", "toks")
+    val setDf = zipfDocs(100).toDF("doc_id", "toks")
+    for (limit <- Seq(1 << 16, 0)) { // literal path and distributed path
+      val fromRaw = PrefixJoin.encodeDfAscending(rawDf, "doc_id", "toks", limit)
+        .select(col("doc_id"), col("ws"), col("n"))
+        .as[(Int, Seq[Long], Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val fromSet = PrefixJoin.encodeDfAscending(setDf, "doc_id", "toks", limit)
+        .select(col("doc_id"), col("ws"), col("n"))
+        .as[(Int, Seq[Long], Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(fromRaw == fromSet, s"limit=$limit: raw-array encode diverged")
+    }
+    // end-to-end: joinAll over raw arrays equals joinAll over sets
+    val jRaw = PrefixJoin.joinAll(rawDf, "doc_id", "toks", 0.9, 9, 10)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4))
+      .as[(Int, Int, Double)].collect().toSet
+    val jSet = PrefixJoin.joinAll(setDf, "doc_id", "toks", 0.9, 9, 10)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4))
+      .as[(Int, Int, Double)].collect().toSet
+    assert(jRaw == jSet)
+  }
 }
