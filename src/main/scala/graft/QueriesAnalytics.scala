@@ -20,6 +20,25 @@ object QueriesAnalytics {
   private def q(fn: Ctx => DataFrame, oracle: String = ""): QueryDef =
     QueryDef((s, dir) => fn(Ctx(s, dir)), Some(oracle).filter(_.nonEmpty))
 
+  /** The covered-aggregate shape both MV queries share: a date-grain
+    * quantity rollup whose Aggregate sits directly on the scan (bare
+    * grouping attr, raw-column measures) — the fragment
+    * [[graft.plans.MaterializedAgg.Rewrite]] serves from a summary. */
+  private def mvDailyShape(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_shipdate"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .select(dateStr(col("l_shipdate")).as("ship_date"),
+              col("sum_qty"), col("n_items"))
+
+  /** Per-fixture summary location, keyed on the source file's identity
+    * (mtime ^ length) so a regenerated fixture never serves a stale
+    * summary across driver rounds. */
+  private def mvSummaryDir(c: Ctx): String = {
+    val f = new java.io.File(s"${c.dir}/lineitem.parquet")
+    val tag = java.lang.Long.toHexString(f.lastModified ^ f.length)
+    s"${sys.props("java.io.tmpdir")}/graft_mv_dailysales_$tag"
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ── window-function family (beyond W1's rank) ─────────────────────
@@ -131,6 +150,45 @@ object QueriesAnalytics {
       """SELECT r_regionkey, r_name, n_nationkey, n_name,
         | r_regionkey = n_nationkey % 5 AS home_pair
         |FROM region CROSS JOIN nation""".stripMargin),
+
+    // ── MV serving: the engine's own optimizer surface at work ────────
+    // q_mv_daily_sales runs a covered aggregate WITH the MaterializedAgg
+    // rewrite registered: the optimized plan scans a date-grain summary
+    // (built once per fixture, keyed on the source file's identity so a
+    // regenerated fixture rebuilds) instead of the lineitem fact table.
+    // q_mv_daily_sales_direct is the same aggregate forced onto the
+    // fact scan — its measure-referencing filter is outside the covered
+    // fragment, so the rule bails — making the pair the bench row that
+    // demonstrates the rewrite's serving win. Measure: l_quantity,
+    // integral doubles whose sums are exact in ANY reduction order, so
+    // the re-aggregated summary is bit-identical cross-engine (the
+    // exactSum fixed-point builders produce computed aggregate inputs,
+    // which the rewrite — matching raw columns only — must bail on).
+    // At 100 TB: the summary is date-cardinality rows; the covered
+    // dashboard query reads KBs instead of the fact table.
+    "q_mv_daily_sales" -> q(
+      c => {
+        val summaryDir = mvSummaryDir(c)
+        if (!new java.io.File(s"$summaryDir/_SUCCESS").exists) {
+          graft.plans.MaterializedAgg.build(
+              c.lineitem, Seq("l_shipdate"), Seq("l_quantity"))
+            .write.mode("overwrite").parquet(summaryDir)
+        }
+        graft.plans.MaterializedAgg.attach(c.spark)
+        graft.plans.MaterializedAgg.register(c.spark,
+          s"${c.dir}/lineitem.parquet", summaryDir,
+          Seq("l_shipdate"), Seq("l_quantity"))
+        mvDailyShape(c.lineitem)
+      },
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem GROUP BY l_shipdate""".stripMargin),
+
+    "q_mv_daily_sales_direct" -> q(
+      c => mvDailyShape(c.lineitem.filter(col("l_quantity") > 0)),
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem WHERE l_quantity > 0 GROUP BY l_shipdate""".stripMargin),
 
     // ── month-level time rollup (date_trunc) ──────────────────────────
     "q_monthly_revenue" -> q(

@@ -5,6 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -40,8 +41,13 @@ import org.apache.spark.sql.functions.{avg => _, col, count, lit, max, min, sum}
   * plan aggregates the summary path, which is not a registered
   * source). Correct only while the summary is in sync with its source
   * — `register` is therefore called by the maintenance stage right
-  * after the gold rebuild, and any writer path should `deregister`
-  * first (same contract as Delta MVs / Databricks query rewrite).
+  * after the gold rebuild, and the table layer ENFORCES the staleness
+  * contract: every [[graft.tables.LakehouseTable]] mutator calls
+  * [[invalidate]] (alongside its own file-stats invalidation), so a
+  * write to a registered source automatically drops the summary and
+  * covered queries fall back to the source scan — bit-correct, just
+  * unaccelerated — until re-registration (same contract as Delta MVs /
+  * Databricks query rewrite, but not caller-discipline-dependent).
   *
   * Two attachment paths, mirroring [[graft.functions.NativeFunctions]]:
   * `GraftExtensions` injects the rule cluster-wide via
@@ -55,8 +61,24 @@ object MaterializedAgg {
                                    groupCols: Set[String],
                                    measures: Set[String])
 
+  /** A summary built FROM an inner equi-join (the reference's gold
+    * shape: aggregate over joined silver tables,
+    * `/root/reference/docs/etl_processes.md:425-437,490-500`). Sound
+    * for any query aggregating the SAME join at or above the grain —
+    * pk-fk uniqueness is not required, because the summary rows ARE
+    * the joined rows aggregated, whatever the key multiplicity. */
+  private final case class JoinSummary(factRoots: Set[String],
+                                       dimRoots: Set[String],
+                                       factKey: String, dimKey: String,
+                                       summary: LogicalRelation,
+                                       groupCols: Set[String],
+                                       measures: Set[String])
+
   // keyed by the canonical root-path set of the SOURCE scan
   private val registry = new ConcurrentHashMap[Set[String], Summary]()
+  // keyed by (fact roots, dim roots)
+  private val joinRegistry =
+    new ConcurrentHashMap[(Set[String], Set[String]), JoinSummary]()
 
   private def rootsOf(plan: LogicalPlan): Option[Set[String]] = plan match {
     case lr: LogicalRelation =>
@@ -90,6 +112,46 @@ object MaterializedAgg {
     src.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Build the summary frame for the JOIN shape: inner equi-join of
+    * `fact` and `dim` on `factKey == dimKey`, then the conventional
+    * [[build]] aggregation. Ambiguous column names across the two
+    * inputs fail here (groupBy by name), which is what guarantees the
+    * rewrite's name-based grain matching is unambiguous later. */
+  def buildJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                dimKey: String, groupCols: Seq[String],
+                measures: Seq[String]): DataFrame =
+    build(fact.join(dim, fact(factKey) === dim(dimKey)), groupCols, measures)
+
+  /** Register `summaryPath` as the materialization of
+    * `fact JOIN dim ON factKey == dimKey` grouped by `groupCols` over
+    * `measures` (built with [[buildJoin]]). The rule then rewrites any
+    * Aggregate over the same inner equi-join whose grouping keys,
+    * filters, and aggregates fit the grain — including grain filters
+    * the optimizer has already pushed below the join. */
+  def registerJoin(spark: SparkSession, factPath: String, dimPath: String,
+                   factKey: String, dimKey: String, summaryPath: String,
+                   groupCols: Seq[String], measures: Seq[String]): Unit = {
+    val factPlan = spark.read.parquet(factPath).queryExecution.analyzed
+    val dimPlan = spark.read.parquet(dimPath).queryExecution.analyzed
+    val sumPlan = spark.read.parquet(summaryPath).queryExecution.analyzed
+    (rootsOf(factPlan), rootsOf(dimPlan), sumPlan) match {
+      case (Some(fr), Some(dr), lr: LogicalRelation) =>
+        val have = lr.output.map(_.name.toLowerCase).toSet
+        val need = "cnt" +: measures.flatMap(m => Seq(
+          s"sum_$m", s"min_$m", s"max_$m", s"cnt_$m").map(_.toLowerCase))
+        val missing = need.filterNot(have)
+        require(missing.isEmpty,
+          s"summary at $summaryPath lacks column(s) ${missing.mkString(", ")}" +
+          s" — build it with MaterializedAgg.buildJoin")
+        joinRegistry.put((fr, dr), JoinSummary(fr, dr,
+          factKey.toLowerCase, dimKey.toLowerCase, lr,
+          groupCols.map(_.toLowerCase).toSet,
+          measures.map(_.toLowerCase).toSet))
+      case _ => throw new IllegalArgumentException(
+        s"$factPath, $dimPath and $summaryPath must all be parquet scans")
+    }
+  }
+
   /** Register `summaryPath` as the materialization of
     * `sourcePath.groupBy(groupCols).agg(...)` over `measures`. */
   def register(spark: SparkSession, sourcePath: String, summaryPath: String,
@@ -117,7 +179,31 @@ object MaterializedAgg {
     rootsOf(spark.read.parquet(sourcePath).queryExecution.analyzed)
       .foreach(registry.remove)
 
-  def clear(): Unit = registry.clear()
+  /** Drop every registered summary whose SOURCE root set contains
+    * `path` — the table layer's enforcement hook: [[graft.tables
+    * .LakehouseTable]] calls this from every mutator (alongside its
+    * own file-stats invalidation), so a write to a registered source
+    * can never leave the rule serving stale summary answers; covered
+    * queries fall back to the source scan, bit-correct, until the
+    * maintenance stage re-registers. Unlike [[deregister]] this never
+    * reads the path (a mutator may hold it mid-swap): the path is
+    * canonicalized filesystem-qualified, matching [[rootsOf]]'s
+    * scheme://authority/path form. */
+  def invalidate(spark: SparkSession, path: String): Unit = {
+    if (registry.isEmpty && joinRegistry.isEmpty) return
+    val p = new org.apache.hadoop.fs.Path(path)
+    val u = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri
+    val canon = s"${Option(u.getScheme).getOrElse("")}://" +
+      s"${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    registry.keySet.removeIf(_.contains(canon))
+    // a join summary is stale if EITHER input mutated
+    joinRegistry.keySet.removeIf { case (fr, dr) =>
+      fr.contains(canon) || dr.contains(canon) }
+    ()
+  }
+
+  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
 
   /** Partition-scoped summary maintenance: after a source change
     * touching partition values `changed` (the pipeline knows its
@@ -160,12 +246,13 @@ object MaterializedAgg {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ Rewrite
 
-  object Rewrite extends Rule[LogicalPlan] {
+  object Rewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     override def apply(plan: LogicalPlan): LogicalPlan =
-      if (registry.isEmpty) plan
+      if (registry.isEmpty && joinRegistry.isEmpty) plan
       else plan.transform {
-        case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+        case agg: Aggregate =>
+          tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
       }
 
     /** The aggregate's child, unwrapped down to the source scan plus
@@ -193,19 +280,95 @@ object MaterializedAgg {
         case Some(s) => s
         case None    => return None
       }
+      reAggregate(agg, spec.summary, spec.groupCols, spec.measures,
+        filterOpt.toSeq)
+    }
+
+    /** Match `Aggregate` over the registered inner equi-join. By the
+      * time user rules run, the optimizer has pushed grain filters
+      * BELOW the join and inferred `isnotnull` on the join keys from
+      * the inner join's constraints — so each side may carry a
+      * residual Filter whose conjuncts must each be either
+      * `isnotnull(<that side's join key>)` (implied by the join the
+      * summary was built from: droppable) or a grain predicate (kept,
+      * re-applied on the summary — the grain check in [[reAggregate]]
+      * enforces that). */
+    private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+      def peel(p: LogicalPlan): Option[(Join, Seq[Expression])] = p match {
+        case j: Join => Some((j, Nil))
+        case Filter(c, ch) =>
+          peel(ch).map { case (j, fs) =>
+            (j, splitConjunctivePredicates(c) ++ fs) }
+        case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          peel(ch)
+        case _ => None
+      }
+      val (join, topFilters) = peel(agg.child) match {
+        case Some(x) => x
+        case None    => return None
+      }
+      if (join.joinType != Inner) return None
+      val (llr, lFilt) = unwrap(join.left) match {
+        case Some(x) => x
+        case None    => return None
+      }
+      val (rlr, rFilt) = unwrap(join.right) match {
+        case Some(x) => x
+        case None    => return None
+      }
+      val lroots = rootsOf(llr).getOrElse(return None)
+      val rroots = rootsOf(rlr).getOrElse(return None)
+      // either operand order: fact JOIN dim and dim JOIN fact both match
+      val (spec, factLr, dimLr, factFilt, dimFilt) =
+        (Option(joinRegistry.get((lroots, rroots))),
+         Option(joinRegistry.get((rroots, lroots)))) match {
+          case (Some(s), _) => (s, llr, rlr, lFilt, rFilt)
+          case (_, Some(s)) => (s, rlr, llr, rFilt, lFilt)
+          case _            => return None
+        }
+      // the query's join must be EXACTLY the registered one: a single
+      // equi-conjunct on (factKey, dimKey), either operand order
+      val keysOk = join.condition.map(splitConjunctivePredicates) match {
+        case Some(Seq(EqualTo(a: AttributeReference, b: AttributeReference))) =>
+          val fa = if (factLr.outputSet.contains(a)) a else b
+          val da = if (fa eq a) b else a
+          factLr.outputSet.contains(fa) && dimLr.outputSet.contains(da) &&
+            fa.name.toLowerCase == spec.factKey &&
+            da.name.toLowerCase == spec.dimKey
+        case _ => false
+      }
+      if (!keysOk) return None
+      def screen(f: Option[Expression], keyName: String): Seq[Expression] =
+        f.toSeq.flatMap(splitConjunctivePredicates).filterNot {
+          case IsNotNull(a: AttributeReference) =>
+            a.name.toLowerCase == keyName
+          case _ => false
+        }
+      val filters = topFilters ++
+        screen(factFilt, spec.factKey) ++ screen(dimFilt, spec.dimKey)
+      reAggregate(agg, spec.summary, spec.groupCols, spec.measures, filters)
+    }
+
+    /** Shared re-aggregation: rewrite `agg` (grouping keys, filters —
+      * given as conjuncts — and aggregate list) onto `summary`,
+      * returning None on any shape outside the covered fragment. */
+    private def reAggregate(agg: Aggregate, summary: LogicalRelation,
+                            specGroupCols: Set[String],
+                            specMeasures: Set[String],
+                            filters: Seq[Expression]): Option[LogicalPlan] = {
       // fresh expression ids per use — the same summary may serve
       // several aggregates in one query plan
-      val fresh = spec.summary.newInstance()
+      val fresh = summary.newInstance()
       val sumAttr: Map[String, AttributeReference] =
         fresh.output.map(a => a.name.toLowerCase -> a).toMap
 
       def groupAttr(name: String): Option[AttributeReference] =
-        if (spec.groupCols(name.toLowerCase)) sumAttr.get(name.toLowerCase)
+        if (specGroupCols(name.toLowerCase)) sumAttr.get(name.toLowerCase)
         else None
 
       // filters may only constrain grain columns (the summary has no
       // finer rows to re-filter)
-      val newFilter: Option[Expression] = filterOpt match {
+      val newFilter: Option[Expression] = filters.reduceOption(And) match {
         case None => None
         case Some(cond) =>
           // deterministic is load-bearing: rand() has an EMPTY
@@ -227,7 +390,7 @@ object MaterializedAgg {
 
       def measureCol(e: Expression, prefix: String): Option[AttributeReference] =
         e match {
-          case a: AttributeReference if spec.measures(a.name.toLowerCase) =>
+          case a: AttributeReference if specMeasures(a.name.toLowerCase) =>
             sumAttr.get(s"$prefix${a.name.toLowerCase}")
           case _ => None
         }
@@ -262,21 +425,37 @@ object MaterializedAgg {
         case _ => None
       }
 
+      /** Rewrite one result-expression tree: AggregateExpression nodes
+        * map through [[rewriteFn]] (type-preserving or bail), attribute
+        * leaves map to their summary grain column, and any surrounding
+        * deterministic scalar computation (CollapseProject folds
+        * projections like date_format(k) INTO the aggregate list, so
+        * they arrive here, not as a parent Project) is carried over
+        * verbatim. Hand-rolled recursion, not transform: a transform
+        * would descend into the REPLACED summary-side subtree and try
+        * to grain-map its attributes. */
+      def rewriteExpr(e: Expression): Option[Expression] = e match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          rewriteFn(ae.aggregateFunction)
+            .filter(_.dataType == ae.dataType) // widened types: bail
+        case _: AggregateExpression => None // distinct / filtered: bail
+        case a: AttributeReference =>
+          groupAttr(a.name).filter(_.dataType == a.dataType)
+        case other if !other.deterministic => None
+        case other =>
+          val kids = other.children.map(rewriteExpr)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      }
+
       val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
         case a: AttributeReference =>
           val g = groupAttr(a.name).getOrElse(return None)
           if (g.dataType != a.dataType) return None
           Alias(g, a.name)(exprId = a.exprId)
-        case al @ Alias(ae: AggregateExpression, name)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          val e = rewriteFn(ae.aggregateFunction).getOrElse(return None)
-          if (e.dataType != al.dataType) return None // widened types: bail
-          Alias(e, name)(exprId = al.exprId)
-        // grouping keys may also surface aliased (SELECT k AS g)
-        case al @ Alias(a: AttributeReference, name) =>
-          val g = groupAttr(a.name).getOrElse(return None)
-          if (g.dataType != al.dataType) return None
-          Alias(g, name)(exprId = al.exprId)
+        case al: Alias =>
+          val e = rewriteExpr(al.child).getOrElse(return None)
+          Alias(e, al.name)(exprId = al.exprId)
         case _ => return None
       }
 

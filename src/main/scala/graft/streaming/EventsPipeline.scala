@@ -64,4 +64,39 @@ object EventsPipeline {
             Seq("window_start", "event_type"))
           .upsert(batch)
       }
+
+  /** [[upsertSink]] plus streaming MV maintenance: after each
+    * microbatch's upsert, the registered event-type-grain summary of
+    * the serving table is refreshed for exactly the event types the
+    * batch touched and re-registered — the streaming twin of EtlMain's
+    * register-after-rebuild. Sequence per batch:
+    *   1. upsert (whose mutator hook auto-invalidates the registration
+    *      — a mid-batch covered query falls back to the source scan,
+    *      fresh and bit-correct, never a stale summary);
+    *   2. [[graft.plans.MaterializedAgg.refresh]] scoped to the
+    *      batch's distinct event types — O(batch), a bounded-domain
+    *      collect (event types, not windows) — which re-registers.
+    * The summary table is partitioned by `event_type` (refresh's
+    * partition-swap contract). Covered aggregates over the SERVING
+    * table — totals per event type across all windows — then read the
+    * summary: KBs instead of the window-grain table. */
+  def maintainedUpsertSink(rollup: DataFrame, targetPath: String,
+                           summaryPath: String,
+                           checkpoint: String): DataStreamWriter[Row] =
+    rollup.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val serving = graft.tables.LakehouseTable(spark, targetPath,
+          Seq("window_start", "event_type"))
+        serving.upsert(batch)
+        val touched = batch.select("event_type").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val summary = graft.tables.LakehouseTable(spark, summaryPath,
+          Seq("event_type"), Seq("event_type"))
+        graft.plans.MaterializedAgg.refresh(serving, summary,
+          Seq("event_type"), Seq("n_events", "total_value"), touched)
+      }
 }

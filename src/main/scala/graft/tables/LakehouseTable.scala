@@ -497,6 +497,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def invalidateFileStats(): Unit = {
     fs.delete(new Path(fileStatsPath), true)
     fs.delete(new Path(bloomStatsPath), true)
+    // same discipline for the MV registry: a summary registered over
+    // this source must never serve a covered aggregate after the
+    // source changed — drop it here (covered queries fall back to the
+    // source scan, bit-correct) and let the maintenance stage
+    // re-register after its rebuild/refresh. Content-preserving
+    // rewrites (compact/optimize*) also land here via overwrite: they
+    // over-invalidate, which is the safe direction — re-register after
+    // maintenance, exactly as EtlMain orders it.
+    graft.plans.MaterializedAgg.invalidate(spark, path)
     ()
   }
 

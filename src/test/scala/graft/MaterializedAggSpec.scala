@@ -88,6 +88,48 @@ class MaterializedAggSpec extends AnyFunSuite {
     } finally MaterializedAgg.clear()
   }
 
+  test("table mutation auto-invalidates the registry: no deregister call needed") {
+    val dir = TestSpark.tmpDir("mvinval")
+    val src = graft.tables.LakehouseTable(spark, s"$dir/src", Seq("id"), Seq("d"))
+    src.overwrite(Seq((1, "d1", 10), (2, "d1", 20), (3, "d2", 5))
+      .toDF("id", "d", "v"))
+    val goldT = graft.tables.LakehouseTable(spark, s"$dir/gold", Seq("d"), Seq("d"))
+    goldT.overwrite(MaterializedAgg.build(src.read, Seq("d"), Seq("v")))
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, src.path, goldT.path, Seq("d"), Seq("v"))
+    try {
+      def probe() = src.read.groupBy($"d")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      assert(scanPaths(probe()).forall(_.contains("gold")))
+
+      // an upsert WITHOUT any deregister/refresh call: the mutator's
+      // own invalidation hook must drop the registration, so the next
+      // covered query scans the SOURCE and returns fresh values — the
+      // stale-summary answer (d1 -> 30) must be unobservable
+      src.upsert(Seq((1, "d1", 100), (4, "d1", 1)).toDF("id", "d", "v"))
+      val p2 = probe()
+      assert(scanPaths(p2).forall(_.contains("src")), scanPaths(p2))
+      assert(p2.orderBy("d").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("d1", 121L, 3L), ("d2", 5L, 1L)))
+
+      // append invalidates too (fresh registration first)
+      MaterializedAgg.register(spark, src.path, goldT.path, Seq("d"), Seq("v"))
+      assert(scanPaths(probe()).forall(_.contains("gold")))
+      src.append(Seq((5, "d2", 7)).toDF("id", "d", "v"))
+      val p3 = probe()
+      assert(scanPaths(p3).forall(_.contains("src")), scanPaths(p3))
+      assert(p3.orderBy("d").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("d1", 121L, 3L), ("d2", 12L, 2L)))
+
+      // a mutation of an UNRELATED table must not drop the entry
+      MaterializedAgg.register(spark, src.path, goldT.path, Seq("d"), Seq("v"))
+      val other = graft.tables.LakehouseTable(spark, s"$dir/other", Seq("id"))
+      other.overwrite(Seq((1, "x")).toDF("id", "s"))
+      assert(scanPaths(probe()).forall(_.contains("gold")),
+        "unrelated mutation must not invalidate")
+    } finally MaterializedAgg.clear()
+  }
+
   test("SQL text through a catalog table name is MV-served too") {
     val dir = TestSpark.tmpDir("mvsql")
     val src = graft.tables.LakehouseTable(spark, s"$dir/src", Seq("id"))
@@ -112,6 +154,103 @@ class MaterializedAggSpec extends AnyFunSuite {
       MaterializedAgg.clear()
       spark.sql("DROP TABLE IF EXISTS mvsql_src")
     }
+  }
+
+  test("aggregate-over-join is served by a registered join summary") {
+    val dir = TestSpark.tmpDir("mvjoin")
+    // the reference's gold shape: fact order-items joined to a product
+    // dim, revenue at (date, brand) grain
+    (1 to 2000).map(i => (s"d${i % 10}", i % 50, i.toLong))
+      .toDF("date", "product_id", "amount").write.parquet(s"$dir/fact")
+    (0 until 50).map(p => (p, s"b${p % 7}"))
+      .toDF("pid", "brand").write.parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    MaterializedAgg.buildJoin(fact, dim, "product_id", "pid",
+      Seq("date", "brand"), Seq("amount")).write.parquet(s"$dir/gold")
+
+    def joined() = fact.join(dim, fact("product_id") === dim("pid"))
+    def query() = joined().groupBy($"date", $"brand")
+      .agg(sum($"amount").as("revenue"), count(lit(1)).as("n"))
+    val expected = query().orderBy("date", "brand").collect().toSeq
+
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.registerJoin(spark, s"$dir/fact", s"$dir/dim",
+      "product_id", "pid", s"$dir/gold", Seq("date", "brand"), Seq("amount"))
+    try {
+      val q = query()
+      assert(scanPaths(q).nonEmpty && scanPaths(q).forall(_.contains("gold")),
+        s"expected the join-summary scan, got ${scanPaths(q)}")
+      assert(q.orderBy("date", "brand").collect().toSeq == expected)
+
+      // operand order flipped: dim JOIN fact matches the same entry
+      val flipped = dim.join(fact, fact("product_id") === dim("pid"))
+        .groupBy($"brand").agg(sum($"amount").as("revenue"))
+      assert(scanPaths(flipped).forall(_.contains("gold")), scanPaths(flipped))
+
+      // a grain filter the optimizer pushes BELOW the join still
+      // rewrites (the pushed conjunct is re-applied on the summary)
+      val f = joined().filter($"brand" === "b1").groupBy($"date")
+        .agg(sum($"amount").as("revenue"))
+      assert(scanPaths(f).forall(_.contains("gold")), scanPaths(f))
+      assert(f.orderBy("date").collect().toSeq ==
+        joined().filter($"brand" === "b1").groupBy($"date")
+          .agg(sum($"amount").as("revenue")).orderBy("date").collect().toSeq)
+
+      // bail-outs: measure filter (summary has no row detail)
+      val mf = joined().filter($"amount" > 1000).groupBy($"brand")
+        .agg(sum($"amount").as("s"))
+      assert(scanPaths(mf).exists(_.contains("fact")), scanPaths(mf))
+      // bail-outs: outer join is not the registered join
+      val oj = fact.join(dim, fact("product_id") === dim("pid"), "left")
+        .groupBy($"brand").agg(sum($"amount").as("s"))
+      assert(scanPaths(oj).exists(_.contains("fact")), scanPaths(oj))
+      // bail-outs: different join key
+      val wk = fact.join(dim, fact("amount") === dim("pid"))
+        .groupBy($"brand").agg(sum($"amount").as("s"))
+      assert(scanPaths(wk).exists(_.contains("fact")), scanPaths(wk))
+      // bail-outs: non-grain grouping key
+      val ng = joined().groupBy($"product_id").agg(sum($"amount").as("s"))
+      assert(scanPaths(ng).exists(_.contains("fact")), scanPaths(ng))
+    } finally MaterializedAgg.clear()
+  }
+
+  test("join summary invalidates when EITHER input mutates") {
+    val dir = TestSpark.tmpDir("mvjoininval")
+    val fact = graft.tables.LakehouseTable(spark, s"$dir/fact", Seq("id"))
+    fact.overwrite(Seq((1, "d1", 10, 100L), (2, "d1", 11, 200L), (3, "d2", 10, 50L))
+      .toDF("id", "date", "product_id", "amount"))
+    val dim = graft.tables.LakehouseTable(spark, s"$dir/dim", Seq("pid"))
+    dim.overwrite(Seq((10, "b0"), (11, "b1")).toDF("pid", "brand"))
+    MaterializedAgg.buildJoin(fact.read, dim.read, "product_id", "pid",
+      Seq("date", "brand"), Seq("amount")).write.parquet(s"$dir/gold")
+    MaterializedAgg.attach(spark)
+    def reg() = MaterializedAgg.registerJoin(spark, fact.path, dim.path,
+      "product_id", "pid", s"$dir/gold", Seq("date", "brand"), Seq("amount"))
+    reg()
+    try {
+      def probe() = {
+        val f = fact.read
+        val d = dim.read
+        f.join(d, f("product_id") === d("pid"))
+          .groupBy($"date", $"brand").agg(sum($"amount").as("revenue"))
+      }
+      assert(scanPaths(probe()).forall(_.contains("gold")))
+
+      // fact mutates: covered query falls back to the real join, fresh
+      fact.append(Seq((4, "d2", 11, 999L)).toDF("id", "date", "product_id", "amount"))
+      assert(scanPaths(probe()).exists(_.contains("fact")), scanPaths(probe()))
+      assert(probe().orderBy("date", "brand")
+        .as[(String, String, Long)].collect().toSeq ==
+        Seq(("d1", "b0", 100L), ("d1", "b1", 200L),
+            ("d2", "b0", 50L), ("d2", "b1", 999L)))
+
+      // dim mutates: same enforcement on the other input
+      reg()
+      assert(scanPaths(probe()).forall(_.contains("gold")))
+      dim.append(Seq((12, "b2")).toDF("pid", "brand"))
+      assert(scanPaths(probe()).exists(_.contains("fact")), scanPaths(probe()))
+    } finally MaterializedAgg.clear()
   }
 
   test("uncovered shapes bail to the source scan, still correct") {

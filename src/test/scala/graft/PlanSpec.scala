@@ -270,4 +270,19 @@ class PlanSpec extends AnyFunSuite {
     // a partial stage (map-side capped buffers before the shuffle)
     assert(p.contains("ObjectHashAggregate"), p.take(3000))
   }
+
+  test("mv serving: covered aggregate scans the summary; direct twin scans the fact") {
+    try {
+      val served = QueriesAnalytics.defs("q_mv_daily_sales").fn(spark, sf)
+      val ps = planOf(served)
+      assert(ps.contains("graft_mv_dailysales"),
+        "covered aggregate must scan the summary parquet:\n" + ps.take(3000))
+      assert(!ps.contains("lineitem.parquet"),
+        "the fact table must NOT be scanned when served:\n" + ps.take(3000))
+      // the direct twin (measure filter => bail) stays on the fact scan
+      val pd = planOf(QueriesAnalytics.defs("q_mv_daily_sales_direct").fn(spark, sf))
+      assert(pd.contains("lineitem.parquet"), pd.take(3000))
+      assert(!pd.contains("graft_mv_dailysales"), pd.take(3000))
+    } finally graft.plans.MaterializedAgg.clear()
+  }
 }

@@ -79,4 +79,60 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSet
     assert(after.exists { case (t, n, v) => t == "click" && n == 3 && v == 7.0 })
   }
+
+  test("maintained sink keeps the MV summary serving across microbatches") {
+    val dir = TestSpark.tmpDir("streammv")
+    val landing = s"$dir/landing"
+    val target = s"$dir/serving"
+    val summary = s"$dir/summary"
+
+    def runOnce(n: Int): Unit = {
+      val rollup = EventsPipeline.hourlyRollup(
+        EventsPipeline.readEventsStream(spark, landing))
+      val q = EventsPipeline.maintainedUpsertSink(
+        rollup, target, summary, s"$dir/ckpt$n").start()
+      q.awaitTermination()
+    }
+
+    graft.plans.MaterializedAgg.attach(spark)
+    try {
+      // microbatch 1
+      Seq(ev(1, "2024-01-01 10:05:00", "click", 1.0),
+          ev(2, "2024-01-01 11:55:00", "click", 2.0),
+          ev(3, "2024-01-01 10:20:00", "view", 8.0))
+        .toDF().write.mode("append").parquet(landing)
+      runOnce(1)
+
+      def probe() = spark.read.parquet(target).groupBy($"event_type")
+        .agg(sum($"n_events").as("events"), count(lit(1)).as("windows"))
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString).mkString(",")
+              case _ => ""
+            }
+        }
+      // served from the summary, equal to the direct computation
+      assert(scans(probe()).forall(_.contains("summary")), scans(probe()))
+      val direct1 = Seq(("click", 2L, 2L), ("view", 1L, 1L))
+      assert(probe().orderBy("event_type")
+        .as[(String, Long, Long)].collect().toSeq == direct1)
+
+      // microbatch 2: a new window for click and a brand-new type —
+      // refresh swaps exactly the touched event_type partitions
+      Seq(ev(4, "2024-01-01 12:05:00", "click", 4.0),
+          ev(5, "2024-01-01 12:10:00", "purchase", 16.0))
+        .toDF().write.mode("append").parquet(landing)
+      runOnce(2)
+      assert(scans(probe()).forall(_.contains("summary")), scans(probe()))
+      assert(probe().orderBy("event_type")
+        .as[(String, Long, Long)].collect().toSeq ==
+        Seq(("click", 3L, 3L), ("purchase", 1L, 1L), ("view", 1L, 1L)))
+      // the untouched type's summary partition survived the second swap
+      assert(spark.read.parquet(summary).filter($"event_type" === "view")
+        .count() == 1)
+    } finally graft.plans.MaterializedAgg.clear()
+  }
 }
