@@ -802,22 +802,13 @@ object QueriesAnalytics {
     // before the fixed-point rounding. ───────────────────────────────
     "q_market_basket" -> q(
       c => {
-        // localCheckpoint: items feeds FOUR branches (totals, part
-        // counts, both pair sides) whose pushed-down projections defeat
-        // ReuseExchange — the distinct shuffle would otherwise run 4x.
-        // Materializing it once costs what one of those shuffles spills.
-        val items = c.lineitem
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .localCheckpoint()
+        // shared co-purchase derivation (one definition for basket /
+        // LPA / triangles — operators.CoPurchase)
+        val items = graft.operators.CoPurchase.items(c.lineitem)
         val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
         val partCnt = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
           .localCheckpoint()
-        val pairs = items.select(col("ok"), col("pk").as("p_a"))
-          .join(items.select(col("ok"), col("pk").as("p_b")), Seq("ok"))
-          .filter(col("p_a") < col("p_b"))
-          .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_pair"))
-          .filter(col("n_pair") >= 2)
+        val pairs = graft.operators.CoPurchase.pairs(items, "n_pair")
         pairs
           .join(partCnt.select(col("pk").as("p_a"), col("cnt").as("n_a")),
                 Seq("p_a"))
@@ -905,32 +896,12 @@ object QueriesAnalytics {
     // (count DESC, label ASC) selection. ─────────────────────────────
     "q_label_prop" -> q(
       c => {
-        val items = c.lineitem
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .localCheckpoint()
-        val und = items.select(col("ok"), col("pk").as("p_a"))
-          .join(items.select(col("ok"), col("pk").as("p_b")), Seq("ok"))
-          .filter(col("p_a") < col("p_b"))
-          .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-        val edges = und.select(col("p_a").as("src"), col("p_b").as("dst"))
-          .union(und.select(col("p_b").as("src"), col("p_a").as("dst")))
-          .localCheckpoint()
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
-          .localCheckpoint()
-        for (_ <- 1 to 5) {
-          val freq = edges
-            .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
-            .groupBy(col("src").as("node"), col("label"))
-            .agg(count(lit(1)).as("cnt"))
-          labels = freq.groupBy("node")
-            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-            .select(col("node"), (-col("m.nl")).as("label"))
-            .localCheckpoint()
-        }
-        labels
+        // shared co-purchase graph + the factored LPA operator in
+        // fixed-iteration mode (earlyExit=false): the oracle unrolls
+        // exactly 5 CTE iterations, so the Spark side runs exactly 5
+        val edges = graft.operators.CoPurchase.undirectedEdges(
+          graft.operators.CoPurchase.items(c.lineitem))
+        graft.operators.LabelPropagation.run(edges, iters = 5)
       }, {
         val iters = (1 to 5).map { k =>
           s"""l$k AS (
@@ -1047,15 +1018,9 @@ object QueriesAnalytics {
         // whose projections defeat ReuseExchange; uncheckpointed, the
         // lineitem distinct + pair self-join would re-execute per
         // branch. edges/deg/oriented are pair- and node-set-sized.
-        val items = c.lineitem
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .localCheckpoint()
-        val edges = items.select(col("ok"), col("pk").as("p_a"))
-          .join(items.select(col("ok"), col("pk").as("p_b")), Seq("ok"))
-          .filter(col("p_a") < col("p_b"))
-          .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        // Shared co-purchase derivation: operators.CoPurchase.
+        val items = graft.operators.CoPurchase.items(c.lineitem)
+        val edges = graft.operators.CoPurchase.pairs(items)
           .select("p_a", "p_b")
           .localCheckpoint()
         val deg = edges.select(explode(array(col("p_a"), col("p_b"))).as("node"))

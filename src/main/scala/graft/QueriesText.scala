@@ -1057,6 +1057,56 @@ object QueriesText {
                   col("rn").cast("long").as("rn"))
       }),
 
+    // The LSH MECHANISM under a hash-matched oracle (the
+    // q_minhash_replay convention applied to sign-bit LSH): hyperplane
+    // signs derive from md5 — replayable in DuckDB, unlike production
+    // xxhash64 — embeddings are fixed-pointed (1e4, exact in doubles),
+    // so the ±1 dot products are exact integers and the sign bits and
+    // banded bucket keys are bit-identical across engines. This pins
+    // the whole signature→band pipeline exactly; q_ann_lsh keeps the
+    // faster packed-bits xxhash path with its recall pinned in
+    // SimilaritySpec.
+    "q_lsh_replay" -> q(
+      c => {
+        val nbits = 16
+        val bandBits = 4
+        val signs = DimReduce.jlSigns(nbits, d = 64, prefix = "lsh")
+        val base = c.embeddings.select(col("vec_id"),
+          transform(col("embedding"),
+            e => floor(e.cast("double") * 10000 + 0.5)).as("iv"))
+        val bits = (0 until nbits).map { j =>
+          (aggregate(zip_with(col("iv"), typedlit(signs(j).toSeq),
+                              (x, s) => x * s),
+                     lit(0.0), (a, x) => a + x) >= 0).cast("long")
+        }
+        val withBits = base.select(col("vec_id"), array(bits: _*).as("b"))
+        val keys = (0 until nbits / bandBits).map { g =>
+          (0 until bandBits).map(i =>
+            element_at(col("b"), g * bandBits + i + 1) *
+              lit(1L << (bandBits - 1 - i))).reduce(_ + _)
+        }
+        withBits.select(col("vec_id"), posexplode(array(keys: _*)))
+          .select(col("vec_id"), col("pos").cast("long").as("band"),
+                  col("col").as("band_key"))
+      },
+      """WITH signs AS (
+        | SELECT j, [CASE WHEN substr(md5('lsh' || j::VARCHAR || '_' || i::VARCHAR), 1, 1)
+        |              BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END
+        |            FOR i IN range(0, 64)] AS s
+        | FROM (SELECT unnest(range(0, 16)) AS j)
+        |), iv AS (
+        | SELECT vec_id,
+        |  [floor(CAST(e AS DOUBLE) * 10000 + 0.5) FOR e IN embedding] AS v
+        | FROM embeddings
+        |), bits AS (
+        | SELECT iv.vec_id, s.j,
+        |  CASE WHEN list_dot_product(iv.v, s.s) >= 0 THEN 1 ELSE 0 END AS bit
+        | FROM iv CROSS JOIN signs s
+        |)
+        |SELECT vec_id, CAST(j // 4 AS BIGINT) AS band,
+        | CAST(sum(bit * (1 << (3 - (j % 4)))) AS BIGINT) AS band_key
+        |FROM bits GROUP BY vec_id, j // 4""".stripMargin),
+
     "q_ann_pq" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")

@@ -43,8 +43,28 @@ object PageRank {
     *         iterations of r' = (1-d)/V + d·(Σ_in r/deg + dangling/V).
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
-          maxBroadcastNodes: Long = 500000): DataFrame = {
+          maxBroadcastNodes: Long = 500000): DataFrame =
+    runWithStats(edges, iters, damping, maxBroadcastNodes, None)._1
+
+  /** [[run]] with optional convergence-based early exit and the
+    * executed-iteration count. When `tol` is set, every `checkEvery`-th
+    * iteration computes the L∞ delta between consecutive rank vectors
+    * — ONE aggregate over the two checkpointed O(V) tables, cheap next
+    * to the O(E) contribution pass — and stops once `delta <= tol`.
+    * At 100 TB a converged graph then skips full passes it no longer
+    * needs, while an unconverged one keeps iterating to `maxIters`
+    * instead of silently under-iterating; callers needing bit-parity
+    * with a fixed-iteration oracle replay pass `tol = None` (the
+    * default `run`), which leaves the plan untouched. Power iteration
+    * contracts deltas by the damping factor per pass, so `tol` maps to
+    * iterations ≈ log(tol)/log(damping) on any graph. */
+  def runWithStats(edges: DataFrame, maxIters: Int, damping: Double = 0.85,
+                   maxBroadcastNodes: Long = 500000,
+                   tol: Option[Double] = None,
+                   checkEvery: Int = 1): (DataFrame, Int) = {
+    val iters = maxIters
     require(iters >= 1, "iters must be >= 1")
+    require(checkEvery >= 1, "checkEvery must be >= 1")
     // ONE job materializes the degree-annotated edge list: e appears
     // twice in the plan (once raw, once under the degree groupBy) but
     // its exchange is computed once and reused (ReuseExchange — the
@@ -109,7 +129,9 @@ object PageRank {
     val danglingNodes = nodeTab.filter(col("has_out") === 0).select("node")
 
     var rank = nodes.withColumn("r", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val rankBySrc = rank.withColumnRenamed("node", "src")
       val contrib = withDeg
         .join(if (broadcastRanks) broadcast(rankBySrc) else rankBySrc, "src")
@@ -136,8 +158,19 @@ object PageRank {
           withAll.select(col("node"),
             (lit(base) + lit(damping) * cexpr).as("r"))
         }
-      rank = next.localCheckpoint()
+      val checkpointed = next.localCheckpoint()
+      it += 1
+      if (tol.isDefined && it < iters && it % checkEvery == 0) {
+        // L∞ delta between consecutive checkpointed vectors: one O(V)
+        // join + aggregate, no O(E) work
+        val delta = checkpointed.withColumnRenamed("r", "rn")
+          .join(rank.withColumnRenamed("r", "ro"), Seq("node"))
+          .agg(max(abs(col("rn") - col("ro"))).as("d"))
+          .collect()(0).getDouble(0)
+        converged = delta <= tol.get
+      }
+      rank = checkpointed
     }
-    rank
+    (rank, it)
   }
 }

@@ -110,4 +110,46 @@ class AnalyticsSpec extends AnyFunSuite {
       s"dangling mass leaked: ${sink.values.sum}")
     assert(sink(1L) > sink(0L), "the sink absorbs the walk, it must outrank")
   }
+
+  test("pagerank convergence: pre-converged graph exits early, same answer; tol=None runs fixed") {
+    import graft.operators.PageRank
+    // directed ring: perfectly symmetric, so ranks sit at the uniform
+    // fixed point from the start — deltas are ulp-scale immediately
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
+    val (fast, itFast) = PageRank.runWithStats(ring, maxIters = 200,
+      tol = Some(1e-12))
+    assert(itFast < 200, s"pre-converged ring should exit early, ran $itFast")
+    val got = fast.as[(Long, Double)].collect().toMap
+    assert(got.size == 8 && got.values.forall(v => math.abs(v - 0.125) < 1e-9),
+      got.toString)
+    // the early-exited answer matches the fixed-iteration answer at
+    // the query layer's rounding (1e-6 on xV-scaled ranks)
+    val fixed = PageRank.run(ring, iters = 5).as[(Long, Double)].collect().toMap
+    assert(got.keySet == fixed.keySet &&
+      got.forall { case (k, v) =>
+        math.round(v * 8 * 1e6) == math.round(fixed(k) * 8 * 1e6) })
+    // tol=None: exactly maxIters, bit-parity mode for oracle replays
+    val (_, itFixed) = PageRank.runWithStats(ring, maxIters = 7)
+    assert(itFixed == 7)
+  }
+
+  test("label propagation: fixed point exits early with output identical to the full run") {
+    import graft.operators.LabelPropagation
+    // two disjoint triangles; synchronous LPA settles each to its
+    // minimum id within a few iterations, then never changes
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val (early, itEarly) = LabelPropagation.runWithStats(edges, maxIters = 50,
+      earlyExit = true)
+    assert(itEarly < 50, s"fixed point must cut the loop, ran $itEarly")
+    val full = LabelPropagation.run(edges, iters = 50)
+    assert(early.orderBy("node").as[(Long, Long)].collect().toSeq ==
+           full.orderBy("node").as[(Long, Long)].collect().toSeq)
+    // each triangle collapses to one community
+    val labs = early.as[(Long, Long)].collect().toMap
+    assert(Set(labs(1L), labs(2L), labs(3L)).size == 1)
+    assert(Set(labs(10L), labs(11L), labs(12L)).size == 1)
+    assert(labs(1L) != labs(10L))
+  }
 }
