@@ -1002,6 +1002,49 @@ object QueriesText {
         SimHash.nearDuplicates(sigs, "doc_id", "source", maxHamming = 8)
       }),
 
+    // The SimHash MECHANISM under a hash-matched oracle (the
+    // q_minhash_replay convention): per-bit ±1 votes derive from one
+    // md5 hex character per bit — replayable in DuckDB, unlike the
+    // production xxhash64 path in text/SimHash — summed over each
+    // document's distinct word set in ONE groupBy pass (16 aggregates,
+    // map-side combined), then packed big-endian into the signature.
+    // Integer vote sums are exact in any order, so the signature is
+    // bit-identical across engines; ties (sum == 0) take bit 1 on both
+    // sides. q_simhash_neardup keeps the production path with its
+    // banding pinned by golden-signature specs.
+    "q_simhash_replay" -> q(
+      c => {
+        val nbits = 16
+        val toks = c.documents
+          .select(col("doc_id"), explode_outer(TF.wordSet(col("text"))).as("w"))
+          .filter(col("w").isNotNull)
+          .withColumn("h", md5(col("w").cast("binary")))
+        val votes = (0 until nbits).map { j =>
+          sum(when(substring(col("h"), j + 1, 1).between("0", "7"), 1L)
+                .otherwise(-1L)).as(s"s$j")
+        }
+        val sums = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        val sig = (0 until nbits).map { j =>
+          when(col(s"s$j") >= 0, lit(1L << (nbits - 1 - j))).otherwise(0L)
+        }.reduce(_ + _)
+        sums.select(col("doc_id"), sig.as("sig"))
+      }, {
+        val votes = (0 until 16).map(j =>
+          s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) BETWEEN '0' AND '7'" +
+          s" THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+        val pack = (0 until 16).map(j =>
+          s"(CASE WHEN s$j >= 0 THEN ${1L << (15 - j)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH t AS (
+          | SELECT doc_id, unnest($wsSql) AS w FROM documents
+          |), sums AS (
+          | SELECT doc_id,
+          |  $votes
+          | FROM t GROUP BY doc_id
+          |)
+          |SELECT doc_id, CAST($pack AS BIGINT) AS sig FROM sums""".stripMargin
+      }),
+
     // ── embedding similarity ──────────────────────────────────────────
     "q_embed_neardup" -> q(
       c => {
