@@ -199,6 +199,48 @@ object EtlMain {
       "MV rewrite did not serve the daily-revenue probe from the summary")
     println(s"[etl] gold_orders_date_summary registered; daily revenue " +
       s"served from summary (${probe.count()} dates)")
+
+    // the JOIN shape of the same serving layer: the reference's gold
+    // queries aggregate JOINED silver tables
+    // (docs/etl_processes.md:425-437,490-500) — register a
+    // (date, department)-grain summary of order_items ⋈ products so
+    // department rollups over the join scan KBs instead of the fact
+    // table. Built AFTER all silver maintenance (compaction/cluster/
+    // blooms): every mutator auto-invalidates registrations, so
+    // registering last is what keeps it live.
+    {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val jPath = s"$warehouse/gold_department_daily_summary"
+      val jT = graft.tables.LakehouseTable(spark, jPath,
+        Seq("date", "department"), Seq("date"))
+      jT.overwrite(graft.plans.MaterializedAgg.buildJoin(
+        pipe.silverOrderItems.read, pipe.silverProducts.read,
+        "product_id", "product_id",
+        Seq("date", "department"), Seq("reordered")))
+      jT.registerAs("gold.department_daily_summary")
+      graft.plans.MaterializedAgg.registerJoin(spark,
+        pipe.silverOrderItems.path, pipe.silverProducts.path,
+        "product_id", "product_id", jPath,
+        Seq("date", "department"), Seq("reordered"))
+      val f = pipe.silverOrderItems.read
+      val d = pipe.silverProducts.read
+      val jProbe = f.join(d, f("product_id") === d("product_id"))
+        .groupBy(col("department"))
+        .agg(sum("reordered").as("reorders"), count(lit(1)).as("n_items"))
+      val jServed = jProbe.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(
+                _.toString.contains("gold_department_daily_summary"))
+            case _ => false
+          }
+      }
+      require(jServed.nonEmpty && jServed.forall(identity),
+        "MV join rewrite did not serve the department probe from the summary")
+      println(s"[etl] gold_department_daily_summary registered; department " +
+        s"reorders served from the join summary (${jProbe.count()} departments)")
+    }
     spark.stop()
   }
 }
