@@ -169,6 +169,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MV join rewrite equals the direct join-aggregation across random shapes") {
+    import graft.plans.MaterializedAgg
+    // random fact rows over a dim with skewed fk multiplicity (some
+    // pks never referenced, some referenced many times — pk-fk is NOT
+    // assumed by the rewrite, so a dup dim key is legal and covered by
+    // building the summary from the same join)
+    val rowGen = Gen.listOfN(300, Gen.zip(
+      Gen.oneOf("d0", "d1", "d2"), Gen.chooseNum(0, 9),
+      Gen.option(Gen.chooseNum(-50, 50))))
+    for ((rows, si) <- samples(rowGen, 2).zipWithIndex) {
+      val dir = TestSpark.tmpDir(s"mvjprop$si")
+      rows.map { case (dt, fk, v) => (dt, fk, v.map(Integer.valueOf).orNull) }
+        .toDF("dt", "fk", "v").write.parquet(s"$dir/fact")
+      // pid 0..7 only: fks 8,9 dangle (inner join drops them)
+      (0 until 8).map(p => (p, s"b${p % 3}"))
+        .toDF("pid", "brand").write.parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      MaterializedAgg.buildJoin(fact, dim, "fk", "pid",
+        Seq("dt", "brand"), Seq("v")).write.parquet(s"$dir/gold")
+      MaterializedAgg.attach(spark)
+
+      def joined() = fact.join(dim, fact("fk") === dim("pid"))
+      val shapes: Seq[org.apache.spark.sql.DataFrame] = Seq(
+        joined().groupBy($"dt", $"brand")
+          .agg(sum($"v").as("s"), count(lit(1)).as("n")),
+        joined().groupBy($"brand")
+          .agg(min($"v").as("mn"), max($"v").as("mx"), count($"v").as("cv")),
+        joined().filter($"brand" =!= "b1").groupBy($"dt")
+          .agg(avg($"v").as("a")),
+        joined().filter($"dt" === "d0").agg(count(lit(1)).as("n")),
+        dim.join(fact, fact("fk") === dim("pid")).groupBy($"dt")
+          .agg(sum($"v").as("s")))
+      def collectAll() = shapes.map(_.collect().map(_.toString).sorted.toSeq)
+
+      MaterializedAgg.registerJoin(spark, s"$dir/fact", s"$dir/dim",
+        "fk", "pid", s"$dir/gold", Seq("dt", "brand"), Seq("v"))
+      val roots = shapes.head.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.mkString(",")
+            case _ => ""
+          }
+      }
+      assert(roots.exists(_.contains("gold")), s"join rewrite never fired: $roots")
+      val rewritten = try collectAll() finally MaterializedAgg.clear()
+      val direct = collectAll()
+      rewritten.zip(direct).zipWithIndex.foreach { case ((r, e), qi) =>
+        assert(r == e, s"seed=$si shape=$qi")
+      }
+    }
+  }
+
   test("PrefixJoin equals brute-force Jaccard on random corpora") {
     // random docs over a small vocabulary (high collision probability:
     // near-dups, exact dups, empty docs, singleton docs all arise);
