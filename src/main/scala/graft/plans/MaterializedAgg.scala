@@ -61,24 +61,29 @@ object MaterializedAgg {
                                    groupCols: Set[String],
                                    measures: Set[String])
 
-  /** A summary built FROM an inner equi-join (the reference's gold
-    * shape: aggregate over joined silver tables,
+  /** One dimension of a star summary: its scan roots and the
+    * fact-side / dim-side join key names. */
+  private final case class DimSpec(roots: Set[String],
+                                   factKey: String, dimKey: String)
+
+  /** A summary built FROM a star of inner equi-joins (the reference's
+    * gold shape: aggregates over 2-3 joined silver tables,
     * `/root/reference/docs/etl_processes.md:425-437,490-500`). Sound
     * for any query aggregating the SAME join at or above the grain —
     * pk-fk uniqueness is not required, because the summary rows ARE
     * the joined rows aggregated, whatever the key multiplicity. */
   private final case class JoinSummary(factRoots: Set[String],
-                                       dimRoots: Set[String],
-                                       factKey: String, dimKey: String,
+                                       dims: Seq[DimSpec],
                                        summary: LogicalRelation,
                                        groupCols: Set[String],
                                        measures: Set[String])
 
   // keyed by the canonical root-path set of the SOURCE scan
   private val registry = new ConcurrentHashMap[Set[String], Summary]()
-  // keyed by (fact roots, dim roots)
+  // keyed by the SET of participating scans' root sets (order-free:
+  // the matcher flattens whatever join tree the query built)
   private val joinRegistry =
-    new ConcurrentHashMap[(Set[String], Set[String]), JoinSummary]()
+    new ConcurrentHashMap[Set[Set[String]], JoinSummary]()
 
   private def rootsOf(plan: LogicalPlan): Option[Set[String]] = plan match {
     case lr: LogicalRelation =>
@@ -120,7 +125,15 @@ object MaterializedAgg {
   def buildJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                 dimKey: String, groupCols: Seq[String],
                 measures: Seq[String]): DataFrame =
-    build(fact.join(dim, fact(factKey) === dim(dimKey)), groupCols, measures)
+    buildStar(fact, Seq((dim, factKey, dimKey)), groupCols, measures)
+
+  /** The general star: `fact` inner-equi-joined to every dim in turn
+    * (each `(dim, factKey, dimKey)`), then [[build]]. Covers the
+    * reference's 3-table gold shape (fact ⋈ dim ⋈ dim). */
+  def buildStar(fact: DataFrame, dims: Seq[(DataFrame, String, String)],
+                groupCols: Seq[String], measures: Seq[String]): DataFrame =
+    build(dims.foldLeft(fact) { case (acc, (d, fk, dk)) =>
+      acc.join(d, fact(fk) === d(dk)) }, groupCols, measures)
 
   /** Register `summaryPath` as the materialization of
     * `fact JOIN dim ON factKey == dimKey` grouped by `groupCols` over
@@ -130,25 +143,44 @@ object MaterializedAgg {
     * the optimizer has already pushed below the join. */
   def registerJoin(spark: SparkSession, factPath: String, dimPath: String,
                    factKey: String, dimKey: String, summaryPath: String,
+                   groupCols: Seq[String], measures: Seq[String]): Unit =
+    registerStar(spark, factPath, Seq((dimPath, factKey, dimKey)),
+      summaryPath, groupCols, measures)
+
+  /** [[registerJoin]] generalized to a star of dims, each given as
+    * `(dimPath, factKey, dimKey)`. The matcher is operand-order-free:
+    * any left-deep/right-deep arrangement of the same inner equi-joins
+    * rewrites. Scans must be pairwise distinct paths (a self-join is
+    * not a star). */
+  def registerStar(spark: SparkSession, factPath: String,
+                   dims: Seq[(String, String, String)], summaryPath: String,
                    groupCols: Seq[String], measures: Seq[String]): Unit = {
-    val factPlan = spark.read.parquet(factPath).queryExecution.analyzed
-    val dimPlan = spark.read.parquet(dimPath).queryExecution.analyzed
-    val sumPlan = spark.read.parquet(summaryPath).queryExecution.analyzed
-    (rootsOf(factPlan), rootsOf(dimPlan), sumPlan) match {
-      case (Some(fr), Some(dr), lr: LogicalRelation) =>
+    require(dims.nonEmpty, "registerStar needs at least one dim")
+    def roots(p: String): Option[Set[String]] =
+      rootsOf(spark.read.parquet(p).queryExecution.analyzed)
+    val factRoots = roots(factPath).getOrElse(
+      throw new IllegalArgumentException(s"$factPath must be a parquet scan"))
+    val dimSpecs = dims.map { case (dp, fk, dk) =>
+      DimSpec(roots(dp).getOrElse(throw new IllegalArgumentException(
+        s"$dp must be a parquet scan")), fk.toLowerCase, dk.toLowerCase)
+    }
+    val allRoots = factRoots +: dimSpecs.map(_.roots)
+    require(allRoots.distinct.size == allRoots.size,
+      "star members must be distinct tables (self-joins not supported)")
+    spark.read.parquet(summaryPath).queryExecution.analyzed match {
+      case lr: LogicalRelation =>
         val have = lr.output.map(_.name.toLowerCase).toSet
         val need = "cnt" +: measures.flatMap(m => Seq(
           s"sum_$m", s"min_$m", s"max_$m", s"cnt_$m").map(_.toLowerCase))
         val missing = need.filterNot(have)
         require(missing.isEmpty,
           s"summary at $summaryPath lacks column(s) ${missing.mkString(", ")}" +
-          s" — build it with MaterializedAgg.buildJoin")
-        joinRegistry.put((fr, dr), JoinSummary(fr, dr,
-          factKey.toLowerCase, dimKey.toLowerCase, lr,
+          s" — build it with MaterializedAgg.buildStar")
+        joinRegistry.put(allRoots.toSet, JoinSummary(factRoots, dimSpecs, lr,
           groupCols.map(_.toLowerCase).toSet,
           measures.map(_.toLowerCase).toSet))
       case _ => throw new IllegalArgumentException(
-        s"$factPath, $dimPath and $summaryPath must all be parquet scans")
+        s"$summaryPath must be a parquet scan")
     }
   }
 
@@ -197,9 +229,8 @@ object MaterializedAgg {
     val canon = s"${Option(u.getScheme).getOrElse("")}://" +
       s"${Option(u.getAuthority).getOrElse("")}${u.getPath}"
     registry.keySet.removeIf(_.contains(canon))
-    // a join summary is stale if EITHER input mutated
-    joinRegistry.keySet.removeIf { case (fr, dr) =>
-      fr.contains(canon) || dr.contains(canon) }
+    // a join summary is stale if ANY participating input mutated
+    joinRegistry.keySet.removeIf(_.exists(_.contains(canon)))
     ()
   }
 
@@ -284,69 +315,86 @@ object MaterializedAgg {
         filterOpt.toSeq)
     }
 
-    /** Match `Aggregate` over the registered inner equi-join. By the
-      * time user rules run, the optimizer has pushed grain filters
-      * BELOW the join and inferred `isnotnull` on the join keys from
-      * the inner join's constraints — so each side may carry a
-      * residual Filter whose conjuncts must each be either
-      * `isnotnull(<that side's join key>)` (implied by the join the
-      * summary was built from: droppable) or a grain predicate (kept,
-      * re-applied on the summary — the grain check in [[reAggregate]]
-      * enforces that). */
+    /** Match `Aggregate` over the registered star of inner
+      * equi-joins (any tree arrangement). By the time user rules run,
+      * the optimizer has pushed grain filters BELOW the joins and
+      * inferred `isnotnull` on the join keys from the inner joins'
+      * constraints — so loose Filter conjuncts anywhere in the tree
+      * must each be either `isnotnull(<a join key of its own scan>)`
+      * (implied by the join the summary was built from: droppable) or
+      * a grain predicate (kept, re-applied on the summary — the grain
+      * check in [[reAggregate]] enforces that). */
     private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
-      def peel(p: LogicalPlan): Option[(Join, Seq[Expression])] = p match {
-        case j: Join => Some((j, Nil))
-        case Filter(c, ch) =>
-          peel(ch).map { case (j, fs) =>
-            (j, splitConjunctivePredicates(c) ++ fs) }
-        case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-          peel(ch)
-        case _ => None
-      }
-      val (join, topFilters) = peel(agg.child) match {
-        case Some(x) => x
-        case None    => return None
-      }
-      if (join.joinType != Inner) return None
-      val (llr, lFilt) = unwrap(join.left) match {
-        case Some(x) => x
-        case None    => return None
-      }
-      val (rlr, rFilt) = unwrap(join.right) match {
-        case Some(x) => x
-        case None    => return None
-      }
-      val lroots = rootsOf(llr).getOrElse(return None)
-      val rroots = rootsOf(rlr).getOrElse(return None)
-      // either operand order: fact JOIN dim and dim JOIN fact both match
-      val (spec, factLr, dimLr, factFilt, dimFilt) =
-        (Option(joinRegistry.get((lroots, rroots))),
-         Option(joinRegistry.get((rroots, lroots)))) match {
-          case (Some(s), _) => (s, llr, rlr, lFilt, rFilt)
-          case (_, Some(s)) => (s, rlr, llr, rFilt, lFilt)
-          case _            => return None
+      // flatten the whole subtree: scan leaves, equi-join conjuncts,
+      // and loose filter conjuncts (wherever the optimizer left them)
+      def flatten(p: LogicalPlan)
+          : Option[(Seq[LogicalRelation], Seq[Expression], Seq[Expression])] =
+        p match {
+          case j: Join =>
+            if (j.joinType != Inner) None
+            else for {
+              (ll, lc, lf) <- flatten(j.left)
+              (rl, rc, rf) <- flatten(j.right)
+            } yield (ll ++ rl,
+                     lc ++ rc ++
+                       j.condition.toSeq.flatMap(splitConjunctivePredicates),
+                     lf ++ rf)
+          case Filter(c, ch) =>
+            flatten(ch).map { case (ls, cs, fs) =>
+              (ls, cs, fs ++ splitConjunctivePredicates(c)) }
+          case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+            flatten(ch)
+          case lr: LogicalRelation => Some((Seq(lr), Nil, Nil))
+          case _ => None
         }
-      // the query's join must be EXACTLY the registered one: a single
-      // equi-conjunct on (factKey, dimKey), either operand order
-      val keysOk = join.condition.map(splitConjunctivePredicates) match {
-        case Some(Seq(EqualTo(a: AttributeReference, b: AttributeReference))) =>
+      val (leaves, conds, loose) = flatten(agg.child) match {
+        case Some(x) if x._1.size >= 2 => x
+        case _                         => return None
+      }
+      val leafRoots: Seq[(LogicalRelation, Set[String])] =
+        leaves.map(lr => lr -> rootsOf(lr).getOrElse(return None))
+      // distinct scans only (registerStar enforces the same invariant)
+      if (leafRoots.map(_._2).distinct.size != leafRoots.size) return None
+      val spec = Option(joinRegistry.get(leafRoots.map(_._2).toSet))
+        .getOrElse(return None)
+      val factLr = leafRoots.collectFirst {
+        case (lr, r) if r == spec.factRoots => lr }.getOrElse(return None)
+      val dimLrs: Seq[(DimSpec, LogicalRelation)] = spec.dims.map { d =>
+        d -> leafRoots.collectFirst {
+          case (lr, r) if r == d.roots => lr }.getOrElse(return None)
+      }
+      // every equi-conjunct must BE a registered (factKey == dimKey)
+      // pair — an extra condition restricts further than the summary's
+      // join and an unmatched dim would be a cross join: both bail
+      val matchedDims = scala.collection.mutable.Set.empty[Int]
+      val condsOk = conds.forall {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
           val fa = if (factLr.outputSet.contains(a)) a else b
           val da = if (fa eq a) b else a
-          factLr.outputSet.contains(fa) && dimLr.outputSet.contains(da) &&
-            fa.name.toLowerCase == spec.factKey &&
-            da.name.toLowerCase == spec.dimKey
+          factLr.outputSet.contains(fa) && dimLrs.zipWithIndex.exists {
+            case ((d, dlr), i) =>
+              val hit = dlr.outputSet.contains(da) &&
+                fa.name.toLowerCase == d.factKey &&
+                da.name.toLowerCase == d.dimKey
+              if (hit) matchedDims += i
+              hit
+          }
         case _ => false
       }
-      if (!keysOk) return None
-      def screen(f: Option[Expression], keyName: String): Seq[Expression] =
-        f.toSeq.flatMap(splitConjunctivePredicates).filterNot {
-          case IsNotNull(a: AttributeReference) =>
-            a.name.toLowerCase == keyName
-          case _ => false
-        }
-      val filters = topFilters ++
-        screen(factFilt, spec.factKey) ++ screen(dimFilt, spec.dimKey)
-      reAggregate(agg, spec.summary, spec.groupCols, spec.measures, filters)
+      if (!condsOk || matchedDims.size != dimLrs.size) return None
+      // loose conjuncts: drop isnotnull on a join key OF ITS OWN scan
+      // (implied by the registered inner joins); everything else goes
+      // through the grain check in reAggregate
+      val factKeys = spec.dims.map(_.factKey).toSet
+      def isImpliedNotNull(e: Expression): Boolean = e match {
+        case IsNotNull(a: AttributeReference) =>
+          (factLr.outputSet.contains(a) && factKeys(a.name.toLowerCase)) ||
+            dimLrs.exists { case (d, dlr) =>
+              dlr.outputSet.contains(a) && a.name.toLowerCase == d.dimKey }
+        case _ => false
+      }
+      reAggregate(agg, spec.summary, spec.groupCols, spec.measures,
+        loose.filterNot(isImpliedNotNull))
     }
 
     /** Shared re-aggregation: rewrite `agg` (grouping keys, filters —

@@ -215,6 +215,70 @@ class MaterializedAggSpec extends AnyFunSuite {
     } finally MaterializedAgg.clear()
   }
 
+  test("3-table star: aggregate over fact ⋈ dim ⋈ dim serves from one summary") {
+    val dir = TestSpark.tmpDir("mvstar")
+    // the reference's department_analytics shape: items ⋈ part ⋈ orders
+    (1 to 3000).map(i => (i % 40, i % 25, i.toLong))
+      .toDF("partfk", "orderfk", "qty").write.parquet(s"$dir/fact")
+    (0 until 40).map(p => (p, s"b${p % 5}"))
+      .toDF("pid", "brand").write.parquet(s"$dir/part")
+    (0 until 25).map(o => (o, s"d${o % 4}"))
+      .toDF("oid", "odate").write.parquet(s"$dir/orders")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val part = spark.read.parquet(s"$dir/part")
+    val ords = spark.read.parquet(s"$dir/orders")
+    MaterializedAgg.buildStar(fact,
+      Seq((part, "partfk", "pid"), (ords, "orderfk", "oid")),
+      Seq("brand", "odate"), Seq("qty")).write.parquet(s"$dir/gold")
+
+    def joined() = fact
+      .join(part, fact("partfk") === part("pid"))
+      .join(ords, fact("orderfk") === ords("oid"))
+    def query() = joined().groupBy($"brand", $"odate")
+      .agg(sum($"qty").as("total_qty"), count(lit(1)).as("n"))
+    val expected = query().orderBy("brand", "odate").collect().toSeq
+
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.registerStar(spark, s"$dir/fact",
+      Seq((s"$dir/part", "partfk", "pid"), (s"$dir/orders", "orderfk", "oid")),
+      s"$dir/gold", Seq("brand", "odate"), Seq("qty"))
+    try {
+      val q = query()
+      assert(scanPaths(q).nonEmpty && scanPaths(q).forall(_.contains("gold")),
+        s"expected the star-summary scan, got ${scanPaths(q)}")
+      assert(q.orderBy("brand", "odate").collect().toSeq == expected)
+
+      // grain subset + a dim-side filter pushed below both joins
+      val f = joined().filter($"odate" === "d1").groupBy($"brand")
+        .agg(sum($"qty").as("total_qty"))
+      assert(scanPaths(f).forall(_.contains("gold")), scanPaths(f))
+      assert(f.orderBy("brand").collect().toSeq ==
+        joined().filter($"odate" === "d1").groupBy($"brand")
+          .agg(sum($"qty").as("total_qty")).orderBy("brand").collect().toSeq)
+
+      // a different join arrangement of the SAME star still matches
+      // (dim joined first, fact keys resolved across the tree)
+      val rearranged = part.join(
+          fact.join(ords, fact("orderfk") === ords("oid")),
+          fact("partfk") === part("pid"))
+        .groupBy($"odate").agg(sum($"qty").as("total_qty"))
+      assert(scanPaths(rearranged).forall(_.contains("gold")),
+        scanPaths(rearranged))
+
+      // bail: only TWO of the three tables joined (not the registered star)
+      val partial = fact.join(part, fact("partfk") === part("pid"))
+        .groupBy($"brand").agg(sum($"qty").as("s"))
+      assert(scanPaths(partial).exists(_.contains("fact")), scanPaths(partial))
+      // bail: an extra restricting equi-condition
+      val extra = fact
+        .join(part, fact("partfk") === part("pid") &&
+                    fact("orderfk") === part("pid"))
+        .join(ords, fact("orderfk") === ords("oid"))
+        .groupBy($"brand").agg(sum($"qty").as("s"))
+      assert(scanPaths(extra).exists(_.contains("fact")), scanPaths(extra))
+    } finally MaterializedAgg.clear()
+  }
+
   test("join summary invalidates when EITHER input mutates") {
     val dir = TestSpark.tmpDir("mvjoininval")
     val fact = graft.tables.LakehouseTable(spark, s"$dir/fact", Seq("id"))
