@@ -39,6 +39,17 @@ object QueriesAnalytics {
     s"${sys.props("java.io.tmpdir")}/graft_mv_dailysales_$tag"
   }
 
+  /** Join-summary location for q_mv_brand_qty, keyed on BOTH inputs'
+    * identities (a regenerated fixture of either table rebuilds). */
+  private def mvBrandSummaryDir(c: Ctx): String = {
+    val li = new java.io.File(s"${c.dir}/lineitem.parquet")
+    val pt = new java.io.File(s"${c.dir}/part.parquet")
+    val tag = java.lang.Long.toHexString(
+      (li.lastModified ^ li.length) ^ java.lang.Long.rotateLeft(
+        pt.lastModified ^ pt.length, 21))
+    s"${sys.props("java.io.tmpdir")}/graft_mv_brandqty_$tag"
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ── window-function family (beyond W1's rank) ─────────────────────
@@ -189,6 +200,37 @@ object QueriesAnalytics {
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         | sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem WHERE l_quantity > 0 GROUP BY l_shipdate""".stripMargin),
+
+    // The JOIN shape of MV serving in the graded inventory: a
+    // (brand)-grain summary of lineitem ⋈ part is registered and the
+    // covered aggregate over the RAW join is served from it — the
+    // reference's gold aggregate-over-joined-silver shape
+    // (docs/etl_processes.md:425-437). Oracle = the direct join
+    // aggregation; l_quantity sums are exact-integral so the
+    // re-aggregated summary is bit-identical.
+    "q_mv_brand_qty" -> q(
+      c => {
+        val summaryDir = mvBrandSummaryDir(c)
+        if (!new java.io.File(s"$summaryDir/_SUCCESS").exists) {
+          graft.plans.MaterializedAgg.buildJoin(
+              c.lineitem, c.part, "l_partkey", "p_partkey",
+              Seq("p_brand"), Seq("l_quantity"))
+            .write.mode("overwrite").parquet(summaryDir)
+        }
+        graft.plans.MaterializedAgg.attach(c.spark)
+        graft.plans.MaterializedAgg.registerJoin(c.spark,
+          s"${c.dir}/lineitem.parquet", s"${c.dir}/part.parquet",
+          "l_partkey", "p_partkey", summaryDir,
+          Seq("p_brand"), Seq("l_quantity"))
+        val li = c.lineitem
+        val pt = c.part
+        li.join(pt, li("l_partkey") === pt("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      },
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin),
 
     // ── month-level time rollup (date_trunc) ──────────────────────────
     "q_monthly_revenue" -> q(

@@ -283,6 +283,12 @@ class PlanSpec extends AnyFunSuite {
       val pd = planOf(QueriesAnalytics.defs("q_mv_daily_sales_direct").fn(spark, sf))
       assert(pd.contains("lineitem.parquet"), pd.take(3000))
       assert(!pd.contains("graft_mv_dailysales"), pd.take(3000))
+      // the JOIN shape: the covered aggregate over lineitem ⋈ part
+      // scans the brand-grain join summary, with neither input scanned
+      val pj = planOf(QueriesAnalytics.defs("q_mv_brand_qty").fn(spark, sf))
+      assert(pj.contains("graft_mv_brandqty"), pj.take(3000))
+      assert(!pj.contains("lineitem.parquet") && !pj.contains("part.parquet"),
+        pj.take(3000))
     } finally graft.plans.MaterializedAgg.clear()
   }
 }
