@@ -1449,6 +1449,41 @@ object QueriesText {
           .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))
       }),
 
+    // The shingle-MinHash MECHANISM under a hash-matched oracle:
+    // q_minhash_replay proved word-SET minhash replays in DuckDB; this
+    // adds the ORDER-SENSITIVE shingle construction (space-joined
+    // 3-word windows, exactly TF.shingles) to the replayed pipeline,
+    // so the q_minhash_shingles signature path — shingling, distinct,
+    // per-plane md5 min — is pinned bit-exactly end to end. The
+    // production query keeps xxhash + banding with its golden pins.
+    "q_shingle_replay" -> q(
+      c => {
+        val d = c.documents
+          .withColumn("w", TF.words(col("text")))
+          .select(col("doc_id"),
+                  array_distinct(TF.shingles(col("w"), 3)).as("sh"))
+        def mh(j: Int) = array_min(transform(col("sh"),
+          s => md5(concat(lit(s"$j:"), s).cast("binary")))).as(s"mh$j")
+        d.select(col("doc_id"), mh(0), mh(1), mh(2), mh(3))
+      },
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        | FROM documents
+        |), d AS (
+        | SELECT doc_id, list_distinct(
+        |  CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |   ELSE [ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |         FOR i IN range(0, len(ws) - 2)]
+        |  END) AS sh
+        | FROM w
+        |)
+        |SELECT doc_id,
+        | list_min(list_transform(sh, s -> md5('0:' || s))) AS mh0,
+        | list_min(list_transform(sh, s -> md5('1:' || s))) AS mh1,
+        | list_min(list_transform(sh, s -> md5('2:' || s))) AS mh2,
+        | list_min(list_transform(sh, s -> md5('3:' || s))) AS mh3
+        |FROM d""".stripMargin),
+
     // stateful sessionizer (flatMapGroupsWithState) run in batch mode:
     // emits every CLOSED session, i.e. q_sessionize minus each user's
     // final (still-open) session — which IS SQL-expressible: sessions

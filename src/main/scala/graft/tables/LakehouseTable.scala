@@ -522,10 +522,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val aggs = cols.flatMap(c => Seq(
       org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
       org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+    // no coalesce(1): the same single-task funnel writeFileBlooms
+    // dropped — min/max rows are only ~100 B/file, but at 400k files
+    // there is still no reason to serialize the write; readers list
+    // the manifest dir exactly as they would one file
     val stats = read
       .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
       .groupBy("file").agg(aggs.head, aggs.tail: _*)
-      .coalesce(1) // manifest scale: one row per data file
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$fileStatsPath.staged-$tag"
     stats.write.mode("overwrite").parquet(staged)
