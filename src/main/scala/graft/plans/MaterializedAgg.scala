@@ -231,10 +231,22 @@ object MaterializedAgg {
     registry.keySet.removeIf(_.contains(canon))
     // a join summary is stale if ANY participating input mutated
     joinRegistry.keySet.removeIf(_.exists(_.contains(canon)))
+    epochCounter.incrementAndGet()
     ()
   }
 
-  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
+  def clear(): Unit = {
+    registry.clear(); joinRegistry.clear()
+    epochCounter.incrementAndGet()
+    ()
+  }
+
+  /** Monotone counter bumped by every [[clear]]/[[invalidate]] —
+    * callers that cache "already registered" decisions (e.g. the
+    * bench's register-once guard) key on it so a cleared or
+    * invalidated registry is never mistaken for a live one. */
+  private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def epoch: Long = epochCounter.get
 
   /** Partition-scoped summary maintenance: after a source change
     * touching partition values `changed` (the pipeline knows its
