@@ -317,6 +317,42 @@ class MaterializedAggSpec extends AnyFunSuite {
     } finally MaterializedAgg.clear()
   }
 
+  test("SQL-text join over catalog table names is served by the join summary") {
+    val dir = TestSpark.tmpDir("mvjsql")
+    val fact = graft.tables.LakehouseTable(spark, s"$dir/fact", Seq("id"))
+    fact.overwrite(Seq((1, "d1", 10, 100L), (2, "d1", 11, 200L), (3, "d2", 10, 50L))
+      .toDF("id", "date", "product_id", "amount"))
+    val dim = graft.tables.LakehouseTable(spark, s"$dir/dim", Seq("pid"))
+    dim.overwrite(Seq((10, "b0"), (11, "b1")).toDF("pid", "brand"))
+    // register the catalog names BEFORE the summary build+register:
+    // registerAs issues DROP/CREATE TABLE, which must not be mistaken
+    // for a data mutation (it is not routed through the mutator hook)
+    fact.registerAs("mvjsql_fact")
+    dim.registerAs("mvjsql_dim")
+    MaterializedAgg.buildJoin(fact.read, dim.read, "product_id", "pid",
+      Seq("date", "brand"), Seq("amount")).write.parquet(s"$dir/gold")
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.registerJoin(spark, fact.path, dim.path,
+      "product_id", "pid", s"$dir/gold", Seq("date", "brand"), Seq("amount"))
+    try {
+      // the Athena-analyst path: plain SQL over catalog names — the
+      // catalog relations resolve to the same root paths, so the star
+      // matcher serves them with zero per-query opt-in
+      val q = spark.sql(
+        """SELECT d.brand, sum(f.amount) AS revenue, count(*) AS n
+          |FROM mvjsql_fact f JOIN mvjsql_dim d ON f.product_id = d.pid
+          |GROUP BY d.brand""".stripMargin)
+      assert(scanPaths(q).nonEmpty && scanPaths(q).forall(_.contains("gold")),
+        scanPaths(q))
+      assert(q.orderBy("brand").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("b0", 150L, 2L), ("b1", 200L, 1L)))
+    } finally {
+      MaterializedAgg.clear()
+      spark.sql("DROP TABLE IF EXISTS mvjsql_fact")
+      spark.sql("DROP TABLE IF EXISTS mvjsql_dim")
+    }
+  }
+
   test("uncovered shapes bail to the source scan, still correct") {
     val dir = TestSpark.tmpDir("mvagg2")
     (1 to 500).map(i => (i % 5, s"d${i % 2}", i)).toDF("k", "d", "v")
