@@ -133,6 +133,22 @@ class StreamingSpec extends AnyFunSuite {
       // the untouched type's summary partition survived the second swap
       assert(spark.read.parquet(summary).filter($"event_type" === "view")
         .count() == 1)
+
+      // crash window: a batch whose upsert lands but whose refresh
+      // never runs (process died in between) must leave the NEXT
+      // covered query on the source scan with fresh values — the
+      // mutator's auto-invalidation is what closes this window, not
+      // the sink's own discipline
+      graft.tables.LakehouseTable(spark, target,
+          Seq("window_start", "event_type"))
+        .upsert(Seq((java.sql.Timestamp.valueOf("2024-01-01 13:00:00"),
+                     "click", 9L, 99.0))
+          .toDF("window_start", "event_type", "n_events", "total_value"))
+      val crashed = probe()
+      assert(scans(crashed).exists(_.contains("serving")), scans(crashed))
+      assert(crashed.filter($"event_type" === "click")
+        .as[(String, Long, Long)].head()._2 == 12L,
+        "post-crash covered query must see the upserted rows")
     } finally graft.plans.MaterializedAgg.clear()
   }
 }
