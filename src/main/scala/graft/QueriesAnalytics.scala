@@ -30,12 +30,30 @@ object QueriesAnalytics {
       .select(dateStr(col("l_shipdate")).as("ship_date"),
               col("sum_qty"), col("n_items"))
 
-  /** Per-fixture summary location, keyed on the source file's identity
-    * (mtime ^ length) so a regenerated fixture never serves a stale
+  /** Content-identity tag for a parquet path (plain file or
+    * directory): a fold over every contained file's (name, length,
+    * mtime). The earlier dir-level `mtime ^ length` missed in-place
+    * part-file rewrites that left the directory entry unchanged — a
+    * regenerated fixture could then silently serve a stale summary
+    * against a fresh oracle (exactly the round-7 testdata-regeneration
+    * failure mode). Per-file entries change whenever any part file
+    * does. */
+  private def parquetTag(path: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
+          _.toSeq.sortBy(_.getName).flatMap(walk))
+      else Seq(f)
+    walk(new java.io.File(path)).foldLeft(1125899906842597L) { (h, f) =>
+      ((h * 31 + f.getName.hashCode) * 31 + f.length()) * 31 + f.lastModified()
+    }
+  }
+
+  /** Per-fixture summary location, keyed on the source's per-file
+    * content identity so a regenerated fixture never serves a stale
     * summary across driver rounds. */
   private def mvSummaryDir(c: Ctx): String = {
-    val f = new java.io.File(s"${c.dir}/lineitem.parquet")
-    val tag = java.lang.Long.toHexString(f.lastModified ^ f.length)
+    val tag = java.lang.Long.toHexString(parquetTag(s"${c.dir}/lineitem.parquet"))
     s"${sys.props("java.io.tmpdir")}/graft_mv_dailysales_$tag"
   }
 
@@ -47,19 +65,26 @@ object QueriesAnalytics {
     * next call instead of trusting a stale cache. */
   private val mvRegistered =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def registerOnce(key: String)(body: => Unit): Unit =
-    if (mvRegistered.putIfAbsent(
-          s"${graft.plans.MaterializedAgg.epoch}:$key",
-          java.lang.Boolean.TRUE) == null) body
+  private def registerOnce(key: String)(body: => Unit): Unit = {
+    val ep = graft.plans.MaterializedAgg.epoch
+    // prune superseded-epoch entries: their keys can never be read
+    // again (lookups embed the current epoch), so without this the map
+    // grows by one generation per invalidation. Pruning a key another
+    // thread just wrote under a NEWER epoch is harmless — the next
+    // call under that epoch re-registers, and registration is
+    // idempotent; the rewrite rule's registry lookup stays the
+    // correctness backstop either way.
+    mvRegistered.keySet.removeIf(!_.startsWith(s"$ep:"))
+    if (mvRegistered.putIfAbsent(s"$ep:$key", java.lang.Boolean.TRUE) == null)
+      body
+  }
 
   /** Join-summary location for q_mv_brand_qty, keyed on BOTH inputs'
     * identities (a regenerated fixture of either table rebuilds). */
   private def mvBrandSummaryDir(c: Ctx): String = {
-    val li = new java.io.File(s"${c.dir}/lineitem.parquet")
-    val pt = new java.io.File(s"${c.dir}/part.parquet")
     val tag = java.lang.Long.toHexString(
-      (li.lastModified ^ li.length) ^ java.lang.Long.rotateLeft(
-        pt.lastModified ^ pt.length, 21))
+      parquetTag(s"${c.dir}/lineitem.parquet") ^ java.lang.Long.rotateLeft(
+        parquetTag(s"${c.dir}/part.parquet"), 21))
     s"${sys.props("java.io.tmpdir")}/graft_mv_brandqty_$tag"
   }
 

@@ -156,17 +156,42 @@ object MaterializedAgg {
                    dims: Seq[(String, String, String)], summaryPath: String,
                    groupCols: Seq[String], measures: Seq[String]): Unit = {
     require(dims.nonEmpty, "registerStar needs at least one dim")
-    def roots(p: String): Option[Set[String]] =
-      rootsOf(spark.read.parquet(p).queryExecution.analyzed)
-    val factRoots = roots(factPath).getOrElse(
-      throw new IllegalArgumentException(s"$factPath must be a parquet scan"))
-    val dimSpecs = dims.map { case (dp, fk, dk) =>
-      DimSpec(roots(dp).getOrElse(throw new IllegalArgumentException(
-        s"$dp must be a parquet scan")), fk.toLowerCase, dk.toLowerCase)
+    def scanOf(p: String): (Set[String], Set[String]) = {
+      val plan = spark.read.parquet(p).queryExecution.analyzed
+      val r = rootsOf(plan).getOrElse(throw new IllegalArgumentException(
+        s"$p must be a parquet scan"))
+      (r, plan.output.map(_.name.toLowerCase).toSet)
+    }
+    val (factRoots, factCols) = scanOf(factPath)
+    val dimScans = dims.map { case (dp, fk, dk) =>
+      (scanOf(dp), fk.toLowerCase, dk.toLowerCase)
+    }
+    val dimSpecs = dimScans.map { case ((r, dimCols), fk, dk) =>
+      require(factCols(fk),
+        s"fact key '$fk' is not a column of $factPath")
+      require(dimCols(dk),
+        s"dim key '$dk' is not a column of the dim it was registered for")
+      DimSpec(r, fk, dk)
     }
     val allRoots = factRoots +: dimSpecs.map(_.roots)
     require(allRoots.distinct.size == allRoots.size,
       "star members must be distinct tables (self-joins not supported)")
+    // The rewrite maps grain/measure columns by NAME; that is only
+    // sound when each name resolves to exactly one participating scan.
+    // buildStar's groupBy would have failed on an ambiguous name at
+    // build time, but a summary built by other means — or an input
+    // whose schema GAINED a same-named column since (schema evolution
+    // between invalidation and re-registration) — must not slip
+    // through: a query referencing the other table's column would be
+    // silently rewritten to the wrong data. Enforced here, where the
+    // schemas are already in hand.
+    val inputCols: Seq[Set[String]] = factCols +: dimScans.map(_._1._2)
+    (groupCols ++ measures).map(_.toLowerCase).foreach { n =>
+      val hits = inputCols.count(_(n))
+      require(hits == 1,
+        s"summary column '$n' must resolve to exactly one star input; " +
+        s"found it in $hits of ${inputCols.size} — rebuild and re-register")
+    }
     spark.read.parquet(summaryPath).queryExecution.analyzed match {
       case lr: LogicalRelation =>
         val have = lr.output.map(_.name.toLowerCase).toSet
@@ -228,11 +253,14 @@ object MaterializedAgg {
       .makeQualified(p).toUri
     val canon = s"${Option(u.getScheme).getOrElse("")}://" +
       s"${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-    registry.keySet.removeIf(_.contains(canon))
+    val droppedPlain = registry.keySet.removeIf(_.contains(canon))
     // a join summary is stale if ANY participating input mutated
-    joinRegistry.keySet.removeIf(_.exists(_.contains(canon)))
-    epochCounter.incrementAndGet()
-    ()
+    val droppedJoin = joinRegistry.keySet.removeIf(_.exists(_.contains(canon)))
+    // bump the epoch ONLY when a registration was actually dropped:
+    // mutations of unrelated tables would otherwise churn every
+    // epoch-keyed register-once cache into re-registering (three
+    // parquet analyses per summary) for nothing
+    if (droppedPlain || droppedJoin) { epochCounter.incrementAndGet(); () }
   }
 
   def clear(): Unit = {
@@ -258,12 +286,19 @@ object MaterializedAgg {
     * (both keyed on `date`). Cost: one pruned scan of the affected
     * source partitions + the partition swap — O(affected), never a
     * full rebuild; the incremental twin of the register-after-rebuild
-    * contract. Limit inherited from [[graft.tables.LakehouseTable
-    * .replacePartitions]]: a changed partition whose source rows were
-    * ALL deleted produces no replacement rows and would keep its stale
-    * summary — callers with delete-capable sources (CDC apply_changes)
-    * should full-rebuild instead; the e-commerce pipeline's upserts
-    * never delete. */
+    * contract.
+    *
+    * Delete-capable sources (CDC apply_changes) are handled: a changed
+    * partition whose source rows were ALL deleted produces no
+    * replacement rows — [[graft.tables.LakehouseTable
+    * .replacePartitions]] cannot swap it to empty, so refresh detects
+    * the emptied values and DROPS those summary partitions instead of
+    * leaving stale rows to serve.
+    *
+    * The O(affected) cost story assumes the SOURCE is partitioned by
+    * `groupCols.head` too (the EtlMain layout, both keyed on `date`) —
+    * otherwise the slice below is a full, unpruned source scan per
+    * refresh. Still correct, so it is a warning, not an error. */
   def refresh(source: graft.tables.LakehouseTable,
               summary: graft.tables.LakehouseTable,
               groupCols: Seq[String], measures: Seq[String],
@@ -272,6 +307,11 @@ object MaterializedAgg {
       s"summary must be partitioned by the leading group column " +
       s"${groupCols.head}, got ${summary.partitionCols}")
     if (changed.isEmpty) return
+    if (source.partitionCols != Seq(groupCols.head))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"MaterializedAgg.refresh: source ${source.path} is partitioned " +
+        s"by ${source.partitionCols}, not ${Seq(groupCols.head)} — the " +
+        "per-refresh slice is a full source scan, not a pruned one")
     // deregister FIRST: the rebuild below is itself an Aggregate over
     // the registered source — left registered, the rewrite rule would
     // serve it from the stale summary, recomputing the summary from
@@ -279,8 +319,23 @@ object MaterializedAgg {
     deregister(source.spark, source.path)
     val slice = source.read
       .filter(col(groupCols.head).isInCollection(changed))
-    summary.replacePartitions(build(slice, groupCols, measures))
-    register(source.spark, source.path, summary.path, groupCols, measures)
+    val rebuilt = build(slice, groupCols, measures)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // partition values among `changed` with NO surviving source rows:
+      // their summary partitions must be dropped, not left stale
+      // (string-normalized comparison — the collected values went
+      // through a parquet write/read cycle the caller's didn't)
+      val present = rebuilt.select(col(groupCols.head)).distinct()
+        .collect().map(r => String.valueOf(r.get(0))).toSet
+      val emptied = changed.filterNot(v => present(String.valueOf(v)))
+      if (emptied.nonEmpty) summary.dropPartitions(emptied)
+      summary.replacePartitions(rebuilt)
+      // a refresh that emptied the LAST partition leaves no data files
+      // to analyze — nothing to serve from, so stay deregistered
+      if (summary.exists)
+        register(source.spark, source.path, summary.path, groupCols, measures)
+    } finally { rebuilt.unpersist(); () }
   }
 
   /** Attach the rewrite to an existing session (idempotent). */

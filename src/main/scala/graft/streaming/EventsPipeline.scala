@@ -74,10 +74,16 @@ object EventsPipeline {
     *      — a mid-batch covered query falls back to the source scan,
     *      fresh and bit-correct, never a stale summary);
     *   2. [[graft.plans.MaterializedAgg.refresh]] scoped to the
-    *      batch's distinct event types — O(batch), a bounded-domain
-    *      collect (event types, not windows) — which re-registers.
-    * The summary table is partitioned by `event_type` (refresh's
-    * partition-swap contract). Covered aggregates over the SERVING
+    *      batch's distinct event types — a bounded-domain collect
+    *      (event types, not windows) — which re-registers.
+    * BOTH tables are partitioned by `event_type`: the summary because
+    * refresh's partition-swap contract requires it, and the SERVING
+    * table so refresh's source slice is a partition-pruned read of the
+    * touched event types' dirs — unpartitioned, that slice would be a
+    * full serving-table scan every microbatch. Per-batch refresh cost
+    * is therefore O(affected source partitions) — all windows of the
+    * touched event types, not just the batch's rows — plus the
+    * summary's partition swap. Covered aggregates over the SERVING
     * table — totals per event type across all windows — then read the
     * summary: KBs instead of the window-grain table. */
   def maintainedUpsertSink(rollup: DataFrame, targetPath: String,
@@ -90,7 +96,7 @@ object EventsPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val serving = graft.tables.LakehouseTable(spark, targetPath,
-          Seq("window_start", "event_type"))
+          Seq("window_start", "event_type"), Seq("event_type"))
         serving.upsert(batch)
         val touched = batch.select("event_type").distinct()
           .collect().map(_.getString(0)).toSeq

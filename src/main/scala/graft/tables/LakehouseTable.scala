@@ -314,6 +314,32 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     } finally { cached.unpersist(); () }
   }
 
+  /** Drop whole partitions by value — the delete-capable complement of
+    * [[replacePartitions]] (which by design cannot replace a partition
+    * *to empty*: a value with no rows writes no dir to swap in). Used
+    * by summary maintenance when a CDC delete empties a partition's
+    * source rows: the stale summary dir must go, and a dir delete is
+    * the only correct operation. Dir names follow Spark's own
+    * partitioned-write escaping (`ExternalCatalogUtils.escapePathName`
+    * over the value's string form — dates stringify to the yyyy-MM-dd
+    * the writer used). Missing dirs are no-ops; each delete is atomic
+    * per partition, same visibility contract as the partition swap. */
+  def dropPartitions(values: Seq[Any]): Unit = {
+    require(partitionCols.size == 1,
+      s"dropPartitions needs a single-column-partitioned table: $path")
+    require(!values.contains(null) &&
+            !values.exists(v => String.valueOf(v).isEmpty),
+      s"dropPartitions requires non-null, non-empty values: $path")
+    repairInterruptedSwaps()
+    invalidateFileStats()
+    val pc = partitionCols.head
+    values.foreach { v =>
+      val dir = s"$pc=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      fs.delete(new Path(path, dir), true)
+    }
+  }
+
   /** Catalog registration (S7): session-catalog external table.
     * Unpartitioned tables register with recursive lookup so SQL reads
     * see appendBatch's batch-dir layout exactly like [[read]] does —

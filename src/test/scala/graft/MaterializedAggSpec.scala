@@ -405,4 +405,90 @@ class MaterializedAggSpec extends AnyFunSuite {
       assert(eg.as[Long].head() == 0L)
     } finally MaterializedAgg.clear()
   }
+
+  test("CDC delete that empties a partition: refresh DROPS its summary partition") {
+    val dir = TestSpark.tmpDir("mvdelgap")
+    val src = graft.tables.LakehouseTable(spark, s"$dir/src", Seq("id"), Seq("d"))
+    src.overwrite(Seq((1, "d1", 10), (2, "d1", 20), (3, "d2", 5))
+      .toDF("id", "d", "v"))
+    val goldT = graft.tables.LakehouseTable(spark, s"$dir/gold", Seq("d"), Seq("d"))
+    goldT.overwrite(MaterializedAgg.build(src.read, Seq("d"), Seq("v")))
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, src.path, goldT.path, Seq("d"), Seq("v"))
+    try {
+      def probe() = src.read.groupBy($"d")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      assert(scanPaths(probe()).forall(_.contains("gold")))
+
+      // a CDC batch deletes EVERY d1 row (and touches nothing else)
+      val changes = Seq((1, "d1", 0, true), (2, "d1", 0, true))
+        .toDF("id", "d", "v", "is_delete")
+      src.overwrite(graft.operators.Upsert.applyChanges(
+        src.read, changes, Seq("id"), "is_delete"))
+      // the mutator auto-invalidated; refresh over the touched
+      // partition must remove d1's summary rows, not leave them stale
+      MaterializedAgg.refresh(src, goldT, Seq("d"), Seq("v"), Seq("d1"))
+      val p2 = probe()
+      assert(scanPaths(p2).forall(_.contains("gold")), scanPaths(p2))
+      assert(p2.orderBy("d").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("d2", 5L, 1L)))
+      // the summary partition dir itself is gone, not merely unserved
+      assert(goldT.read.filter($"d" === "d1").count() == 0)
+    } finally MaterializedAgg.clear()
+  }
+
+  test("registerStar rejects a grain/measure name resolving to more than one input") {
+    val dir = TestSpark.tmpDir("mvambig")
+    // dim carries a SAME-NAMED `amount` column — a summary built
+    // outside buildStar (whose groupBy would have failed on the
+    // ambiguity) must not slip into the registry: the rewrite's
+    // name-based measure mapping could serve the dim's amounts for a
+    // query over the fact's
+    (1 to 100).map(i => (s"d${i % 5}", i % 10, i.toLong))
+      .toDF("date", "product_id", "amount").write.parquet(s"$dir/fact")
+    (0 until 10).map(p => (p, s"b${p % 3}", p * 1000L))
+      .toDF("pid", "brand", "amount").write.parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    // hand-built summary with the required column names
+    fact.join(dim, fact("product_id") === dim("pid"))
+      .groupBy($"brand")
+      .agg(count(lit(1)).as("cnt"), sum(fact("amount")).as("sum_amount"),
+           min(fact("amount")).as("min_amount"), max(fact("amount")).as("max_amount"),
+           count(fact("amount")).as("cnt_amount"))
+      .write.parquet(s"$dir/gold")
+    val ex = intercept[IllegalArgumentException] {
+      MaterializedAgg.registerJoin(spark, s"$dir/fact", s"$dir/dim",
+        "product_id", "pid", s"$dir/gold", Seq("brand"), Seq("amount"))
+    }
+    assert(ex.getMessage.contains("exactly one star input"))
+    // a key that is not a column of its table is rejected too
+    val ex2 = intercept[IllegalArgumentException] {
+      MaterializedAgg.registerJoin(spark, s"$dir/fact", s"$dir/dim",
+        "pid", "product_id", s"$dir/gold", Seq("brand"), Seq("amount"))
+    }
+    assert(ex2.getMessage.contains("not a column"))
+  }
+
+  test("invalidate bumps the epoch only when a registration was dropped") {
+    val dir = TestSpark.tmpDir("mvepoch")
+    (1 to 10).map(i => (i % 2, i)).toDF("k", "v").write.parquet(s"$dir/src")
+    MaterializedAgg.build(spark.read.parquet(s"$dir/src"), Seq("k"), Seq("v"))
+      .write.parquet(s"$dir/gold")
+    (1 to 3).map(i => (i, i)).toDF("a", "b").write.parquet(s"$dir/other")
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold",
+                             Seq("k"), Seq("v"))
+    try {
+      val e0 = MaterializedAgg.epoch
+      // unrelated table: no registration dropped, no epoch churn
+      MaterializedAgg.invalidate(spark, s"$dir/other")
+      assert(MaterializedAgg.epoch == e0)
+      // the registered source: dropped AND epoch-bumped
+      MaterializedAgg.invalidate(spark, s"$dir/src")
+      assert(MaterializedAgg.epoch == e0 + 1)
+      val q = spark.read.parquet(s"$dir/src").groupBy($"k")
+        .agg(sum($"v").as("s"))
+      assert(scanPaths(q).forall(_.contains("src")))
+    } finally MaterializedAgg.clear()
+  }
 }

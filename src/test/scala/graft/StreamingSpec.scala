@@ -140,7 +140,7 @@ class StreamingSpec extends AnyFunSuite {
       // mutator's auto-invalidation is what closes this window, not
       // the sink's own discipline
       graft.tables.LakehouseTable(spark, target,
-          Seq("window_start", "event_type"))
+          Seq("window_start", "event_type"), Seq("event_type"))
         .upsert(Seq((java.sql.Timestamp.valueOf("2024-01-01 13:00:00"),
                      "click", 9L, 99.0))
           .toDF("window_start", "event_type", "n_events", "total_value"))
