@@ -88,6 +88,15 @@ object QueriesAnalytics {
     s"${sys.props("java.io.tmpdir")}/graft_mv_brandqty_$tag"
   }
 
+  /** Distinct-grain join-summary location for q_mv_dept_distinct
+    * (same two inputs, different grain — separate dir). */
+  private def mvDeptSummaryDir(c: Ctx): String = {
+    val tag = java.lang.Long.toHexString(
+      parquetTag(s"${c.dir}/lineitem.parquet") ^ java.lang.Long.rotateLeft(
+        parquetTag(s"${c.dir}/part.parquet"), 42))
+    s"${sys.props("java.io.tmpdir")}/graft_mv_deptdistinct_$tag"
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ── window-function family (beyond W1's rank) ─────────────────────
@@ -272,6 +281,61 @@ object QueriesAnalytics {
       },
       """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin),
+
+    // The reference's priciest gold shape — department_analytics'
+    // exact countDistinct (docs/etl_processes.md:559-567) — served
+    // from the MV layer: a summary at (brand, suppkey) grain makes
+    // count(DISTINCT l_suppkey) a distinct-agg over the SUMMARY's
+    // grain rows (one row per present combination preserves the
+    // distinct set exactly), while sum/count re-aggregate the stored
+    // partials. The summary is |brand × present suppkeys| rows — at
+    // 100 TB, orders of magnitude under the fact table the direct
+    // twin below must scan. Plan-asserted in PlanSpec.
+    "q_mv_dept_distinct" -> q(
+      c => {
+        val summaryDir = mvDeptSummaryDir(c)
+        registerOnce(summaryDir) {
+          if (!new java.io.File(s"$summaryDir/_SUCCESS").exists) {
+            graft.plans.MaterializedAgg.buildJoin(
+                c.lineitem, c.part, "l_partkey", "p_partkey",
+                Seq("p_brand", "l_suppkey"), Seq("l_quantity"))
+              .write.mode("overwrite").parquet(summaryDir)
+          }
+          graft.plans.MaterializedAgg.attach(c.spark)
+          graft.plans.MaterializedAgg.registerJoin(c.spark,
+            s"${c.dir}/lineitem.parquet", s"${c.dir}/part.parquet",
+            "l_partkey", "p_partkey", summaryDir,
+            Seq("p_brand", "l_suppkey"), Seq("l_quantity"))
+        }
+        val li = c.lineitem
+        val pt = c.part
+        li.join(pt, li("l_partkey") === pt("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+               sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      },
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin),
+
+    // the same aggregate forced onto the fact join (measure filter is
+    // outside the covered fragment) — the bench pair's direct leg
+    "q_mv_dept_distinct_direct" -> q(
+      c => {
+        val li = c.lineitem
+        val pt = c.part
+        li.join(pt, li("l_partkey") === pt("p_partkey"))
+          .filter(col("l_quantity") > 0)
+          .groupBy(col("p_brand"))
+          .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+               sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      },
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity > 0
         |GROUP BY p_brand""".stripMargin),
 
     // ── month-level time rollup (date_trunc) ──────────────────────────

@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions.{avg => _, col, count, lit, max, min, sum}
   * rewrites any logical `Aggregate` over the *source* scan whose
   *   - grouping keys are plain source columns within the grain,
   *   - filters (if any) touch only grain columns, and
-  *   - aggregates are sum/min/max/avg/count(measure) or count(*)
+  *   - aggregates are sum/min/max/avg/count(measure), count(*), or
+  *     count/sum(DISTINCT g) over grain columns g
   * into the equivalent re-aggregation of the summary table:
   * sum→sum(sum_m), min→min(min_m), max→max(max_m), count(*)→sum(cnt),
-  * count(m)→sum(cnt_m), avg→sum(sum_m)/sum(cnt_m). Output names AND
+  * count(m)→sum(cnt_m), avg→sum(sum_m)/sum(cnt_m), and DISTINCT
+  * aggregates re-run verbatim over the summary's grain columns (one
+  * summary row per present grain combination ⇒ the distinct value set
+  * within any coarser group is preserved exactly — register grain =
+  * group cols + distinct col to serve exact countDistinct, the shape
+  * the reference's department_analytics needs). Output names AND
   * expression ids are preserved, so parent operators never notice; a
   * rewrite whose result type would differ (e.g. decimal sums, whose
   * re-aggregated precision widens) bails instead.
@@ -553,7 +559,35 @@ object MaterializedAgg {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           rewriteFn(ae.aggregateFunction)
             .filter(_.dataType == ae.dataType) // widened types: bail
-        case _: AggregateExpression => None // distinct / filtered: bail
+        case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty =>
+          // count/sum(DISTINCT x...) where every x is a GRAIN column:
+          // the summary holds exactly one row per grain combination
+          // present in the source, so the distinct value set within any
+          // coarser group is preserved verbatim — re-run the same
+          // distinct aggregate over the summary's grain columns. This
+          // is the department_analytics serving path: an exact
+          // countDistinct can never come from sum_/cnt_ columns, but a
+          // summary whose grain INCLUDES the distinct column serves it
+          // (register grain = group cols + distinct col). DISTINCT
+          // over a measure (row-grain detail the summary lost) bails
+          // via groupAttr. Count is Long→Long; Sum's dataType filter
+          // below catches widening.
+          ae.aggregateFunction match {
+            case fn @ (_: Count | _: Sum)
+                if fn.children.nonEmpty &&
+                   fn.children.forall(_.isInstanceOf[AttributeReference]) =>
+              val mapped = fn.children.map {
+                case a: AttributeReference =>
+                  groupAttr(a.name).filter(_.dataType == a.dataType)
+              }
+              if (mapped.exists(_.isEmpty)) None
+              else Some(fn.withNewChildren(mapped.map(_.get))
+                          .asInstanceOf[AggregateFunction]
+                          .toAggregateExpression(isDistinct = true))
+                     .filter(_.dataType == ae.dataType)
+            case _ => None // other distinct aggregates: bail
+          }
+        case _: AggregateExpression => None // filtered aggregates: bail
         case a: AttributeReference =>
           groupAttr(a.name).filter(_.dataType == a.dataType)
         case other if !other.deterministic => None

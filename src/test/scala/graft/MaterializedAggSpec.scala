@@ -371,9 +371,12 @@ class MaterializedAggSpec extends AnyFunSuite {
         (0 until 5).map(k => k ->
           (251 to 500).filter(_ % 5 == k).map(_.toLong).sum))
 
-      // distinct aggregate: not derivable from the summary
+      // distinct aggregate over a GRAIN column: since round 8 this
+      // SERVES (the summary's one-row-per-grain-combination preserves
+      // the distinct set); the dedicated distinct spec below covers
+      // the serving + measure-distinct bail cases
       val dq = srcT.groupBy($"k").agg(countDistinct($"d").as("nd"))
-      assert(scanPaths(dq).forall(_.contains("src")))
+      assert(scanPaths(dq).forall(_.contains("gold")), scanPaths(dq))
       assert(dq.orderBy("k").as[(Int, Long)].collect().forall(_._2 == 2))
 
       // computed grouping key: bail
@@ -489,6 +492,46 @@ class MaterializedAggSpec extends AnyFunSuite {
       val q = spark.read.parquet(s"$dir/src").groupBy($"k")
         .agg(sum($"v").as("s"))
       assert(scanPaths(q).forall(_.contains("src")))
+    } finally MaterializedAgg.clear()
+  }
+
+  test("count/sum(DISTINCT grain col) serve from the summary; DISTINCT measures bail") {
+    val dir = TestSpark.tmpDir("mvdistinct")
+    (1 to 1000).map(i => (i % 7, s"d${i % 13}", i % 5))
+      .toDF("k", "d", "v").write.parquet(s"$dir/src")
+    val srcT = spark.read.parquet(s"$dir/src")
+    // grain includes d: count(DISTINCT d) is servable
+    MaterializedAgg.build(srcT, Seq("k", "d"), Seq("v"))
+      .write.parquet(s"$dir/gold")
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold",
+                             Seq("k", "d"), Seq("v"))
+    try {
+      def query() = srcT.groupBy($"k")
+        .agg(countDistinct($"d").as("nd"), sum($"v").as("sv"),
+             count(lit(1)).as("n"))
+      val expected = query().orderBy("k").collect().toSeq
+      val q = query()
+      assert(scanPaths(q).nonEmpty && scanPaths(q).forall(_.contains("gold")),
+        s"countDistinct over a grain column must serve: ${scanPaths(q)}")
+      assert(q.orderBy("k").collect().toSeq == expected)
+
+      // sum(DISTINCT grain col): the distinct value set is preserved
+      // even though the same k repeats across d-subgroup summary rows
+      val sd = srcT.agg(sum_distinct($"k").as("sk"))
+      assert(scanPaths(sd).forall(_.contains("gold")), scanPaths(sd))
+      assert(sd.as[Long].head() == (0 until 7).sum.toLong)
+
+      // multi-column distinct over grain columns serves as well
+      val mc = srcT.agg(countDistinct($"k", $"d").as("nkd"))
+      assert(scanPaths(mc).forall(_.contains("gold")), scanPaths(mc))
+      assert(mc.as[Long].head() ==
+        srcT.select($"k", $"d").distinct().count())
+
+      // DISTINCT over a MEASURE: the summary lost row-level detail —
+      // must bail to the source scan, still correct
+      val dm = srcT.groupBy($"k").agg(countDistinct($"v").as("nv"))
+      assert(scanPaths(dm).forall(_.contains("src")), scanPaths(dm))
     } finally MaterializedAgg.clear()
   }
 }

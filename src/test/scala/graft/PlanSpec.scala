@@ -289,6 +289,17 @@ class PlanSpec extends AnyFunSuite {
       assert(pj.contains("graft_mv_brandqty"), pj.take(3000))
       assert(!pj.contains("lineitem.parquet") && !pj.contains("part.parquet"),
         pj.take(3000))
+      // exact countDistinct served from the distinct-grain summary:
+      // the distinct agg re-runs over the summary's grain rows, so the
+      // plan aggregates the summary scan and touches neither input
+      val pdd = planOf(QueriesAnalytics.defs("q_mv_dept_distinct").fn(spark, sf))
+      assert(pdd.contains("graft_mv_deptdistinct"), pdd.take(3000))
+      assert(!pdd.contains("lineitem.parquet") && !pdd.contains("part.parquet"),
+        pdd.take(3000))
+      val pddd = planOf(
+        QueriesAnalytics.defs("q_mv_dept_distinct_direct").fn(spark, sf))
+      assert(pddd.contains("lineitem.parquet"), pddd.take(3000))
+      assert(!pddd.contains("graft_mv_deptdistinct"), pddd.take(3000))
     } finally graft.plans.MaterializedAgg.clear()
   }
 }
