@@ -1160,6 +1160,67 @@ object QueriesText {
                   col("rn").cast("long").as("rn"))
       }),
 
+    // The PQ MECHANISM under a hash-matched oracle: with kmeansIters=0
+    // the codebooks are the md5-ordered top-250 sample (md5 hex strings
+    // order identically in both engines), split per subspace in seed-id
+    // order; encoding is argmax of 2·x·c − |c|² with ties to the lowest
+    // codeword index (PqArgmin's strict-> loop ≡ ORDER BY sc DESC, ci);
+    // ADC scores are per-subspace dots summed in ascending-j order
+    // (AdcScores' fixed loop ≡ the ordered-aggregate sum). Everything
+    // else is the same sequential double fold as q_ann_topk. This pins
+    // the production pqTopK path itself; q_ann_pq keeps the Lloyd-
+    // refined configuration with recall pinned in SimilaritySpec.
+    "q_pq_replay" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        Similarity.pqTopK(all, all.filter(col("id") % 50 === 0), k = 5,
+                          dim = 64, m = 16, codebookSize = 250, rnd6,
+                          kmeansIters = 0)
+          .select(col("query_id"), col("vec_id"), col("score_r"),
+                  col("rn").cast("long").as("rn"))
+      },
+      """WITH n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) nrm
+        | FROM embeddings
+        |), un AS (
+        | SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n
+        |), seed AS (
+        | SELECT vec_id FROM embeddings
+        | ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 250
+        |), sidx AS (
+        | SELECT un.vec_id, un.u,
+        |  row_number() OVER (ORDER BY un.vec_id) - 1 AS ci
+        | FROM un JOIN seed USING (vec_id)
+        |), cw AS (
+        | SELECT j.j, sidx.ci, sidx.u[j.j*4+1 : j.j*4+4] AS c
+        | FROM sidx CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+        |), qy AS (SELECT vec_id, u FROM un WHERE vec_id % 50 = 0),
+        |enc AS (
+        | SELECT vec_id, j, ci AS code FROM (
+        |  SELECT x.vec_id, cw.j, cw.ci,
+        |   row_number() OVER (PARTITION BY x.vec_id, cw.j ORDER BY
+        |     2 * list_dot_product(x.u[cw.j*4+1 : cw.j*4+4], cw.c)
+        |       - list_dot_product(cw.c, cw.c) DESC, cw.ci) AS rn
+        |  FROM un x CROSS JOIN cw) WHERE rn = 1
+        |), scored AS (
+        | SELECT q.vec_id AS query_id, e.vec_id,
+        |  sum(list_dot_product(q.u[e.j*4+1 : e.j*4+4], cw.c)
+        |      ORDER BY e.j) AS score
+        | FROM enc e
+        | JOIN cw ON cw.j = e.j AND cw.ci = e.code
+        | CROSS JOIN qy q
+        | WHERE e.vec_id <> q.vec_id
+        | GROUP BY q.vec_id, e.vec_id
+        |)
+        |SELECT query_id, vec_id,
+        | floor(score * 1000000 + 0.5) / 1000000 AS score_r, rn FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC, vec_id)
+        |   AS BIGINT) AS rn
+        | FROM scored) WHERE rn <= 5""".stripMargin),
+
     "q_ann_ivf" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
@@ -1169,6 +1230,63 @@ object QueriesText {
           .select(col("query_id"), col("vec_id"), col("cos_r"),
                   col("rn").cast("long").as("rn"))
       }),
+
+    // The IVF MECHANISM under a hash-matched oracle: with
+    // kmeansIters=0 the whole path is deterministic SQL — centroids
+    // are the id%53 subsample, corpus assignment is argmax of the
+    // ROUNDED cosine (ties to the lowest centroid id, exactly the
+    // max_by(struct(score, -cid)) order), queries probe their
+    // top-nprobe centroids, and the exact rerank orders by
+    // (rounded cos, vec_id). Every float op is the same sequential
+    // dot-product fold both engines use (q_ann_topk precedent), so
+    // the production ivfTopK function itself — not a re-derivation —
+    // hash-matches. q_ann_ivf keeps the k-means-refined production
+    // configuration with its recall pinned in SimilaritySpec.
+    "q_ivf_replay" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        Similarity.ivfTopK(c.embeddings, "vec_id", "embedding",
+          all.filter(col("id") % 50 === 0), k = 5, centroidEvery = 53,
+          nprobe = 4, rnd6, kmeansIters = 0)
+          .select(col("query_id"), col("vec_id"), col("cos_r"),
+                  col("rn").cast("long").as("rn"))
+      },
+      """WITH n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) nrm
+        | FROM embeddings
+        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |cent AS (
+        | SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 53 = 0
+        |), assigned AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT x.vec_id, c.cid,
+        |   row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |     floor(list_dot_product(x.v, c.cv) / (x.nrm * c.cn)
+        |           * 1000000 + 0.5) / 1000000 DESC, c.cid) AS arn
+        |  FROM n x CROSS JOIN cent c) WHERE arn = 1
+        |), probes AS (
+        | SELECT query_id, cid FROM (
+        |  SELECT q.vec_id AS query_id, c.cid,
+        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |     floor(list_dot_product(q.v, c.cv) / (q.nrm * c.cn)
+        |           * 1000000 + 0.5) / 1000000 DESC, c.cid) AS crn
+        |  FROM qy q CROSS JOIN cent c) WHERE crn <= 4
+        |), scored AS (
+        | SELECT p.query_id, a.vec_id,
+        |  floor(list_dot_product(q.v, x.v) / (q.nrm * x.nrm)
+        |        * 1000000 + 0.5) / 1000000 AS cos_r
+        | FROM probes p
+        | JOIN assigned a ON a.cid = p.cid
+        | JOIN n x ON x.vec_id = a.vec_id
+        | JOIN qy q ON q.vec_id = p.query_id
+        | WHERE a.vec_id <> p.query_id
+        |)
+        |SELECT query_id, vec_id, cos_r, rn FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rn
+        | FROM scored) WHERE rn <= 5""".stripMargin),
 
     // int8 embedding quantization (the storage-scale embedding op:
     // 4× smaller vectors for ANN shortlists): symmetric per-vector
