@@ -1484,10 +1484,45 @@ object QueriesText {
         | sha256(text) AS sha
         |FROM documents""".stripMargin),
 
+    // REAL image decode (javax.imageio, pure JDK) over a mixed batch:
+    // every non-10th doc becomes an actual PNG (synthetic formula
+    // pixels through the real encoder), every 10th keeps undecodable
+    // text bytes. PNG is lossless, so the DECODED per-channel sums
+    // equal the source formula's closed form — the oracle replays that
+    // formula over (x, y) grids while Spark ran a genuine codec
+    // round-trip; text rows come back as labeled err rows with NULL
+    // stats. Exercises decode + the degraded path in one hash-matched
+    // query.
     "q_multimodal_decode" -> q(
-      c => Multimodal.decodeStub(Multimodal.fromDocuments(c.documents))
+      c => Multimodal.decodeImages(Multimodal.pngAssets(c.documents))
         .toDF()
-        .select("asset_id", "kind", "byte_len", "checksum")),
+        .select(col("asset_id"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"), col("err")),
+      """WITH img AS (
+        | SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        | FROM documents WHERE doc_id % 10 <> 0
+        |), px AS (
+        | SELECT i.doc_id, i.w, i.h, x.x, y.y
+        | FROM img i
+        | CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+        | CROSS JOIN (SELECT unnest(range(0, 7)) AS y) y
+        | WHERE x.x < i.w AND y.y < i.h
+        |), sums AS (
+        | SELECT doc_id, max(w) AS w, max(h) AS h,
+        |  sum((x*7 + y*13 + doc_id) % 256) AS sum_r,
+        |  sum((x*3 + y*11 + 2*doc_id) % 256) AS sum_g,
+        |  sum((x*5 + y + 3*doc_id) % 256) AS sum_b
+        | FROM px GROUP BY doc_id
+        |)
+        |SELECT doc_id AS asset_id, CAST(w AS INTEGER) AS width,
+        | CAST(h AS INTEGER) AS height, CAST(sum_r AS BIGINT) AS sum_r,
+        | CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
+        | CAST(NULL AS VARCHAR) AS err
+        |FROM sums
+        |UNION ALL
+        |SELECT doc_id AS asset_id, NULL, NULL, NULL, NULL, NULL,
+        | 'not_decodable' AS err
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
 
     // frame-sampling stub (1→N video shape): the oracle replays the
     // frame arithmetic (fixed 256-byte frames, every 2nd sampled,

@@ -7,14 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (beyond-reference; SURVEY.md §7.6).
   *
   * Media assets are opaque `binary` payloads plus a typed metadata
-  * struct; everything Spark-side (schema, partitioning, batch shape)
-  * is real, while the actual media decode is STUBBED behind
-  * [[DecodedFeatures]] with a deterministic fake — the image/audio
-  * libraries are not in this container. Swapping in a real decoder
-  * means replacing only `decodeStub`'s body; the mapPartitions batch
-  * contract (iterator-of-rows per partition, no driver involvement,
-  * arbitrary native calls allowed) is exactly what a JNI/FFmpeg/libvips
-  * integration needs at scale.
+  * struct. The IMAGE decode path is real: [[decodeImages]] runs
+  * `javax.imageio` (pure JDK — PNG/BMP/GIF/JPEG readers ship with the
+  * JVM, no external jar) inside a mapPartitions batch, emitting
+  * width/height/per-channel pixel sums from actual decoded pixels;
+  * bytes no installed reader accepts degrade to a labeled `err` row
+  * carrying the deterministic byte-level fallback stats. The
+  * mapPartitions contract (iterator-of-rows per partition, no driver
+  * involvement, arbitrary native calls allowed) is exactly what a
+  * JNI/FFmpeg/libvips integration needs at scale — audio/video
+  * decoders would slot into the same shape ([[frameSampleStub]] keeps
+  * that 1→N contract pinned with a deterministic stand-in, as those
+  * codecs are NOT in the JDK).
   */
 object Multimodal {
   val MetaType: StructType = StructType(Seq(
@@ -38,25 +42,113 @@ object Multimodal {
     asset_id: Long, kind: String, byte_len: Long,
     checksum: Long, feature: Array[Float])
 
-  /** STUB decoder: stands in for image/audio decode + feature
-    * extraction. Deterministic fake: rolling-polynomial checksum over
-    * the payload and an 8-dim byte-histogram "embedding". Batch shape
-    * (mapPartitions over serialized rows) mirrors a real native-decoder
-    * integration. */
-  def decodeStub(assets: DataFrame): Dataset[DecodedFeatures] = {
+  /** One decoded-image row: real pixel statistics when a JDK reader
+    * decoded the payload, a labeled error + deterministic byte-level
+    * fallback (rolling checksum, the old stub's formula) when none
+    * did. Pixel sums are per-channel over sRGB values — the cheap
+    * whole-image statistic a curation pipeline filters on (black
+    * frames, blown-out scans) before any model runs. */
+  final case class DecodedImage(
+    asset_id: Long, width: Option[Int], height: Option[Int],
+    sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
+    err: Option[String], fallback_checksum: Option[Long])
+
+  /** Deterministic synthetic PNG: a real codec round-trip fixture.
+    * Pixel (x, y) carries channels from a closed-form formula of
+    * (x, y, id), so the DECODED sums are replayable in SQL while the
+    * bytes themselves went through the actual PNG encoder — the
+    * decode below exercises a genuine codec, not a fake. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + y * 13 + id) % 256).toInt
+        val g = ((x * 3 + y * 11 + 2 * id) % 256).toInt
+        val b = ((x * 5 + y + 3 * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Asset table mixing REAL PNG payloads (synthetic formula images,
+    * sized by doc_id) with undecodable text payloads (every 10th doc)
+    * — the mixed-modality batch a real ingest sees. */
+  def pngAssets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, src) =>
+        if (id % 10 == 0)
+          (id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+           "text", src)
+        else
+          (id, syntheticPng(id, (4 + id % 5).toInt, (3 + id % 4).toInt),
+           "image/png", src)
+      })
+      .toDF("asset_id", "payload", "kind", "source")
+      .select(col("asset_id"), col("payload"),
+        struct(col("kind"),
+               octet_length(col("payload")).cast("long").as("byte_len"),
+               col("source")).as("meta"))
+  }
+
+  /** REAL image decode via `javax.imageio` (pure JDK, executor-side,
+    * zero driver involvement): each payload is offered to the
+    * installed readers; a decodable image yields exact width/height
+    * and per-channel sRGB pixel sums, anything else yields a labeled
+    * `err` row with the deterministic byte-level fallback. Batch
+    * shape: mapPartitions — one reader loop per partition iterator,
+    * the same contract a native decoder integration uses. PNG is
+    * lossless RGB, so sums over a codec round-trip equal the source
+    * formula's — which is what lets q_multimodal_decode hash-match a
+    * SQL oracle while exercising the real codec. */
+  def decodeImages(assets: DataFrame): Dataset[DecodedImage] = {
     import assets.sparkSession.implicits._
-    assets.select("asset_id", "payload", "meta.kind", "meta.byte_len")
-      .as[(Long, Array[Byte], String, Long)]
-      .mapPartitions(_.map { case (id, payload, kind, len) =>
-        var checksum = 0L
-        val hist = new Array[Float](8)
-        var i = 0
-        while (i < payload.length) {
-          checksum = checksum * 31 + (payload(i) & 0xff)
-          hist((payload(i) & 0xff) % 8) += 1f
-          i += 1
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        def fallback(reason: String): DecodedImage = {
+          var checksum = 0L
+          var i = 0
+          while (i < payload.length) {
+            checksum = checksum * 31 + (payload(i) & 0xff)
+            i += 1
+          }
+          DecodedImage(id, None, None, None, None, None,
+                       Some(reason), Some(checksum))
         }
-        DecodedFeatures(id, kind, len, checksum, hist)
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) fallback("not_decodable")
+          else {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(id, Some(img.getWidth), Some(img.getHeight),
+                         Some(sr), Some(sg), Some(sb), None, None)
+          }
+        } catch {
+          case e: Exception =>
+            fallback(s"decode_error:${e.getClass.getSimpleName}")
+        }
       })
   }
 

@@ -137,4 +137,44 @@ class MultimodalAndDedupStreamSpec extends AnyFunSuite {
       assert(t.read.count() == afterB2)
     } finally q.stop()
   }
+
+  test("real imageio decode: golden 2x2 PNG yields exact pixel stats; text falls back labeled") {
+    // golden bytes: a hand-pinned 2x2 PNG through the REAL codec
+    val golden = Multimodal.syntheticPng(id = 1L, w = 2, h = 2)
+    // PNG magic — these are genuine codec bytes, not a fake
+    assert((golden(0) & 0xff) == 0x89 && golden(1) == 'P'.toByte &&
+           golden(2) == 'N'.toByte && golden(3) == 'G'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(golden))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    // formula channels at id=1: r=(7x+13y+1)%256, g=(3x+11y+2)%256,
+    // b=(5x+y+3)%256 over (x,y) in {0,1}^2 — decoded pixels must be
+    // EXACTLY these (PNG is lossless)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == (7 * x + 13 * y + 1) % 256)
+      assert(((rgb >> 8) & 0xff) == (3 * x + 11 * y + 2) % 256)
+      assert((rgb & 0xff) == (5 * x + y + 3) % 256)
+    }
+
+    // the distributed path over a mixed batch: id=10 keeps text bytes
+    val docs = Seq((1L, "hello", "s"), (2L, "world", "s"), (10L, "plain", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.decodeImages(Multimodal.pngAssets(docs))
+      .collect().map(d => d.asset_id -> d).toMap
+    val d1 = out(1L) // w = 4 + 1%5 = 5, h = 3 + 1%4 = 0 + ... = 4
+    assert(d1.width.contains(5) && d1.height.contains(4) && d1.err.isEmpty)
+    val expR = (for (y <- 0 until 4; x <- 0 until 5)
+      yield (7 * x + 13 * y + 1) % 256).sum.toLong
+    assert(d1.sum_r.contains(expR))
+    // undecodable text: labeled err + deterministic byte fallback
+    val d10 = out(10L)
+    assert(d10.err.contains("not_decodable") && d10.width.isEmpty)
+    val expChecksum = "plain".getBytes("UTF-8")
+      .foldLeft(0L)((c, b) => c * 31 + (b & 0xff))
+    assert(d10.fallback_checksum.contains(expChecksum))
+    // decode is deterministic across runs (codec round-trip included)
+    val again = Multimodal.decodeImages(Multimodal.pngAssets(docs))
+      .collect().map(d => d.asset_id -> d.sum_g).toMap
+    assert(again(1L) == out(1L).sum_g && again(2L) == out(2L).sum_g)
+  }
 }
