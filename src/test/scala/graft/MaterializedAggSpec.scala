@@ -534,4 +534,53 @@ class MaterializedAggSpec extends AnyFunSuite {
       assert(scanPaths(dm).forall(_.contains("src")), scanPaths(dm))
     } finally MaterializedAgg.clear()
   }
+
+  test("register/invalidate race: covered queries stay correct, never read a dropped summary") {
+    // Two threads hammer the registry — one invalidating (the mutator
+    // hook), one re-registering (the maintenance stage) — while the
+    // main thread keeps running the covered aggregate. The data never
+    // changes, so EVERY plan the rule could emit (summary-served or
+    // fallen-back) must return the same rows; what this proves is the
+    // backstop: the rule's per-optimize registry lookup means a query
+    // planned after a drop falls back to the source scan — it can
+    // never be planned against a registration that no longer exists —
+    // and the epoch-keyed register-once cache can only cause extra
+    // registrations, never a stale serve. Any torn state (NPE,
+    // half-registered entry, wedged epoch) would surface as a thrown
+    // error or wrong rows in one of the probes.
+    val dir = TestSpark.tmpDir("mvrace")
+    (1 to 500).map(i => (i % 5, i)).toDF("k", "v").write.parquet(s"$dir/src")
+    val srcT = spark.read.parquet(s"$dir/src")
+    MaterializedAgg.build(srcT, Seq("k"), Seq("v")).write.parquet(s"$dir/gold")
+    MaterializedAgg.attach(spark)
+    def probe() = srcT.groupBy($"k").agg(sum($"v").as("s"))
+    val expected = probe().orderBy("k").collect().toSeq
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def loop(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try { while (!stop.get) { body; Thread.sleep(1) } }
+        catch { case e: Throwable => errs.add(e); () })
+      t.setDaemon(true); t.start(); t
+    }
+    val invalidator = loop(MaterializedAgg.invalidate(spark, s"$dir/src"))
+    val registrar = loop(MaterializedAgg.register(
+      spark, s"$dir/src", s"$dir/gold", Seq("k"), Seq("v")))
+    try {
+      (1 to 15).foreach { _ =>
+        assert(probe().orderBy("k").collect().toSeq == expected)
+      }
+    } finally {
+      stop.set(true); invalidator.join(2000); registrar.join(2000)
+      MaterializedAgg.clear()
+    }
+    assert(errs.isEmpty, s"background registry churn threw: ${errs}")
+    // post-storm sanity: a clean register serves again, deterministic
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold",
+                             Seq("k"), Seq("v"))
+    try {
+      assert(scanPaths(probe()).forall(_.contains("gold")))
+      assert(probe().orderBy("k").collect().toSeq == expected)
+    } finally MaterializedAgg.clear()
+  }
 }
