@@ -43,32 +43,55 @@ object Bench {
     // "failed") — a fail-fast elapsed time must not make the bench
     // look faster.
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    val broken = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to 3; (name, fn) <- queries if !broken(name)) {
-      val t0 = System.nanoTime()
-      try {
-        run(fn(spark, sfDir))
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        broken += name
+    def measure(dir: String, iters: Int): Seq[(String, Option[Double])] = {
+      val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      val broken = scala.collection.mutable.Set.empty[String]
+      for (_ <- 1 to iters; (name, fn) <- queries if !broken(name)) {
+        val t0 = System.nanoTime()
+        try {
+          run(fn(spark, dir))
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          broken += name
+        }
+      }
+      queries.map { case (name, _) =>
+        name -> (if (broken(name)) None else samples(name).minOption)
       }
     }
-    val results = queries.map { case (name, _) =>
-      name -> (if (broken(name)) None else samples(name).minOption)
-    }
+    val results = measure(sfDir, 3)
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal host locale would emit invalid JSON
     def ms(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("-1")(ms) }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Option[Double])], dir: String): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v.fold("-1")(ms) }
+        .mkString("{", ",", "}")
+      val failed = rs.collect { case (k, None) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = rs.flatMap(_._2).sum
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$dir"}"""
+    }
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // Second scale point: a min-of-2 pass at the sibling sf0.01 dir
+    // (when present) lands in BENCH_FULL.json only — a two-point
+    // curve makes the next cross-round drift question answerable from
+    // data (code change moves both points; fixture/host drift moves
+    // them independently). stdout stays exactly the driver's one-line
+    // contract.
+    val secondDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p =>
+        Some(new java.io.File(p, "sf0.01").getPath)
+          .filter(d => d != sfDir && new java.io.File(d).isDirectory)
+    }
+    val second = secondDir.map(d => toJson(measure(d, 2), d))
+    val mainJson = toJson(results, sfDir)
+    val full = second.fold(mainJson)(s =>
+      mainJson.dropRight(1) + s""","second_scale":$s}""")
     // The driver retains only the LAST ~2000 chars of stdout; a single
     // line with every per-query timing gets its FRONT truncated there
     // and can never re-parse. So: full line first (humans, logs), full

@@ -936,6 +936,87 @@ object QueriesAnalytics {
            |FROM r5 CROSS JOIN nn""".stripMargin
       }),
 
+    // ── the PRODUCTION PageRank mode — convergence early-exit — under
+    // its own hash-matched oracle. q_pagerank pins the per-iteration
+    // formula with fixed iterations; this pins the STOPPING RULE: the
+    // oracle unrolls maxIters CTE passes, computes every consecutive
+    // L∞ delta, derives K = first iteration whose scaled delta meets
+    // the tolerance (Spark's loop checks after each pass while more
+    // remain), and emits the ranks AT K plus K itself — so an engine
+    // that under- or over-iterates hash-mismatches on both columns.
+    // Reduced edge set (l_linenumber = 1) keeps the iteration cost
+    // proportionate; damping 0.5 gives the geometric 0.5^k delta decay
+    // that converges at K=7 here (measured margins to the 2e-2
+    // threshold are ≥8% on every fixture — twelve orders of magnitude
+    // above cross-engine ulp drift, so the K decision is stable).
+    // tolScaled (threshold on ×V-scaled ranks) makes the same setting
+    // mean the same convergence quality at any graph size. ───────────
+    "q_pagerank_converged" -> q(
+      c => {
+        val e0 = c.orders.select(col("o_orderkey"), col("o_custkey"))
+          .join(c.lineitem.filter(col("l_linenumber") === 1)
+                  .select(col("l_orderkey"), col("l_partkey")),
+                col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+                  (col("l_partkey") * 2 + 1).as("dst"))
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val (pr, it) = graft.operators.PageRank.runWithStats(
+          edges, maxIters = 10, damping = 0.5, tolScaled = Some(0.02))
+        val nNodes = pr.count()
+        pr.select(col("node"), rnd6(col("r") * lit(nNodes)).as("scaled_rank"),
+                  lit(it.toLong).as("iters"))
+      }, {
+        val maxI = 10
+        // every r_k is referenced TWICE (by r_{k+1} and by allr):
+        // left to DuckDB's inliner that doubles the plan per level —
+        // exponential. AS MATERIALIZED pins each iteration to one
+        // O(V) evaluation, the same thing localCheckpoint does for
+        // the Spark loop.
+        val iters = (1 to maxI).map { k =>
+          s"""r$k AS MATERIALIZED (
+             | SELECT e.dst AS node,
+             |  (1e0 - 0.5e0) / nn.n + 0.5e0 * sum(r${k - 1}.r / deg.deg) AS r
+             | FROM e
+             | JOIN r${k - 1} ON e.src = r${k - 1}.node
+             | JOIN deg ON e.src = deg.src
+             | CROSS JOIN nn
+             | GROUP BY e.dst, nn.n
+             |)""".stripMargin
+        }.mkString(", ")
+        val allr = (0 to maxI).map(k =>
+          s"SELECT $k AS it, node, r FROM r$k").mkString(" UNION ALL ")
+        s"""WITH e0 AS MATERIALIZED (
+           | SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           | WHERE l_linenumber = 1
+           |), e AS MATERIALIZED (
+           | SELECT src, dst FROM e0
+           | UNION
+           | SELECT dst AS src, src AS dst FROM e0
+           |), deg AS MATERIALIZED (
+           | SELECT src, count(*) AS deg FROM e GROUP BY 1
+           |), nn AS MATERIALIZED (
+           | SELECT count(*) AS n FROM deg
+           |), r0 AS MATERIALIZED (
+           | SELECT src AS node, 1e0 / nn.n AS r FROM deg CROSS JOIN nn
+           |), $iters, allr AS MATERIALIZED (
+           | $allr
+           |), deltas AS (
+           | SELECT a.it, max(abs(a.r - b.r)) AS d
+           | FROM allr a JOIN allr b ON b.it = a.it - 1 AND b.node = a.node
+           | GROUP BY a.it
+           |), kk AS (
+           | SELECT coalesce(min(it), $maxI) AS k
+           | FROM deltas CROSS JOIN nn
+           | WHERE it <= ${maxI - 1} AND d <= 0.02e0 / nn.n
+           |)
+           |SELECT allr.node,
+           | floor(allr.r * nn.n * 1000000 + 0.5) / 1000000 AS scaled_rank,
+           | CAST(kk.k AS BIGINT) AS iters
+           |FROM allr JOIN kk ON allr.it = kk.k CROSS JOIN nn""".stripMargin
+      }),
+
     // ── market-basket co-occurrence (the association-rule support/
     // lift core): part pairs bought together in ≥ 2 orders, scored by
     // lift = P(a,b) / (P(a)·P(b)). The pair generation self-joins the

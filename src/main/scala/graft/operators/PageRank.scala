@@ -57,11 +57,19 @@ object PageRank {
     * with a fixed-iteration oracle replay pass `tol = None` (the
     * default `run`), which leaves the plan untouched. Power iteration
     * contracts deltas by the damping factor per pass, so `tol` maps to
-    * iterations ≈ log(tol)/log(damping) on any graph. */
+    * iterations ≈ log(tol)/log(damping) on any graph.
+    *
+    * `tol` is an ABSOLUTE raw-rank threshold — it presumes the caller
+    * knows |V|. `tolScaled` is the graph-size-free form: the threshold
+    * on ×V-scaled ranks (≈1.0 at the uniform start), divided by the
+    * internally-computed node count — so the same setting means the
+    * same convergence quality at sf0.001 and at 100 TB. When both are
+    * given, `tol` wins. */
   def runWithStats(edges: DataFrame, maxIters: Int, damping: Double = 0.85,
                    maxBroadcastNodes: Long = 500000,
                    tol: Option[Double] = None,
-                   checkEvery: Int = 1): (DataFrame, Int) = {
+                   checkEvery: Int = 1,
+                   tolScaled: Option[Double] = None): (DataFrame, Int) = {
     val iters = maxIters
     require(iters >= 1, "iters must be >= 1")
     require(checkEvery >= 1, "checkEvery must be >= 1")
@@ -128,6 +136,7 @@ object PageRank {
     val allHaveIn   = flags.getLong(1) == 1
     val danglingNodes = nodeTab.filter(col("has_out") === 0).select("node")
 
+    val effTol: Option[Double] = tol.orElse(tolScaled.map(_ / n))
     var rank = nodes.withColumn("r", lit(1.0 / n))
     var it = 0
     var converged = false
@@ -160,14 +169,14 @@ object PageRank {
         }
       val checkpointed = next.localCheckpoint()
       it += 1
-      if (tol.isDefined && it < iters && it % checkEvery == 0) {
+      if (effTol.isDefined && it < iters && it % checkEvery == 0) {
         // L∞ delta between consecutive checkpointed vectors: one O(V)
         // join + aggregate, no O(E) work
         val delta = checkpointed.withColumnRenamed("r", "rn")
           .join(rank.withColumnRenamed("r", "ro"), Seq("node"))
           .agg(max(abs(col("rn") - col("ro"))).as("d"))
           .collect()(0).getDouble(0)
-        converged = delta <= tol.get
+        converged = delta <= effTol.get
       }
       rank = checkpointed
     }

@@ -131,6 +131,13 @@ class AnalyticsSpec extends AnyFunSuite {
     // tol=None: exactly maxIters, bit-parity mode for oracle replays
     val (_, itFixed) = PageRank.runWithStats(ring, maxIters = 7)
     assert(itFixed == 7)
+    // tolScaled: the graph-size-free form (threshold on xV-scaled
+    // ranks / internally-computed |V|) — 8 nodes makes 8e-12 the same
+    // effective threshold as tol=1e-12 above
+    val (_, itScaled) = PageRank.runWithStats(ring, maxIters = 200,
+      tolScaled = Some(8e-12))
+    assert(itScaled == itFast,
+      s"tolScaled/|V| must match the equivalent absolute tol: $itScaled vs $itFast")
   }
 
   test("label propagation: fixed point exits early with output identical to the full run") {
