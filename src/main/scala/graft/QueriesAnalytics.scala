@@ -471,6 +471,42 @@ object QueriesAnalytics {
             .as("price_median_approx"),
           count(lit(1)).as("n_items"))),
 
+    // the SAMPLE-sketch mechanism under a hash-matched oracle (the
+    // q_minhash_replay convention applied to quantile estimation):
+    // cross-engine sketch registers aren't portable, but the other
+    // classic quantile sketch — an exact quantile over a deterministic
+    // hash sample — is pure relational algebra. Both engines keep the
+    // rows whose md5(orderkey:linenumber) first hex char is 0–3 (a
+    // fixed 25 % Bernoulli sample, the q_sample_hash convention) and
+    // run the exact interpolating median over it, so the estimate
+    // matches bit-for-bit. Scale: the filter is map-side (no shuffle
+    // added over the exact query); sample rate tunes memory, not
+    // correctness. q_approx_percentiles keeps the production
+    // Greenwald-Khanna path with its error pinned in PlanSpec.
+    "q_sample_pctl_replay" -> q(
+      c => c.lineitem
+        .filter(substring(md5(concat(col("l_orderkey").cast("string"),
+                                     lit(":"),
+                                     col("l_linenumber").cast("string"))
+                              .cast("binary")), 1, 1).between("0", "3"))
+        .groupBy(col("l_returnflag"))
+        .agg(rnd6(percentile(col("l_quantity"), lit(0.5)))
+               .as("qty_p50_sample"),
+             rnd6(percentile(col("l_extendedprice"), lit(0.5)))
+               .as("price_median_sample"),
+             count(lit(1)).as("n_sample")),
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) / 1000000
+        |   AS qty_p50_sample,
+        | floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) / 1000000
+        |   AS price_median_sample,
+        | count(*) AS n_sample
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |                 CAST(l_linenumber AS VARCHAR)), 1, 1)
+        |      BETWEEN '0' AND '3'
+        |GROUP BY 1""".stripMargin),
+
     // ── exact percentiles (interpolating; both engines use p·(n−1)) ───
     "q_percentiles" -> q(
       c => c.lineitem

@@ -571,6 +571,52 @@ object QueriesText {
           .orderBy(col("lang"))
       }),
 
+    // ONE BPE training step under a hash-matched oracle (the
+    // q_minhash_replay convention applied to tokenizer training): the
+    // first merge iteration of [[graft.text.Bpe.train]] — word
+    // frequencies over ALL occurrences (same TextFunctions.words
+    // basis), adjacent CHARACTER pairs per distinct word weighted by
+    // word frequency, and the argmax pair under the production
+    // (freq desc, pair asc) tie-break — is plain relational algebra,
+    // so DuckDB replays it exactly. The full iterative loop stays
+    // rows-only (q_bpe_merges golden-pinned); this pins the per-step
+    // mechanism those iterations repeat. The row_number window ranks
+    // the PAIR table (vocab-bigram-sized), never the corpus.
+    "q_bpe_step_replay" -> q(
+      c => {
+        val wf = c.documents
+          .select(explode(TF.words(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        val pairs = wf.filter(length(col("w")) >= 2)
+          .select(col("freq"),
+                  explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+                  col("w"))
+          .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").as("pair_freq"))
+        val byFreq = Window.orderBy(col("pair_freq").desc, col("pair"))
+        pairs.select(col("pair"), col("pair_freq"),
+                     when(row_number().over(byFreq) === 1, 1L).otherwise(0L)
+                       .as("is_merge"))
+      },
+      """WITH wf AS (
+        | SELECT w, count(*) AS freq
+        | FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |       FROM documents)
+        | WHERE w <> '' GROUP BY 1
+        |), pos AS (
+        | SELECT w, freq, unnest(range(1, length(w))) AS i
+        | FROM wf WHERE length(w) >= 2
+        |), pairs AS (
+        | SELECT substr(w, CAST(i AS INT), 2) AS pair,
+        |        CAST(sum(freq) AS BIGINT) AS pair_freq
+        | FROM pos GROUP BY 1
+        |)
+        |SELECT pair, pair_freq,
+        | CAST(CASE WHEN row_number() OVER (ORDER BY pair_freq DESC, pair) = 1
+        |      THEN 1 ELSE 0 END AS BIGINT) AS is_merge
+        |FROM pairs""".stripMargin),
+
     // document segmentation: sentence boundaries on [.!?]+ runs —
     // the pre-tokenization step of a text pipeline
     "q_sentence_stats" -> q(
@@ -1409,6 +1455,41 @@ object QueriesText {
         | CAST(list_dot_product(iv.v, s.s) AS BIGINT) AS proj
         |FROM iv CROSS JOIN signs s""".stripMargin),
 
+    // ONE power-iteration step under a hash-matched oracle (the
+    // q_minhash_replay convention applied to PCA): the core of
+    // [[graft.similarity.DimReduce]]'s eigensolve is repeated
+    // second-moment-times-vector products w = Σ_rows x·(xᵀv); with the
+    // deterministic start vector v₀ = 1 and embeddings integerized
+    // (×10⁴, the q_jl_project convention) the whole step is exact
+    // integer arithmetic, so DuckDB replays it bit-for-bit. The full
+    // eigendecomposition stays rows-only (golden eigenpairs in
+    // DimReduceSpec); this pins the per-iteration mechanism. Scale:
+    // xᵀv₀ is a map-side fold; the per-dimension Σ is a 64-group
+    // partial-aggregated shuffle — no driver matrix, no collect.
+    "q_power_iter_replay" -> q(
+      c => {
+        val iv = c.embeddings.select(col("vec_id"),
+          transform(col("embedding"),
+            e => floor(e.cast("double") * 10000 + 0.5).cast("long")).as("v"))
+        val dotted = iv.withColumn("dot",
+          aggregate(col("v"), lit(0L), (a, x) => a + x))
+        dotted.select(col("dot"), posexplode(col("v")))
+          .groupBy(col("pos").cast("long").as("dim_idx"))
+          .agg(sum(col("col") * col("dot")).as("w"))
+      },
+      """WITH iv AS (
+        | SELECT vec_id,
+        |  [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |   FOR e IN embedding] AS v
+        | FROM embeddings
+        |), s AS (
+        | SELECT vec_id, v, list_sum(v) AS dot FROM iv
+        |)
+        |SELECT g.i AS dim_idx,
+        | CAST(sum(s.v[CAST(g.i AS INT) + 1] * s.dot) AS BIGINT) AS w
+        |FROM s, (SELECT unnest(range(0, 64)) AS i) g
+        |GROUP BY 1""".stripMargin),
+
     // TF-IDF-style keyword extraction (rational idf surrogate
     // tf·N/df — no transcendentals, which differ in the last ulp
     // across libm implementations): top-3 keywords per document.
@@ -1472,6 +1553,43 @@ object QueriesText {
         .crossJoin(c.lineitem.agg(
           countDistinct("l_partkey").as("exact_parts"),
           approx_count_distinct("l_partkey").as("approx_parts")))),
+
+    // the distinct-SKETCH mechanism under a hash-matched oracle (the
+    // q_minhash_replay convention applied to cardinality estimation):
+    // HLL registers aren't portable across engines, but the K-minimum-
+    // values estimator — hash every value, keep the k smallest DISTINCT
+    // hashes, estimate (k−1)/h₍k₎ — is the same order-statistics idea
+    // and IS exact relational algebra when the hash is md5. Both
+    // engines take the 256 smallest 32-bit hash prefixes and integer-
+    // divide, so the estimate (2102 vs 2000 exact at sf0.01 — honest
+    // ~5 % sketch error) matches bit-for-bit. Scale: orderBy+limit
+    // plans as TakeOrdered (per-partition top-k, merge of 256-row
+    // heaps) — exactly how a distributed KMV sketch merges; no full
+    // sort, no collect. q_approx_distinct keeps the production HLL
+    // path with its error pinned in ScalaTest.
+    "q_kmv_replay" -> q(
+      c => {
+        val h = c.lineitem.select(
+            conv(substring(md5(col("l_partkey").cast("string")
+                                 .cast("binary")), 1, 8), 16, 10)
+              .cast("long").as("hv"))
+          .distinct()
+        h.orderBy(col("hv")).limit(256)
+          .agg(count(lit(1)).as("k_used"), max(col("hv")).as("hk"),
+               expr("(255 * 4294967296) div max(hv)").as("kmv_estimate"))
+          .crossJoin(c.lineitem.agg(
+            countDistinct("l_partkey").as("exact_distinct")))
+      },
+      """WITH h AS (
+        | SELECT DISTINCT
+        |  CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+        |       AS BIGINT) AS hv
+        | FROM lineitem
+        |), k AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+        |SELECT count(*) AS k_used, max(hv) AS hk,
+        | (255 * 4294967296) // max(hv) AS kmv_estimate,
+        | (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
+        |FROM k""".stripMargin),
 
     // ── multimodal plumbing ───────────────────────────────────────────
     "q_multimodal_features" -> q(
