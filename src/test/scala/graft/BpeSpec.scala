@@ -110,4 +110,21 @@ class BpeSpec extends AnyFunSuite {
     assert(enc1 == enc2)
     assert(enc1.nonEmpty)
   }
+
+  test("q_bpe_step_replay's argmax pair IS the production trainer's first merge") {
+    // the oracle-checked replay computes one merge iteration in pure
+    // relational algebra; the trainer's rank-0 merge must agree on both
+    // the chosen pair and its weighted frequency (at step 1 every
+    // symbol is a single char, so the (left, right) tuple tie-break
+    // equals the replay's 2-char-string ordering)
+    val dir = "/root/testdata/sf0.001"
+    val docs = Ctx(spark, dir).documents
+    val first = graft.text.Bpe.train(docs, org.apache.spark.sql.functions.col("text"),
+                                     numMerges = 1).head
+    val chosen = SparkEntry.queries("q_bpe_step_replay")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("is_merge") === 1L)
+      .collect().head
+    assert(chosen.getAs[String]("pair") == first.left + first.right)
+    assert(chosen.getAs[Long]("pair_freq") == first.pairFreq)
+  }
 }

@@ -137,6 +137,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv replay: estimate within 10% of exact; top-k plans as TakeOrdered") {
+    val df = QueriesText.defs("q_kmv_replay").fn(spark, "/root/testdata/sf0.01")
+    val r = df.collect().head
+    val (est, exact) = (r.getAs[Long]("kmv_estimate"), r.getAs[Long]("exact_distinct"))
+    assert(math.abs(est - exact).toDouble / exact < 0.10, s"$est vs $exact")
+    // the k-smallest-hashes selection must be a bounded-heap TakeOrdered,
+    // not a full sort — that's the distributed-KMV merge shape
+    assert(planOf(df).contains("TakeOrderedAndProject"), planOf(df).take(2000))
+  }
+
+  test("hash-sample median tracks the exact median within 5% per group") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = QueriesAnalytics.defs("q_percentiles").fn(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val sampled = QueriesAnalytics.defs("q_sample_pctl_replay").fn(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sampled.keySet == exact.keySet)
+    for ((flag, (q50, p50)) <- exact) {
+      val (sq, sp) = sampled(flag)
+      assert(math.abs(sq - q50) / q50 < 0.05, s"$flag qty $sq vs $q50")
+      assert(math.abs(sp - p50) / p50 < 0.05, s"$flag price $sp vs $p50")
+    }
+  }
+
   test("char-bigram LM joins its bounded count table broadcast") {
     val p = planOf(QueriesText.defs("q_char_bigram_lm").fn(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
