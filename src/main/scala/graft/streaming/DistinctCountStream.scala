@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.functions.Kmv
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+
+import scala.collection.mutable
+
+/** Streaming distinct-count estimation: a per-group K-minimum-values
+  * sketch living in [[GroupState]] (beyond-reference; the streaming
+  * twin of the oracle-checked `q_kmv_replay` mechanism, built like
+  * [[HeavyHittersStream]] — same sketch rules as the batch side,
+  * bounded state, Update-mode emission).
+  *
+  * Each micro-batch offers its items' 32-bit md5 hashes to the
+  * group's ≤k-element minimum set through the SAME
+  * [[Kmv.offer]]/[[Kmv.estimate]] rules the batch replay encodes in
+  * SQL. Offers are order-independent (only values below the current
+  * k-th minimum enter, and that bound never increases), so the state
+  * after any prefix of the stream equals the batch sketch over the
+  * same rows — micro-batch boundaries, shuffles, and replays cannot
+  * change the answer, which is what the parity spec pins.
+  *
+  * State per key is ≤ k longs plus a row counter — bounded regardless
+  * of stream length or item cardinality (k=256 ⇒ ~2 KB), and
+  * checkpointed incrementally by the state store. At 100 TB the same
+  * shape holds: distinct-count state never grows with the distinct
+  * cardinality itself, which is exactly why a sketch replaces
+  * `approx_count_distinct` in a stream (Spark's HLL aggregate cannot
+  * run incrementally across micro-batches without full-outer state).
+  */
+object DistinctCountStream {
+  final case class In(group: String, item: String)
+  final case class KmvState(hashes: Seq[Long], n: Long)
+  final case class Out(group: String, rows_seen: Long, k_used: Int,
+                       hk: Long, estimate: Long)
+
+  /** `items` needs `group` and `item` string columns. */
+  def distinctCounts(items: DataFrame, k: Int): Dataset[Out] = {
+    require(k >= 2, s"KMV stream needs k >= 2, got $k")
+    import items.sparkSession.implicits._
+    val typed = items.select(col("group").cast("string").as("group"),
+                             col("item").cast("string").as("item")).as[In]
+
+    def update(group: String, rows: Iterator[In],
+               state: GroupState[KmvState]): Iterator[Out] = {
+      val prior = state.getOption.getOrElse(KmvState(Nil, 0L))
+      val set = mutable.TreeSet.empty[Long] ++ prior.hashes
+      var n = prior.n
+      rows.foreach { r =>
+        if (r.item != null) { Kmv.offer(set, Kmv.hash32(r.item), k); n += 1 }
+      }
+      state.update(KmvState(set.toSeq, n))
+      val hk = if (set.isEmpty) 0L else set.max
+      Iterator.single(
+        Out(group, n, set.size, hk, Kmv.estimate(set.size, k, hk)))
+    }
+
+    typed.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}
