@@ -1576,7 +1576,11 @@ object QueriesText {
           .distinct()
         h.orderBy(col("hv")).limit(256)
           .agg(count(lit(1)).as("k_used"), max(col("hv")).as("hk"),
-               expr("(255 * 4294967296) div max(hv)").as("kmv_estimate"))
+               // below k distinct hashes the sketch IS the distinct set
+               // (exact count) — same rule as functions.Kmv.estimate
+               expr("CASE WHEN count(1) < 256 THEN count(1)" +
+                    " ELSE (255 * 4294967296) div max(hv) END")
+                 .as("kmv_estimate"))
           .crossJoin(c.lineitem.agg(
             countDistinct("l_partkey").as("exact_distinct")))
       },
@@ -1587,7 +1591,8 @@ object QueriesText {
         | FROM lineitem
         |), k AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
         |SELECT count(*) AS k_used, max(hv) AS hk,
-        | (255 * 4294967296) // max(hv) AS kmv_estimate,
+        | CASE WHEN count(*) < 256 THEN count(*)
+        |      ELSE (255 * 4294967296) // max(hv) END AS kmv_estimate,
         | (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
         |FROM k""".stripMargin),
 
