@@ -344,6 +344,66 @@ object MaterializedAgg {
     } finally { rebuilt.unpersist(); () }
   }
 
+  /** [[refresh]] for a JOIN summary: after a FACT change touching
+    * partition values `changed` of the leading group column, recompute
+    * only those summary partitions (pruned fact slice ⋈ dim),
+    * atomically replace them, and re-register. The incremental path
+    * exists only when `groupCols.head` is a FACT column — a fact
+    * partition then maps to exactly those summary partitions, so the
+    * slice rebuild is O(affected ⋈ dim). A dim-side grain head breaks
+    * that mapping (one changed fact partition can touch every grain
+    * value), and a DIM mutation can invalidate every summary row
+    * regardless of grain — both cases must full-rebuild instead; the
+    * former is rejected here, the latter is the caller's contract
+    * (automatic table-layer invalidation already guarantees no stale
+    * serving either way, exactly as for [[refresh]]'s delete gap).
+    * Emptied fact partitions (CDC deletes) drop their summary
+    * partitions, mirroring [[refresh]]. */
+  def refreshJoin(fact: graft.tables.LakehouseTable, dimPath: String,
+                  factKey: String, dimKey: String,
+                  summary: graft.tables.LakehouseTable,
+                  groupCols: Seq[String], measures: Seq[String],
+                  changed: Seq[Any]): Unit = {
+    require(summary.partitionCols == Seq(groupCols.head),
+      s"summary must be partitioned by the leading group column " +
+      s"${groupCols.head}, got ${summary.partitionCols}")
+    if (changed.isEmpty) return
+    val factRead = fact.read
+    require(factRead.columns.exists(_.equalsIgnoreCase(groupCols.head)),
+      s"partition-scoped join refresh needs the leading group column " +
+      s"'${groupCols.head}' on the FACT side; dim-side grain heads (and " +
+      "dim mutations) require a full rebuild + re-register instead")
+    if (fact.partitionCols != Seq(groupCols.head))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"MaterializedAgg.refreshJoin: fact ${fact.path} is partitioned " +
+        s"by ${fact.partitionCols}, not ${Seq(groupCols.head)} — the " +
+        "per-refresh slice is a full fact scan, not a pruned one")
+    // drop the join registration FIRST (the rebuild below contains the
+    // registered join+Aggregate shape — left registered, the rule
+    // would serve it from the stale summary: the MV self-reference
+    // loop). invalidate() also covers any plain registration of the
+    // fact path, conservatively.
+    invalidate(fact.spark, fact.path)
+    val dim = fact.spark.read.parquet(dimPath)
+    val slice = factRead.filter(col(groupCols.head).isInCollection(changed))
+    val rebuilt = buildStar(slice, Seq((dim, factKey, dimKey)),
+                            groupCols, measures)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // fact partitions among `changed` whose rows were all deleted —
+      // or now join to nothing — produce no replacement rows: drop
+      // those summary partitions rather than leaving stale rows
+      val present = rebuilt.select(col(groupCols.head)).distinct()
+        .collect().map(r => String.valueOf(r.get(0))).toSet
+      val emptied = changed.filterNot(v => present(String.valueOf(v)))
+      if (emptied.nonEmpty) summary.dropPartitions(emptied)
+      summary.replacePartitions(rebuilt)
+      if (summary.exists)
+        registerJoin(fact.spark, fact.path, dimPath, factKey, dimKey,
+                     summary.path, groupCols, measures)
+    } finally { rebuilt.unpersist(); () }
+  }
+
   /** Attach the rewrite to an existing session (idempotent). */
   def attach(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(Rewrite))

@@ -215,6 +215,67 @@ class MaterializedAggSpec extends AnyFunSuite {
     } finally MaterializedAgg.clear()
   }
 
+  test("partition-scoped refreshJoin keeps a mutating fact's join summary serving") {
+    val dir = TestSpark.tmpDir("mvjrefresh")
+    val factT = graft.tables.LakehouseTable(spark, s"$dir/fact",
+      Seq("id"), Seq("date"))
+    factT.overwrite(
+      Seq((1, "d1", 10, 100L), (2, "d1", 11, 200L), (3, "d2", 10, 50L))
+        .toDF("id", "date", "product_id", "amount"))
+    Seq((10, "b1"), (11, "b2")).toDF("pid", "brand")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val sumT = graft.tables.LakehouseTable(spark, s"$dir/gold",
+      Seq("date"), Seq("date"))
+    sumT.overwrite(MaterializedAgg.buildJoin(factT.read, dim,
+      "product_id", "pid", Seq("date", "brand"), Seq("amount")))
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.registerJoin(spark, factT.path, s"$dir/dim",
+      "product_id", "pid", sumT.path, Seq("date", "brand"), Seq("amount"))
+    try {
+      def query() = factT.read.join(dim, col("product_id") === col("pid"))
+        .groupBy($"date", $"brand")
+        .agg(sum($"amount").as("rev"), count(lit(1)).as("n"))
+      assert(scanPaths(query()).forall(_.contains("gold")))
+
+      // a batch touches d1 only: one update, one insert (auto-
+      // invalidation dropped the registration; refreshJoin rebuilds
+      // the d1 slice ⋈ dim, swaps it, and re-registers)
+      factT.upsert(Seq((1, "d1", 10, 999L), (4, "d1", 11, 1L))
+        .toDF("id", "date", "product_id", "amount"))
+      MaterializedAgg.refreshJoin(factT, s"$dir/dim", "product_id", "pid",
+        sumT, Seq("date", "brand"), Seq("amount"), Seq("d1"))
+      val q2 = query()
+      assert(scanPaths(q2).forall(_.contains("gold")), scanPaths(q2))
+      assert(q2.orderBy("date", "brand").as[(String, String, Long, Long)]
+        .collect().toSeq ==
+        Seq(("d1", "b1", 999L, 1L), ("d1", "b2", 201L, 2L),
+            ("d2", "b1", 50L, 1L)))
+      // the untouched d2 summary partition survived the swap
+      assert(sumT.read.filter($"date" === "d2").count() == 1)
+
+      // a CDC-style delete empties d2 entirely: refreshJoin must DROP
+      // its summary partition, not leave the stale row serving
+      factT.dropPartitions(Seq("d2"))
+      MaterializedAgg.refreshJoin(factT, s"$dir/dim", "product_id", "pid",
+        sumT, Seq("date", "brand"), Seq("amount"), Seq("d2"))
+      val q3 = query()
+      assert(scanPaths(q3).forall(_.contains("gold")), scanPaths(q3))
+      assert(q3.filter($"date" === "d2").count() == 0)
+      assert(sumT.read.filter($"date" === "d2").count() == 0)
+
+      // dim-side grain head: the fact→summary partition mapping does
+      // not exist, so the incremental path must refuse (full rebuild
+      // is the documented contract there)
+      val badSum = graft.tables.LakehouseTable(spark, s"$dir/badgold",
+        Seq("brand"), Seq("brand"))
+      intercept[IllegalArgumentException] {
+        MaterializedAgg.refreshJoin(factT, s"$dir/dim", "product_id", "pid",
+          badSum, Seq("brand", "date"), Seq("amount"), Seq("b1"))
+      }
+    } finally MaterializedAgg.clear()
+  }
+
   test("3-table star: aggregate over fact ⋈ dim ⋈ dim serves from one summary") {
     val dir = TestSpark.tmpDir("mvstar")
     // the reference's department_analytics shape: items ⋈ part ⋈ orders
