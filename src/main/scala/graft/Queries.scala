@@ -48,6 +48,32 @@ object Queries {
 
   final case class QueryDef(fn: Q, oracle: Option[String])
 
+  /** q_excel_roundtrip's workbook fixture: 200 orders rows exported to
+    * two .xlsx files, built ONCE per (session, sf dir) into a fresh
+    * temp dir — session-fresh by construction, so a regenerated
+    * parquet fixture can never serve a stale workbook (the mtime-tag
+    * trap the MV summary caches had to engineer around). */
+  private val excelFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def excelFixtureDir(c: Ctx): String =
+    excelFixtures.computeIfAbsent(c.dir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+      val src = c.orders.orderBy("o_orderkey").limit(200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                col("o_orderdate").cast(DateType).as("o_date"),
+                col("o_orderdate").cast(TimestampType).as("o_ts"),
+                col("o_totalprice"),
+                (col("o_orderkey") % 2 === 0).as("even"))
+      val header = src.columns.toSeq
+      val (a, b) = src.collect().toSeq.map(_.toSeq).splitAt(100)
+      Seq("part1.xlsx" -> a, "part2.xlsx" -> b).foreach { case (f, rows) =>
+        val out = new java.io.FileOutputStream(s"$dir/$f")
+        try graft.sources.ExcelSource.write(header, rows, out)
+        finally out.close()
+      }
+      dir
+    })
+
   private def q(fn: Ctx => DataFrame, oracle: String): QueryDef =
     QueryDef((s, dir) => fn(Ctx(s, dir)), Some(oracle).filter(_.nonEmpty))
 
@@ -364,6 +390,27 @@ object Queries {
         | TRY_CAST(l_returnflag AS INTEGER) AS l_returnflag,
         | CAST(NULL AS INTEGER) AS quality_flag
         |FROM lineitem""".stripMargin),
+
+    // ── Excel source (SURVEY §2.1 S3): the reference's bronze ingest
+    // format (docs/etl_processes.md:133). 200 orders rows are exported
+    // to TWO .xlsx files (pure-JDK writer), read back through the
+    // binaryFile-distributed pure-JDK parser with header + schema
+    // inference — longs, strings, doubles, date- and datetime-styled
+    // serials, booleans — and hash-compared against DuckDB on the
+    // ORIGINAL parquet: the whole codec round-trips bit-exactly.
+    "q_excel_roundtrip" -> q(
+      c => {
+        val df = graft.sources.ExcelSource.read(c.spark, excelFixtureDir(c))
+        df.select(col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_date"), "yyyy-MM-dd").as("o_date"),
+          date_format(col("o_ts"), "yyyy-MM-dd HH:mm:ss").as("o_ts"),
+          col("o_totalprice"), col("even"))
+      },
+      """SELECT o_orderkey, o_orderstatus,
+        | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+        | strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS o_ts,
+        | o_totalprice, (o_orderkey % 2 = 0) AS even
+        |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)""".stripMargin),
 
     // ── bronze lineage (SURVEY §2.8 F7): per-row source_file from file
     // metadata, the per-file row count a data engineer reaches for when

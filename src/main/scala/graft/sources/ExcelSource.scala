@@ -1,0 +1,510 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream, OutputStream}
+import java.time.LocalDate
+import java.time.temporal.ChronoUnit
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import graft.operators.Casting
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Excel (.xlsx) source — SURVEY §2.1 S3, the reference's bronze
+  * orders / order-items ingest (docs/etl_processes.md:133,189:
+  * `com.crealytics.spark.excel` with header=true, inferSchema=true).
+  *
+  * No connector jar is available offline, so this parses the format
+  * directly with the JDK: an .xlsx file is a ZIP (java.util.zip) of
+  * SpreadsheetML XML parts (javax.xml.stream StAX). Supported surface —
+  * everything a tabular data drop actually contains:
+  *   - shared strings (incl. rich-text runs), inline strings, formula
+  *     string results (t="str"), booleans, error cells (→ null);
+  *   - sparse rows/cells via the `r` cell reference (gaps → null);
+  *   - date/time numerics: styles.xml number formats (built-in ids and
+  *     custom format codes) classify a cell as date or datetime, and
+  *     the serial is converted to an ISO string — including the 1900
+  *     leap-year-bug offset and the 1904 date system flag;
+  *   - first worksheet by workbook order, resolved through the
+  *     workbook rels (not by hardcoded part name).
+  *
+  * Spark-first distribution: files land as one row each via the
+  * `binaryFile` datasource and are parsed executor-side in a flatMap —
+  * a directory of workbooks parallelizes per file with zero driver
+  * involvement. That is the right unit of scale for this format: a
+  * single sheet is capped at 1,048,576 rows by Excel itself, so
+  * per-file parallelism is all the parallelism the format admits.
+  * Schema inference is a single distributed aggregate over the parsed
+  * strings (one pass, no collect of data rows); only per-file HEADER
+  * rows are collected (one tiny row per file, to validate consistency).
+  *
+  * Like the reference's reader, all cells surface as strings first and
+  * `inferSchema` then casts each column to the narrowest type covering
+  * every non-null value (long → double → boolean → date → timestamp →
+  * string), through the same null-on-error cast loop (Casting.castTo)
+  * the CSV path uses.
+  */
+object ExcelSource {
+
+  // ───────────────────────── reading ─────────────────────────
+
+  /** Read one .xlsx file or a directory of them into a DataFrame.
+    * Row 0 of (every) sheet is the header; headers must agree across
+    * files. `sourceFileCol` adds a file-lineage column (the reference
+    * adds `input_file_name()` post-read — same information).
+    */
+  def read(spark: SparkSession, path: String,
+           inferSchema: Boolean = true,
+           sourceFileCol: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    // (file, rowIdx, cells padded to that file's header width)
+    val parsed = bin.flatMap { case (p, bytes) =>
+      val rows = parseWorkbook(bytes)
+      val width = rows.headOption.map(_.length).getOrElse(0)
+      rows.iterator.zipWithIndex.map { case (cells, i) =>
+        (p, i.toLong, cells.padTo(width, null: String).take(width).toSeq)
+      }
+    }
+    val hdrRows = parsed.filter(_._2 == 0L).collect().sortBy(_._1)
+    require(hdrRows.nonEmpty, s"no non-empty .xlsx sheets under $path")
+    val first = hdrRows.head
+    hdrRows.foreach { case (p, _, h) =>
+      require(h == first._3,
+        s"header mismatch: $p has $h, ${first._1} has ${first._3}")
+    }
+    val header = first._3.zipWithIndex.map {
+      case (h, i) => if (h == null || h.isEmpty) s"_c$i" else h
+    }
+    require(header.distinct.size == header.size,
+      s"duplicate header names: $header")
+    val cols = header.zipWithIndex.map {
+      case (h, i) => col("_3").getItem(i).as(h)
+    } ++ sourceFileCol.map(c => col("_1").as(c))
+    val df = parsed.filter(_._2 > 0L).toDF("_1", "_2", "_3")
+      .select(cols: _*)
+    if (inferSchema) Casting.castTo(df, inferTypes(df, header))
+    else df
+  }
+
+  /** Narrowest type covering all non-null values of each column, from
+    * one distributed aggregate pass (no data collected). */
+  private[sources] def inferTypes(df: DataFrame,
+                                  names: Seq[String]): StructType = {
+    val flags = names.flatMap { n =>
+      val c = col(n)
+      def cnt(b: org.apache.spark.sql.Column) =
+        sum(when(b, 1L).otherwise(0L))
+      Seq(
+        cnt(c.isNotNull).as(s"n:$n"),
+        cnt(c.rlike("^-?\\d+$") && c.try_cast(LongType).isNotNull)
+          .as(s"long:$n"),
+        cnt(c.try_cast(DoubleType).isNotNull).as(s"dbl:$n"),
+        cnt(lower(c).isin("true", "false")).as(s"bool:$n"),
+        cnt(c.rlike("^\\d{4}-\\d{2}-\\d{2}$")).as(s"date:$n"),
+        cnt(c.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"))
+          .as(s"ts:$n"))
+    }
+    val r = df.agg(flags.head, flags.tail: _*).collect()(0)
+    def v(k: String, n: String) = r.getAs[Long](s"$k:$n")
+    StructType(names.map { n =>
+      val total = v("n", n)
+      val dt =
+        if (total == 0L) StringType
+        else if (v("long", n) == total) LongType
+        else if (v("dbl", n) == total) DoubleType
+        else if (v("bool", n) == total) BooleanType
+        else if (v("date", n) == total) DateType
+        else if (v("date", n) + v("ts", n) == total && v("ts", n) > 0)
+          TimestampType
+        else StringType
+      StructField(n, dt)
+    })
+  }
+
+  // ───────────────── workbook parsing (executor-side) ─────────────────
+
+  /** Parse the first worksheet into rows of cell strings (null =
+    * empty/error cell), in document order. Pure JDK; one streaming XML
+    * pass per part over the in-memory bytes. */
+  private[sources] def parseWorkbook(bytes: Array[Byte]): Vector[Array[String]] = {
+    val (sheetPath, date1904) = locateFirstSheet(bytes)
+    val shared = entryBytes(bytes, "xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(Vector.empty)
+    val dateKind = entryBytes(bytes, "xl/styles.xml")
+      .map(parseStyleDateKinds).getOrElse(Array.empty[Int])
+    entryBytes(bytes, sheetPath) match {
+      case None => Vector.empty
+      case Some(sheet) => parseSheet(sheet, shared, dateKind, date1904)
+    }
+  }
+
+  private def entryBytes(zip: Array[Byte], name: String): Option[Array[Byte]] = {
+    val in = new ZipInputStream(new ByteArrayInputStream(zip))
+    try {
+      var e: ZipEntry = in.getNextEntry
+      while (e != null) {
+        if (e.getName == name) return Some(in.readAllBytes())
+        e = in.getNextEntry
+      }
+      None
+    } finally in.close()
+  }
+
+  private def xmlReader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes): InputStream)
+  }
+
+  /** First sheet's part path (via workbook order + rels) and the
+    * date1904 flag. Falls back to the conventional part name when the
+    * rels are absent. */
+  private def locateFirstSheet(zip: Array[Byte]): (String, Boolean) = {
+    var date1904 = false
+    var firstRid: String = null
+    entryBytes(zip, "xl/workbook.xml").foreach { wb =>
+      val r = xmlReader(wb)
+      try while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "workbookPr" =>
+                val v = r.getAttributeValue(null, "date1904")
+                date1904 = v == "1" || v == "true"
+              case "sheet" if firstRid == null =>
+                firstRid = (0 until r.getAttributeCount)
+                  .find(i => r.getAttributeLocalName(i) == "id")
+                  .map(r.getAttributeValue).orNull
+              case _ =>
+            }
+          case _ =>
+        }
+      } finally r.close()
+    }
+    val target = for {
+      rid <- Option(firstRid)
+      rels <- entryBytes(zip, "xl/_rels/workbook.xml.rels")
+      t <- relTarget(rels, rid)
+    } yield if (t.startsWith("/")) t.drop(1) else s"xl/$t"
+    (target.getOrElse("xl/worksheets/sheet1.xml"), date1904)
+  }
+
+  private def relTarget(rels: Array[Byte], rid: String): Option[String] = {
+    val r = xmlReader(rels)
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship" &&
+            r.getAttributeValue(null, "Id") == rid)
+          return Option(r.getAttributeValue(null, "Target"))
+      }
+      None
+    } finally r.close()
+  }
+
+  /** `<si>` entries; rich-text runs concatenate all `<t>` text. */
+  private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
+    val r = xmlReader(bytes)
+    val out = Vector.newBuilder[String]
+    var cur: StringBuilder = null
+    var inT = false
+    try while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" if cur != null => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          if (inT) cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString; cur = null
+            case _ =>
+          }
+        case _ =>
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Per-cellXfs-index date classification: 0 = not a date, 1 = date,
+    * 2 = datetime. Built-in numFmtIds follow ECMA-376 §18.8.30; custom
+    * codes are classified by their tokens (quoted text and [..]
+    * sections stripped first). */
+  private def parseStyleDateKinds(bytes: Array[Byte]): Array[Int] = {
+    val custom = scala.collection.mutable.Map[Int, String]()
+    val xfs = Vector.newBuilder[Int]
+    var inCellXfs = false
+    val r = xmlReader(bytes)
+    try while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "numFmt" =>
+              val id = r.getAttributeValue(null, "numFmtId")
+              val code = r.getAttributeValue(null, "formatCode")
+              if (id != null && code != null) custom(id.toInt) = code
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              val id = Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(0)
+              xfs += id
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          if (r.getLocalName == "cellXfs") inCellXfs = false
+        case _ =>
+      }
+    } finally r.close()
+    xfs.result().map(id => numFmtDateKind(id, custom.get(id))).toArray
+  }
+
+  private def numFmtDateKind(id: Int, code: Option[String]): Int = id match {
+    case 22 => 2
+    case i if (i >= 14 && i <= 17) || (i >= 27 && i <= 36) ||
+              (i >= 50 && i <= 58) => 1
+    case i if (i >= 18 && i <= 21) || (i >= 45 && i <= 47) => 2
+    case _ =>
+      code.map { c =>
+        val bare = c.replaceAll("\"[^\"]*\"", "")
+          .replaceAll("\\[[^\\]]*\\]", "").toLowerCase
+        val hasDate = bare.exists("ymd".contains(_))
+        val hasTime = bare.exists("hs".contains(_)) || bare.contains(":")
+        if (hasTime) 2 else if (hasDate) 1 else 0
+      }.getOrElse(0)
+  }
+
+  private def parseSheet(bytes: Array[Byte], shared: Vector[String],
+                         dateKind: Array[Int],
+                         date1904: Boolean): Vector[Array[String]] = {
+    val rows = Vector.newBuilder[Array[String]]
+    val r = xmlReader(bytes)
+    var cells: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellCol = -1          // 0-based column of the current <c>
+    var cellType = ""
+    var cellStyle = 0
+    var text: StringBuilder = null
+    var inIs = false          // inside <is> (inline string)
+    var capture = false       // inside <v> or <is><t>
+    try while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              cells = scala.collection.mutable.ArrayBuffer[String]()
+            case "c" if cells != null =>
+              val ref = r.getAttributeValue(null, "r")
+              cellCol = if (ref != null) colIndex(ref) else cells.length
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellStyle = Option(r.getAttributeValue(null, "s"))
+                .map(_.toInt).getOrElse(0)
+              text = new StringBuilder
+            case "is" => inIs = true
+            case "v" if text != null => capture = true
+            case "t" if inIs && text != null => capture = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          if (capture) text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" => capture = false
+            case "t" => capture = false
+            case "is" => inIs = false
+            case "c" if cells != null =>
+              while (cells.length < cellCol) cells += null
+              cells += cellValue(cellType, text.toString, cellStyle,
+                                 shared, dateKind, date1904)
+              text = null
+            case "row" =>
+              rows += cells.toArray
+              cells = null
+            case _ =>
+          }
+        case _ =>
+      }
+    } finally r.close()
+    rows.result()
+  }
+
+  private def cellValue(t: String, raw: String, style: Int,
+                        shared: Vector[String], dateKind: Array[Int],
+                        date1904: Boolean): String = t match {
+    case "s" =>
+      if (raw.trim.isEmpty) null else shared.lift(raw.trim.toInt).orNull
+    case "inlineStr" => raw
+    case "str" => raw
+    case "b" => if (raw.trim == "1") "true" else "false"
+    case "e" => null
+    case "d" => raw // ISO-8601 date literal cell
+    case _ => // number ("" or "n")
+      if (raw.isEmpty) null
+      else {
+        val kind = if (style < dateKind.length) dateKind(style) else 0
+        if (kind == 0) raw
+        else serialToIso(raw.toDouble, kind == 2, date1904)
+      }
+  }
+
+  /** "BC12" → 0-based column 54. */
+  private[sources] def colIndex(ref: String): Int = {
+    var i = 0; var n = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      n = n * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    n - 1
+  }
+
+  private val Epoch1900 = LocalDate.of(1899, 12, 30)
+
+  /** Excel serial → ISO date / datetime string. 1900 system: serials
+    * below 60 predate the phantom 1900-02-29 and shift by one; 1904
+    * system offsets by 1462 days. Time is rounded to whole seconds
+    * (Excel's own display precision). */
+  private[graft] def serialToIso(serial: Double, withTime: Boolean,
+                                   date1904: Boolean): String = {
+    val adj = if (date1904) serial + 1462
+              else if (serial < 60) serial + 1 else serial
+    var days = math.floor(adj).toLong
+    var secs = math.round((adj - math.floor(adj)) * 86400.0)
+    if (secs >= 86400) { days += 1; secs -= 86400 }
+    val d = Epoch1900.plusDays(days)
+    if (withTime)
+      f"$d ${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
+    else d.toString
+  }
+
+  // ───────────────────────── writing ─────────────────────────
+
+  /** Write a minimal valid .xlsx (inline strings, date/datetime
+    * styles). Driver-side by design: the format itself caps a sheet at
+    * 1,048,576 rows, so an Excel EXPORT is a small-result contract —
+    * large outputs belong in parquet. Deterministic bytes (fixed zip
+    * entry times) so content-addressed caches work. */
+  def write(header: Seq[String], rows: Iterable[Seq[Any]],
+            out: OutputStream): Unit = {
+    val zip = new ZipOutputStream(out)
+    def part(name: String, body: String): Unit = {
+      val e = new ZipEntry(name)
+      e.setTime(1577836800000L) // 2020-01-01, fixed for determinism
+      zip.putNextEntry(e)
+      zip.write(body.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+        |</Types>""".stripMargin)
+    part("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+        |</Relationships>""".stripMargin)
+    // style index 1 = date (built-in 14), 2 = datetime (built-in 22)
+    part("xl/styles.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>
+        |<borders count="1"><border/></borders>
+        |<cellStyleXfs count="1"><xf/></cellStyleXfs>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="22" applyNumberFormat="1"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    val sheet = new StringBuilder
+    sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    sheet ++= "\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>"
+    var rowNum = 1
+    def emitRow(vals: Seq[Any]): Unit = {
+      sheet ++= s"""<row r="$rowNum">"""
+      vals.zipWithIndex.foreach { case (v, i) =>
+        val ref = s"${colRef(i)}$rowNum"
+        v match {
+          case null | None => // gap
+          case b: Boolean =>
+            sheet ++= s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+          case n @ (_: Int | _: Long | _: Short | _: Byte) =>
+            sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
+          case d: Double =>
+            sheet ++= s"""<c r="$ref"><v>$d</v></c>"""
+          case f: Float =>
+            sheet ++= s"""<c r="$ref"><v>$f</v></c>"""
+          case d: java.math.BigDecimal =>
+            sheet ++= s"""<c r="$ref"><v>${d.toPlainString}</v></c>"""
+          case d: java.sql.Date =>
+            sheet ++= s"""<c r="$ref" s="1"><v>${dateSerial(d.toLocalDate)}</v></c>"""
+          case d: LocalDate =>
+            sheet ++= s"""<c r="$ref" s="1"><v>${dateSerial(d)}</v></c>"""
+          case t: java.sql.Timestamp =>
+            val ldt = t.toLocalDateTime
+            val serial = dateSerial(ldt.toLocalDate) +
+              ldt.toLocalTime.toSecondOfDay / 86400.0
+            sheet ++= s"""<c r="$ref" s="2"><v>$serial</v></c>"""
+          case s =>
+            sheet ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(s.toString)}</t></is></c>"""
+        }
+      }
+      sheet ++= "</row>"
+      rowNum += 1
+    }
+    emitRow(header)
+    rows.foreach(emitRow)
+    sheet ++= "</sheetData></worksheet>"
+    part("xl/worksheets/sheet1.xml", sheet.toString)
+    zip.finish()
+  }
+
+  /** Collect-and-write a DataFrame (small-export contract — see
+    * [[write]]). Dates/timestamps become styled serials, numerics
+    * native number cells, everything else inline strings. */
+  def writeFile(df: DataFrame, file: String): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().toSeq.map(_.toSeq)
+    val p = java.nio.file.Paths.get(file)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val out = java.nio.file.Files.newOutputStream(p)
+    try write(header, rows, out) finally out.close()
+  }
+
+  private def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  private[sources] def dateSerial(d: LocalDate): Long = {
+    val adj = ChronoUnit.DAYS.between(Epoch1900, d)
+    if (adj < 61) adj - 1 else adj
+  }
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '&' => "&amp;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+}

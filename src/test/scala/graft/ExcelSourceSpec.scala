@@ -1,0 +1,124 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.time.LocalDate
+
+import graft.sources.ExcelSource
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S3 — the reference's Excel ingest
+  * (docs/etl_processes.md:133,189), re-implemented as a pure-JDK xlsx
+  * parse distributed over the binaryFile source. */
+class ExcelSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeXlsx(dir: String, name: String, header: Seq[String],
+                        rows: Seq[Seq[Any]]): String = {
+    val f = s"$dir/$name"
+    val out = new java.io.FileOutputStream(f)
+    try ExcelSource.write(header, rows, out) finally out.close()
+    f
+  }
+
+  test("round-trip: types survive write → parse → infer") {
+    val dir = TestSpark.tmpDir("xlsx")
+    writeXlsx(dir, "a.xlsx",
+      Seq("id", "name", "price", "ok", "d", "ts"),
+      Seq(
+        Seq(1L, "alpha", 1.5, true, java.sql.Date.valueOf("2024-02-29"),
+            java.sql.Timestamp.valueOf("2024-02-29 13:45:09")),
+        Seq(2L, "beta & <co>", 2.0, false, java.sql.Date.valueOf("1900-02-28"),
+            java.sql.Timestamp.valueOf("1970-01-01 00:00:00")),
+        Seq(3L, null, null, true, null, null)))
+    val df = ExcelSource.read(spark, dir)
+    assert(df.schema == StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DoubleType), StructField("ok", BooleanType),
+      StructField("d", DateType), StructField("ts", TimestampType))))
+    val rows = df.orderBy("id")
+      .selectExpr("id", "name", "price", "ok", "cast(d as string)",
+                  "cast(ts as string)")
+      .as[(Long, String, Option[Double], Boolean, String, String)]
+      .collect().toSeq
+    assert(rows == Seq(
+      (1L, "alpha", Some(1.5), true, "2024-02-29", "2024-02-29 13:45:09"),
+      (2L, "beta & <co>", Some(2.0), false, "1900-02-28", "1970-01-01 00:00:00"),
+      (3L, null, None, true, null, null)))
+  }
+
+  test("hand-built sheet: shared strings, cell gaps, sparse refs, formula and error cells") {
+    // built without the writer so the reader is exercised against the
+    // parts a real producer emits: sharedStrings (incl. rich text),
+    // skipped cells addressed by `r`, t="str" formula results, t="e"
+    val dir = TestSpark.tmpDir("xlsx2")
+    val f = new java.io.FileOutputStream(s"$dir/h.xlsx")
+    val z = new java.util.zip.ZipOutputStream(f)
+    def part(n: String, b: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(b.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId9"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId9" Target="worksheets/data.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<sst><si><t>k</t></si><si><t>v</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>""")
+    part("xl/worksheets/data.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>w</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2" t="str"><v>=sum</v></c></row>
+        |<row r="4"><c r="B4"><v>7</v></c><c r="C4" t="e"><v>#DIV/0!</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.finish(); f.close()
+    val df = ExcelSource.read(spark, dir, inferSchema = false)
+    val rows = df.as[(String, String, String)].collect().toSet
+    assert(rows == Set(("rich", null, "=sum"), (null, "7", null)))
+    assert(df.columns.toSeq == Seq("k", "v", "w"))
+  }
+
+  test("1904 date system shifts serials") {
+    // serial 0 in the 1904 system = 1904-01-01
+    assert(ExcelSource.serialToIso(0.0, withTime = false, date1904 = true)
+      == "1904-01-01")
+    assert(ExcelSource.serialToIso(1.0, withTime = false, date1904 = false)
+      == "1900-01-01")
+    assert(ExcelSource.serialToIso(59.0, withTime = false, date1904 = false)
+      == "1900-02-28")
+    assert(ExcelSource.serialToIso(61.0, withTime = false, date1904 = false)
+      == "1900-03-01")
+    assert(ExcelSource.serialToIso(45382.5, withTime = true, date1904 = false)
+      == "2024-03-31 12:00:00")
+  }
+
+  test("multi-file directory: per-file parallel read, lineage column, header validation") {
+    val dir = TestSpark.tmpDir("xlsxm")
+    writeXlsx(dir, "p1.xlsx", Seq("a", "b"), Seq(Seq(1L, "x")))
+    writeXlsx(dir, "p2.xlsx", Seq("a", "b"), Seq(Seq(2L, "y"), Seq(3L, "z")))
+    val df = ExcelSource.read(spark, dir, sourceFileCol = Some("source_file"))
+    assert(df.count() == 3)
+    assert(df.filter($"source_file".contains("p2.xlsx")).count() == 2)
+    assert(df.schema("a").dataType == LongType)
+
+    writeXlsx(dir, "bad.xlsx", Seq("a", "c"), Seq(Seq(9L, "w")))
+    val e = intercept[IllegalArgumentException] {
+      ExcelSource.read(spark, dir)
+    }
+    assert(e.getMessage.contains("header mismatch"))
+  }
+
+  test("mixed column types fall back: int+float → double, any junk → string") {
+    val dir = TestSpark.tmpDir("xlsxt")
+    writeXlsx(dir, "t.xlsx", Seq("m", "j", "dt"),
+      Seq(Seq(1L, "1", java.sql.Date.valueOf("2024-01-01")),
+          Seq(2.5, "oops", java.sql.Timestamp.valueOf("2024-01-01 01:02:03"))))
+    val df = ExcelSource.read(spark, dir)
+    assert(df.schema("m").dataType == DoubleType)
+    assert(df.schema("j").dataType == StringType)
+    // date + datetime strings promote to timestamp
+    assert(df.schema("dt").dataType == TimestampType)
+    assert(df.selectExpr("cast(dt as string)").as[String].collect().toSet
+      == Set("2024-01-01 00:00:00", "2024-01-01 01:02:03"))
+  }
+}
