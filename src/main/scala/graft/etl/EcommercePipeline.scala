@@ -99,10 +99,21 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     * dedup nondeterministically flip settled silver rows. */
   def ingestBronze(csvPath: String, target: LakehouseTable): DataFrame = {
     val ingestTs = new java.sql.Timestamp(System.currentTimeMillis())
-    val raw = spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(csvPath)
-      .withColumn("source_file", col("_metadata.file_path"))
-      .withColumn("ingestion_timestamp", lit(ingestTs))
+    // format dispatch: the reference's bronze orders/order-items land
+    // as Excel (docs/etl_processes.md:133,189), products as CSV — both
+    // go through the same header+inferSchema contract and downstream
+    // schema-pinning. Excel lineage comes from the binaryFile path
+    // (ExcelSource parses whole files, so there is no per-row
+    // _metadata scan column to read it from).
+    val raw0 =
+      if (hasXlsx(csvPath))
+        graft.sources.ExcelSource.read(spark, csvPath,
+          sourceFileCol = Some("source_file"))
+      else
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(csvPath)
+          .withColumn("source_file", col("_metadata.file_path"))
+    val raw = raw0.withColumn("ingestion_timestamp", lit(ingestTs))
     val fresh =
       if (!target.exists) raw
       else {
@@ -118,6 +129,19 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     // landed columnar data instead.
     if (fresh.isEmpty) fresh.limit(0)
     else spark.read.parquet(target.appendBatch(fresh))
+  }
+
+  /** True when `path` is an .xlsx file or a directory containing any
+    * (one driver-side listing — the same listing the file source does). */
+  private def hasXlsx(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) p.getName.toLowerCase.endsWith(".xlsx")
+      else fs.listStatus(p)
+        .exists(_.getPath.getName.toLowerCase.endsWith(".xlsx"))
+    }
   }
 
   /** CSV ingest (S1): header + inferSchema, then the declared-schema

@@ -354,4 +354,66 @@ class EcommercePipelineSpec extends AnyFunSuite {
     pipe.goldDailySalesIncremental(gold, Seq("2025-04-02"))
     assert(canon(gold.read) == canon(pipe.goldDailySales()))
   }
+
+  test("bronze ingest dispatches on Excel input (the reference's orders/items format)") {
+    // the reference lands orders and order-items as Excel
+    // (docs/etl_processes.md:133,189) and products as CSV — same data
+    // as the anomaly test, same results, through the xlsx decode path
+    val dir = TestSpark.tmpDir("ecom_xlsx")
+    val products = writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A",
+      "2,11,Toys,Toy B",
+      "3,12,Games,",
+      "2,11,Toys,Toy B"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val ordersDir = TestSpark.tmpDir("ecom_xlsx_o")
+    val out1 = new java.io.FileOutputStream(s"$ordersDir/orders.xlsx")
+    try graft.sources.ExcelSource.write(
+      Seq("order_num", "order_id", "user_id", "order_timestamp",
+          "total_amount", "date"),
+      Seq(Seq(1L, 100L, 1L, ts("2025-04-01 10:00:00"), 50.0, d("2025-04-01")),
+          Seq(2L, 101L, 1L, ts("2025-04-01 11:00:00"), -5.0, d("2025-04-01")),
+          Seq(3L, 102L, 2L, ts("2025-04-02 10:00:00"), 30.0, d("2025-04-02"))),
+      out1) finally out1.close()
+    val itemsDir = TestSpark.tmpDir("ecom_xlsx_i")
+    val out2 = new java.io.FileOutputStream(s"$itemsDir/order_items.xlsx")
+    try graft.sources.ExcelSource.write(
+      Seq("id", "order_id", "user_id", "days_since_prior_order",
+          "product_id", "add_to_cart_order", "reordered",
+          "order_timestamp", "date"),
+      Seq(Seq(1000L, 100L, 1L, null, 1L, 1L, 0L, ts("2025-04-01 10:00:00"), d("2025-04-01")),
+          Seq(1001L, 100L, 1L, null, 2L, 2L, 1L, ts("2025-04-01 10:00:00"), d("2025-04-01")),
+          Seq(1002L, 999L, 1L, null, 1L, 1L, 0L, ts("2025-04-01 10:00:00"), d("2025-04-01")),
+          Seq(1003L, 102L, 2L, null, 77L, 1L, 0L, ts("2025-04-02 10:00:00"), d("2025-04-02"))),
+      out2) finally out2.close()
+
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    val res = pipe.run(products, ordersDir, itemsDir)
+    assert(res("products") == graft.etl.StageResult(2, 1))
+    assert(res("orders") == graft.etl.StageResult(2, 1))
+    assert(res("order_items") == graft.etl.StageResult(2, 2))
+
+    // Excel lineage: source_file carries the workbook path
+    assert(pipe.bronzeOrders.read
+      .filter(col("source_file").endsWith("orders.xlsx")).count() == 3)
+    // silver types follow the declared schemas through the xlsx path
+    val so = pipe.silverOrders.read
+    assert(so.schema("order_timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(so.filter(col("order_id") === 100)
+             .select("day_of_week", "hour_of_day").collect().head.toSeq ==
+      Seq(3, 10))
+    // gold matches the CSV-ingested run's numbers
+    val ds = pipe.goldDailySales().collect()
+    assert(ds.length == 1)
+    assert(ds.head.getAs[java.math.BigDecimal]("total_sales")
+      .doubleValue == 100.0)
+
+    // file-level idempotence holds for workbooks too
+    pipe.run(products, ordersDir, itemsDir)
+    assert(pipe.bronzeOrders.read.count() == 3)
+    assert(pipe.quarantine.read.count() == 4)
+  }
 }
