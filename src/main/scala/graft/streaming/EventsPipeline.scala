@@ -105,4 +105,41 @@ object EventsPipeline {
         graft.plans.MaterializedAgg.refresh(serving, summary,
           Seq("event_type"), Seq("n_events", "total_value"), touched)
       }
+
+  /** [[maintainedUpsertSink]]'s JOIN-summary twin: the maintained
+    * aggregate joins the serving table to a DIMENSION (event-type
+    * metadata at `dimPath`, keyed `event_type` = `etype`) before
+    * grouping — the streaming version of a gold star rollup. Each
+    * microbatch upserts the serving table, then
+    * [[graft.plans.MaterializedAgg.refreshJoin]] rebuilds ONLY the
+    * touched event types' summary partitions (pruned serving slice ⋈
+    * broadcast-size dim) and re-registers, so covered join-aggregates
+    * keep reading KBs. Same crash-window contract as the plain sink:
+    * upsert's auto-invalidation means a died-before-refresh batch
+    * leaves covered queries on the (fresh, correct) source join until
+    * the next refresh. The dim is the caller's to keep immutable
+    * during the stream — a dim change invalidates every summary row
+    * regardless of partition, so it requires a full rebuild, which
+    * refreshJoin cannot (and refuses to) express incrementally. */
+  def maintainedJoinSink(rollup: DataFrame, targetPath: String,
+                         dimPath: String, summaryPath: String,
+                         checkpoint: String): DataStreamWriter[Row] =
+    rollup.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val serving = graft.tables.LakehouseTable(spark, targetPath,
+          Seq("window_start", "event_type"), Seq("event_type"))
+        serving.upsert(batch)
+        val touched = batch.select("event_type").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val summary = graft.tables.LakehouseTable(spark, summaryPath,
+          Seq("event_type"), Seq("event_type"))
+        graft.plans.MaterializedAgg.refreshJoin(serving, dimPath,
+          "event_type", "etype", summary,
+          Seq("event_type", "category"), Seq("n_events", "total_value"),
+          touched)
+      }
 }

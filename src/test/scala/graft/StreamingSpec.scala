@@ -151,4 +151,66 @@ class StreamingSpec extends AnyFunSuite {
         "post-crash covered query must see the upserted rows")
     } finally graft.plans.MaterializedAgg.clear()
   }
+
+  test("maintained JOIN sink keeps a dim-join summary serving across microbatches") {
+    val dir = TestSpark.tmpDir("streammvj")
+    val landing = s"$dir/landing"
+    val target = s"$dir/serving"
+    val summary = s"$dir/jsummary"
+    Seq(("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"))
+      .toDF("etype", "category").write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+
+    def runOnce(n: Int): Unit = {
+      val rollup = EventsPipeline.hourlyRollup(
+        EventsPipeline.readEventsStream(spark, landing))
+      val q = EventsPipeline.maintainedJoinSink(
+        rollup, target, s"$dir/dim", summary, s"$dir/ckpt$n").start()
+      q.awaitTermination()
+    }
+    def probe() = spark.read.parquet(target)
+      .join(dim, col("event_type") === col("etype"))
+      .groupBy($"event_type", $"category")
+      .agg(sum($"n_events").as("events"), count(lit(1)).as("windows"))
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }
+
+    graft.plans.MaterializedAgg.attach(spark)
+    try {
+      Seq(ev(1, "2024-01-01 10:05:00", "click", 1.0),
+          ev(2, "2024-01-01 11:55:00", "click", 2.0),
+          ev(3, "2024-01-01 10:20:00", "view", 8.0))
+        .toDF().write.mode("append").parquet(landing)
+      runOnce(1)
+      // covered join-aggregate reads ONLY the summary — neither the
+      // serving table nor the dim is scanned
+      assert(scans(probe()).forall(_.contains("jsummary")), scans(probe()))
+      assert(probe().orderBy("event_type")
+        .as[(String, String, Long, Long)].collect().toSeq ==
+        Seq(("click", "engagement", 2L, 2L), ("view", "engagement", 1L, 1L)))
+
+      // batch 2 touches click + a brand-new type; view's summary
+      // partition must survive the partial swap untouched
+      Seq(ev(4, "2024-01-01 12:05:00", "click", 4.0),
+          ev(5, "2024-01-01 12:10:00", "purchase", 16.0))
+        .toDF().write.mode("append").parquet(landing)
+      runOnce(2)
+      assert(scans(probe()).forall(_.contains("jsummary")), scans(probe()))
+      assert(probe().orderBy("event_type")
+        .as[(String, String, Long, Long)].collect().toSeq ==
+        Seq(("click", "engagement", 3L, 3L),
+            ("purchase", "revenue", 1L, 1L),
+            ("view", "engagement", 1L, 1L)))
+      assert(spark.read.parquet(summary).filter($"event_type" === "view")
+        .count() == 1)
+    } finally graft.plans.MaterializedAgg.clear()
+  }
 }
