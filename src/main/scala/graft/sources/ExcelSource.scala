@@ -69,7 +69,12 @@ object ExcelSource {
         (p, i.toLong, cells.padTo(width, null: String).take(width).toSeq)
       }
     }
-    val hdrRows = parsed.filter(_._2 == 0L).collect().sortBy(_._1)
+    // header pass parses only row 0 of each sheet (maxRows early stop)
+    // — O(1) per file, not a full decode of every workbook
+    val hdrRows = bin.flatMap { case (p, bytes) =>
+      parseWorkbook(bytes, maxRows = 1).headOption
+        .map(h => (p, 0L, h.toSeq))
+    }.collect().sortBy(_._1)
     require(hdrRows.nonEmpty, s"no non-empty .xlsx sheets under $path")
     val first = hdrRows.head
     hdrRows.foreach { case (p, _, h) =>
@@ -129,8 +134,10 @@ object ExcelSource {
 
   /** Parse the first worksheet into rows of cell strings (null =
     * empty/error cell), in document order. Pure JDK; one streaming XML
-    * pass per part over the in-memory bytes. */
-  private[sources] def parseWorkbook(bytes: Array[Byte]): Vector[Array[String]] = {
+    * pass per part over the in-memory bytes. `maxRows` stops the sheet
+    * scan early (the header pass reads one row, not the workbook). */
+  private[sources] def parseWorkbook(bytes: Array[Byte],
+                                     maxRows: Int = Int.MaxValue): Vector[Array[String]] = {
     val (sheetPath, date1904) = locateFirstSheet(bytes)
     val shared = entryBytes(bytes, "xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Vector.empty)
@@ -138,7 +145,7 @@ object ExcelSource {
       .map(parseStyleDateKinds).getOrElse(Array.empty[Int])
     entryBytes(bytes, sheetPath) match {
       case None => Vector.empty
-      case Some(sheet) => parseSheet(sheet, shared, dateKind, date1904)
+      case Some(sheet) => parseSheet(sheet, shared, dateKind, date1904, maxRows)
     }
   }
 
@@ -283,9 +290,10 @@ object ExcelSource {
   }
 
   private def parseSheet(bytes: Array[Byte], shared: Vector[String],
-                         dateKind: Array[Int],
-                         date1904: Boolean): Vector[Array[String]] = {
+                         dateKind: Array[Int], date1904: Boolean,
+                         maxRows: Int): Vector[Array[String]] = {
     val rows = Vector.newBuilder[Array[String]]
+    var nRows = 0
     val r = xmlReader(bytes)
     var cells: scala.collection.mutable.ArrayBuffer[String] = null
     var cellCol = -1          // 0-based column of the current <c>
@@ -327,6 +335,8 @@ object ExcelSource {
             case "row" =>
               rows += cells.toArray
               cells = null
+              nRows += 1
+              if (nRows >= maxRows) return rows.result()
             case _ =>
           }
         case _ =>
