@@ -99,15 +99,24 @@ object ExcelSource {
     * one distributed aggregate pass (no data collected). */
   private[sources] def inferTypes(df: DataFrame,
                                   names: Seq[String]): StructType = {
+    // ANSI-off sessions (the engine default) get the legacy cast —
+    // null on malformed input with NO exception; try_cast is only for
+    // ANSI-on sessions, where its per-failing-cell TryEval catch would
+    // otherwise be an exception storm over every non-numeric cell
+    // (same rule as Casting.castTo)
+    val ansiOn = df.sparkSession.conf
+      .get("spark.sql.ansi.enabled", "true").toBoolean
+    def nullableCast(c: org.apache.spark.sql.Column, dt: DataType) =
+      if (ansiOn) c.try_cast(dt) else c.cast(dt)
     val flags = names.flatMap { n =>
       val c = col(n)
       def cnt(b: org.apache.spark.sql.Column) =
         sum(when(b, 1L).otherwise(0L))
       Seq(
         cnt(c.isNotNull).as(s"n:$n"),
-        cnt(c.rlike("^-?\\d+$") && c.try_cast(LongType).isNotNull)
+        cnt(c.rlike("^-?\\d+$") && nullableCast(c, LongType).isNotNull)
           .as(s"long:$n"),
-        cnt(c.try_cast(DoubleType).isNotNull).as(s"dbl:$n"),
+        cnt(nullableCast(c, DoubleType).isNotNull).as(s"dbl:$n"),
         cnt(lower(c).isin("true", "false")).as(s"bool:$n"),
         cnt(c.rlike("^\\d{4}-\\d{2}-\\d{2}$")).as(s"date:$n"),
         cnt(c.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"))

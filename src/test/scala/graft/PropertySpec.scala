@@ -274,4 +274,49 @@ class PropertySpec extends AnyFunSuite {
       assert(BigDecimal(got) == expected, s"cs=$cs")
     }
   }
+
+  test("Excel codec round-trips random typed tables bit-exactly") {
+    // per-row: long, string (letter-prefixed so inference can never
+    // read it as a number/bool/date), nullable double, bool, nullable
+    // date (incl. the pre-1900-03-01 leap-bug serial zone), nullable
+    // second-precision timestamp
+    val genRow = for {
+      id <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      s <- Gen.oneOf(Gen.const(null: String),
+             Gen.alphaNumStr.map(x => "s_<&\"垚" + x.take(8)))
+      d <- Gen.oneOf(Gen.const(Double.NaN),
+             Gen.choose(-1e12, 1e12)).map(x => if (x.isNaN) null
+               else java.lang.Double.valueOf(x))
+      b <- Gen.oneOf(true, false)
+      days <- Gen.oneOf(Gen.const(-1), Gen.choose(0, 80000))
+      ts <- Gen.oneOf(Gen.const(-1L),
+              Gen.choose(0L, 4102444800L)) // ≤ 2100-01-01, whole seconds
+    } yield Seq[Any](id, s, d, b,
+      if (days < 0) null
+      else java.sql.Date.valueOf(java.time.LocalDate.of(1900, 1, 1)
+        .plusDays(days.toLong)),
+      if (ts < 0) null
+      else java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(ts)))
+    val genRows = Gen.nonEmptyListOf(genRow)
+    samples(genRows, 8).foreach { rows =>
+      val dir = TestSpark.tmpDir("xlsx_prop")
+      val out = new java.io.FileOutputStream(s"$dir/t.xlsx")
+      try graft.sources.ExcelSource.write(
+        Seq("id", "s", "d", "b", "dt", "ts"), rows, out)
+      finally out.close()
+      val back = graft.sources.ExcelSource.read(spark, dir)
+        .selectExpr("id", "s", "d", "b", "cast(dt as string)",
+                    "cast(ts as string)")
+        .as[(Long, String, Option[Double], Boolean, String, String)]
+        .collect().sortBy(_._1).toSeq
+      val expected = rows.map { r =>
+        (r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+         Option(r(2).asInstanceOf[java.lang.Double]).map(_.doubleValue),
+         r(3).asInstanceOf[Boolean],
+         Option(r(4)).map(_.toString).orNull,
+         Option(r(5)).map(_.toString.stripSuffix(".0")).orNull)
+      }.sortBy(_._1)
+      assert(back == expected, s"rows=$rows")
+    }
+  }
 }
