@@ -38,10 +38,6 @@ object Multimodal {
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
         col("source").as("source")).as("meta"))
 
-  final case class DecodedFeatures(
-    asset_id: Long, kind: String, byte_len: Long,
-    checksum: Long, feature: Array[Float])
-
   /** One decoded-image row: real pixel statistics when a JDK reader
     * decoded the payload, a labeled error + deterministic byte-level
     * fallback (rolling checksum, the old stub's formula) when none

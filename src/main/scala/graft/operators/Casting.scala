@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   * no shuffle, so this scales linearly with input size.
   */
 object Casting {
+  /** Column reference by EXACT name: backtick-quoted so names
+    * containing dots (legal in CSV/Excel headers, e.g. "order.total")
+    * resolve as columns, not struct-field paths. */
+  private[graft] def ref(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
   def castTo(df: DataFrame, schema: StructType): DataFrame = {
     val present = df.columns.toSet
     // ANSI-off sessions (the engine's standard everywhere) get the
@@ -40,9 +46,9 @@ object Casting {
           // (Spark 4 default) to_timestamp throws on malformed input;
           // the null-on-error contract must hold independent of the
           // session's spark.sql.ansi.enabled setting.
-          case TimestampType => try_to_timestamp(col(f.name))
-          case dt if ansiOn  => col(f.name).try_cast(dt)
-          case dt            => col(f.name).cast(dt)
+          case TimestampType => try_to_timestamp(ref(f.name))
+          case dt if ansiOn  => ref(f.name).try_cast(dt)
+          case dt            => ref(f.name).cast(dt)
         }
         acc.withColumn(f.name, c)
     }
@@ -63,7 +69,7 @@ object Casting {
     val cast = castTo(df, schema)
     val present = cast.columns.toSet
     cast.select(schema.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name)
+      if (present.contains(f.name)) ref(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
   }

@@ -84,12 +84,18 @@ object MaterializedAgg {
                                        groupCols: Set[String],
                                        measures: Set[String])
 
-  // keyed by the canonical root-path set of the SOURCE scan
-  private val registry = new ConcurrentHashMap[Set[String], Summary]()
+  // keyed by the canonical root-path set of the SOURCE scan; the value
+  // is ALL summaries registered over that source (different grains —
+  // e.g. a daily summary and a daily×brand summary — coexist; a
+  // re-registration with an existing grain replaces that entry). The
+  // rewrite tries candidates coarsest-grain-first, so the smallest
+  // covering summary serves.
+  private val registry = new ConcurrentHashMap[Set[String], List[Summary]]()
   // keyed by the SET of participating scans' root sets (order-free:
-  // the matcher flattens whatever join tree the query built)
+  // the matcher flattens whatever join tree the query built); value
+  // semantics as above
   private val joinRegistry =
-    new ConcurrentHashMap[Set[Set[String]], JoinSummary]()
+    new ConcurrentHashMap[Set[Set[String]], List[JoinSummary]]()
 
   private def rootsOf(plan: LogicalPlan): Option[Set[String]] = plan match {
     case lr: LogicalRelation =>
@@ -207,9 +213,12 @@ object MaterializedAgg {
         require(missing.isEmpty,
           s"summary at $summaryPath lacks column(s) ${missing.mkString(", ")}" +
           s" — build it with MaterializedAgg.buildStar")
-        joinRegistry.put(allRoots.toSet, JoinSummary(factRoots, dimSpecs, lr,
+        val entry = JoinSummary(factRoots, dimSpecs, lr,
           groupCols.map(_.toLowerCase).toSet,
-          measures.map(_.toLowerCase).toSet))
+          measures.map(_.toLowerCase).toSet)
+        joinRegistry.compute(allRoots.toSet, (_, old) =>
+          entry :: Option(old).getOrElse(Nil)
+            .filterNot(_.groupCols == entry.groupCols))
       case _ => throw new IllegalArgumentException(
         s"$summaryPath must be a parquet scan")
     }
@@ -230,9 +239,12 @@ object MaterializedAgg {
         require(missing.isEmpty,
           s"summary at $summaryPath lacks column(s) ${missing.mkString(", ")}" +
           s" — build it with MaterializedAgg.build")
-        registry.put(roots, Summary(roots, lr,
+        val entry = Summary(roots, lr,
           groupCols.map(_.toLowerCase).toSet,
-          measures.map(_.toLowerCase).toSet))
+          measures.map(_.toLowerCase).toSet)
+        registry.compute(roots, (_, old) =>
+          entry :: Option(old).getOrElse(Nil)
+            .filterNot(_.groupCols == entry.groupCols))
       case _ => throw new IllegalArgumentException(
         s"both $sourcePath and $summaryPath must be parquet scans")
     }
@@ -259,14 +271,22 @@ object MaterializedAgg {
       .makeQualified(p).toUri
     val canon = s"${Option(u.getScheme).getOrElse("")}://" +
       s"${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-    val droppedPlain = registry.keySet.removeIf(_.contains(canon))
+    registry.keySet.removeIf(_.contains(canon))
     // a join summary is stale if ANY participating input mutated
-    val droppedJoin = joinRegistry.keySet.removeIf(_.exists(_.contains(canon)))
-    // bump the epoch ONLY when a registration was actually dropped:
-    // mutations of unrelated tables would otherwise churn every
-    // epoch-keyed register-once cache into re-registering (three
-    // parquet analyses per summary) for nothing
-    if (droppedPlain || droppedJoin) { epochCounter.incrementAndGet(); () }
+    joinRegistry.keySet.removeIf(_.exists(_.contains(canon)))
+    // the epoch bump is UNCONDITIONAL, even when nothing was dropped:
+    // an invalidate that races a registration in flight (summary built,
+    // registry.put not yet executed) finds nothing to remove — a
+    // conditional bump would leave no trace, the late put would land,
+    // and every epoch-keyed register-once cache would trust the
+    // pre-mutation summary forever. Always bumping makes the next
+    // covered call re-register from current data (content-keyed
+    // summary caches rebuild because the source listing changed). The
+    // cost — unrelated mutations re-validating registrations (a few
+    // parquet footer reads) — is the price of the soundness guarantee;
+    // cache-map growth is handled by the callers' epoch pruning.
+    epochCounter.incrementAndGet()
+    ()
   }
 
   def clear(): Unit = {
@@ -440,12 +460,14 @@ object MaterializedAgg {
         case Some(x) => x
         case None    => return None
       }
-      val spec = rootsOf(lr).flatMap(r => Option(registry.get(r))) match {
-        case Some(s) => s
-        case None    => return None
-      }
-      reAggregate(agg, spec.summary, spec.groupCols, spec.measures,
-        filterOpt.toSeq)
+      val candidates = rootsOf(lr)
+        .flatMap(r => Option(registry.get(r))).getOrElse(return None)
+      // coarsest grain first: every covering candidate is bit-correct,
+      // the one with the fewest grain columns has the fewest rows
+      candidates.sortBy(_.groupCols.size).view.flatMap { spec =>
+        reAggregate(agg, spec.summary, spec.groupCols, spec.measures,
+          filterOpt.toSeq)
+      }.headOption
     }
 
     /** Match `Aggregate` over the registered star of inner
@@ -488,8 +510,19 @@ object MaterializedAgg {
         leaves.map(lr => lr -> rootsOf(lr).getOrElse(return None))
       // distinct scans only (registerStar enforces the same invariant)
       if (leafRoots.map(_._2).distinct.size != leafRoots.size) return None
-      val spec = Option(joinRegistry.get(leafRoots.map(_._2).toSet))
+      val candidates = Option(joinRegistry.get(leafRoots.map(_._2).toSet))
         .getOrElse(return None)
+      // coarsest grain first, as in tryRewrite
+      candidates.sortBy(_.groupCols.size).view
+        .flatMap(attemptJoin(agg, leafRoots, conds, loose, _)).headOption
+    }
+
+    /** One registered join summary tried against the flattened query
+      * shape; None bails to the next candidate (or the source join). */
+    private def attemptJoin(agg: Aggregate,
+                            leafRoots: Seq[(LogicalRelation, Set[String])],
+                            conds: Seq[Expression], loose: Seq[Expression],
+                            spec: JoinSummary): Option[LogicalPlan] = {
       val factLr = leafRoots.collectFirst {
         case (lr, r) if r == spec.factRoots => lr }.getOrElse(return None)
       val dimLrs: Seq[(DimSpec, LogicalRelation)] = spec.dims.map { d =>

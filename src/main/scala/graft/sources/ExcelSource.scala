@@ -69,8 +69,10 @@ object ExcelSource {
         (p, i.toLong, cells.padTo(width, null: String).take(width).toSeq)
       }
     }
-    // header pass parses only row 0 of each sheet (maxRows early stop)
-    // — O(1) per file, not a full decode of every workbook
+    // header pass stops the sheet scan after row 0 (maxRows early
+    // stop); the auxiliary parts (shared strings, styles) still decode
+    // — header cells are usually shared strings — but the data rows,
+    // the bulk of a large sheet, are never touched
     val hdrRows = bin.flatMap { case (p, bytes) =>
       parseWorkbook(bytes, maxRows = 1).headOption
         .map(h => (p, 0L, h.toSeq))
@@ -84,8 +86,12 @@ object ExcelSource {
     val header = first._3.zipWithIndex.map {
       case (h, i) => if (h == null || h.isEmpty) s"_c$i" else h
     }
-    require(header.distinct.size == header.size,
-      s"duplicate header names: $header")
+    // Spark resolves column names case-insensitively by default, and
+    // header cells are arbitrary text ("order.total", "ID" vs "id") —
+    // dedupe case-insensitively and address columns by alias, with
+    // dots kept out of resolution via the backtick form below
+    require(header.map(_.toLowerCase).distinct.size == header.size,
+      s"duplicate header names (case-insensitive): $header")
     val cols = header.zipWithIndex.map {
       case (h, i) => col("_3").getItem(i).as(h)
     } ++ sourceFileCol.map(c => col("_1").as(c))
@@ -109,7 +115,7 @@ object ExcelSource {
     def nullableCast(c: org.apache.spark.sql.Column, dt: DataType) =
       if (ansiOn) c.try_cast(dt) else c.cast(dt)
     val flags = names.flatMap { n =>
-      val c = col(n)
+      val c = Casting.ref(n)
       def cnt(b: org.apache.spark.sql.Column) =
         sum(when(b, 1L).otherwise(0L))
       Seq(
@@ -118,9 +124,12 @@ object ExcelSource {
           .as(s"long:$n"),
         cnt(nullableCast(c, DoubleType).isNotNull).as(s"dbl:$n"),
         cnt(lower(c).isin("true", "false")).as(s"bool:$n"),
-        cnt(c.rlike("^\\d{4}-\\d{2}-\\d{2}$")).as(s"date:$n"),
-        cnt(c.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"))
-          .as(s"ts:$n"))
+        // shape AND validity: "2023-02-30" is date-shaped but must not
+        // infer DateType (the later cast would silently null it)
+        cnt(c.rlike("^\\d{4}-\\d{2}-\\d{2}$") &&
+            nullableCast(c, DateType).isNotNull).as(s"date:$n"),
+        cnt(c.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$") &&
+            nullableCast(c, TimestampType).isNotNull).as(s"ts:$n"))
     }
     val r = df.agg(flags.head, flags.tail: _*).collect()(0)
     def v(k: String, n: String) = r.getAs[Long](s"$k:$n")
@@ -147,15 +156,38 @@ object ExcelSource {
     * scan early (the header pass reads one row, not the workbook). */
   private[sources] def parseWorkbook(bytes: Array[Byte],
                                      maxRows: Int = Int.MaxValue): Vector[Array[String]] = {
-    val (sheetPath, date1904) = locateFirstSheet(bytes)
-    val shared = entryBytes(bytes, "xl/sharedStrings.xml")
+    val parts = collectParts(bytes)
+    val (sheetPath, date1904) = locateFirstSheet(parts)
+    val shared = parts.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Vector.empty)
-    val dateKind = entryBytes(bytes, "xl/styles.xml")
+    val dateKind = parts.get("xl/styles.xml")
       .map(parseStyleDateKinds).getOrElse(Array.empty[Int])
-    entryBytes(bytes, sheetPath) match {
+    // a sheet outside the conventional worksheets dir (exotic rels
+    // target) falls back to a targeted second scan
+    parts.get(sheetPath).orElse(entryBytes(bytes, sheetPath)) match {
       case None => Vector.empty
       case Some(sheet) => parseSheet(sheet, shared, dateKind, date1904, maxRows)
     }
+  }
+
+  /** All parts a parse needs, in ONE pass over the archive (the
+    * stream decompresses sequentially — per-part rescans would decode
+    * every preceding entry again for each of the five parts). */
+  private def collectParts(zip: Array[Byte]): Map[String, Array[Byte]] = {
+    val in = new ZipInputStream(new ByteArrayInputStream(zip))
+    val out = Map.newBuilder[String, Array[Byte]]
+    try {
+      var e: ZipEntry = in.getNextEntry
+      while (e != null) {
+        val n = e.getName
+        if (n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
+            n == "xl/sharedStrings.xml" || n == "xl/styles.xml" ||
+            n.startsWith("xl/worksheets/"))
+          out += n -> in.readAllBytes()
+        e = in.getNextEntry
+      }
+    } finally in.close()
+    out.result()
   }
 
   private def entryBytes(zip: Array[Byte], name: String): Option[Array[Byte]] = {
@@ -180,10 +212,10 @@ object ExcelSource {
   /** First sheet's part path (via workbook order + rels) and the
     * date1904 flag. Falls back to the conventional part name when the
     * rels are absent. */
-  private def locateFirstSheet(zip: Array[Byte]): (String, Boolean) = {
+  private def locateFirstSheet(parts: Map[String, Array[Byte]]): (String, Boolean) = {
     var date1904 = false
     var firstRid: String = null
-    entryBytes(zip, "xl/workbook.xml").foreach { wb =>
+    parts.get("xl/workbook.xml").foreach { wb =>
       val r = xmlReader(wb)
       try while (r.hasNext) {
         r.next() match {
@@ -204,7 +236,7 @@ object ExcelSource {
     }
     val target = for {
       rid <- Option(firstRid)
-      rels <- entryBytes(zip, "xl/_rels/workbook.xml.rels")
+      rels <- parts.get("xl/_rels/workbook.xml.rels")
       t <- relTarget(rels, rid)
     } yield if (t.startsWith("/")) t.drop(1) else s"xl/$t"
     (target.getOrElse("xl/worksheets/sheet1.xml"), date1904)
@@ -342,9 +374,14 @@ object ExcelSource {
                                  shared, dateKind, date1904)
               text = null
             case "row" =>
-              rows += cells.toArray
+              // cell-less <row/> elements (style/height carriers real
+              // producers emit) hold no data: skip, don't emit a
+              // phantom all-null row (or a zero-width header)
+              if (cells.nonEmpty) {
+                rows += cells.toArray
+                nRows += 1
+              }
               cells = null
-              nRows += 1
               if (nRows >= maxRows) return rows.result()
             case _ =>
           }
@@ -361,7 +398,9 @@ object ExcelSource {
       if (raw.trim.isEmpty) null else shared.lift(raw.trim.toInt).orNull
     case "inlineStr" => raw
     case "str" => raw
-    case "b" => if (raw.trim == "1") "true" else "false"
+    case "b" => // empty = no value, same as the numeric branch
+      if (raw.trim.isEmpty) null
+      else if (raw.trim == "1") "true" else "false"
     case "e" => null
     case "d" => raw // ISO-8601 date literal cell
     case _ => // number ("" or "n")
@@ -524,6 +563,10 @@ object ExcelSource {
       case '>' => "&gt;"
       case '&' => "&amp;"
       case '"' => "&quot;"
+      // XML 1.0 forbids most control characters even escaped — strip
+      // them (scraped text contains them; a verbatim write would
+      // produce a workbook no parser, ours included, can read)
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' => ""
       case c => c.toString
     }
 }

@@ -335,9 +335,29 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val pc = partitionCols.head
     values.foreach { v =>
       val dir = s"$pc=" + org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+        .ExternalCatalogUtils.escapePathName(partitionValueString(v))
       fs.delete(new Path(path, dir), true)
     }
+  }
+
+  /** The string form Spark's partitioned writer used for the dir name.
+    * String.valueOf matches for strings, numbers, and java.sql.Date —
+    * but NOT java.sql.Timestamp, whose toString carries a ".0" the
+    * writer never emits ("2024-01-01 10:00:00.0" vs dir value
+    * "2024-01-01 10:00:00"): a raw toString would make the delete a
+    * silent no-op and leave the stale partition serving. Fractional
+    * seconds follow the writer too: micros, trailing zeros trimmed.
+    * (Assumes session and JVM timezones agree — the engine pins both
+    * to UTC.) */
+  private def partitionValueString(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      val ldt = t.toLocalDateTime
+      val base = ldt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      if (ldt.getNano == 0) base
+      else base + "." + f"${ldt.getNano / 1000}%06d"
+        .reverse.dropWhile(_ == '0').reverse
+    case _ => String.valueOf(v)
   }
 
   /** Catalog registration (S7): session-catalog external table.

@@ -108,6 +108,60 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("header mismatch"))
   }
 
+  test("review-found edges: dotted headers, cell-less rows, empty bool cells, date-shaped junk, control chars") {
+    val dir = TestSpark.tmpDir("xlsxe")
+    // dotted header resolves as a COLUMN (not a struct-field path) all
+    // the way through inference and casting
+    writeXlsx(dir, "dots.xlsx", Seq("order.total", "id"),
+      Seq(Seq(1.5, 10L), Seq(2.5, 11L)))
+    val dotted = ExcelSource.read(spark, s"$dir/dots.xlsx")
+    assert(dotted.schema("order.total").dataType == DoubleType)
+    assert(dotted.select(org.apache.spark.sql.functions.col("`order.total`"))
+      .as[Double].collect().sorted.toSeq == Seq(1.5, 2.5))
+    // case-insensitive duplicate headers rejected up front (Spark's
+    // default resolution would fail later, ambiguously)
+    val dir2 = TestSpark.tmpDir("xlsxe2")
+    writeXlsx(dir2, "dup.xlsx", Seq("ID", "id"), Seq(Seq(1L, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      ExcelSource.read(spark, dir2)
+    }
+    assert(e.getMessage.contains("duplicate header names"))
+
+    // hand-built sheet: a cell-less <row/> (style carrier) before the
+    // header, one mid-data, an empty t="b" cell, and a date-SHAPED but
+    // invalid value in a string column
+    val dir3 = TestSpark.tmpDir("xlsxe3")
+    val f = new java.io.FileOutputStream(s"$dir3/h.xlsx")
+    val z = new java.util.zip.ZipOutputStream(f)
+    def part(n: String, b: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(b.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"/>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>d</t></is></c><c r="B2" t="inlineStr"><is><t>ok</t></is></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>2023-01-15</t></is></c><c r="B3" t="b"><v>1</v></c></row>
+        |<row r="4"/>
+        |<row r="5"><c r="A5" t="inlineStr"><is><t>2023-02-30</t></is></c><c r="B5" t="b"/></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.finish(); f.close()
+    val df = ExcelSource.read(spark, dir3)
+    // the impossible 2023-02-30 keeps the column StringType — no
+    // silent null-out through a DateType cast
+    assert(df.schema("d").dataType == StringType)
+    val rows = df.as[(String, String)].collect().toSet
+    // cell-less rows absent; empty bool cell is null, not false
+    assert(rows == Set(("2023-01-15", "true"), ("2023-02-30", null)))
+
+    // control characters are stripped at write (XML 1.0 cannot carry
+    // them); the written workbook stays readable
+    val dir4 = TestSpark.tmpDir("xlsxe4")
+    writeXlsx(dir4, "ctl.xlsx", Seq("s"), Seq(Seq("a\u0000b\u0008c\td")))
+    assert(ExcelSource.read(spark, dir4).as[String].collect().toSeq ==
+      Seq("abc\td"))
+  }
+
   test("mixed column types fall back: int+float → double, any junk → string") {
     val dir = TestSpark.tmpDir("xlsxt")
     writeXlsx(dir, "t.xlsx", Seq("m", "j", "dt"),

@@ -444,4 +444,26 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(ab.changesSince(1).as[(Int, String)].collect().toSet ==
            Set((2, "updated")))
   }
+
+  test("dropPartitions matches the writer's dir form for timestamp values") {
+    // java.sql.Timestamp.toString carries a ".0" Spark's partitioned
+    // writer never emits; a raw-toString dir name would make the
+    // delete a silent no-op and leave a stale partition serving
+    val dir = TestSpark.tmpDir("lake")
+    val t = LakehouseTable(spark, s"$dir/tsPart", Seq("k"), Seq("w"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    t.overwrite(Seq((1, ts("2024-01-01 10:00:00"), 5L),
+                    (2, ts("2024-01-01 11:00:00"), 6L))
+      .toDF("k", "w", "v"))
+    t.dropPartitions(Seq(ts("2024-01-01 10:00:00")))
+    assert(t.read.select("k").as[Int].collect().toSeq == Seq(2))
+    // fractional seconds: micros, trailing zeros trimmed, same as the
+    // writer's own dir naming
+    val t2 = LakehouseTable(spark, s"$dir/tsFrac", Seq("k"), Seq("w"))
+    t2.overwrite(Seq((1, ts("2024-01-01 10:00:00.123"), 5L),
+                     (2, ts("2024-01-01 10:00:00.999999"), 6L))
+      .toDF("k", "w", "v"))
+    t2.dropPartitions(Seq(ts("2024-01-01 10:00:00.123")))
+    assert(t2.read.select("k").as[Int].collect().toSeq == Seq(2))
+  }
 }

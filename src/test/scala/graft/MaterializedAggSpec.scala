@@ -534,7 +534,14 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("not a column"))
   }
 
-  test("invalidate bumps the epoch only when a registration was dropped") {
+  test("invalidate ALWAYS bumps the epoch — a no-drop invalidate must still leave a trace") {
+    // Why unconditional: an invalidate can race a registration in
+    // flight (summary built from pre-mutation data, registry.put not
+    // yet executed). It finds nothing to remove; were the bump
+    // conditional, the late put would land under an unchanged epoch
+    // and epoch-keyed register-once caches would trust the stale
+    // summary FOREVER. The unconditional bump guarantees the next
+    // covered call re-registers from current data.
     val dir = TestSpark.tmpDir("mvepoch")
     (1 to 10).map(i => (i % 2, i)).toDF("k", "v").write.parquet(s"$dir/src")
     MaterializedAgg.build(spark.read.parquet(s"$dir/src"), Seq("k"), Seq("v"))
@@ -544,15 +551,62 @@ class MaterializedAggSpec extends AnyFunSuite {
                              Seq("k"), Seq("v"))
     try {
       val e0 = MaterializedAgg.epoch
-      // unrelated table: no registration dropped, no epoch churn
+      // unrelated table: nothing dropped, epoch bumps anyway (the
+      // in-flight-registration race is indistinguishable from this)
       MaterializedAgg.invalidate(spark, s"$dir/other")
-      assert(MaterializedAgg.epoch == e0)
-      // the registered source: dropped AND epoch-bumped
-      MaterializedAgg.invalidate(spark, s"$dir/src")
       assert(MaterializedAgg.epoch == e0 + 1)
+      // ...and the existing registration still serves (no drop)
+      val served = spark.read.parquet(s"$dir/src").groupBy($"k")
+        .agg(sum($"v").as("s"))
+      assert(scanPaths(served).forall(_.contains("gold")))
+      // the registered source: dropped AND bumped
+      MaterializedAgg.invalidate(spark, s"$dir/src")
+      assert(MaterializedAgg.epoch == e0 + 2)
       val q = spark.read.parquet(s"$dir/src").groupBy($"k")
         .agg(sum($"v").as("s"))
       assert(scanPaths(q).forall(_.contains("src")))
+    } finally MaterializedAgg.clear()
+  }
+
+  test("summaries of different grains over the same source coexist; coarsest covering grain serves") {
+    val dir = TestSpark.tmpDir("mvmulti")
+    (1 to 1000).map(i => (i % 7, s"b${i % 3}", i))
+      .toDF("k", "b", "v").write.parquet(s"$dir/src")
+    val src = spark.read.parquet(s"$dir/src")
+    MaterializedAgg.build(src, Seq("k"), Seq("v"))
+      .write.parquet(s"$dir/gold_k")
+    MaterializedAgg.build(src, Seq("k", "b"), Seq("v"))
+      .write.parquet(s"$dir/gold_kb")
+    MaterializedAgg.attach(spark)
+    // registration order: fine first, then coarse — neither may evict
+    // the other
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold_kb",
+                             Seq("k", "b"), Seq("v"))
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold_k",
+                             Seq("k"), Seq("v"))
+    try {
+      val byK = src.groupBy($"k").agg(sum($"v").as("s"))
+      val byKb = src.groupBy($"k", $"b").agg(sum($"v").as("s"))
+      // k-grain query: served by the SMALLER k summary (coarsest
+      // covering), not the kb one it would also be correct from
+      assert(scanPaths(byK).nonEmpty &&
+             scanPaths(byK).forall(_.contains("gold_k")) &&
+             !scanPaths(byK).exists(_.contains("gold_kb")), scanPaths(byK))
+      // kb-grain query: only the kb summary covers it
+      assert(scanPaths(byKb).nonEmpty &&
+             scanPaths(byKb).forall(_.contains("gold_kb")), scanPaths(byKb))
+      // both bit-correct vs the source
+      MaterializedAgg.clear()
+      val expK = src.groupBy($"k").agg(sum($"v").as("s"))
+        .orderBy("k").collect().toSeq
+      val expKb = src.groupBy($"k", $"b").agg(sum($"v").as("s"))
+        .orderBy("k", "b").collect().toSeq
+      MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold_kb",
+                               Seq("k", "b"), Seq("v"))
+      MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold_k",
+                               Seq("k"), Seq("v"))
+      assert(byK.orderBy("k").collect().toSeq == expK)
+      assert(byKb.orderBy("k", "b").collect().toSeq == expKb)
     } finally MaterializedAgg.clear()
   }
 
