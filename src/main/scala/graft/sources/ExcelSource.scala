@@ -63,7 +63,7 @@ object ExcelSource {
       .select("path", "content").as[(String, Array[Byte])]
     // (file, rowIdx, cells padded to that file's header width)
     val parsed = bin.flatMap { case (p, bytes) =>
-      val rows = parseWorkbook(bytes)
+      val rows = parseNamed(p, bytes, Int.MaxValue)
       val width = rows.headOption.map(_.length).getOrElse(0)
       rows.iterator.zipWithIndex.map { case (cells, i) =>
         (p, i.toLong, cells.padTo(width, null: String).take(width).toSeq)
@@ -74,7 +74,7 @@ object ExcelSource {
     // — header cells are usually shared strings — but the data rows,
     // the bulk of a large sheet, are never touched
     val hdrRows = bin.flatMap { case (p, bytes) =>
-      parseWorkbook(bytes, maxRows = 1).headOption
+      parseNamed(p, bytes, maxRows = 1).headOption
         .map(h => (p, 0L, h.toSeq))
     }.collect().sortBy(_._1)
     require(hdrRows.nonEmpty, s"no non-empty .xlsx sheets under $path")
@@ -149,6 +149,16 @@ object ExcelSource {
   }
 
   // ───────────────── workbook parsing (executor-side) ─────────────────
+
+  /** [[parseWorkbook]] with the FILE named in any failure — a corrupt
+    * workbook in a 10k-file directory must say which one it is, not
+    * surface a bare ZipException from some task. */
+  private def parseNamed(path: String, bytes: Array[Byte],
+                         maxRows: Int): Vector[Array[String]] =
+    try parseWorkbook(bytes, maxRows) catch {
+      case e: Exception => throw new java.io.IOException(
+        s"not a readable .xlsx workbook: $path (${e.getMessage})", e)
+    }
 
   /** Parse the first worksheet into rows of cell strings (null =
     * empty/error cell), in document order. Pure JDK; one streaming XML

@@ -162,6 +162,28 @@ class ExcelSourceSpec extends AnyFunSuite {
       Seq("abc\td"))
   }
 
+  test("a corrupt workbook fails naming the file") {
+    val dir = TestSpark.tmpDir("xlsxc")
+    // a TRUNCATED workbook (cut mid-deflate-stream) — the kind of
+    // corruption an interrupted upload produces; note a non-zip byte
+    // blob is different: ZipInputStream yields no entries for it, so
+    // it reads as an empty sheet rather than an error
+    val good = s"$dir/good.bin"
+    val out = new java.io.FileOutputStream(good)
+    try ExcelSource.write(Seq("a"), (1 to 500).map(i => Seq[Any](s"v$i")), out)
+    finally out.close()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(good))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/broken.xlsx"),
+      bytes.take(bytes.length / 2))
+    val e = intercept[Exception] { ExcelSource.read(spark, dir) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("broken.xlsx")), messages(e))
+  }
+
   test("mixed column types fall back: int+float → double, any junk → string") {
     val dir = TestSpark.tmpDir("xlsxt")
     writeXlsx(dir, "t.xlsx", Seq("m", "j", "dt"),
