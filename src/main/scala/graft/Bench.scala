@@ -82,11 +82,17 @@ object Bench {
     // data (code change moves both points; fixture/host drift moves
     // them independently). stdout stays exactly the driver's one-line
     // contract.
-    val secondDir = new java.io.File(sfDir).getParentFile match {
+    val secondDir = new java.io.File(sfDir).getCanonicalFile.getParentFile match {
       case null => None
       case p =>
-        Some(new java.io.File(p, "sf0.01").getPath)
-          .filter(d => d != sfDir && new java.io.File(d).isDirectory)
+        // canonical-path compare: a trailing slash or symlinked
+        // spelling of sf0.01 itself must not re-bench the same dir as
+        // its own "second" scale point
+        Some(new java.io.File(p, "sf0.01"))
+          .filter(d => d.isDirectory &&
+            d.getCanonicalPath !=
+              new java.io.File(sfDir).getCanonicalPath)
+          .map(_.getPath)
     }
     val second = secondDir.map(d => toJson(measure(d, 2), d))
     val mainJson = toJson(results, sfDir)

@@ -21,10 +21,19 @@ package graft.functions
 object Kmv {
   val Range: Long = 1L << 32
 
+  // per-thread digest: getInstance per value would be a JCA provider
+  // lookup + allocation on the streaming hot path (millions of
+  // offers/micro-batch); reset() makes reuse bit-identical
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 32 md5 bits of the UTF-8 bytes, as an unsigned long. */
   def hash32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.lang.Integer.toUnsignedLong(
       ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
       ((d(2) & 0xff) << 8) | (d(3) & 0xff))

@@ -216,9 +216,14 @@ object MaterializedAgg {
         val entry = JoinSummary(factRoots, dimSpecs, lr,
           groupCols.map(_.toLowerCase).toSet,
           measures.map(_.toLowerCase).toSet)
+        // replace only a registration of the SAME logical shape (grain
+        // + measures + join spec) — that's a re-registration after
+        // refresh; a summary differing in any of them is a distinct
+        // candidate and must coexist, not be evicted
         joinRegistry.compute(allRoots.toSet, (_, old) =>
-          entry :: Option(old).getOrElse(Nil)
-            .filterNot(_.groupCols == entry.groupCols))
+          entry :: Option(old).getOrElse(Nil).filterNot(o =>
+            o.groupCols == entry.groupCols &&
+            o.measures == entry.measures && o.dims == entry.dims))
       case _ => throw new IllegalArgumentException(
         s"$summaryPath must be a parquet scan")
     }
@@ -242,9 +247,11 @@ object MaterializedAgg {
         val entry = Summary(roots, lr,
           groupCols.map(_.toLowerCase).toSet,
           measures.map(_.toLowerCase).toSet)
+        // same-shape replacement only (see registerStar): same grain
+        // with different measures is a different candidate
         registry.compute(roots, (_, old) =>
-          entry :: Option(old).getOrElse(Nil)
-            .filterNot(_.groupCols == entry.groupCols))
+          entry :: Option(old).getOrElse(Nil).filterNot(o =>
+            o.groupCols == entry.groupCols && o.measures == entry.measures))
       case _ => throw new IllegalArgumentException(
         s"both $sourcePath and $summaryPath must be parquet scans")
     }

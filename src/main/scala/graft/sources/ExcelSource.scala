@@ -65,6 +65,14 @@ object ExcelSource {
     val parsed = bin.flatMap { case (p, bytes) =>
       val rows = parseNamed(p, bytes, Int.MaxValue)
       val width = rows.headOption.map(_.length).getOrElse(0)
+      // stray cells beyond the header width are dropped (the schema is
+      // the header's); that must not happen in silence — one warning
+      // per file names it and counts the affected rows
+      val over = rows.count(_.length > width)
+      if (over > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.sources.ExcelSource").warn(
+          s"ExcelSource: $p has $over row(s) with cells beyond the " +
+          s"header's $width column(s); extra cells dropped")
       rows.iterator.zipWithIndex.map { case (cells, i) =>
         (p, i.toLong, cells.padTo(width, null: String).take(width).toSeq)
       }
@@ -173,9 +181,13 @@ object ExcelSource {
     val dateKind = parts.get("xl/styles.xml")
       .map(parseStyleDateKinds).getOrElse(Array.empty[Int])
     // a sheet outside the conventional worksheets dir (exotic rels
-    // target) falls back to a targeted second scan
+    // target) falls back to a targeted second scan; a sheet that then
+    // STILL cannot be found is an error, not an empty sheet — silently
+    // parsing such a workbook as zero rows would drop its data from a
+    // multi-file read with no trace (parseNamed adds the file name)
     parts.get(sheetPath).orElse(entryBytes(bytes, sheetPath)) match {
-      case None => Vector.empty
+      case None => throw new IllegalArgumentException(
+        s"first worksheet part '$sheetPath' not found in archive")
       case Some(sheet) => parseSheet(sheet, shared, dateKind, date1904, maxRows)
     }
   }
@@ -293,10 +305,14 @@ object ExcelSource {
     out.result()
   }
 
-  /** Per-cellXfs-index date classification: 0 = not a date, 1 = date,
-    * 2 = datetime. Built-in numFmtIds follow ECMA-376 §18.8.30; custom
-    * codes are classified by their tokens (quoted text and [..]
-    * sections stripped first). */
+  /** Per-cellXfs-index date classification: 0 = not a date (raw
+    * serial surfaces), 1 = date, 2 = datetime, 3 = time of day.
+    * Built-in numFmtIds follow ECMA-376 §18.8.30; custom codes are
+    * classified by their tokens (quoted text and [..] sections
+    * stripped first). Elapsed-duration formats — built-ins 45-47 and
+    * custom codes with [h]/[m]/[s] brackets — stay 0: a 30-hour
+    * duration anchored at 1899-12-30 would be semantic corruption, so
+    * the raw numeric serial is the honest value. */
   private def parseStyleDateKinds(bytes: Array[Byte]): Array[Int] = {
     val custom = scala.collection.mutable.Map[Int, String]()
     val xfs = Vector.newBuilder[Int]
@@ -329,14 +345,25 @@ object ExcelSource {
     case 22 => 2
     case i if (i >= 14 && i <= 17) || (i >= 27 && i <= 36) ||
               (i >= 50 && i <= 58) => 1
-    case i if (i >= 18 && i <= 21) || (i >= 45 && i <= 47) => 2
+    case i if i >= 18 && i <= 21 => 3 // h:mm[:ss] [AM/PM]: time of day
+    case i if i >= 45 && i <= 47 => 0 // mm:ss, [h]:mm:ss: durations
     case _ =>
       code.map { c =>
-        val bare = c.replaceAll("\"[^\"]*\"", "")
-          .replaceAll("\\[[^\\]]*\\]", "").toLowerCase
-        val hasDate = bare.exists("ymd".contains(_))
-        val hasTime = bare.exists("hs".contains(_)) || bare.contains(":")
-        if (hasTime) 2 else if (hasDate) 1 else 0
+        // elapsed-duration brackets, checked BEFORE [..] stripping
+        if ("\\[[hms]+\\]".r.findFirstIn(c.toLowerCase).isDefined) 0
+        else {
+          val bare = c.replaceAll("\"[^\"]*\"", "")
+            .replaceAll("\\[[^\\]]*\\]", "").toLowerCase
+          // 'm' is ambiguous (month vs minute): date detection keys on
+          // y/d — "h:mm" must not read as a date, and real date codes
+          // carry a year or day token
+          val hasDate = bare.exists("yd".contains(_))
+          val hasTime = bare.exists("hs".contains(_)) || bare.contains(":")
+          if (hasDate && hasTime) 2
+          else if (hasDate) 1
+          else if (hasTime) 3
+          else 0
+        }
       }.getOrElse(0)
   }
 
@@ -417,8 +444,14 @@ object ExcelSource {
       if (raw.isEmpty) null
       else {
         val kind = if (style < dateKind.length) dateKind(style) else 0
-        if (kind == 0) raw
-        else serialToIso(raw.toDouble, kind == 2, date1904)
+        kind match {
+          case 0 => raw
+          case 3 => // time of day: the serial's fraction, HH:mm:ss
+            val frac = raw.toDouble
+            val secs = math.round((frac - math.floor(frac)) * 86400.0) % 86400
+            f"${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
+          case k => serialToIso(raw.toDouble, k == 2, date1904)
+        }
       }
   }
 

@@ -49,7 +49,8 @@ object DistinctCountStream {
       val set = mutable.TreeSet.empty[Long] ++ prior.hashes
       var n = prior.n
       rows.foreach { r =>
-        if (r.item != null) { Kmv.offer(set, Kmv.hash32(r.item), k); n += 1 }
+        n += 1 // EVERY row counts; only non-null items hash
+        if (r.item != null) { Kmv.offer(set, Kmv.hash32(r.item), k); () }
       }
       state.update(KmvState(set.toSeq, n))
       val hk = if (set.isEmpty) 0L else set.max

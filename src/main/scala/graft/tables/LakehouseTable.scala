@@ -237,8 +237,33 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // The guard lives here so every caller gets it.
     if (deduped.isEmpty) return
     if (!exists) overwrite(deduped)
-    else if (partitionCols.size == 1) upsertPartitions(deduped)
+    else if (partitionCols.size == 1) {
+      assertPartitionedLayout()
+      upsertPartitions(deduped)
+    }
     else overwrite(Upsert.upsert(read, deduped, pk))
+  }
+
+  /** Mixed-layout guard for partition-scoped mutators: a table
+    * written under an earlier UNPARTITIONED layout (flat files or
+    * batch dirs at the root) cannot be incrementally mutated as a
+    * partitioned one — the write would lay `col=` dirs next to the
+    * flat data and wedge every later read's partition discovery with
+    * conflicting structures (the failure would surface mid-stream,
+    * far from its cause). Fail at the mutation with the migration
+    * path instead. */
+  private def assertPartitionedLayout(): Unit = {
+    val pc = partitionCols.head
+    val stray = fs.listStatus(new Path(path)).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith(s"$pc=") && !n.startsWith("_") && !n.startsWith(".") &&
+        ((st.isFile && n.endsWith(".parquet")) ||
+         (st.isDirectory && hasDataFiles(st.getPath)))
+    }
+    require(!stray,
+      s"$path holds data outside $pc= partition dirs (written by an " +
+      "unpartitioned layout?) — read it with the old layout and " +
+      "overwrite() through this partitioned table to migrate")
   }
 
   /** Partition-scoped MERGE: merge the batch with ONLY its affected
@@ -298,6 +323,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     require(partitionCols.size == 1,
       s"replacePartitions needs a single-column-partitioned table: $path")
     repairInterruptedSwaps()
+    if (exists) assertPartitionedLayout()
     invalidateFileStats()
     val pc = partitionCols.head
     // the slice is often an aggregation (summary refresh); persist it

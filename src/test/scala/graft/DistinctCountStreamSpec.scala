@@ -74,4 +74,21 @@ class DistinctCountStreamSpec extends AnyFunSuite {
       assert(r.forall(o => o.k_used <= 256))
     } finally q.stop()
   }
+
+  test("rows_seen counts EVERY row; null items skip only the hash") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    ms.addData(Seq(("a", "x"), ("a", null), ("a", "y"), ("a", null)): _*)
+    val q = DistinctCountStream
+      .distinctCounts(ms.toDF().toDF("group", "item"), k = 256)
+      .writeStream.format("memory").queryName("kmv_nulls")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val o = spark.table("kmv_nulls").as[DistinctCountStream.Out]
+        .collect().find(_.group == "a").get
+      assert(o.rows_seen == 4, s"row counter must include null items: $o")
+      assert(o.estimate == 2)
+    } finally q.stop()
+  }
 }

@@ -162,12 +162,37 @@ class ExcelSourceSpec extends AnyFunSuite {
       Seq("abc\td"))
   }
 
+  test("duration formats stay raw serials; time-of-day formats render HH:mm:ss") {
+    // styles: xf1 = built-in 46 ([h]:mm:ss duration), xf2 = custom
+    // elapsed [h]:mm, xf3 = built-in 18 (time of day), xf4 = custom
+    // h:mm time of day — a 30-hour duration must NOT become an
+    // 1899-anchored timestamp
+    val dir = TestSpark.tmpDir("xlsxd")
+    val f = new java.io.FileOutputStream(s"$dir/d.xlsx")
+    val z = new java.util.zip.ZipOutputStream(f)
+    def part(n: String, b: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(b.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("xl/styles.xml",
+      """<styleSheet><numFmts><numFmt numFmtId="164" formatCode="[h]:mm"/><numFmt numFmtId="165" formatCode="h:mm"/></numFmts>
+        |<cellXfs><xf numFmtId="0"/><xf numFmtId="46"/><xf numFmtId="164"/><xf numFmtId="18"/><xf numFmtId="165"/></cellXfs></styleSheet>""".stripMargin)
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>dur46</t></is></c><c r="B1" t="inlineStr"><is><t>durH</t></is></c><c r="C1" t="inlineStr"><is><t>tod18</t></is></c><c r="D1" t="inlineStr"><is><t>todHm</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>1.25</v></c><c r="B2" s="2"><v>1.25</v></c><c r="C2" s="3"><v>0.5</v></c><c r="D2" s="4"><v>0.75</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.finish(); f.close()
+    val df = ExcelSource.read(spark, dir, inferSchema = false)
+    val r = df.as[(String, String, String, String)].collect().head
+    // 30-hour durations surface as the raw serial, not a bogus date
+    assert(r == ("1.25", "1.25", "12:00:00", "18:00:00"), r)
+  }
+
   test("a corrupt workbook fails naming the file") {
     val dir = TestSpark.tmpDir("xlsxc")
     // a TRUNCATED workbook (cut mid-deflate-stream) — the kind of
-    // corruption an interrupted upload produces; note a non-zip byte
-    // blob is different: ZipInputStream yields no entries for it, so
-    // it reads as an empty sheet rather than an error
+    // corruption an interrupted upload produces
     val good = s"$dir/good.bin"
     val out = new java.io.FileOutputStream(good)
     try ExcelSource.write(Seq("a"), (1 to 500).map(i => Seq[Any](s"v$i")), out)
@@ -182,6 +207,16 @@ class ExcelSourceSpec extends AnyFunSuite {
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("broken.xlsx")), messages(e))
+
+    // a non-zip byte blob also errors naming the file (it yields no
+    // zip entries, so no worksheet part — silently treating it as an
+    // empty sheet would drop the file from a multi-file read)
+    val dir2 = TestSpark.tmpDir("xlsxc2")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir2/blob.xlsx"),
+      "this is not a zip".getBytes)
+    val e2 = intercept[Exception] { ExcelSource.read(spark, dir2) }
+    assert(messages(e2).exists(_.contains("blob.xlsx")), messages(e2))
   }
 
   test("mixed column types fall back: int+float → double, any junk → string") {

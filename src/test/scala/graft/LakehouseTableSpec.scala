@@ -445,6 +445,24 @@ class LakehouseTableSpec extends AnyFunSuite {
            Set((2, "updated")))
   }
 
+  test("partition-scoped mutators refuse a table written under a flat layout") {
+    // an old unpartitioned serving table resumed by partitioned code
+    // would otherwise get col= dirs laid NEXT to flat batch dirs, and
+    // every later read dies mid-stream on conflicting structures —
+    // the mutation must fail up front with the migration hint
+    val dir = TestSpark.tmpDir("lake")
+    val flat = LakehouseTable(spark, s"$dir/serve", Seq("k"))
+    flat.appendBatch(Seq((1, "a", 5L)).toDF("k", "part", "v"))
+    val partitioned = LakehouseTable(spark, s"$dir/serve", Seq("k"), Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      partitioned.upsert(Seq((2, "b", 6L)).toDF("k", "part", "v"))
+    }
+    assert(e.getMessage.contains("outside part="), e.getMessage)
+    intercept[IllegalArgumentException] {
+      partitioned.replacePartitions(Seq((2, "b", 6L)).toDF("k", "part", "v"))
+    }
+  }
+
   test("dropPartitions matches the writer's dir form for timestamp values") {
     // java.sql.Timestamp.toString carries a ".0" Spark's partitioned
     // writer never emits; a raw-toString dir name would make the

@@ -610,6 +610,33 @@ class MaterializedAggSpec extends AnyFunSuite {
     } finally MaterializedAgg.clear()
   }
 
+  test("same grain, different measures: both registrations coexist") {
+    val dir = TestSpark.tmpDir("mvmeasures")
+    (1 to 500).map(i => (i % 5, i.toLong, (i * 2).toLong))
+      .toDF("k", "v", "w").write.parquet(s"$dir/src")
+    val src = spark.read.parquet(s"$dir/src")
+    MaterializedAgg.build(src, Seq("k"), Seq("v"))
+      .write.parquet(s"$dir/gold_v")
+    MaterializedAgg.build(src, Seq("k"), Seq("w"))
+      .write.parquet(s"$dir/gold_w")
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold_v",
+                             Seq("k"), Seq("v"))
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold_w",
+                             Seq("k"), Seq("w"))
+    try {
+      val byV = src.groupBy($"k").agg(sum($"v").as("s"))
+      val byW = src.groupBy($"k").agg(sum($"w").as("s"))
+      // the second registration must NOT have evicted the first
+      assert(scanPaths(byV).nonEmpty &&
+             scanPaths(byV).forall(_.contains("gold_v")), scanPaths(byV))
+      assert(scanPaths(byW).nonEmpty &&
+             scanPaths(byW).forall(_.contains("gold_w")), scanPaths(byW))
+      assert(byV.as[(Int, Long)].collect().toMap ==
+        (1 to 500).groupBy(_ % 5).view.mapValues(_.map(_.toLong).sum).toMap)
+    } finally MaterializedAgg.clear()
+  }
+
   test("count/sum(DISTINCT grain col) serve from the summary; DISTINCT measures bail") {
     val dir = TestSpark.tmpDir("mvdistinct")
     (1 to 1000).map(i => (i % 7, s"d${i % 13}", i % 5))
