@@ -65,7 +65,8 @@ object MaterializedAgg {
   private final case class Summary(rootPaths: Set[String],
                                    summary: LogicalRelation,
                                    groupCols: Set[String],
-                                   measures: Set[String])
+                                   measures: Set[String],
+                                   summaryRoots: Set[String])
 
   /** One dimension of a star summary: its scan roots and the
     * fact-side / dim-side join key names. */
@@ -82,7 +83,8 @@ object MaterializedAgg {
                                        dims: Seq[DimSpec],
                                        summary: LogicalRelation,
                                        groupCols: Set[String],
-                                       measures: Set[String])
+                                       measures: Set[String],
+                                       summaryRoots: Set[String])
 
   // keyed by the canonical root-path set of the SOURCE scan; the value
   // is ALL summaries registered over that source (different grains —
@@ -215,7 +217,8 @@ object MaterializedAgg {
           s" — build it with MaterializedAgg.buildStar")
         val entry = JoinSummary(factRoots, dimSpecs, lr,
           groupCols.map(_.toLowerCase).toSet,
-          measures.map(_.toLowerCase).toSet)
+          measures.map(_.toLowerCase).toSet,
+          rootsOf(lr).getOrElse(Set.empty))
         // replace only a registration of the SAME logical shape (grain
         // + measures + join spec) — that's a re-registration after
         // refresh; a summary differing in any of them is a distinct
@@ -246,7 +249,8 @@ object MaterializedAgg {
           s" — build it with MaterializedAgg.build")
         val entry = Summary(roots, lr,
           groupCols.map(_.toLowerCase).toSet,
-          measures.map(_.toLowerCase).toSet)
+          measures.map(_.toLowerCase).toSet,
+          rootsOf(lr).getOrElse(Set.empty))
         // same-shape replacement only (see registerStar): same grain
         // with different measures is a different candidate
         registry.compute(roots, (_, old) =>
@@ -272,26 +276,52 @@ object MaterializedAgg {
     * canonicalized filesystem-qualified, matching [[rootsOf]]'s
     * scheme://authority/path form. */
   def invalidate(spark: SparkSession, path: String): Unit = {
-    if (registry.isEmpty && joinRegistry.isEmpty) return
-    val p = new org.apache.hadoop.fs.Path(path)
-    val u = p.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(p).toUri
-    val canon = s"${Option(u.getScheme).getOrElse("")}://" +
-      s"${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-    registry.keySet.removeIf(_.contains(canon))
-    // a join summary is stale if ANY participating input mutated
-    joinRegistry.keySet.removeIf(_.exists(_.contains(canon)))
-    // the epoch bump is UNCONDITIONAL, even when nothing was dropped:
-    // an invalidate that races a registration in flight (summary built,
-    // registry.put not yet executed) finds nothing to remove — a
-    // conditional bump would leave no trace, the late put would land,
-    // and every epoch-keyed register-once cache would trust the
-    // pre-mutation summary forever. Always bumping makes the next
-    // covered call re-register from current data (content-keyed
-    // summary caches rebuild because the source listing changed). The
-    // cost — unrelated mutations re-validating registrations (a few
-    // parquet footer reads) — is the price of the soundness guarantee;
-    // cache-map growth is handled by the callers' epoch pruning.
+    if (!(registry.isEmpty && joinRegistry.isEmpty)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val u = p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p).toUri
+      val canon = s"${Option(u.getScheme).getOrElse("")}://" +
+        s"${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+      registry.keySet.removeIf(_.contains(canon))
+      // a join summary is stale if ANY participating input mutated
+      joinRegistry.keySet.removeIf(_.exists(_.contains(canon)))
+      // the SUMMARY table mutating is just as fatal as the source: the
+      // registration caches a LogicalRelation whose file listing an
+      // overwrite/compact of the summary path has deleted (or renamed
+      // into .versions) — left registered, the next covered aggregate
+      // rewrites onto dead paths and fails mid-scan. Drop those
+      // entries too (CAS forms: a concurrent re-registration wins and
+      // is then re-checked by its own epoch).
+      registry.forEach { (k, v) =>
+        val kept = v.filterNot(_.summaryRoots.contains(canon))
+        if (kept.size != v.size) {
+          if (kept.isEmpty) registry.remove(k, v)
+          else registry.replace(k, v, kept)
+          ()
+        }
+      }
+      joinRegistry.forEach { (k, v) =>
+        val kept = v.filterNot(_.summaryRoots.contains(canon))
+        if (kept.size != v.size) {
+          if (kept.isEmpty) joinRegistry.remove(k, v)
+          else joinRegistry.replace(k, v, kept)
+          ()
+        }
+      }
+    }
+    // the epoch bump is UNCONDITIONAL — no early return above, even
+    // with both maps empty, and no nothing-was-dropped shortcut: an
+    // invalidate that races a registration in flight (summary built
+    // from pre-mutation data, registry.put not yet executed) finds
+    // nothing to remove — any skipped bump would leave no trace, the
+    // late put would land, and every epoch-keyed register-once cache
+    // would trust the pre-mutation summary forever. Always bumping
+    // makes the next covered call re-register from current data
+    // (content-keyed summary caches rebuild because the source listing
+    // changed). The cost — unrelated mutations re-validating
+    // registrations (a few parquet footer reads) — is the price of the
+    // soundness guarantee; cache-map growth is handled by the callers'
+    // epoch pruning.
     epochCounter.incrementAndGet()
     ()
   }
@@ -596,8 +626,15 @@ object MaterializedAgg {
           // reference set (vacuously within the grain) but filters
           // source ROWS in the original and whole GROUPS after the
           // rewrite — silently different results
+          // dataType equality is checked here exactly as in every
+          // result-expression path: register() never validates grain
+          // column types, so a hand-built summary whose grain column
+          // type differs from the source's (date stored as string)
+          // would otherwise yield an ill-typed post-analysis predicate
+          // — runtime cast failure or a silently different comparison
           val ok = cond.deterministic &&
-            cond.references.forall(a => groupAttr(a.name).isDefined)
+            cond.references.forall(a =>
+              groupAttr(a.name).exists(_.dataType == a.dataType))
           if (!ok) return None
           Some(cond.transform {
             case a: AttributeReference => groupAttr(a.name).get
@@ -605,7 +642,9 @@ object MaterializedAgg {
       }
 
       val newGroups: Seq[Expression] = agg.groupingExpressions.map {
-        case a: AttributeReference => groupAttr(a.name).getOrElse(return None)
+        case a: AttributeReference => // type mismatch bails, as above
+          groupAttr(a.name).filter(_.dataType == a.dataType)
+            .getOrElse(return None)
         case _                     => return None // computed keys: bail
       }
 

@@ -105,9 +105,30 @@ object ExcelSource {
     } ++ sourceFileCol.map(c => col("_1").as(c))
     val df = parsed.filter(_._2 > 0L).toDF("_1", "_2", "_3")
       .select(cols: _*)
-    if (inferSchema) Casting.castTo(df, inferTypes(df, header))
-    else df
+    if (!inferSchema) df
+    else {
+      // the inference aggregate below and every caller action would
+      // each re-run the ZIP+StAX parse of EVERY workbook (the ingest
+      // path alone runs isEmpty + the landing write on the returned
+      // frame — three full parses). Persist the parsed string frame
+      // across them: inference materializes the cache in one parse,
+      // all later actions read columnar cache. MEMORY_AND_DISK keeps
+      // it bounded-spill, and the format itself caps the data (1M
+      // rows/sheet), so the cache is ingest-batch-sized, never
+      // table-sized. Lifetime: one slot — the next ExcelSource.read
+      // in this JVM evicts it (batch-ingest contract; two CONCURRENT
+      // Excel reads merely recompute, never return wrong data).
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Option(lastCache.getAndSet(cached))
+        .foreach(_.unpersist(blocking = false))
+      Casting.castTo(cached, inferTypes(cached, header))
+    }
   }
+
+  /** The one retained parse cache — see the persist note in [[read]]. */
+  private val lastCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Narrowest type covering all non-null values of each column, from
     * one distributed aggregate pass (no data collected). */

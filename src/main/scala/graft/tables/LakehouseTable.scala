@@ -112,7 +112,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val parent = live.getParent
     if (parent == null || !fs.exists(parent)) return Nil
     val prefix = live.getName + ".tombstone-"
-    fs.listStatus(parent).toSeq.map(_.getPath)
+    val actions = fs.listStatus(parent).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(prefix))
       .map { ts =>
         // "<tag>" (8-char hex) = whole table; "<tag>-<child>" = one
@@ -125,6 +125,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
           fs.delete(ts, true); s"dropped:${ts.getName}"
         }
       }
+    // a RESTORE changes the live file set relative to any manifest or
+    // MV registration captured while the partition sat in its
+    // tombstone (stats written mid-crash-window omit the restored
+    // files; a cached summary relation predates them) — a repair that
+    // restored anything must invalidate derived data exactly like the
+    // mutators do, or readPruned/readBloomFiltered silently drop the
+    // restored rows. Dropped (superseded) tombstones change nothing
+    // live, so they skip the invalidation.
+    if (actions.exists(_.startsWith("restored:"))) invalidateFileStats()
+    actions
   }
 
   /** Blind append (reference S5 semantics). Not atomic across files —
@@ -132,6 +142,12 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * reference parity; the pipeline's append-only tables (bronze
     * landing, quarantine) use [[appendBatch]] instead. */
   def append(df: DataFrame): Unit = {
+    // repair FIRST, like every other mutator: a parquet append-mode
+    // write re-creates a missing live dir, so appending over an
+    // unrepaired full-table tombstone would make the next repair treat
+    // the crashed swap as completed and drop the tombstone — losing
+    // the entire pre-crash table
+    repairInterruptedSwaps()
     invalidateFileStats()
     val w = df.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -591,6 +607,11 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * gracefully — whereas a stats tombstone would sit outside
     * [[repairInterruptedSwaps]]' naming contract forever. */
   def writeFileStats(cols: Seq[String]): Unit = {
+    // repair BEFORE the `read` snapshot, same as compact/optimize*: a
+    // partition sitting in a tombstone would be absent from the
+    // manifest, and once later repaired+restored the stale manifest
+    // would make readPruned silently skip its files
+    repairInterruptedSwaps()
     val aggs = cols.flatMap(c => Seq(
       org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
       org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
@@ -623,6 +644,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * one task would make the bloom build itself the bottleneck. */
   def writeFileBlooms(cols: Seq[String], numBits: Long = 1L << 20,
                       estItems: Long = 100000L): Unit = {
+    repairInterruptedSwaps() // before the eager `read` — see writeFileStats
     graft.functions.NativeFunctions.register(spark)
     import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
     val hashed = read.select(

@@ -484,4 +484,52 @@ class LakehouseTableSpec extends AnyFunSuite {
     t2.dropPartitions(Seq(ts("2024-01-01 10:00:00.123")))
     assert(t2.read.select("k").as[Int].collect().toSeq == Seq(2))
   }
+
+  test("append repairs an interrupted full-table swap before writing") {
+    // parquet append-mode RE-CREATES a missing live dir; appending
+    // over an unrepaired full-table tombstone would make the next
+    // repair see the swap as completed and drop the tombstone —
+    // losing the entire pre-crash table
+    val dir = TestSpark.tmpDir("appendrepair")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    // crash inside a swap's rename gap: live renamed aside, staged
+    // never landed
+    assert(new java.io.File(s"$dir/t")
+      .renameTo(new java.io.File(s"$dir/t.tombstone-deadbeef")))
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    assert(t.read.as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    // the tombstone was consumed by the repair, not left to be
+    // mistaken for a completed swap later
+    assert(!new java.io.File(dir).list().exists(_.contains("tombstone")))
+  }
+
+  test("a repair that RESTORES data invalidates stats manifests") {
+    // defense-in-depth for out-of-band crash artifacts: a manifest
+    // describing the pre-restore file set would make readPruned /
+    // readBloomFiltered silently skip the restored partition's rows
+    val dir = TestSpark.tmpDir("repairstats")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+    t.upsert(Seq((1, "a", "p1"), (2, "b", "p2")).toDF("k", "v", "part"))
+    t.writeFileStats(Seq("k"))
+    assert(new java.io.File(s"$dir/t.filestats").exists)
+    // p1 goes dark (tombstoned out-of-band), manifest still present
+    assert(new java.io.File(s"$dir/t/part=p1")
+      .renameTo(new java.io.File(s"$dir/t.tombstone-deadbeef-part=p1")))
+    val actions = t.vacuum()
+    assert(actions.exists(_.startsWith("restored:")), actions)
+    // the restore dropped the manifest; the pruned read degrades to a
+    // full scan and sees BOTH rows instead of skipping restored p1
+    assert(!new java.io.File(s"$dir/t.filestats").exists)
+    assert(t.readPruned("k", 0, 10).select("k").as[Int].collect().toSet ==
+      Set(1, 2))
+    // stats writers also repair BEFORE snapshotting: a tombstoned
+    // partition must be restored into the manifest, not omitted
+    assert(new java.io.File(s"$dir/t/part=p2")
+      .renameTo(new java.io.File(s"$dir/t.tombstone-cafebabe-part=p2")))
+    t.writeFileStats(Seq("k"))
+    assert(t.readPruned("k", 0, 10).select("k").as[Int].collect().toSet ==
+      Set(1, 2))
+  }
 }

@@ -725,4 +725,73 @@ class MaterializedAggSpec extends AnyFunSuite {
       assert(probe().orderBy("k").collect().toSeq == expected)
     } finally MaterializedAgg.clear()
   }
+
+  test("invalidate with an EMPTY registry still bumps the epoch") {
+    // the in-flight-registration race does not require a populated
+    // registry: thread A can be inside register() (summary built,
+    // put not yet executed) while BOTH maps are empty — an
+    // empty-registry early return that skipped the bump would let A's
+    // late put land under an unchanged epoch and every register-once
+    // cache trust the pre-mutation summary forever
+    MaterializedAgg.clear()
+    val dir = TestSpark.tmpDir("mvepoch0")
+    Seq((1, 1)).toDF("k", "v").write.parquet(s"$dir/src")
+    val e0 = MaterializedAgg.epoch
+    MaterializedAgg.invalidate(spark, s"$dir/src")
+    assert(MaterializedAgg.epoch == e0 + 1)
+  }
+
+  test("mutating the SUMMARY table itself drops its registration") {
+    // the registration caches a LogicalRelation whose file listing an
+    // overwrite of the summary PATH deletes — left registered, the
+    // next covered aggregate would rewrite onto dead part-files and
+    // fail mid-scan (or, versioned, read rows renamed into .versions)
+    val dir = TestSpark.tmpDir("mvsummut")
+    val src = graft.tables.LakehouseTable(spark, s"$dir/src", Seq("id"))
+    src.overwrite(Seq((1, "k1", 10), (2, "k1", 20), (3, "k2", 5))
+      .toDF("id", "k", "v"))
+    val goldT = graft.tables.LakehouseTable(spark, s"$dir/gold", Seq("k"))
+    goldT.overwrite(MaterializedAgg.build(src.read, Seq("k"), Seq("v")))
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, src.path, goldT.path, Seq("k"), Seq("v"))
+    try {
+      def probe() = src.read.groupBy($"k")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      assert(scanPaths(probe()).forall(_.contains("gold")))
+      // maintenance rewrites the summary table (compact-style full
+      // overwrite, new part-file names): the registration must go
+      goldT.overwrite(MaterializedAgg.build(src.read, Seq("k"), Seq("v")))
+      val p = probe()
+      assert(scanPaths(p).forall(_.contains("src")), scanPaths(p))
+      assert(p.orderBy("k").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("k1", 30L, 2L), ("k2", 5L, 1L)))
+    } finally MaterializedAgg.clear()
+  }
+
+  test("grain column type mismatch between source and summary bails the rewrite") {
+    // register() validates measure columns only; a HAND-BUILT summary
+    // whose grain column type differs from the source's (int stored as
+    // string) must not produce an ill-typed rewritten plan — grouping
+    // keys and filters both substitute grain attributes, so both paths
+    // type-check
+    val dir = TestSpark.tmpDir("mvgraintype")
+    (1 to 50).map(i => (i % 5, i)).toDF("k", "v").write.parquet(s"$dir/src")
+    spark.read.parquet(s"$dir/src").groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"),
+           min($"v").as("min_v"), max($"v").as("max_v"),
+           count($"v").as("cnt_v"))
+      .select($"k".cast("string").as("k"), $"cnt", $"sum_v", $"min_v",
+              $"max_v", $"cnt_v")
+      .write.parquet(s"$dir/gold")
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold",
+                             Seq("k"), Seq("v"))
+    try {
+      val q = spark.read.parquet(s"$dir/src")
+        .filter($"k" >= 1).groupBy($"k").agg(sum($"v").as("sv"))
+      assert(scanPaths(q).forall(_.contains("src")), scanPaths(q))
+      assert(q.orderBy("k").as[(Int, Long)].collect().toSeq ==
+        (1 to 4).map(k => (k, (1 to 50).filter(_ % 5 == k).sum.toLong)))
+    } finally MaterializedAgg.clear()
+  }
 }
