@@ -177,6 +177,27 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     * `helperCols` (e.g. RI membership tags) are consumed by the rules
     * and dropped before anything is persisted — storing them would
     * break schema stability on the next incremental upsert. */
+  /** The ONE quarantine writer (both the validation-reject path and
+    * the dims-missing wholesale path go through here): `rejected`
+    * carries [[Validation.ErrCol]] in its STRING form, the JSON
+    * `record` holds exactly the silver-schema payload (built BEFORE
+    * the metadata columns, so nothing is stored twice), and the
+    * metadata columns are appended uniformly. One implementation on
+    * purpose — two hand-rolled writers once diverged on the ErrCol
+    * type (string vs array<string>) and wedged the shared bucket with
+    * conflicting parquet schemas that no later read could reconcile. */
+  private def quarantineAppend(rejected: DataFrame, sourceName: String): Unit = {
+    val payload = rejected.columns.filterNot(_ == Validation.ErrCol)
+    quarantine.appendBatch(
+      rejected.select(
+        to_json(struct(payload.map(col).toIndexedSeq: _*)).as("record"),
+        col(Validation.ErrCol),
+        lit(sourceName).as("source_table"),
+        current_timestamp().as("rejected_at")),
+      bucket = s"src-$sourceName")
+    ()
+  }
+
   private def stage(df: DataFrame, rules: Seq[Rule], target: LakehouseTable,
                     sourceName: String,
                     helperCols: Seq[String] = Nil): StageResult = {
@@ -187,13 +208,7 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     val nRejected = rejected.count()
     if (nRejected > 0)
       // one bucket per source: replay rewrites O(bucket), not O(table)
-      quarantine.appendBatch(
-        rejected.withColumn("source_table", lit(sourceName))
-          .withColumn("rejected_at", current_timestamp())
-          .select(to_json(struct(col("*"))).as("record"),
-                  col(Validation.ErrCol), col("source_table"),
-                  col("rejected_at")),
-        bucket = s"src-$sourceName")
+      quarantineAppend(rejected, sourceName)
     // persisted so the count and the upsert share one computation —
     // both actions are batch-scale, never a full-table scan
     val deduped = Dedup.keepFirst(valid, target.pk,
@@ -209,14 +224,40 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     } finally { deduped.unpersist(); () }
   }
 
+  /** Run `body` over every bronze batch not yet acknowledged as
+    * processed, then ack them — the crash-recovery complement of
+    * file-level idempotence. A run that died between its bronze
+    * landing and its silver stage (quarantine append, upsert) left
+    * the batch stranded: the rerun's anti-join sees the file already
+    * in bronze and ingests nothing, and no replay path reads bronze —
+    * rows with no road to silver OR quarantine, forever. The
+    * [[LakehouseTable.ackBatch]] handshake closes that window: batches
+    * ack only AFTER the stage completed, so a crash anywhere inside it
+    * re-presents the batch next run. Reprocessing is safe end to end —
+    * the upsert is idempotent and duplicate quarantine rejects are
+    * tolerated by replay's pk dedup + record-level anti-join (the same
+    * argument [[migrateLegacyQuarantine]] makes). */
+  private def withPending(bronzeT: LakehouseTable)
+                         (body: DataFrame => StageResult): StageResult = {
+    val dirs = bronzeT.unackedBatches()
+    if (dirs.isEmpty) return StageResult(0L, 0L)
+    val input = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dirs: _*)
+    val res = body(input)
+    dirs.foreach(bronzeT.ackBatch)
+    res
+  }
+
   def runProducts(csvPath: String): StageResult = {
-    val bronze = ingestBronze(csvPath, bronzeProducts)
-    // reference silver enrichment (docs/etl_processes.md:253-254):
-    // SCD1 current-rows flag + update watermark
-    val df = castBronze(bronze, products)
-      .withColumn("is_active", lit(true))
-      .withColumn("last_updated_timestamp", current_timestamp())
-    stage(df, requiredRules(products), silverProducts, "products")
+    ingestBronze(csvPath, bronzeProducts)
+    withPending(bronzeProducts) { input =>
+      // reference silver enrichment (docs/etl_processes.md:253-254):
+      // SCD1 current-rows flag + update watermark
+      val df = castBronze(input, products)
+        .withColumn("is_active", lit(true))
+        .withColumn("last_updated_timestamp", current_timestamp())
+      stage(df, requiredRules(products), silverProducts, "products")
+    }
   }
 
   private def orderRules: Seq[Rule] =
@@ -237,41 +278,44 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   }
 
   def runOrders(csvPath: String): StageResult = {
-    val bronze = ingestBronze(csvPath, bronzeOrders)
-    // reference silver enrichment (docs/etl_processes.md:308-309)
-    val df = castBronze(bronze, orders)
-      .withColumn("day_of_week", dayofweek(col("date")))
-      .withColumn("hour_of_day", hour(col("order_timestamp")))
-    stage(df, orderRules, silverOrders, "orders")
+    ingestBronze(csvPath, bronzeOrders)
+    withPending(bronzeOrders) { input =>
+      // reference silver enrichment (docs/etl_processes.md:308-309)
+      val df = castBronze(input, orders)
+        .withColumn("day_of_week", dayofweek(col("date")))
+        .withColumn("hour_of_day", hour(col("order_timestamp")))
+      stage(df, orderRules, silverOrders, "orders")
+    }
   }
 
   /** order_items: required fields + RI against the silver dims via
     * broadcast anti-join membership tags. */
   def runOrderItems(csvPath: String): StageResult = {
-    val df = castBronze(ingestBronze(csvPath, bronzeOrderItems), orderItems)
-    // A dim silver table can be nonexistent here (the all-rejected
-    // bootstrap case leaves it uncreated) — tagItems would then crash
-    // AFTER the file landed in bronze, and the rerun's file-level
-    // idempotence would make the batch empty forever: rows stranded in
-    // bronze with no road to silver OR quarantine. Quarantine the
-    // whole batch instead; replay (which guards on dim existence)
-    // recovers it once the dims bootstrap.
-    if (!silverOrders.exists || !silverProducts.exists) {
-      if (df.isEmpty) return StageResult(0L, 0L)
-      val n = df.count()
-      quarantine.appendBatch(
-        df.withColumn(Validation.ErrCol,
-            array(lit("dimension tables not yet available")))
-          .withColumn("source_table", lit("order_items"))
-          .withColumn("rejected_at", current_timestamp())
-          .select(to_json(struct(col("*"))).as("record"),
-                  col(Validation.ErrCol), col("source_table"),
-                  col("rejected_at")),
-        bucket = "src-order_items")
-      return StageResult(0L, n)
+    ingestBronze(csvPath, bronzeOrderItems)
+    withPending(bronzeOrderItems) { input =>
+      val df = castBronze(input, orderItems)
+      // A dim silver table can be nonexistent here (the all-rejected
+      // bootstrap case leaves it uncreated) — tagItems would then
+      // crash mid-stage. Quarantine the whole batch instead (ErrCol in
+      // its STRING form, through the shared writer — the bucket must
+      // hold one schema); replay (which guards on dim existence)
+      // recovers it once the dims bootstrap.
+      if (!silverOrders.exists || !silverProducts.exists) {
+        if (df.isEmpty) StageResult(0L, 0L)
+        else {
+          val n = df.count()
+          quarantineAppend(
+            df.withColumn(Validation.ErrCol,
+              lit("dimension tables not yet available")),
+            "order_items")
+          StageResult(0L, n)
+        }
+      } else {
+        val (tagged, rules, helpers) = tagItems(df)
+        stage(tagged, rules, silverOrderItems, "order_items",
+              helperCols = helpers)
+      }
     }
-    val (tagged, rules, helpers) = tagItems(df)
-    stage(tagged, rules, silverOrderItems, "order_items", helperCols = helpers)
   }
 
   /** Heal any swap a previous crashed run left half-done BEFORE any
@@ -389,7 +433,11 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     val valid = helpers.foldLeft(Validation.split(checked, rules)._1)(_.drop(_))
     val n = valid.count()
     if (n > 0) {
-      target.upsert(valid.drop("record"))
+      // same deterministic within-batch winner as stage(): two
+      // recovered re-deliveries of one pk must not flip arbitrarily
+      // across runs (upsert's own dropDuplicates has no ordering)
+      target.upsert(Dedup.keepFirst(valid.drop("record"), target.pk,
+        Seq(col("ingestion_timestamp").desc, col("source_file").desc)))
       // bucket-scoped rewrite: drop the recovered records from THIS
       // source's bucket only — other sources' dead letters untouched
       quarantine.replaceBucket(s"src-$name",

@@ -417,8 +417,12 @@ case class AdcScores(first: Expression, second: Expression,
       while (j < m) {
         val code = codes.getInt(j)
         // -1 = PqArgmin's no-codeword sentinel: contributes nothing
-        // instead of reading an unrelated table entry
-        if (code >= 0) s += tables.getDouble(q * stride + off.getInt(j) + code)
+        // instead of reading an unrelated table entry. The upper bound
+        // guards malformed codes (a ragged-input PqArgmin can emit a
+        // valid-looking index past this subspace's codeword count) —
+        // skipping beats reading another subspace's entry or the AIOOBE
+        if (code >= 0 && off.getInt(j) + code < off.getInt(j + 1))
+          s += tables.getDouble(q * stride + off.getInt(j) + code)
         j += 1
       }
       out(q) = s
@@ -447,7 +451,7 @@ case class AdcScores(first: Expression, second: Expression,
          |  double $s = 0.0;
          |  for (int $j = 0; $j < $m; $j++) {
          |    int ${j}_c = $codes.getInt($j);
-         |    if (${j}_c >= 0) {
+         |    if (${j}_c >= 0 && $off.getInt($j) + ${j}_c < $off.getInt($j + 1)) {
          |      $s += $tables.getDouble($q * $stride + $off.getInt($j) + ${j}_c);
          |    }
          |  }

@@ -27,8 +27,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine with a zero-norm guard: a degenerate all-zeros embedding
+    * has no direction, and the raw 0/0 would be NaN — which Spark
+    * orders ABOVE every number, so one zero vector would pass any
+    * similarity threshold and steal rank 1 from a real neighbor for
+    * every query. nullif makes the score NULL instead: filtered out by
+    * any threshold comparison, sorted last (nulls-last) by every
+    * rank window. Fixtures contain no zero vectors, so oracle twins
+    * are unaffected. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    dot(a, b) / nullif(normA * normB, lit(0.0))
 
   /** (id, vec double[], norm) projection of an embeddings table. */
   def prepare(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
@@ -167,6 +175,11 @@ object Similarity {
     * to distribute. Returns one (id, band, bucket) row per band. */
   def lshBuckets(prepared: DataFrame, nbits: Int, bands: Int): DataFrame = {
     require(nbits % bands == 0, "nbits must be divisible by bands")
+    // r = 64 would shift 1L by 64 — a mod-64 no-op in the JVM, so the
+    // mask silently became 0 and EVERY vector landed in bucket 0: the
+    // bucket join degenerates to the full |Q|×|C| cross product
+    require(nbits / bands <= 63,
+      s"bits per band must be <= 63, got ${nbits / bands} (nbits=$nbits, bands=$bands)")
     graft.functions.NativeFunctions.register(prepared.sparkSession)
     val r = nbits / bands
     val mask = (1L << r) - 1
@@ -250,6 +263,9 @@ object Similarity {
              dim: Int, m: Int, codebookSize: Int,
              roundedScore: Column => Column, kmeansIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    // an empty codebook would make the ADC stride 0 and scoring divide
+    // by zero per corpus row at scan time, far from the misconfiguration
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     val sub = dim / m
     graft.functions.NativeFunctions.register(corpus.sparkSession)
     def unit(df: DataFrame): DataFrame =
@@ -267,13 +283,29 @@ object Similarity {
         .limit(codebookSize).select("id"), "id")
       .collect().sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+    // ragged (shorter-than-dim) seed vectors are skipped PER SUBSPACE,
+    // exactly as the refinement loop below does: one short vector's
+    // partial slice would otherwise shift every subsequent codeword in
+    // the flat row-major codebook — silently wrong codes, no error
     var cb: Array[Array[Double]] = Array.tabulate(m)(j =>
-      seed.flatMap(v => v.slice(j * sub, (j + 1) * sub)))
+      seed.filter(_.length >= (j + 1) * sub)
+        .flatMap(v => v.slice(j * sub, (j + 1) * sub)))
+    require(seed.isEmpty || cb.forall(_.nonEmpty),
+      s"every subspace needs at least one full-length ($dim) seed vector")
 
     def codeCols(cbArr: Array[Array[Double]]): Seq[Column] =
-      (0 until m).map(j => graft.functions.NativeFunctions
-        .pqArgmin(slice(col("u"), j * sub + 1, sub), lit(cbArr(j)))
-        .as(s"code_$j"))
+      (0 until m).map { j =>
+        // ragged corpus vectors: a short slice would make PqArgmin
+        // parse the codebook at the wrong stride and return a
+        // VALID-LOOKING but out-of-range code (AdcScores would then
+        // read another subspace's table entry, or past the table).
+        // Emit the explicit no-codeword sentinel instead.
+        when(size(col("u")) >= (j + 1) * sub,
+          graft.functions.NativeFunctions
+            .pqArgmin(slice(col("u"), j * sub + 1, sub), lit(cbArr(j))))
+          .otherwise(lit(-1))
+          .as(s"code_$j")
+      }
 
     // per-subspace Lloyd refinement ON THE TRAINING SAMPLE, entirely
     // driver-side (the faiss/MLlib convention: codebooks train on a

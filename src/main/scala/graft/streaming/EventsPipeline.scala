@@ -33,9 +33,23 @@ object EventsPipeline {
 
   /** Watermarked hourly rollup of a (possibly streaming) events frame.
     * Works identically on a batch frame — the batch twin is
-    * q_events_hourly. */
+    * q_events_hourly.
+    *
+    * Degenerate keys are normalized, not passed through: a null/empty
+    * event_type would flow into the serving table as a group key, and
+    * the maintained sinks' serving/summary tables are PARTITIONED by
+    * event_type, whose partition-scoped upsert rejects null/empty
+    * partition values — the failed microbatch would then replay from
+    * the checkpoint forever (a poison pill that halts the stream).
+    * Such rows land in a sentinel group instead: counted, never
+    * dropped, never wedging. Rows with a null event TIME have no
+    * window to roll into (and a watermarked stream would drop them
+    * anyway) — filtered, keeping batch and streaming twins identical. */
   def hourlyRollup(events: DataFrame): DataFrame =
     events
+      .filter(col("ts").isNotNull)
+      .withColumn("event_type",
+        coalesce(nullif(col("event_type"), lit("")), lit("__unknown__")))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))

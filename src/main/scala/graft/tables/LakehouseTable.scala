@@ -167,7 +167,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       s"appendBatch is for unpartitioned append-only tables: $path")
     require(bucket.isEmpty ||
             (!bucket.contains("/") && !bucket.contains("=") &&
-             !bucket.startsWith("batch-") && !bucket.startsWith(".")),
+             !bucket.startsWith("batch-") && !bucket.startsWith("done-") &&
+             !bucket.startsWith(".")),
       s"bucket must be a single plain dir name, got '$bucket'")
     // repair BEFORE mkdirs: recreating the live dir over an unrepaired
     // full-table tombstone would make a later repair treat the swap as
@@ -182,6 +183,39 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val batchDir = s"$parent/batch-$tag"
     renameOrFail(new Path(staged), new Path(batchDir))
     batchDir
+  }
+
+  /** Batch dirs landed by [[appendBatch]] that no consumer has yet
+    * acknowledged via [[ackBatch]] — absolute paths, tag-sorted. The
+    * at-least-once handshake for a downstream stage consuming an
+    * append-only table: land → process → ack. A consumer that crashes
+    * between processing a batch and acking it finds the batch here
+    * again on the next run — without this, a landing whose downstream
+    * stage died would be invisible forever behind the landing's own
+    * idempotence (re-delivering the same source file is a no-op by
+    * design, so nothing would ever re-present the stranded rows).
+    * Single-consumer, matching the table's single-writer contract. */
+  def unackedBatches(bucket: String = ""): Seq[String] = {
+    val parent = new Path(if (bucket.isEmpty) path else s"$path/$bucket")
+    if (!fs.exists(parent)) return Nil
+    fs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch-"))
+      .map(_.toString).sorted
+  }
+
+  /** Acknowledge a processed batch: one atomic dir rename
+    * batch-<tag> → done-<tag>. The rows STAY in the table ([[read]]
+    * lists recursively, name-agnostic) — only the [[unackedBatches]]
+    * listing forgets the batch. Ack AFTER the downstream effects are
+    * durable: a crash before the ack reprocesses the batch (safe when
+    * downstream is idempotent — upserts, dedup-tolerant appends); a
+    * crash after it never loses data, only the handshake. Compaction
+    * flattens batch/done dirs alike, so ack everything before
+    * compacting an append-only landing table. */
+  def ackBatch(batchDir: String): Unit = {
+    val p = new Path(batchDir)
+    require(p.getName.startsWith("batch-"), s"not a batch dir: $batchDir")
+    renameOrFail(p, new Path(p.getParent, "done-" + p.getName.drop(6)))
   }
 
   // ── buckets: protocol-level partitioning for appendBatch tables ────
@@ -213,7 +247,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   def replaceBucket(bucket: String, df: DataFrame): Unit = {
     require(bucket.nonEmpty && !bucket.contains("/") &&
             !bucket.contains("=") && !bucket.startsWith("batch-") &&
-            !bucket.startsWith("."),
+            !bucket.startsWith("done-") && !bucket.startsWith("."),
       s"bucket must be a single plain dir name, got '$bucket'")
     repairInterruptedSwaps()
     invalidateFileStats()

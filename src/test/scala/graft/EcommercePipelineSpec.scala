@@ -416,4 +416,63 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(pipe.bronzeOrders.read.count() == 3)
     assert(pipe.quarantine.read.count() == 4)
   }
+
+  test("a batch stranded between bronze landing and the silver stage is recovered") {
+    // the crash window file-level idempotence cannot see: the file
+    // LANDED in bronze, then the run died before its silver stage —
+    // the rerun ingests nothing (file already seen) and, without the
+    // ack handshake, nothing would ever re-present the rows
+    val dir = TestSpark.tmpDir("ecom_strand")
+    val products = writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A",
+      "2,11,Toys,Toy B"))
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    // simulate the crash: bronze landing only, no stage
+    pipe.ingestBronze(products, pipe.bronzeProducts)
+    assert(pipe.bronzeProducts.read.count() == 2)
+    assert(!pipe.silverProducts.exists)
+    // the rerun finds the unacked batch and stages it
+    assert(pipe.runProducts(products) == graft.etl.StageResult(2, 0))
+    assert(pipe.silverProducts.read.count() == 2)
+    // acked: a further rerun reprocesses nothing
+    assert(pipe.runProducts(products) == graft.etl.StageResult(0, 0))
+    assert(pipe.silverProducts.read.count() == 2)
+  }
+
+  test("dims-missing wholesale quarantine and ordinary rejects share one bucket schema") {
+    // the two quarantine writers once diverged on the ErrCol type
+    // (array<string> vs string) — the shared bucket then held
+    // conflicting parquet schemas and every later read or replay of it
+    // threw. Exercise both writers into ONE bucket and read it back.
+    val dir = TestSpark.tmpDir("ecom_qschema")
+    val items1 = writeCsv(dir, "items1.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1001,100,1,,1,1,0,2025-04-01T10:00:00,2025-04-01"))
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    // no dims yet: wholesale quarantine path
+    assert(pipe.runOrderItems(items1) == graft.etl.StageResult(0, 1))
+    // bootstrap the dims
+    pipe.runProducts(writeCsv(dir, "products.csv", Seq(
+      "product_id,department_id,department,product_name",
+      "1,10,Books,Book A")))
+    pipe.runOrders(writeCsv(dir, "orders.csv", Seq(
+      "order_num,order_id,user_id,order_timestamp,total_amount,date",
+      "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01")))
+    // ordinary validation reject into the SAME bucket
+    val items2 = writeCsv(dir, "items2.csv", Seq(
+      "id,order_id,user_id,days_since_prior_order,product_id,add_to_cart_order,reordered,order_timestamp,date",
+      "1002,999,1,,1,1,0,2025-04-01T10:00:00,2025-04-01")) // orphan order
+    assert(pipe.runOrderItems(items2) == graft.etl.StageResult(0, 1))
+    // both writers' records coexist readably — a schema conflict
+    // would throw here
+    val q = pipe.quarantine.readBucket("src-order_items").get
+    val errs = q.select("validation_errors").collect().map(_.getString(0))
+    assert(errs.toSet == Set("dimension tables not yet available",
+                             "order_id not found in orders"), errs.toSeq)
+    // and replay recovers the dims-missing batch through the mixed bucket
+    val rec = pipe.replayQuarantine()
+    assert(rec("order_items") == 1L, rec)
+    assert(pipe.silverOrderItems.read.count() == 1)
+  }
 }

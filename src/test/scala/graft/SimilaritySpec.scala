@@ -87,6 +87,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == pq)
   }
 
+  test("zero-norm vectors never pass a threshold or steal a rank") {
+    // 0/0 would be NaN, which Spark orders ABOVE every number: the
+    // degenerate vector would pass any threshold and take rank 1 from
+    // every real neighbor. The null-guarded cosine excludes it.
+    val all = Similarity.prepare(
+      emb(1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 3L -> Seq(0f, 0f)),
+      "vec_id", "embedding")
+    val q1 = all.filter(col("id") === 1)
+    val nd = Similarity.nearDuplicates(q1, all, threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(nd == Set(2L), s"zero vector leaked through the threshold: $nd")
+    val top = Similarity.bruteForceTopK(q1, all, 1, rnd6)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top.map(_._2).toSeq == Seq(2L),
+      s"rank 1 stolen from the real neighbor: ${top.toSeq}")
+  }
+
+  test("lsh bucket width over 63 bits is rejected (the mask would wrap to 0)") {
+    val all = Similarity.prepare(emb(1L -> Seq(1f, 0f)), "vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.lshBuckets(all, nbits = 64, bands = 1)
+    }
+    assert(ex.getMessage.contains("63"))
+  }
+
+  test("PQ: ragged seed vectors cannot misalign the codebook; degenerate size rejected") {
+    // every full vector is a codeword (codebookSize covers the corpus),
+    // so PQ scoring is EXACT for them — rank-1 must match brute force.
+    // A short seed vector once shifted every later codeword in its
+    // subspace's flat codebook, silently corrupting all codes.
+    val full = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.99f, 0.1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f), 3L -> Seq(0f, 0.99f, 0.1f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f), 5L -> Seq(0f, 0f, 0.99f, 0.1f),
+      6L -> Seq(0.3f, -0.4f, 0.5f, -0.6f), 7L -> Seq(-0.7f, 0.2f, 0.1f, 0.9f))
+    val ragged = Seq(10L -> Seq(0.5f, 0.5f, 0.5f)) // 3 of 4 dims
+    val all = Similarity.prepare(emb((full ++ ragged): _*),
+      "vec_id", "embedding")
+    val queries = all.filter(col("id").isin(0L, 2L, 4L))
+    val pq = Similarity.pqTopK(all, queries, 1, dim = 4, m = 2,
+        codebookSize = 32, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(pq == Set((0L, 1L), (2L, 3L), (4L, 5L)), pq)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(all, queries, 1, dim = 4, m = 2, codebookSize = 0, rnd6)
+    }
+    assert(ex.getMessage.contains("codebookSize"))
+  }
+
   test("semdedup: one survivor per cluster, sizes partition the shard") {
     val out = QueriesText.defs("q_semdedup").fn(spark, "/root/testdata/sf0.01")
       .as[(Long, Long, Long, Boolean)].collect()

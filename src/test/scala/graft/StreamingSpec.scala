@@ -44,6 +44,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("degenerate event keys roll into a sentinel group instead of wedging the partitioned sink") {
+    // the serving/summary tables are PARTITIONED by event_type; a
+    // null or empty key reaching the partition-scoped upsert would
+    // fail its non-null require and the checkpoint would replay the
+    // same microbatch forever — a poison pill. The rollup normalizes
+    // such keys to a sentinel group (counted, not dropped) and drops
+    // null-ts rows (no window to roll into).
+    val dir = TestSpark.tmpDir("streampoison")
+    val landing = s"$dir/landing"
+    Seq(ev(1, "2024-01-01 10:05:00", null, 1.0),
+        ev(2, "2024-01-01 10:15:00", "", 2.0),
+        ev(3, "2024-01-01 10:20:00", "click", 4.0),
+        Ev(4, null, 4, "click", 8.0, "{}")) // null ts: no window
+      .toDF().write.mode("append").parquet(landing)
+    val rollup = EventsPipeline.hourlyRollup(
+      EventsPipeline.readEventsStream(spark, landing))
+    val q = EventsPipeline.maintainedUpsertSink(
+      rollup, s"$dir/serving", s"$dir/summary", s"$dir/ckpt").start()
+    try q.awaitTermination() finally graft.plans.MaterializedAgg.clear()
+    val got = spark.read.parquet(s"$dir/serving")
+      .select("event_type", "n_events", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("__unknown__", 2L, 3.0), ("click", 1L, 4.0)), got)
+  }
+
   test("foreachBatch upsert sink: AvailableNow drain, idempotent restart, incremental merge") {
     val dir = TestSpark.tmpDir("stream")
     val landing = s"$dir/landing"
