@@ -28,19 +28,32 @@ object CorpusPipeline {
                           sampled: Long)
 
   /** Score + filter + dedup + sample. `docs` needs (doc_id, text,
-    * lang, source, n_chars). Deterministic end to end. */
+    * lang, source, n_chars). Deterministic end to end.
+    *
+    * All text-derived stages work on the LOWERCASED text: the exact-
+    * dedup fingerprint already normalizes case, and a case-sensitive
+    * quality/lang/near-dup side would silently diverge on real
+    * mixed-case input — `[^a-z0-9\s]` counts every capital as
+    * punctuation (title-case English exceeds maxPunctRatio on casing
+    * alone), lowercase language markers never match capitalized
+    * occurrences, and 'The'/'the' dilute the near-dup Jaccard for
+    * pairs the fingerprint calls identical. `k`/`bands` parameterize
+    * the in-batch LSH exactly as [[curateIncremental]]'s cross-batch
+    * stage — one near-dup policy, not two. */
   def curate(docs: DataFrame, minWords: Int = 30, maxPunctRatio: Double = 0.2,
              maxTopBigramShare: Double = 0.1,
-             jaccardThreshold: Double = 0.9, perLangCap: Int = 1000)
+             jaccardThreshold: Double = 0.9, perLangCap: Int = 1000,
+             k: Int = 64, bands: Int = 8)
       : (DataFrame, Funnel) = {
     NativeFunctions.register(docs.sparkSession)
 
     // stage 1: per-row quality metrics (one codegen'd pass)
     val scored = docs
-      .withColumn("__w", TF.words(col("text")))
+      .withColumn("__lc", lower(col("text")))
+      .withColumn("__w", TF.words(col("__lc")))
       .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("punct_ratio",
-        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("double") /
+        regexp_count(col("__lc"), lit("[^a-z0-9\\s]")).cast("double") /
           col("n_chars"))
       .withColumn("en_score", TF.markerScore(col("__w"), TF.LangMarkers(0)._2))
       .withColumn("de_score", TF.markerScore(col("__w"), TF.LangMarkers(1)._2))
@@ -88,8 +101,8 @@ object CorpusPipeline {
     // best-copy survivors (highest n_chars, ties → min id)
     val pairs = MinHashLSH.nearDuplicates(
       exactUnique.select(col("doc_id"), col("source"),
-                         TF.wordSet(col("text")).as("ws")),
-      "doc_id", "ws", k = 64, bands = 8, threshold = jaccardThreshold,
+                         TF.wordSet(lower(col("text"))).as("ws")),
+      "doc_id", "ws", k = k, bands = bands, threshold = jaccardThreshold,
       blockCol = Some("source"))
       .select("id_a", "id_b")
     val survivorIds = DedupClusters
@@ -111,13 +124,22 @@ object CorpusPipeline {
     // means the caller's action (e.g. CorpusMain's write) reads the
     // capped survivor set from cache instead of re-running the whole
     // funnel cold. sampled is perLangCap-bounded — small by contract.
-    sampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val funnel = Funnel(docs.count(), qualityPass.count(),
-                        repetitionPass.count(), langPass.count(),
-                        exactUnique.count(), survivors.count(), sampled.count())
-    qualityPass.unpersist()
-    exactUnique.unpersist()
-    (sampled, funnel)
+    // The finally releases the corpus-scale intermediates even when a
+    // mid-funnel count throws — a driver loop that catches per-source
+    // failures and continues must not accumulate two corpus-scale
+    // cached frames per failed source (CacheManager entries are never
+    // GC-reclaimed).
+    try {
+      sampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val funnel = Funnel(docs.count(), qualityPass.count(),
+                          repetitionPass.count(), langPass.count(),
+                          exactUnique.count(), survivors.count(), sampled.count())
+      (sampled, funnel)
+    } finally {
+      qualityPass.unpersist()
+      exactUnique.unpersist()
+      ()
+    }
   }
 
   final case class IncrementalFunnel(batch: Funnel, crossExactDropped: Long,
@@ -139,7 +161,8 @@ object CorpusPipeline {
     *      text-free verification);
     *   3. survivors append atomically with their fp + sig.
     *
-    * Contract: doc_ids are unique corpus-wide (they key the LSH union).
+    * Contract: doc_ids are unique corpus-wide (they are the curated
+    * table's pk).
     * First-batch-wins: an existing curated doc is never replaced by a
     * later near-duplicate, even a "better" one — append-only tables
     * don't re-adjudicate survivors. Near-dups are adjudicated WITHIN a
@@ -157,13 +180,21 @@ object CorpusPipeline {
                         k: Int = 64, bands: Int = 8): IncrementalFunnel = {
     val (sampled, funnel) = curate(newDocs, minWords, maxPunctRatio,
                                    maxTopBigramShare, jaccardThreshold,
-                                   perLangCap)
+                                   perLangCap, k, bands)
     NativeFunctions.register(newDocs.sparkSession)
-    // re-attach the dedup artifacts for the batch's admitted candidates
+    // re-attach the dedup artifacts for the batch's admitted candidates.
+    // dropDuplicates first: an at-least-once source can deliver one
+    // doc_id twice IN ONE BATCH (identical rows) — curate() collapses
+    // them via the fingerprint dedup, but a join against the raw frame
+    // would fan the admitted doc back out and append it twice,
+    // breaking the table's pk contract. Identical rows make the
+    // arbitrary winner value-irrelevant.
     val art = sampled
-      .join(newDocs.select(col("doc_id"), col("text")), "doc_id")
+      .join(newDocs.select(col("doc_id"), col("text"))
+              .dropDuplicates("doc_id"), "doc_id")
       .withColumn("fp", TF.fingerprint(col("text")))
-      .withColumn("__toks", NativeFunctions.hashedTokenSet(TF.wordSet(col("text"))))
+      .withColumn("__toks",
+        NativeFunctions.hashedTokenSet(TF.wordSet(lower(col("text")))))
     val sigs = MinHashLSH.signatures(
       art.select(col("doc_id"), col("__toks")), "doc_id", "__toks", k)
     val cand = art.join(sigs, "doc_id").drop("__toks", "text")
@@ -203,30 +234,30 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exactNew.count()
 
-    // 2. near-dup vs the curated corpus: band-join the two signature
-    // sets (tagged union through the same candidatePairs machinery),
-    // keep only cross pairs, verify by plane agreement. SOURCE-BLOCKED
-    // like curate()'s own near-dup stage — one dedup policy ("near-dups
-    // are adjudicated within a source") whether two docs arrive in the
-    // same batch or different ones; an unblocked cross stage would make
-    // the admitted set depend on microbatch chunking.
-    val u = exactNew.select(col("doc_id"), col("source"), col("sig"))
-      .withColumn("__old", lit(false))
-      .unionByName(existing.select(col("doc_id"), col("source"), col("sig"))
-        .withColumn("__old", lit(true)))
-    val flags = u.select(col("doc_id"), col("__old"), col("sig"))
-    val nearIds = MinHashLSH.candidatePairs(u, "doc_id", bands, k / bands,
-                                            blockCol = Some("source"))
-      .join(flags.select(col("doc_id").as("id_a"), col("__old").as("oa"),
-                         col("sig").as("sa")), "id_a")
-      .join(flags.select(col("doc_id").as("id_b"), col("__old").as("ob"),
-                         col("sig").as("sb")), "id_b")
-      .filter(col("oa") =!= col("ob"))
+    // 2. near-dup vs the curated corpus: band the batch and the stored
+    // signatures SEPARATELY and join across ([[MinHashLSH
+    // .crossCandidatePairs]]) — the tagged-union-through-candidatePairs
+    // formulation this replaces generated (and distinct'ed) every pair
+    // of STORED docs sharing a bucket each batch, a cost growing with
+    // Σ(corpus bucket sizes)² instead of the batch. Cross pairs only,
+    // verified by plane agreement. SOURCE-BLOCKED like curate()'s own
+    // near-dup stage — one dedup policy ("near-dups are adjudicated
+    // within a source") whether two docs arrive in the same batch or
+    // different ones; an unblocked cross stage would make the admitted
+    // set depend on microbatch chunking.
+    val newSigs = exactNew.select(col("doc_id"), col("source"), col("sig"))
+    val oldSigs = existing.select(col("doc_id"), col("source"), col("sig"))
+    val nearIds = MinHashLSH.crossCandidatePairs(newSigs, oldSigs,
+        "doc_id", bands, k / bands, blockCol = Some("source"))
+      .join(newSigs.select(col("doc_id").as("id_a"), col("sig").as("sa")),
+            "id_a")
+      .join(oldSigs.select(col("doc_id").as("id_b"), col("sig").as("sb")),
+            "id_b")
       .withColumn("__est",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
                     b => b)).cast("double") / k)
       .filter(col("__est") >= jaccardThreshold)
-      .select(when(col("oa"), col("id_b")).otherwise(col("id_a")).as("doc_id"))
+      .select(col("id_a").as("doc_id"))
       .distinct()
     val admitted = exactNew.join(nearIds, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -162,10 +162,18 @@ object Bpe {
       posexplode(TextFunctions.words(textCol)).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
     val vocab = encodeVocab(words.select("word").distinct(), merges)
-    words.join(vocab, Seq("word"))
+    val encoded = words.join(vocab, Seq("word"))
       .groupBy("doc_id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("tokens")))),
         s => s.getField("tokens"))).as("tokens"))
+    // row accounting: a doc whose text is empty/whitespace-only has no
+    // word rows and would VANISH from the output (an inner-join
+    // consumer then silently drops the document) — re-attach every
+    // input doc, empty token array for the wordless ones
+    docs.select(idCol.as("doc_id")).distinct()
+      .join(encoded, Seq("doc_id"), "left_outer")
+      .withColumn("tokens",
+        coalesce(col("tokens"), array().cast("array<string>")))
   }
 }

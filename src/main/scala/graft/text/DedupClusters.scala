@@ -30,6 +30,19 @@ object DedupClusters {
     * (id, cluster_id) for every node that appears in a pair, where
     * cluster_id = min node id of its component. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // fail fast on the id contract: a non-numeric string id casts to
+    // NULL and crashes the Dataset decode deep inside the GraphX job
+    // with no hint the id type was the problem; ids past 2^53 would
+    // later mis-compare through a double cast in survivorsBy. Map
+    // string ids to longs (xxhash64, a dictionary) before clustering.
+    Seq("id_a", "id_b").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+                  org.apache.spark.sql.types.IntegerType,
+                  org.apache.spark.sql.types.ShortType,
+                  org.apache.spark.sql.types.ByteType).contains(dt),
+        s"DedupClusters needs integral pair ids; '$c' is $dt")
+    }
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs

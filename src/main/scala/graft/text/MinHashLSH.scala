@@ -64,16 +64,50 @@ object MinHashLSH {
                      bands: Int, rowsPerBand: Int,
                      blockCol: Option[String] = None): DataFrame = {
     val keyCols = Seq("band", "bucket") ++ blockCol
-    val banded = sigs.select(
+    val a = banded(sigs, idCol, bands, rowsPerBand, blockCol)
+      .withColumnRenamed(idCol, "id_a")
+    val b = banded(sigs, idCol, bands, rowsPerBand, blockCol)
+      .withColumnRenamed(idCol, "id_b")
+    a.join(b, keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Band buckets for one signature set. rowsPerBand = 0 would make
+    * every bucket the constant xxhash64(b) — the "bucket join" then
+    * degenerates to the full O(n²) cross product, silently: guarded
+    * here, the one place every pair path goes through. */
+  private def banded(sigs: DataFrame, idCol: String, bands: Int,
+                     rowsPerBand: Int, blockCol: Option[String]): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands ($bands) and rowsPerBand ($rowsPerBand) must be >= 1 — " +
+      "bands must divide the signature length k, with bands <= k")
+    sigs.select(
       (col(idCol) +: blockCol.map(col).toSeq) :+
       posexplode(array((0 until bands).map { b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1))): _*)
       }: _*)).as(Seq("band", "bucket")): _*)
-    val a = banded.withColumnRenamed(idCol, "id_a")
-    val b = banded.withColumnRenamed(idCol, "id_b")
-    a.join(b, keyCols)
-      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Candidate pairs ACROSS two signature sets (id_a from `left`,
+    * id_b from `right`) — the incremental-dedup shape: batch
+    * signatures vs the stored corpus. Banding each side separately
+    * and joining across means left-left and right-right collisions
+    * are never generated — the union-then-filter alternative
+    * materializes every pair of STORED docs sharing a bucket each
+    * batch, a cost that grows with the corpus instead of the batch.
+    * `left` is expected to be the small (batch) side; it is broadcast
+    * so the corpus-side bucket table never shuffles. */
+  def crossCandidatePairs(left: DataFrame, right: DataFrame, idCol: String,
+                          bands: Int, rowsPerBand: Int,
+                          blockCol: Option[String] = None): DataFrame = {
+    val keyCols = Seq("band", "bucket") ++ blockCol
+    val l = banded(left, idCol, bands, rowsPerBand, blockCol)
+      .withColumnRenamed(idCol, "id_a")
+    val r = banded(right, idCol, bands, rowsPerBand, blockCol)
+      .withColumnRenamed(idCol, "id_b")
+    broadcast(l).join(r, keyCols)
       .select("id_a", "id_b").distinct()
   }
 
@@ -88,10 +122,19 @@ object MinHashLSH {
   def nearDuplicates(docs: DataFrame, idCol: String, tokensCol: String,
                      k: Int, bands: Int, threshold: Double,
                      blockCol: Option[String] = None): DataFrame = {
+    require(k % bands == 0 && bands <= k,
+      s"bands ($bands) must divide the signature length k ($k): trailing " +
+      "planes would silently be ignored (or every bucket degenerate)")
     graft.functions.NativeFunctions.register(docs.sparkSession)
+    // localCheckpoint, not a bare select: FOUR consumers read this
+    // frame (the signature build, the block re-join, and both sides of
+    // the verification join) — un-truncated, each would re-run the
+    // tokenization + hash + sort over the corpus. Same pattern as
+    // PrefixJoin.joinAll; RDD-level storage, GC-reclaimed.
     val hashed = docs.select(
       (col(idCol) +: blockCol.map(col).toSeq) :+
         graft.functions.NativeFunctions.hashedTokenSet(col(tokensCol)).as("toks"): _*)
+      .localCheckpoint()
     val sigs0 = signatures(hashed, idCol, "toks", k)
     val sigs = blockCol
       .map(bc => sigs0.join(hashed.select(col(idCol), col(bc)), Seq(idCol)))

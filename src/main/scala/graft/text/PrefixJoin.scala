@@ -95,15 +95,24 @@ object PrefixJoin {
       // all precede partition i+1's, so per-partition contiguous
       // indices from zipWithIndex form a global ascending rank. Ties
       // broken by token for determinism.
-      val sorted = dfCounts
+      //
+      // Checkpoints: the corpus-scale (doc, tok) pairs feed both the
+      // df re-aggregation and the final dictionary join, and
+      // zipWithIndex runs TWO internal jobs (count + emit) over the
+      // vocab-scale sorted frame — un-truncated, this path re-ran the
+      // full explode+distinct shuffle 3-4 times, precisely on the
+      // large-vocabulary corpora it exists for.
+      val toksC = toks.localCheckpoint()
+      val sorted = toksC.groupBy("tok").agg(count("*").as("df"))
         .repartitionByRange(col("df"), col("tok"))
         .sortWithinPartitions("df", "tok")
+        .localCheckpoint()
       val dict = spark.createDataFrame(
         sorted.select("tok").rdd.zipWithIndex()
           .map { case (r, i) => Row(r.getString(0), i) },
         StructType(Seq(StructField("tok", StringType, nullable = false),
                        StructField("rank", LongType, nullable = false))))
-      toks.join(dict, "tok")
+      toksC.join(dict, "tok")
         .groupBy(idCol)
         .agg(sort_array(collect_list(col("rank"))).as("ws"))
         .withColumn("n", size(col("ws")))

@@ -81,7 +81,9 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "low lower newest"),
       (2L, "widest lowest low low"),
-      (3L, "   "), // whitespace-only: no words, no output row is fine
+      (3L, "   "), // whitespace-only: kept, with an EMPTY token array —
+      // a vanished row would silently drop the doc from any inner-join
+      // consumer (row accounting beats compactness here)
       (4L, "xyz")).toDF("id", "txt")
     val got = Bpe.encodeDocs(docs, col("id"), col("txt"), merges)
       .as[(Long, Seq[String])].collect().toMap
@@ -91,7 +93,7 @@ class BpeSpec extends AnyFunSuite {
     assert(got(1L) == direct("low lower newest"))
     assert(got(2L) == direct("widest lowest low low"))
     assert(got(4L) == Seq("x", "y", "z"))
-    assert(!got.contains(3L))
+    assert(got(3L) == Seq.empty, s"wordless doc must keep its row: $got")
   }
 
   test("wordDict: deterministic cap keeps highest-frequency words") {

@@ -101,4 +101,59 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("k=64"), e.getMessage)
   }
+
+  test("intra-batch re-delivery of one doc_id lands once, not twice") {
+    // at-least-once sources can deliver the same row twice IN ONE
+    // batch: curate() collapses the pair via the fingerprint dedup,
+    // but the artifact re-join against the raw frame used to fan the
+    // admitted doc back out and append it twice — breaking the pk
+    // contract and the fp-uniqueness invariant
+    val dir = TestSpark.tmpDir("inccorpus_redeliver")
+    val t = graft.tables.LakehouseTable(spark, s"$dir/corpus", Seq("doc_id"))
+    val text = ("the quick brown fox jumps over the lazy dog and then " +
+      "walks back home through the quiet town in the evening light " +
+      "while people watch from their windows with mild interest").toLowerCase
+    val doc = (7L, text, "en", "web", text.length.toLong)
+    val batch = Seq(doc, doc) // identical re-delivery, same batch
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = CorpusPipeline.curateIncremental(batch, t, minWords = 10,
+      perLangCap = 10)
+    assert(r.admitted == 1, r)
+    assert(t.read.count() == 1)
+    assert(t.read.select("doc_id").distinct().count() == 1)
+  }
+
+  test("curation is case-insensitive end to end, like the exact fingerprint") {
+    // title-case text must not be penalized as punctuation, must still
+    // language-identify, and must near-dup against its lowercase twin
+    val mk = (id: Long, s: String) =>
+      (id, s, "en", "web", s.length.toLong)
+    val base = "The Quick Brown Fox Jumps Over The Lazy Dog And Then " +
+      "Walks Back Home Through The Quiet Town In The Evening Light " +
+      "While People Watch From Their Windows With Mild Interest"
+    val docs = Seq(mk(1L, base), mk(2L, base.toLowerCase))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (curated, f) = CorpusPipeline.curate(docs, minWords = 10,
+      perLangCap = 10)
+    // both pass quality + lang despite the capitals...
+    assert(f.qualityPass == 2 && f.langPass == 2, f)
+    // ...and the pair is recognized as duplicates (exact, since the
+    // fingerprint lowercases): one survivor
+    assert(curated.count() == 1, f)
+  }
+
+  test("LSH parameter misuse fails loud instead of degenerating") {
+    val docs = Seq((1L, Seq("a", "b"))).toDF("id", "ws")
+    // bands not dividing k: trailing planes would silently be ignored
+    intercept[IllegalArgumentException] {
+      graft.text.MinHashLSH.nearDuplicates(docs, "id", "ws",
+        k = 64, bands = 10, threshold = 0.9)
+    }
+    // bands > k: every bucket would be a constant — full cross product
+    intercept[IllegalArgumentException] {
+      graft.text.MinHashLSH.candidatePairs(
+        docs.withColumn("sig", array(lit(1L))), "id",
+        bands = 16, rowsPerBand = 0)
+    }
+  }
 }
