@@ -22,29 +22,37 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
   /** leftTime/rightTime must share a comparable type (e.g. µs longs).
     * `carry` = right-side columns to attach, emitted as `asof_<name>`
-    * (null when no right row precedes the left row). */
+    * (null when no right row precedes the left row).
+    *
+    * The carry columns travel as ONE struct through a single
+    * last(ignoreNulls): all asof_* values come from the SAME (most
+    * recent) right row — per-column lasts would stitch fields from
+    * different rows whenever a carry value is legitimately NULL (and
+    * make that NULL invisible, resurrecting an older row's value).
+    * NULL keys never match, same as any SQL equi-join / DuckDB ASOF:
+    * null-key right rows contribute nothing, null-key left rows carry
+    * null. */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            carry: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    val rStruct = struct(carry.map(c => col(c).as(c)): _*)
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
     val lAligned = left.select(
       Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
-        lCols.map(col) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"__c_$c")): _*)
+        lCols.map(col) :+ lit(null).cast(rType).as("__r"): _*)
     val rAligned = right.select(
       Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carry.map(c => col(c).as(s"__c_$c")): _*)
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        when(col(key).isNotNull, rStruct).otherwise(lit(null).cast(rType))
+          .as("__r"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lAligned.unionByName(rAligned)
-      .select(
-        Seq(col("__side")) ++ lCols.map(col) ++
-          carry.map(c => last(col(s"__c_$c"), ignoreNulls = true).over(w)
-            .as(s"asof_$c")): _*)
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(lCols.map(col) ++
+        carry.map(c => col("__last").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -43,9 +43,15 @@ object RangeJoin {
       .drop("__bin")
   }
 
-  /** Convenience for timestamp/date frames: joins on epoch-day bins.
-    * Adds `pointDay`/`startDay`/`endDay` epoch-day columns internally
-    * and drops them from the result. */
+  /** Convenience for timestamp/date frames: DAY-GRANULAR containment —
+    * the point's calendar day must lie within [start day, end day]
+    * (all three truncated via to_date), NOT exact timestamp
+    * containment: a 23:00 point matches an interval ending 08:00 the
+    * same day. That is the attribution-window semantics the
+    * q_range_join oracle pins (it casts to DATE the same way). For
+    * exact timestamp bounds, cast to epoch seconds and call [[binned]]
+    * directly — the exact predicate there runs on the values you
+    * give it. */
   def binnedByDay(points: DataFrame, intervals: DataFrame,
                   pointTs: Column, startTs: Column, endTs: Column,
                   binDays: Int, extraKeys: Seq[String] = Nil): DataFrame = {

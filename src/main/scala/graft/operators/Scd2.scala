@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
 object Scd2 {
   def merge(current: DataFrame, updates: DataFrame, pk: Seq[String],
             attrs: Seq[String], effectiveTs: String): DataFrame = {
+    // fail at the call, not as silent NULL valid_from rows: the
+    // lit(...).cast("date") below nulls on an unparseable string
+    require(scala.util.Try(java.sql.Date.valueOf(effectiveTs)).isSuccess,
+      s"effectiveTs must be a yyyy-MM-dd date, got '$effectiveTs'")
     val vf = "valid_from"; val vt = "valid_to"
     val closed = current.filter(col(vt).isNotNull)
     val open   = current.filter(col(vt).isNull)
@@ -57,8 +61,18 @@ object Scd2 {
     // times — the inputs are exchange-reused but the join itself is not)
     val keptOpen = when(hasOpen && (!hasUpdate || !changed),
       out(col, col, col(vf), col(vt)))
+    // an out-of-order batch (effectiveTs before the open version's
+    // valid_from) would write an INVERTED interval (valid_to <
+    // valid_from) and overlapping history — silent corruption every
+    // downstream as-of lookup inherits. raise_error makes it fail
+    // loudly at execution, with the offending key's dates, at zero
+    // cost on the in-order path.
+    val closeTs = when(ets >= col(vf), ets).otherwise(raise_error(concat(
+      lit(s"Scd2.merge: effectiveTs $effectiveTs predates open valid_from "),
+      col(vf).cast("string"),
+      lit(" — out-of-order batch; replay batches in order"))))
     val closedNow = when(hasOpen && hasUpdate && changed,
-      out(col, col, col(vf), ets))
+      out(col, col, col(vf), closeTs))
     val opened = when(hasUpdate && (!hasOpen || changed),
       out(c => col(s"__u_$c"), c => col(s"__u_$c"), ets, lit(null).cast("date")))
 

@@ -32,10 +32,20 @@ object Skew {
       .agg(finalAgg.head, finalAgg.tail: _*)
   }
 
-  /** Skewed equi-join: salt the big (skewed) side with a deterministic
-    * salt in [0, salts), replicate every small-side row `salts` times,
-    * join on (key, salt). Semantically identical to the plain join;
-    * the hot key's rows spread over `salts` tasks. */
+  /** Skewed equi-join: salt the big (skewed) side into [0, salts),
+    * replicate every small-side row `salts` times, join on
+    * (key, salt). Semantically identical to the plain join; the hot
+    * key's rows spread over `salts` tasks.
+    *
+    * The salt is deliberately row-NONdeterministic
+    * (monotonically_increasing_id depends on partition layout, so a
+    * retried task may assign different salts): results are unaffected
+    * — every small-side row exists under every salt, so each big row
+    * finds its match whatever salt it draws — and a content-derived
+    * salt would put exact-duplicate rows (boilerplate-heavy hot keys,
+    * the exact case salting exists for) all in ONE salt bucket,
+    * re-creating the hot partition. Don't reuse this salt for
+    * anything that must reproduce across runs. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     // Replicating the small side `salts`× would emit `salts` copies of

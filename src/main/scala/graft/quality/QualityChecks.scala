@@ -37,13 +37,18 @@ object QualityChecks {
   }
 
   /** FK-integrity check via anti-join count (data_quality.md:235-239);
-    * threshold is the reference's 0.1 % RI-breach SLA. */
+    * threshold is the reference's 0.1 % RI-breach SLA. NULL foreign
+    * keys are NOT orphans (SQL FK semantics: NULL = no parent, legal —
+    * gate them with [[nullRequired]] if the column is mandatory). The
+    * dim key is aliased before the join so fk and pk may share a name
+    * (the star-schema norm) without an ambiguous-reference failure. */
   def fkIntegrity(fact: DataFrame, dim: DataFrame, fk: String, pk: String,
                   table: String, maxBreachRatio: Double = 0.001): Check = {
     val total = fact.count().max(1L)
     val orphans = fact
-      .join(broadcast(dim.select(col(pk)).distinct()),
-            col(fk) === col(pk), "left_anti").count()
+      .filter(col(fk).isNotNull)
+      .join(broadcast(dim.select(col(pk).as("__fk_pk")).distinct()),
+            col(fk) === col("__fk_pk"), "left_anti").count()
     val ratio = orphans.toDouble / total
     Check(s"fk_$fk", table, ratio, ratio <= maxBreachRatio)
   }
@@ -59,16 +64,26 @@ object QualityChecks {
   }
 
   /** Gold-vs-recalculated reconciliation (data_quality.md:301-372):
-    * join on the key, compare each metric within `tolerance`. Returns
-    * the number of mismatching rows as the metric. */
+    * FULL-OUTER join on the key, compare each metric within
+    * `tolerance`. Returns the number of mismatching rows as the
+    * metric. Full outer + null-safe comparison on purpose: an inner
+    * join would silently PASS when the recalc (or gold) side lost rows
+    * — the exact pipeline bug reconciliation exists to catch — and a
+    * null metric would null out the > comparison and count as a
+    * match. A key present on only one side, or a metric null on
+    * exactly one side, is a mismatch; null==null matches. */
   def reconcile(gold: DataFrame, recalc: DataFrame, key: Seq[String],
                 metrics: Seq[String], table: String,
                 tolerance: Double = 0.01): Check = {
-    val r = metrics.foldLeft(recalc) { (d, m) => d.withColumnRenamed(m, s"${m}_rc") }
-    val joined = gold.join(r, key)
-    val bad = metrics
-      .map(m => abs(col(m) - col(s"${m}_rc")) > tolerance)
-      .reduce(_ || _)
+    val g = gold.withColumn("__g", lit(true))
+    val r = metrics.foldLeft(recalc) { (d, m) =>
+      d.withColumnRenamed(m, s"${m}_rc") }.withColumn("__r", lit(true))
+    val joined = g.join(r, key, "full_outer")
+    val bothNull = (m: String) => col(m).isNull && col(s"${m}_rc").isNull
+    val withinTol = (m: String) =>
+      coalesce(abs(col(m) - col(s"${m}_rc")) <= tolerance, lit(false))
+    val bad = col("__g").isNull || col("__r").isNull ||
+      metrics.map(m => !(bothNull(m) || withinTol(m))).reduce(_ || _)
     val n = joined.filter(bad).count()
     Check("gold_reconciliation", table, n.toDouble, n == 0)
   }

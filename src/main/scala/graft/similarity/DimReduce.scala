@@ -54,14 +54,23 @@ object DimReduce {
   private def moments(df: DataFrame, vecCol: Column): (Long, Array[Double], Array[Double]) = {
     graft.functions.NativeFunctions.register(df.sparkSession)
     import graft.functions.NativeFunctions.vectorSum
+    // null vectors are excluded from n AND the sums together: VectorSum
+    // skips nulls on its own, so counting them would divide the mean
+    // (and every covariance entry) by the wrong n — a silently skewed
+    // model on any corpus with missing embeddings
     val prepared = df
       .select(transform(vecCol, x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("outer",
         flatten(transform(col("v"), x => transform(col("v"), y => x * y))))
     val r = prepared
       .agg(count(lit(1)), vectorSum(col("v")), vectorSum(col("outer")))
       .head()
-    (r.getLong(0),
+    val n = r.getLong(0)
+    // VectorSum returns null over an empty input — getSeq would NPE
+    // with no hint the input was the problem
+    require(n > 0, "PCA/JL needs at least one non-null vector")
+    (n,
      r.getSeq[Double](1).toArray,
      r.getSeq[Double](2).toArray)
   }

@@ -291,7 +291,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       assertPartitionedLayout()
       upsertPartitions(deduped)
     }
-    else overwrite(Upsert.upsert(read, deduped, pk))
+    else overwrite(Upsert.merge(read, deduped, pk)) // pre-deduped above
   }
 
   /** Mixed-layout guard for partition-scoped mutators: a table
@@ -338,7 +338,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     require(!values.contains(null) && !values.contains(""),
       s"partition-scoped upsert requires non-null, non-empty $pc values: $path")
     val affected = read.filter(col(pc).isInCollection(values.toSeq))
-    val merged = Upsert.upsert(affected, deduped, pk)
+    val merged = Upsert.merge(affected, deduped, pk) // pre-deduped by upsert()
     swapStagedPartitions(merged)
   }
 

@@ -32,4 +32,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("asof_tag", "asof_n").as[(String, Long)].collect()
     assert(out.toSeq == Seq(("a", 7L)))
   }
+
+  test("carry columns come from ONE row; a legit NULL carry value shadows older rows") {
+    // per-column last(ignoreNulls) would stitch tag from t=1 with n
+    // from t=2 (a row that exists nowhere) and resurrect 5.0 past the
+    // most recent row's NULL — the struct carry keeps rows atomic
+    val l = Seq((1L, 3L, "x")).toDF("k", "t", "v")
+    val r = Seq(
+      (1L, 1L, "x1", Option.empty[Long]),
+      (1L, 2L, Option.empty[String].orNull, Option(5L)))
+      .toDF("k", "t", "tag", "n")
+    val out = AsOfJoin.asOf(l, r, "k", "t", "t", Seq("tag", "n"))
+      .select("asof_tag", "asof_n")
+      .as[(Option[String], Option[Long])].collect()
+    assert(out.toSeq == Seq((None, Some(5L))),
+      s"carry must be row-atomic from the t=2 row: ${out.toSeq}")
+  }
+
+  test("NULL keys never match, like any SQL equi-join / DuckDB ASOF") {
+    val l = Seq((Option.empty[Long], 10L, "nullk"), (Option(1L), 10L, "k1"))
+      .toDF("k", "t", "name")
+    val r = Seq((Option.empty[Long], 5L, 7.0), (Option(1L), 5L, 9.0))
+      .toDF("k", "t", "price")
+    val out = AsOfJoin.asOf(l, r, "k", "t", "t", Seq("price"))
+      .select("name", "asof_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out == Map("nullk" -> None, "k1" -> Some(9.0)), out)
+  }
 }

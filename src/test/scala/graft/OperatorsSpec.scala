@@ -61,6 +61,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(twice.as[(Int, String)].collect().toMap == m)
   }
 
+  test("upsert/applyChanges collapse duplicate-pk batch rows — never duplicate target pks") {
+    // an at-least-once redelivery inside one batch: both copies used
+    // to survive the union, leaving two rows for one pk (Delta MERGE
+    // errors on exactly this shape)
+    val target = Seq((1, "a")).toDF("k", "v")
+    val updates = Seq((1, "B"), (1, "B"), (2, "C")).toDF("k", "v")
+    val out = Upsert.upsert(target, updates, Seq("k"))
+    assert(out.count() == 2)
+    assert(out.select("k").distinct().count() == 2)
+    val changes = Seq((1, "B", false), (1, "B", false)).toDF("k", "v", "del")
+    val cdc = Upsert.applyChanges(target, changes, Seq("k"), "del")
+    assert(cdc.count() == 1 &&
+           cdc.as[(Int, String)].collect().toSeq == Seq((1, "B")))
+  }
+
   test("dedup: keepFirst is deterministic under explicit order") {
     val df = Seq((1, 10, "x"), (1, 5, "y"), (2, 7, "z")).toDF("k", "ord", "v")
     val out = Dedup.keepFirst(df, Seq("k"), Seq(col("ord").asc))

@@ -35,6 +35,42 @@ class QualityAndOpsSpec extends AnyFunSuite {
       Seq("sales"), "g").passed)
   }
 
+  test("reconciliation catches missing rows and null metrics — the inner-join blind spots") {
+    val gold = Seq(("a", 10.0), ("b", 20.0)).toDF("k", "sales")
+    // recalc LOST a key (the classic dropped-partition bug): an inner
+    // join would discard the unmatched gold row and report a PASS
+    val lost = Seq(("a", 10.0)).toDF("k", "sales")
+    assert(!QualityChecks.reconcile(gold, lost, Seq("k"),
+      Seq("sales"), "g").passed)
+    // a NULL recalc metric nulls the > comparison — must mismatch,
+    // not silently pass
+    val nulled = Seq(("a", Option(10.0)), ("b", Option.empty[Double]))
+      .toDF("k", "sales")
+    assert(!QualityChecks.reconcile(gold, nulled, Seq("k"),
+      Seq("sales"), "g").passed)
+    // null == null on BOTH sides is a match, not a mismatch
+    val goldN = Seq(("a", Option(10.0)), ("b", Option.empty[Double]))
+      .toDF("k", "sales")
+    assert(QualityChecks.reconcile(goldN, nulled, Seq("k"),
+      Seq("sales"), "g").passed)
+  }
+
+  test("fkIntegrity: same-named fk/pk resolves; NULL fks are not orphans") {
+    // star-schema norm: fact and dim share the key NAME — the naive
+    // col===col join condition was ambiguous and crashed
+    val fact = Seq((Option(1L), "x"), (Option(2L), "y"),
+                   (Option.empty[Long], "z")) // NULL fk: legal, no parent
+      .toDF("customer_id", "v")
+    val dim = Seq((1L, "c1"), (2L, "c2")).toDF("customer_id", "name")
+    val c = QualityChecks.fkIntegrity(fact, dim,
+      "customer_id", "customer_id", "orders")
+    assert(c.passed && c.metric == 0.0, c)
+    // a REAL orphan still counts
+    val orphaned = Seq((Option(9L), "w")).toDF("customer_id", "v")
+    assert(!QualityChecks.fkIntegrity(orphaned, dim,
+      "customer_id", "customer_id", "orders").passed)
+  }
+
   test("archiver: batched move, resumable, idempotent") {
     val dir = TestSpark.tmpDir("arch")
     val src = s"$dir/in"; val dst = s"$dir/done"

@@ -56,4 +56,30 @@ class Scd2AndDiffSpec extends AnyFunSuite {
       .groupBy("k").count().as[(Long, Long)].collect()
     assert(openPerKey.forall(_._2 == 1))
   }
+
+  test("scd2 rejects out-of-order batches and unparseable dates instead of corrupting history") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val current = Seq((1L, "plat", d("2024-06-01"), Option.empty[java.sql.Date]))
+      .toDF("k", "tier", "valid_from", "valid_to")
+    val updates = Seq((1L, "gold")).toDF("k", "tier")
+    // closing the open version at a date BEFORE its valid_from would
+    // write an inverted interval — must fail loud at execution
+    val ex = intercept[Exception] {
+      Scd2.merge(current, updates, Seq("k"), Seq("tier"), "2024-01-01")
+        .collect()
+    }
+    assert(ex.getMessage.contains("out-of-order") ||
+           Option(ex.getCause).exists(_.getMessage.contains("out-of-order")),
+      ex.getMessage)
+    // garbage effectiveTs fails at the CALL, not as silent NULL dates
+    intercept[IllegalArgumentException] {
+      Scd2.merge(current, updates, Seq("k"), Seq("tier"), "not-a-date")
+    }
+    // a no-op update against an older effectiveTs stays a no-op (no
+    // interval is closed, so the guard must not fire)
+    val noop = Scd2.merge(current,
+      Seq((1L, "plat")).toDF("k", "tier"), Seq("k"), Seq("tier"),
+      "2024-01-01")
+    assert(noop.count() == 1)
+  }
 }
