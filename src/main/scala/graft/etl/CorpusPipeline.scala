@@ -27,6 +27,24 @@ object CorpusPipeline {
                           exactUnique: Long, nearDupSurvivors: Long,
                           sampled: Long)
 
+  /** The ONE definition of the stage-1 text metrics — lowercased
+    * word array `__w` (and `__lc`), `n_words`, and `punct_ratio` over
+    * the caller's character denominator — shared by [[curate]]'s
+    * scored stage and [[graft.streaming.CorpusIngestStream]]'s gate.
+    * Shared on purpose (the MisraGries offer/merge pattern): the two
+    * surfaces once drifted — the stream counted every CAPITAL as
+    * punctuation and silently dropped title-case docs the batch
+    * funnel admits. */
+  private[graft] def textMetrics(docs: DataFrame,
+                                 nChars: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .withColumn("__lc", lower(col("text")))
+      .withColumn("__w", TF.words(col("__lc")))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("punct_ratio",
+        regexp_count(col("__lc"), lit("[^a-z0-9\\s]")).cast("double") /
+          nChars)
+
   /** Score + filter + dedup + sample. `docs` needs (doc_id, text,
     * lang, source, n_chars). Deterministic end to end.
     *
@@ -48,13 +66,7 @@ object CorpusPipeline {
     NativeFunctions.register(docs.sparkSession)
 
     // stage 1: per-row quality metrics (one codegen'd pass)
-    val scored = docs
-      .withColumn("__lc", lower(col("text")))
-      .withColumn("__w", TF.words(col("__lc")))
-      .withColumn("n_words", size(col("__w")).cast("long"))
-      .withColumn("punct_ratio",
-        regexp_count(col("__lc"), lit("[^a-z0-9\\s]")).cast("double") /
-          col("n_chars"))
+    val scored = textMetrics(docs, col("n_chars"))
       .withColumn("en_score", TF.markerScore(col("__w"), TF.LangMarkers(0)._2))
       .withColumn("de_score", TF.markerScore(col("__w"), TF.LangMarkers(1)._2))
       .withColumn("es_score", TF.markerScore(col("__w"), TF.LangMarkers(2)._2))

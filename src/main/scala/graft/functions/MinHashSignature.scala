@@ -36,6 +36,23 @@ case class MinHashSignature(child: Expression, k: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
+  // analysis-time, like the sibling aggregates: any other input type
+  // would ClassCastException per-row deep in executors, and k <= 0
+  // would emit empty signatures that make EVERY doc pair LSH-collide
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okType = child.dataType == LongType ||
+      child.dataType == org.apache.spark.sql.types.StringType
+    if (!okType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_sig expects a long or string token, got ${child.dataType}")
+    else if (k < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_sig needs k >= 1, got $k")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
 

@@ -25,6 +25,20 @@ case class VectorSum(child: Expression,
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_vector_sum"
 
+  // analysis-time, like the sibling aggregates: an array<float> input
+  // would reach arr.getDouble, which on UnsafeArrayData reads 8-byte
+  // slots over 4-byte elements — GARBAGE sums with no error (or a
+  // mid-execution ClassCastException on the generic path)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_vector_sum expects array<double>, got $t")
+    }
+
   override def createAggregationBuffer(): Array[Double] = Array.empty
 
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
@@ -39,7 +53,13 @@ case class VectorSum(child: Expression,
         grown
       }
       var i = 0
-      while (i < n) { acc(i) += arr.getDouble(i); i += 1 }
+      // null ELEMENTS contribute nothing (getDouble on a null slot is
+      // undefined on some ArrayData implementations, 0.0 on others —
+      // make the skip explicit either way)
+      while (i < n) {
+        if (!arr.isNullAt(i)) acc(i) += arr.getDouble(i)
+        i += 1
+      }
       acc
     }
   }

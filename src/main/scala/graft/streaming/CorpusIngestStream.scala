@@ -30,16 +30,18 @@ object CorpusIngestStream {
     * quality stage would reject. */
   def ingest(docs: DataFrame, tsCol: String = "ts", delay: String = "1 hour",
              minWords: Int = 30, maxPunctRatio: Double = 0.2): DataFrame = {
-    val gated = docs
-      .withColumn("__w", TF.words(col("text")))
-      .withColumn("n_words", size(col("__w")).cast("long"))
-      .withColumn("punct_ratio",
-        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("double") /
-          length(col("text")))
+    // metrics come from the SHARED stage-1 definition
+    // (CorpusPipeline.textMetrics) so this front door cannot drift
+    // from the batch funnel again — it once counted capitals as
+    // punctuation and dropped title-case docs the batch admits. The
+    // denominator is length(text) because the raw feed carries no
+    // n_chars column; for well-formed inputs they are the same value.
+    val gated = graft.etl.CorpusPipeline
+      .textMetrics(docs, length(col("text")))
       .filter(col("n_words") >= minWords &&
               col("punct_ratio") <= maxPunctRatio)
       .withColumn("fp", TF.fingerprint(col("text")))
-      .drop("__w")
+      .drop("__w", "__lc")
     DedupStream.exactOnceWithinWatermark(gated, tsCol, delay, Seq("fp"))
   }
 

@@ -46,7 +46,13 @@ object DistinctCountStream {
     def update(group: String, rows: Iterator[In],
                state: GroupState[KmvState]): Iterator[Out] = {
       val prior = state.getOption.getOrElse(KmvState(Nil, 0L))
-      val set = mutable.TreeSet.empty[Long] ++ prior.hashes
+      // a checkpoint written under a LARGER k restores an oversized
+      // set; offer() would never shrink it (the full-set branch only
+      // swaps the max) and the estimate would read the wrong order
+      // statistic forever. Keeping the k smallest IS the k-sized KMV
+      // sketch of the same prefix — downsizing a minimum-values sketch
+      // is lossless — so a k change across restarts degrades nothing.
+      val set = (mutable.TreeSet.empty[Long] ++ prior.hashes).take(k)
       var n = prior.n
       rows.foreach { r =>
         n += 1 // EVERY row counts; only non-null items hash

@@ -27,6 +27,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Unobserved months emit nothing, matching the batch query's join
   * semantics. Downstream upserts by (key, mi), exactly like the batch
   * table.
+  *
+  * Caveat shared with every event-time watermark (Spark's included):
+  * the horizon ratchets FORWARD on the max observed month, so one
+  * corrupt far-future mi (a bad year parse) permanently classifies
+  * the key's real months as late. Garbage-in protection belongs
+  * upstream — validate mi to the feed's plausible range before this
+  * operator, exactly as you would before withWatermark.
   */
 // Serializable: the state-update closure calls smoothAt, an object
 // method, so the module reference rides inside the serialized lambda.
@@ -85,8 +92,18 @@ object EwmaStream extends Serializable {
       months = months.filter { case (mi, _) => mi >= pruneHorizon }
       state.update(EwmaState(months, late))
       // emit every month whose window contains a touched month
-      val affected = touched.flatMap(t => (t to t + J))
+      val affected0 = touched.flatMap(t => (t to t + J))
         .filter(months.contains)
+      // an ALL-late batch must still surface its counter: without
+      // this, late_dropped grows invisibly in state until some future
+      // on-time row happens to emit — exactly the batches where data
+      // is being discarded would be the ones monitoring can't see.
+      // Re-emitting the latest observed month is an upsert no-op for
+      // the ewma value and refreshes only the diagnostic.
+      val affected =
+        if (affected0.isEmpty && late > prior.lateDropped && months.nonEmpty)
+          Set(months.keysIterator.max)
+        else affected0
       val lateFinal = late
       affected.toArray.sorted.iterator.map { mi =>
         Out(key, mi, smoothAt(months, mi), lateFinal)

@@ -47,13 +47,29 @@ object SessionizeStream {
       val sorted = evs.toSeq.sortBy(e => (e.sec, e.event_id))
       val closed = Seq.newBuilder[SessionOut]
       var cur = state.getOption
+      // Cross-batch ordering is explicit, not assumed: an event can
+      // predate the open session (late arrival in a later microbatch).
+      //   - within [start−gap, end+gap]: belongs to the session; start
+      //     LOWERS for a gap-adjacent earlier event, matching the batch
+      //     twin's sorted view (the old `e.sec - s.end <= gap` test was
+      //     true for EVERY past event — a sec=20 straggler silently
+      //     inflated a sec=1000 session without moving its start);
+      //   - beyond end+gap: close and open, the normal path;
+      //   - more than gap BEFORE start: an earlier session this stream
+      //     can no longer reconstruct (its neighbors were already
+      //     emitted) — emitted immediately as a singleton session, so
+      //     row accounting survives (Σ n_events matches the batch
+      //     twin) even though deep-late session BOUNDARIES cannot.
       sorted.foreach { e =>
         cur match {
-          case Some(s) if e.sec - s.end <= gapSeconds =>
-            cur = Some(SessionState(s.start, e.sec.max(s.end), s.n + 1))
-          case Some(s) =>
+          case Some(s) if e.sec > s.end + gapSeconds =>
             closed += SessionOut(userId, s.start, s.end, s.n)
             cur = Some(SessionState(e.sec, e.sec, 1))
+          case Some(s) if e.sec >= s.start - gapSeconds =>
+            cur = Some(SessionState(s.start.min(e.sec), s.end.max(e.sec),
+                                    s.n + 1))
+          case Some(_) => // deep-late straggler
+            closed += SessionOut(userId, e.sec, e.sec, 1)
           case None =>
             cur = Some(SessionState(e.sec, e.sec, 1))
         }

@@ -91,4 +91,44 @@ class DistinctCountStreamSpec extends AnyFunSuite {
       assert(o.estimate == 2)
     } finally q.stop()
   }
+
+  test("a restart with a SMALLER k downsizes restored state losslessly") {
+    // a checkpoint written under k=256 restores 256 hashes into a
+    // k=128 run; offer() never shrinks a full set, so without the
+    // restore-time truncation the estimate would read the wrong order
+    // statistic forever. Keeping the k smallest IS the k-sized sketch
+    // of the same prefix — the result must be bit-equal to a single
+    // k=128 run over all rows.
+    val dir = TestSpark.tmpDir("kmvrestart")
+    val landing = s"$dir/landing"; val ckpt = s"$dir/ckpt"
+    val rows1 = (1 to 400).map(i => ("g", s"item$i"))
+    val rows2 = (401 to 450).map(i => ("g", s"item$i"))
+    rows1.toDF("group", "item").write.mode("append").parquet(landing)
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    def runOnce(k: Int): Unit = {
+      val src = spark.readStream
+        .schema("group string, item string").parquet(landing)
+      val q = DistinctCountStream.distinctCounts(src, k)
+        .writeStream
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[DistinctCountStream.Out],
+           _: Long) =>
+            b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(256)
+    rows2.toDF("group", "item").write.mode("append").parquet(landing)
+    runOnce(128)
+    val o = spark.read.parquet(s"$dir/out")
+      .as[DistinctCountStream.Out].collect().maxBy(_.rows_seen)
+    // batch reference at k=128 over ALL items
+    val hashes = (rows1 ++ rows2).map(_._2).map(Kmv.hash32)
+      .distinct.sorted.take(128)
+    assert(o.k_used == 128 && o.hk == hashes.last &&
+           o.estimate == Kmv.estimate(hashes.size, 128, hashes.last), o)
+  }
 }

@@ -72,10 +72,14 @@ class EwmaStreamSpec extends AnyFunSuite {
       ms.addData((7L, 100L, 99999L))
       q.processAllAvailable()
       val got = spark.table("ewma_b").as[EwmaStream.Out].collect()
-      // the too-late row emits nothing new for month 100 and is counted
+      // the too-late row emits nothing new for month 100, is counted,
+      // and the counter surfaces IMMEDIATELY via a re-statement of the
+      // latest observed month (value unchanged — an upsert no-op)
       assert(got.count(_.mi == 100L) == 1, "pruned month must not re-emit")
-      assert(got.filter(_.mi == 200L).last.late_dropped == 0L)
-      // late counter surfaces on the NEXT emission for the key
+      assert(got.filter(_.mi == 200L).last.late_dropped == 1L)
+      assert(got.filter(_.mi == 200L).last.ewma ==
+        reference(Seq((200L, 30000L)), 200L))
+      // and it persists on the next on-time emission for the key
       ms.addData((7L, 201L, 10000L))
       q.processAllAvailable()
       val after = spark.table("ewma_b").as[EwmaStream.Out].collect()
@@ -126,6 +130,33 @@ class EwmaStreamSpec extends AnyFunSuite {
       // formula over what was accepted, proving no partial-window skew
       assert(after.filter(_.mi == mid + 1).last.ewma ==
         reference(Seq((mid, 30000L), (mid + 1, 10000L)), mid + 1))
+    } finally q.stop()
+  }
+
+  test("an ALL-late batch surfaces its late_dropped counter immediately") {
+    // late counts used to accumulate invisibly in state until some
+    // future ON-TIME row for the key happened to emit — monitoring
+    // missed exactly the batches where data was being discarded. An
+    // all-late batch now re-states the latest observed month with the
+    // fresh counter (an upsert no-op for the ewma value itself).
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    ms.addData((4L, 100L, 10000L))
+    val q = EwmaStream.smoothed(ms.toDF().toDF("key", "mi", "cents"))
+      .writeStream.format("memory").queryName("ewma_alllate")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      ms.addData((4L, 200L, 20000L)) // horizon jump; month 100 prunes
+      q.processAllAvailable()
+      ms.addData((4L, 100L, 5000L))  // ENTIRELY late batch
+      q.processAllAvailable()
+      val got = spark.table("ewma_alllate").as[EwmaStream.Out].collect()
+      val m200 = got.filter(_.mi == 200L)
+      assert(m200.last.late_dropped == 1L,
+        s"all-late batch must emit the counter now, got ${m200.toSeq}")
+      assert(m200.last.ewma == reference(Seq((200L, 20000L)), 200L),
+        "the re-stated month's value must be unchanged")
     } finally q.stop()
   }
 }

@@ -68,4 +68,38 @@ class SkewAndStateSpec extends AnyFunSuite {
       assert(all.exists(s => s.user_id == 2L && s.n_events == 1))
     } finally q.stop()
   }
+
+  test("sessionize handles cross-batch stragglers: gap-adjacent lowers start, deep-late is a singleton") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s)
+    def sec(s: String) = t(s).getTime / 1000
+    ms.addData((1L, 1L, t("2024-01-01 10:00:00")))
+    val q = SessionizeStream.sessionize(
+        ms.toDF().toDF("user_id", "event_id", "ts"), gapSeconds = 3600)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one straggler 30 min BEFORE the open session's start
+      // (within gap → belongs, start lowers) and one 5 h before
+      // (cannot be reconstructed → emitted as a singleton immediately;
+      // the old `delta <= gap` test silently absorbed BOTH into the
+      // 10:00 session without moving its start)
+      ms.addData((1L, 2L, t("2024-01-01 09:30:00")),
+                 (1L, 3L, t("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      // close the open session so its boundaries become observable
+      ms.addData((1L, 4L, t("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_late")
+        .as[SessionizeStream.SessionOut].collect().toSet
+      assert(out.contains(SessionizeStream.SessionOut(
+        1L, sec("2024-01-01 05:00:00"), sec("2024-01-01 05:00:00"), 1)),
+        s"deep-late singleton missing: $out")
+      assert(out.contains(SessionizeStream.SessionOut(
+        1L, sec("2024-01-01 09:30:00"), sec("2024-01-01 10:00:00"), 2)),
+        s"gap-adjacent straggler must lower the session start: $out")
+    } finally q.stop()
+  }
 }
