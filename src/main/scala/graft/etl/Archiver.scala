@@ -7,40 +7,46 @@ import org.apache.spark.sql.SparkSession
   * stepfunctions/lambda_function.py:24,37-108: paginated list + copy +
   * delete with continuation-token resumption).
   *
-  * Filesystem equivalent: move each processed file to the archive dir
-  * in bounded batches. Resumable by construction — a rerun lists only
-  * files still in the source dir, so a crash mid-batch just continues
-  * where it stopped (the reference's continuation-token semantics). */
+  * Filesystem equivalent: move each processed file to the archive dir.
+  * Each rename is individually atomic and durable, so resumption is
+  * per-FILE — finer than the reference's page granularity, with
+  * nothing to re-do at a "batch boundary" (a rerun lists only files
+  * still in the source dir and continues where the crash stopped).
+  * `batchSize` therefore paces PROGRESS LOGGING, the one thing the
+  * reference's pagination actually surfaced per page — it does not
+  * (and could not) add any durability the per-file renames lack. */
 object Archiver {
   def archive(spark: SparkSession, srcDir: String, dstDir: String,
               batchSize: Int = 100): Int = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(srcDir), conf)
     val dst = new Path(dstDir)
     if (!fs.exists(dst)) fs.mkdirs(dst)
     val files = fs.listStatus(new Path(srcDir)).filter(_.isFile).map(_.getPath)
     var moved = 0
-    files.grouped(batchSize).foreach { batch =>
-      batch.foreach { f =>
-        val target = new Path(dst, f.getName)
-        if (fs.exists(target)) {
-          // a same-named file was archived before (re-delivered input):
-          // suffix with the source mtime so the move always completes —
-          // silently skipping would leave the file in srcDir forever,
-          // re-failing on every run (the 'resumable' contract never
-          // draining). mtime alone is NOT unique (rsync -t / distcp -p
-          // preserve it across re-deliveries), so fall through to a
-          // random tag rather than crash-looping on the same suffix.
-          val mtime = fs.getFileStatus(f).getModificationTime
-          val suffixed = new Path(dst, s"${f.getName}.$mtime")
-          val unique =
-            if (!fs.exists(suffixed)) suffixed
-            else new Path(dst, s"${f.getName}.$mtime." +
-              java.util.UUID.randomUUID().toString.take(8))
-          require(fs.rename(f, unique), s"archive rename failed for $f")
-        } else require(fs.rename(f, target), s"archive rename failed for $f")
-        moved += 1
-      }
+    files.foreach { f =>
+      val target = new Path(dst, f.getName)
+      if (fs.exists(target)) {
+        // a same-named file was archived before (re-delivered input):
+        // suffix with the source mtime so the move always completes —
+        // silently skipping would leave the file in srcDir forever,
+        // re-failing on every run (the 'resumable' contract never
+        // draining). mtime alone is NOT unique (rsync -t / distcp -p
+        // preserve it across re-deliveries), so fall through to a
+        // random tag rather than crash-looping on the same suffix.
+        val mtime = fs.getFileStatus(f).getModificationTime
+        val suffixed = new Path(dst, s"${f.getName}.$mtime")
+        val unique =
+          if (!fs.exists(suffixed)) suffixed
+          else new Path(dst, s"${f.getName}.$mtime." +
+            java.util.UUID.randomUUID().toString.take(8))
+        require(fs.rename(f, unique), s"archive rename failed for $f")
+      } else require(fs.rename(f, target), s"archive rename failed for $f")
+      moved += 1
+      if (moved % batchSize == 0)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"archived $moved/${files.length} files from $srcDir")
     }
     moved
   }

@@ -37,6 +37,16 @@ object EtlMain {
     results.foreach { case (name, r) =>
       println(f"[etl] $name%-12s upserted=${r.upserted}%7d rejected=${r.rejected}%5d")
     }
+
+    // dead-letter replay BEFORE the gold builds: a row whose blocker
+    // cleared THIS run (an RI reject whose dimension just arrived)
+    // must land in silver before gold aggregates it — replayed after,
+    // gold and the MV summaries (built even later) would disagree on
+    // the same run's data until the NEXT run
+    val recovered = pipe.replayQuarantine()
+    if (recovered.values.sum > 0)
+      println(s"[etl] quarantine replay recovered: " +
+        recovered.map { case (k, v) => s"$k=$v" }.mkString(" "))
     // table totals are a FULL scan per table — diagnostic only, opt-in
     // so the incremental path stays O(batch) by default
     if (sys.env.get("GRAFT_ETL_TOTALS").contains("1"))
@@ -45,11 +55,15 @@ object EtlMain {
         println(f"[etl] $n%-12s total=${if (t.exists) t.read.count() else 0L}%7d")
       }
 
+    // the insights anchor follows the SAME env override as the SCD2
+    // effective date and the gold watermark — a date-overridden run
+    // must not measure days_since_last_order from a stale default
+    val etlDate = sys.env.getOrElse("SPARK_GRAFT_ETL_DATE", "2025-06-01")
     val gold = Map(
       "gold_daily_sales"          -> pipe.goldDailySales(),
       "gold_product_performance"  -> pipe.goldProductPerformance(),
       "gold_department_analytics" -> pipe.goldDepartmentAnalytics(),
-      "gold_customer_insights"    -> pipe.goldCustomerInsights("2025-06-01"))
+      "gold_customer_insights"    -> pipe.goldCustomerInsights(etlDate))
     gold.foreach { case (name, df) =>
       graft.tables.LakehouseTable(spark, s"$warehouse/$name", Seq.empty)
         .overwrite(df)
@@ -75,8 +89,7 @@ object EtlMain {
           .withColumn("valid_from", lit(null).cast("date"))
           .withColumn("valid_to", lit(null).cast("date"))
       val merged = graft.operators.Scd2.merge(current, updates,
-        Seq("product_id"), attrs,
-        sys.env.getOrElse("SPARK_GRAFT_ETL_DATE", "2025-06-01"))
+        Seq("product_id"), attrs, etlDate)
       hist.overwrite(merged)
       println(f"[etl] silver_products_history      rows=${hist.read.count()}%7d")
     }
@@ -88,13 +101,6 @@ object EtlMain {
         require(n > 0, s"smoke check failed for $t")
       }
     println("[etl] smoke checks passed")
-
-    // dead-letter replay: quarantined rows whose blocker cleared this
-    // run (e.g. an RI reject whose dimension just arrived) land now
-    val recovered = pipe.replayQuarantine()
-    if (recovered.values.sum > 0)
-      println(s"[etl] quarantine replay recovered: " +
-        recovered.map { case (k, v) => s"$k=$v" }.mkString(" "))
 
     // per-layer catalog databases (reference config/settings.py:115-121
     // registers bronze/silver/gold Glue databases): every output table

@@ -27,9 +27,14 @@ object Allocation {
       // a zero or negative weight total must fail loudly instead. The
       // check lives INSIDE __raw's lineage — a free-standing assert
       // column gets pruned by Catalyst and never evaluates.
+      // isNull is part of the guard: an all-NULL weight column sums to
+      // NULL, and `NULL <= 0` is NULL — the bare comparison would fall
+      // through to the otherwise branch and silently allocate null to
+      // every row, the exact failure this guard exists to surface
       .withColumn("__raw",
-        when(col("__total") <= 0, raise_error(
-          lit(s"largestRemainder: total $weightCol must be > 0")).cast("double"))
+        when(col("__total").isNull || col("__total") <= 0, raise_error(
+          lit(s"largestRemainder: total $weightCol must be > 0 and " +
+            "non-null")).cast("double"))
         .otherwise(col(weightCol) * lit(budget.toDouble) / col("__total")))
       .withColumn("__floor", floor(col("__raw")).cast("long"))
       .withColumn("__frac", col("__raw") - col("__floor"))

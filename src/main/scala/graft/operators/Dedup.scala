@@ -32,9 +32,12 @@ object Dedup {
   /** count vs distinct-count duplicate detection
     * (docs/data_quality.md:152-162). */
   def duplicateStats(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val dk = df.select(keys.map(col): _*)
-    val total = df.count()
-    val dist  = dk.distinct().count()
+    // ONE aggregate pass: count + count_distinct share a single scan
+    // (two separate .count() jobs doubled the I/O of this check)
+    val r = df.agg(
+      count(lit(1)).as("total"),
+      count_distinct(struct(keys.map(col): _*)).as("dist")).head()
+    val (total, dist) = (r.getLong(0), r.getLong(1))
     import df.sparkSession.implicits._
     Seq((total, dist, total - dist))
       .toDF("total_rows", "distinct_keys", "duplicate_rows")

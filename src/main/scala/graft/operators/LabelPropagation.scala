@@ -38,7 +38,14 @@ object LabelPropagation {
   def runWithStats(edges: DataFrame, maxIters: Int,
                    earlyExit: Boolean): (DataFrame, Int) = {
     require(maxIters >= 1, "maxIters must be >= 1")
-    var labels = edges.select(col("src").as("node")).distinct()
+    // node set = src ∪ dst (PageRank's convention): seeding from src
+    // alone drops sink-only nodes, and an update step that only kept
+    // nodes WITH in-neighbors would shrink the vector every iteration
+    // on a directed input — nodes silently vanishing from the output
+    // despite the one-row-per-node contract. (On undirected inputs —
+    // both directions present — the two formulations are identical.)
+    var labels = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
     var it = 0
@@ -48,9 +55,14 @@ object LabelPropagation {
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val next = freq.groupBy("node")
+      val adopted = freq.groupBy("node")
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("label"))
+        .select(col("node"), (-col("m.nl")).as("adopted"))
+      // left join: a node with no in-neighbors keeps its current label
+      val next = labels.select(col("node"), col("label").as("prev0"))
+        .join(adopted, Seq("node"), "left_outer")
+        .select(col("node"),
+                coalesce(col("adopted"), col("prev0")).as("label"))
         .localCheckpoint()
       it += 1
       if (earlyExit && it < maxIters) {

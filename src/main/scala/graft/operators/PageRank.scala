@@ -103,6 +103,11 @@ object PageRank {
       .agg(max("o").as("has_out"), max("i").as("has_in"))
       .localCheckpoint()
     val n = nodeTab.count()
+    // fail here, not three lines down: an empty edge set would compute
+    // base = (1-d)/0 = Infinity without complaint and then NPE on the
+    // all-NULL min/min aggregate row — a confusing crash far from the
+    // cause
+    require(n > 0, "PageRank needs a non-empty edge list")
     val nodes = nodeTab.select("node")
     // Join-strategy choice, made ONCE on an exact driver-side statistic
     // (checkpointed rank vectors are LogicalRDDs — AQE never sees their

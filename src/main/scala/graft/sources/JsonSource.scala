@@ -39,9 +39,13 @@ object JsonSource {
           Map("mode" -> "PERMISSIVE",
               "columnNameOfCorruptRecord" -> CorruptCol)).as("__p"))
       // a JSON `null` literal parses to a NULL struct (no corrupt col
-      // to carry the line) — classify it as corrupt with the raw line
-      .select(schema.fieldNames.toSeq.map(f => col(s"__p.$f")) :+
-        coalesce(col(s"__p.$CorruptCol"),
+      // to carry the line) — classify it as corrupt with the raw line.
+      // getField, not a parsed "__p.name" path string: a field name
+      // containing a dot (legal in JSON keys, supported by Casting.ref
+      // elsewhere) would otherwise resolve as a deeper nested path
+      .select(schema.fieldNames.toSeq
+          .map(f => col("__p").getField(f).as(f)) :+
+        coalesce(col("__p").getField(CorruptCol),
                  when(col("__p").isNull, col("value"))).as(CorruptCol): _*)
 
   /** (valid-without-corrupt-col, corrupt-lines) split. */

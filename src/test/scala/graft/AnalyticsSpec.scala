@@ -159,4 +159,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Set(labs(10L), labs(11L), labs(12L)).size == 1)
     assert(labs(1L) != labs(10L))
   }
+
+  test("label propagation on a DIRECTED input keeps every node, every iteration") {
+    import graft.operators.LabelPropagation
+    // the old src-only seed + inner-join update shrank the node set
+    // each iteration on directed chains: {(1,2),(2,3)} lost nodes 2
+    // and 3 after one round, and a single edge returned an EMPTY frame
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = LabelPropagation.run(chain, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out)
+    // a node adopts labels from its OUT-neighbors (the join keys on
+    // dst), so labels flow backward along edges: the chain converges
+    // to the sink's label, and the sink (no out-neighbors) keeps its
+    // own — it used to VANISH from the output instead
+    assert(out(3L) == 3L)
+    assert(out(1L) == 3L && out(2L) == 3L, out)
+    val single = LabelPropagation.run(Seq((5L, 6L)).toDF("src", "dst"),
+      iters = 1).as[(Long, Long)].collect().toMap
+    assert(single == Map(5L -> 6L, 6L -> 6L), single)
+  }
+
+  test("degenerate analytics inputs fail loud, not confusing") {
+    import graft.operators.{Allocation, PageRank}
+    // all-NULL weights: sum is NULL, `NULL <= 0` is NULL — the guard
+    // must fire anyway, never silently allocate null to every row
+    val nullW = Seq(("a", Option.empty[Double]), ("b", Option.empty[Double]))
+      .toDF("k", "w")
+    val ex = intercept[Exception] {
+      Allocation.largestRemainder(nullW, "k", "w", 100L).collect()
+    }
+    assert(ex.getMessage.contains("must be > 0") ||
+           Option(ex.getCause).exists(_.getMessage.contains("must be > 0")),
+      ex.getMessage)
+    // empty edges: clear precondition, not Infinity-then-NPE
+    val ex2 = intercept[IllegalArgumentException] {
+      PageRank.run(Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 1)
+    }
+    assert(ex2.getMessage.contains("non-empty"))
+  }
 }

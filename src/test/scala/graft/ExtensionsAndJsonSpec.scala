@@ -101,4 +101,23 @@ class ExtensionsAndJsonSpec extends AnyFunSuite {
       .as[(Long, Option[Long])].collect().toSet
     assert(parsed == Set((1L, Some(42L)), (2L, None)))
   }
+
+  test("json source: field names containing dots resolve as literals, not paths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("jsondot")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "d.jsonl"),
+      """{"user.id": 7, "v": "a"}""".getBytes)
+    val schema = StructType(Seq(
+      StructField("user.id", LongType), StructField("v", StringType)))
+    // a parsed "__p.user.id" path string would look for a nested
+    // `user` struct and throw; getField treats the name as a literal
+    val (valid, corrupt) = JsonSource.split(
+      JsonSource.read(spark, s"$dir/d.jsonl", schema))
+    assert(corrupt.count() == 0)
+    val row = valid.select(col("`user.id`"), col("v"))
+      .as[(Long, String)].collect().toSeq
+    assert(row == Seq((7L, "a")))
+  }
 }
