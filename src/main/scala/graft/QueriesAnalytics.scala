@@ -847,7 +847,9 @@ object QueriesAnalytics {
         |    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
         |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
         |    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy
-        | FROM lineitem GROUP BY 1
+        | FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        | GROUP BY 1
         |), d AS (
         | SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
         |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
@@ -856,12 +858,14 @@ object QueriesAnalytics {
         | FROM s
         |)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        | floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
-        |   / 1000000 AS slope,
-        | floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+        | floor((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+        |   * 1000000 + 0.5) / 1000000 AS slope,
+        | floor(((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
+        |   * sx) / n)
         |   / 100.0 * 1000000 + 0.5) / 1000000 AS intercept,
         | floor((n * sxy - sx * sy)
-        |   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |   / (sqrt(NULLIF(n * sxx - sx * sx, 0))
+        |      * sqrt(NULLIF(n * syy - sy * sy, 0)))
         |   * 1000000 + 0.5) / 1000000 AS corr_xy
         |FROM d""".stripMargin),
 

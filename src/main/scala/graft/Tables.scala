@@ -24,6 +24,14 @@ object Tables {
       // epochs overflow double precision). Micros: isAdjustedToUTC
       // false reads as TIMESTAMP_NTZ; session TZ is pinned UTC, so the
       // cast to TimestampType is instant-preserving.
+      // KNOWN SIDE EFFECT: nanosAsLong is a session-wide SQLConf (no
+      // per-read option exists) — after this call, OTHER parquet reads
+      // in the session also map TIMESTAMP(NANOS) columns to LongType
+      // instead of failing. Every repo entry point (Verify/Bench/
+      // Profile/TestSpark) already sets it at session build, so this
+      // is belt-and-braces for ad-hoc sessions; library callers who
+      // need strict nanos handling should set the conf themselves and
+      // not rely on load-order.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions.{col, expr}

@@ -70,6 +70,10 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    // in-memory stream cache: ImageIO's default file-backed cache
+    // creates+deletes a temp file on executor disk PER IMAGE — pure
+    // per-row I/O in the hot path, identical output without it
+    javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -121,6 +125,7 @@ object Multimodal {
                        Some(reason), Some(checksum))
         }
         try {
+          javax.imageio.ImageIO.setUseCache(false) // see syntheticPng
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))
           if (img == null) fallback("not_decodable")
@@ -161,6 +166,11 @@ object Multimodal {
     * (payloads shorter than one frame yield a single short frame). */
   def frameSampleStub(assets: DataFrame, everyNth: Int = 2,
                       frameBytes: Int = 256): Dataset[Frame] = {
+    // fail at the call: everyNth=0 would throw Range's "step cannot
+    // be 0" executor-side, and a NEGATIVE step would silently emit no
+    // frames for any asset
+    require(everyNth > 0, s"everyNth must be > 0, got $everyNth")
+    require(frameBytes > 0, s"frameBytes must be > 0, got $frameBytes")
     import assets.sparkSession.implicits._
     assets.select("asset_id", "payload").as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
@@ -179,6 +189,7 @@ object Multimodal {
     * (a real implementation calls libvips/ImageIO here) and rewrites
     * the metadata struct for the new byte length. */
   def resizeStub(assets: DataFrame, factor: Int = 4): DataFrame = {
+    require(factor > 0, s"factor must be > 0, got $factor") // /0 otherwise
     import assets.sparkSession.implicits._
     assets.select("asset_id", "payload", "meta.kind", "meta.source")
       .as[(Long, Array[Byte], String, String)]

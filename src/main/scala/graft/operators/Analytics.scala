@@ -74,9 +74,13 @@ object Analytics {
     dev.join(broadcast(mad), groupCol)
       .filter(col("__dev") > col("mad") * k)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_outliers"),
+      // med/mad are constant within a group and every surviving row
+      // carries them — first() is deterministic here, and it replaces
+      // two post-aggregation joins that re-embedded (and re-executed)
+      // the exact-percentile subtrees
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+           count(lit(1)).as("n_outliers"),
            rnd2(max(col("__dev"))).as("max_abs_dev"))
-      .join(med, groupCol).join(mad, groupCol)
       .select(col(groupCol), col("med"), col("mad"),
               col("n_outliers"), col("max_abs_dev"))
   }
@@ -95,13 +99,21 @@ object Analytics {
   def linregBy(df: DataFrame, groupCol: String, xCol: String, yCol: String,
                d: Int): DataFrame = {
     val scale = math.pow(10, d)
-    val x = units(col(xCol), d).cast("long")
-    val y = units(col(yCol), d).cast("long")
+    // regression statistics are defined over COMPLETE (x, y) pairs: a
+    // row with only one side present must drop from ALL six statistics
+    // together — counting it in n while the sums null-skip it would
+    // make the statistics describe different row sets (silently wrong
+    // slope on any input with nulls; the oracle twin filters the same
+    // way)
+    val bothPresent = col(xCol).isNotNull && col(yCol).isNotNull
+    val x = when(bothPresent, units(col(xCol), d).cast("long"))
+    val y = when(bothPresent, units(col(yCol), d).cast("long"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // cast BEFORE multiplying: a long×long product wraps first
     val (xd, yd) = (x.cast(dec), y.cast(dec))
     val stats = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(xd).as("sx"), sum(yd).as("sy"),
+      .agg(count(when(bothPresent, lit(1))).as("n"),
+           sum(xd).as("sx"), sum(yd).as("sy"),
            sum(xd * xd).as("sxx"), sum(xd * yd).as("sxy"),
            sum(yd * yd).as("syy"))
     val (n, sx, sy, sxx, sxy, syy) =
@@ -109,8 +121,11 @@ object Analytics {
        col("sy").cast("double"), col("sxx").cast("double"),
        col("sxy").cast("double"), col("syy").cast("double"))
     val covN  = n * sxy - sx * sy
-    val varXN = n * sxx - sx * sx
-    val varYN = n * syy - sy * sy
+    // zero variance (single row, all-equal x) → NULL, explicitly and
+    // identically in both twins: bare division-by-zero diverges across
+    // engines (Spark NULL under ANSI-off, DuckDB Inf/NaN)
+    val varXN = nullif(n * sxx - sx * sx, lit(0.0))
+    val varYN = nullif(n * syy - sy * sy, lit(0.0))
     // unit scaling cancels in slope/corr; intercept needs one rescale
     stats.select(col(groupCol), col("n"),
       rnd6(covN / varXN).as("slope"),

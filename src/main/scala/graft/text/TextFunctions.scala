@@ -18,6 +18,13 @@ object TextFunctions {
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Whitespace tokens. (SQL: regexp_split_to_array(trim(x), '\s+')) */
+  /** TWIN CONVENTION (shared with every DuckDB oracle that models
+    * this): split of an EMPTY/whitespace-only string yields [""] —
+    * one phantom empty token — exactly like the SQL twins'
+    * string_split. Changing this to an empty array would require the
+    * same guard in every oracle twin at once or blank documents would
+    * hash-mismatch; current fixtures contain none, so the convention
+    * is latent but must move in lockstep. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
   /** Distinct word set — the unit for set-similarity dedup. */
@@ -36,7 +43,12 @@ object TextFunctions {
 
   /** BPE-ish token count: letter runs, single digits, single symbols —
     * a cheap deterministic proxy for subword tokenizers.
-    * (SQL: len(regexp_extract_all(x, pattern))) */
+    * (SQL: len(regexp_extract_all(x, pattern)))
+    * TWIN CONVENTION: the pattern is lowercase-only and is applied to
+    * RAW text identically in both engines — an uppercase letter counts
+    * as a symbol token on BOTH sides (consistent, though it fragments
+    * mixed-case words). Widening to [a-zA-Z]+ or lowercasing must
+    * change the oracle SQL in the same commit. */
   val BpeTokenPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeTokenPattern)).cast("long")
