@@ -96,8 +96,41 @@ object Bench {
     }
     val second = secondDir.map(d => toJson(measure(d, 2), d))
     val mainJson = toJson(results, sfDir)
-    val full = second.fold(mainJson)(s =>
-      mainJson.dropRight(1) + s""","second_scale":$s}""")
+    // Provenance keys (judge r8 ask #4): cross-round per-query diffs used
+    // to require git archaeology because BENCH_FULL.json is overwritten in
+    // place. `git_head` + `fixture_gen` (a listing hash of the benched dir:
+    // name×length×mtime, same recipe as the summary cache tag) pin WHICH
+    // code ran on WHICH fixture generation; the file also lands beside the
+    // previous rounds' as BENCH_FULL_<head>.json so drift attribution is a
+    // plain file diff.
+    val gitHead: String = {
+      try {
+        val head = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(".git", "HEAD")),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val sha =
+          if (head.startsWith("ref: ")) {
+            val refPath = java.nio.file.Paths.get(".git", head.drop(5))
+            if (java.nio.file.Files.exists(refPath))
+              new String(java.nio.file.Files.readAllBytes(refPath),
+                java.nio.charset.StandardCharsets.UTF_8).trim
+            else ""
+          } else head
+        if (sha.length >= 8) sha.take(8) else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    }
+    val fixtureGen: String = {
+      val files = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|")
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(files).toLong & 0xffffffffL)
+    }
+    val provenance =
+      s""","git_head":"$gitHead","fixture_gen":"$fixtureGen""""
+    val full = second.fold(mainJson.dropRight(1) + provenance + "}")(s =>
+      mainJson.dropRight(1) + provenance + s""","second_scale":$s}""")
     // The driver retains only the LAST ~2000 chars of stdout; a single
     // line with every per-query timing gets its FRONT truncated there
     // and can never re-parse. So: full line first (humans, logs), full
@@ -107,6 +140,10 @@ object Bench {
     println(full)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // durable per-commit copy (not overwritten by later rounds)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_FULL_$gitHead.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"failed":$failed,"queries_in":"BENCH_FULL.json","sf":"$sfDir"}""")

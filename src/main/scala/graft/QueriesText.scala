@@ -61,6 +61,50 @@ object QueriesText {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val wsSql   = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
 
+  /** DuckDB twin of the FULL Md5Hash-mode MinHashLSH.nearDuplicates
+    * pipeline (dictionary → k-plane signature → band buckets →
+    * source-blocked bucket join → exact Jaccard ≥ threshold): every
+    * hash is the first 60 bits of md5, exactly as
+    * [[graft.text.MinHashLSH.md5Long]] computes it, so the twin
+    * replays the banding itself — which pairs LSH surfaces is part of
+    * the checked contract, not a recall gamble. `from` supplies the
+    * doc relation (doc_id, source, + whatever `tokensExpr` reads). */
+  private def minhashNeardupSql(from: String, tokensExpr: String,
+                                bands: Int, rowsPerBand: Int,
+                                threshold: String): String = {
+    val k = bands * rowsPerBand
+    val r = rowsPerBand
+    s"""WITH d AS (
+      | SELECT doc_id, source,
+      |  list_sort(list_transform($tokensExpr,
+      |    t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT))) AS toks
+      | FROM $from
+      |), sig AS (
+      | SELECT doc_id, source, toks,
+      |  [list_min(list_transform(toks, h -> CAST('0x'||substr(md5(
+      |     CAST(i AS VARCHAR)||':'||CAST(h AS VARCHAR)),1,15) AS BIGINT)))
+      |   FOR i IN range($k)] AS sig
+      | FROM d
+      |), bnd AS (
+      | SELECT doc_id, source, b,
+      |  CAST('0x'||substr(md5(CAST(b AS VARCHAR)||':'||
+      |    list_aggregate(list_transform(sig[(b*$r+1):(b*$r+$r)],
+      |      v->CAST(v AS VARCHAR)), 'string_agg', ':')),1,15) AS BIGINT) AS bucket
+      | FROM sig, unnest(range($bands)) t(b)
+      |), cand AS (
+      | SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      | FROM bnd a JOIN bnd c ON a.source=c.source AND a.b=c.b
+      |   AND a.bucket=c.bucket AND a.doc_id < c.doc_id
+      |), j AS (
+      | SELECT id_a, id_b,
+      |  CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+      |   / (len(x.toks)+len(y.toks)-len(list_intersect(x.toks,y.toks))) AS jac
+      | FROM cand JOIN d x ON x.doc_id=id_a JOIN d y ON y.doc_id=id_b
+      |)
+      |SELECT id_a, id_b, floor(jac*10000+0.5)/10000 AS jaccard
+      |FROM j WHERE jac >= $threshold""".stripMargin
+  }
+
   /** locate() with a COLUMN needle (the functions-API overloads only
     * take literal needles): position of `needle` in the constant
     * `hay`, 1-based, 0 if absent — matches DuckDB strpos(hay, c). */
@@ -1009,12 +1053,23 @@ object QueriesText {
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         | FROM documents) WHERE rk <= 25""".stripMargin),
 
+    // END-TO-END near-dup under a hash-matched oracle (r9): the
+    // pipeline runs in Md5Hash mode — token dictionary, per-plane
+    // minhash, and band buckets all derive from md5, so DuckDB replays
+    // the ENTIRE path including which pairs the banding surfaces
+    // (LSH recall < 1 stops mattering: both engines miss the same
+    // pairs). The xxhash64 production mode stays the library default,
+    // pinned by MinHashLSHSpec recall/equivalence tests and the
+    // q_minhash_replay mechanism twin.
     "q_minhash_neardup" -> q(
       c => MinHashLSH
         .nearDuplicates(docWords(c), "doc_id", "ws",
                         k = 64, bands = 8, threshold = 0.9,
-                        blockCol = Some("source"))
-        .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))),
+                        blockCol = Some("source"),
+                        mode = MinHashLSH.Md5Hash)
+        .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard")),
+      minhashNeardupSql("documents", wsSql, bands = 8, rowsPerBand = 8,
+                        threshold = "0.9")),
 
     // MinHash mechanism replay, ORACLE-checked: the production
     // signature (q_minhash_neardup) uses xxhash64, which no SQL oracle
@@ -1038,6 +1093,13 @@ object QueriesText {
         | list_min(list_transform(ws, w -> md5('3:' || w))) AS mh3
         |FROM d""".stripMargin),
 
+    // END-TO-END SimHash near-dup, oracle-checked (r9): the token hash
+    // was md5-derived all along (SimHash.tokenHash = first 48 bits of
+    // md5), so the whole path — per-(doc,token) counts, 48 bit-votes,
+    // strict sign packing, source-blocked pairing, hamming ≤ 8 — is
+    // replayable in DuckDB. Spark runs the segment-LSH pair search
+    // (proven equal to the quadratic form by SimHashSpec); the oracle
+    // runs the quadratic form directly.
     "q_simhash_neardup" -> q(
       c => {
         val sigs = SimHash.simhash(
@@ -1046,7 +1108,31 @@ object QueriesText {
           "doc_id", "w")
           .join(c.documents.select("doc_id", "source"), "doc_id")
         SimHash.nearDuplicates(sigs, "doc_id", "source", maxHamming = 8)
-      }),
+      },
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        | FROM documents
+        |), cnt AS (
+        | SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2
+        |), h AS (
+        | SELECT doc_id, cnt,
+        |  CAST('0x'||substr(md5(tok),1,12) AS BIGINT) AS h FROM cnt
+        |), votes AS (
+        | SELECT doc_id, b,
+        |  sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+        | FROM h, unnest(range(48)) t(b) GROUP BY 1, 2
+        |), sig AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+        | FROM votes GROUP BY 1
+        |), sb AS (
+        | SELECT s.doc_id, s.sh, d.source FROM sig s
+        | JOIN documents d ON d.doc_id = s.doc_id
+        |)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        | CAST(bit_count(xor(a.sh, c.sh)) AS BIGINT) AS hamming
+        |FROM sb a JOIN sb c ON a.source = c.source AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.sh, c.sh)) <= 8""".stripMargin),
 
     // The SimHash MECHANISM under a hash-matched oracle (the
     // q_minhash_replay convention): per-bit ±1 votes derive from one
@@ -1706,7 +1792,9 @@ object QueriesText {
     // SENSITIVE, so reordered rewrites that bag-of-words Jaccard calls
     // near-dups correctly do NOT match here (exhaustive ground truth on
     // this corpus: exactly one pair ≥ 0.5, J = 0.97 — verified in
-    // DuckDB). LSH recall < 1 ⟹ not oracle-able; rows-only.
+    // DuckDB). r9: Md5Hash mode + a full-pipeline twin makes this
+    // oracle-checked end to end — the twin replays the banding, so
+    // recall < 1 no longer blocks the hash match.
     "q_minhash_shingles" -> q(
       c => {
         // materialize the words array behind a project boundary before
@@ -1721,9 +1809,20 @@ object QueriesText {
         // dups are order-shuffled (shingle-J ≈ 0), so loose banding
         // would drown the join in candidates that all verify to 0
         MinHashLSH.nearDuplicates(sh, "doc_id", "sh",
-            k = 64, bands = 8, threshold = 0.8, blockCol = Some("source"))
+            k = 64, bands = 8, threshold = 0.8, blockCol = Some("source"),
+            mode = MinHashLSH.Md5Hash)
           .select(col("id_a"), col("id_b"), rnd4(col("jaccard")).as("jaccard"))
-      }),
+      },
+      minhashNeardupSql(
+        from = """(SELECT doc_id, source,
+                  | regexp_split_to_array(trim(text), '\s+') AS w
+                  |FROM documents)""".stripMargin,
+        tokensExpr = """list_distinct(
+                       | CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                       |  ELSE [w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                       |        FOR i IN range(0, len(w) - 2)]
+                       | END)""".stripMargin,
+        bands = 8, rowsPerBand = 8, threshold = "0.8")),
 
     // The shingle-MinHash MECHANISM under a hash-matched oracle:
     // q_minhash_replay proved word-SET minhash replays in DuckDB; this

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection (beyond-reference;
@@ -21,13 +21,50 @@ import org.apache.spark.sql.functions._
   * by salting the bucket key; not needed at test scale.
   */
 object MinHashLSH {
+
+  /** Which hash family drives the token dictionary, the per-plane
+    * minhash, and the band buckets. The PIPELINE (dictionary-encode →
+    * signature → band → bucket-join → exact-Jaccard verify) is
+    * identical in both modes — only the hash expressions differ.
+    *
+    *  - [[XxHash]]: production. xxhash64 token dictionary + the
+    *    single-pass mixing aggregate ([[graft.functions.MinHashSignature]])
+    *    + xxhash64 band buckets. Fastest (one codegen'd aggregate), but
+    *    xxhash64 internals are not reproducible in SQL engines, so
+    *    results can only be pinned by recall/golden tests.
+    *  - [[Md5Hash]]: oracle. Every hash is the first 60 bits of an md5
+    *    hex digest — portable to ANY engine with md5 (DuckDB, Trino),
+    *    so the END-TO-END near-dup output (including which pairs the
+    *    banding surfaces — LSH recall < 1 stops mattering because the
+    *    oracle replays the SAME bands) hash-matches cross-engine.
+    *    ~3× more hash work per plane; use for verification surfaces,
+    *    not the 100 TB path.
+    */
+  sealed trait HashMode
+  case object XxHash extends HashMode
+  case object Md5Hash extends HashMode
+
+  /** First 60 bits of md5 as a positive long (15 hex chars) — the
+    * md5-mode hash primitive. DuckDB twin:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Dictionary-encode a distinct token array into a sorted long array
+    * (the form [[graft.functions.NativeFunctions.sortedJaccard]]
+    * consumes), under either hash family. */
+  def hashedTokenSet(tokens: Column, mode: HashMode): Column = mode match {
+    case XxHash  => graft.functions.NativeFunctions.hashedTokenSet(tokens)
+    case Md5Hash => array_sort(transform(tokens, t => md5Long(t)))
+  }
+
   /** (docId, tokens) → one row per doc with `sig` array of k minhashes.
     * Deterministic: hash function i chains xxhash64(i) into the token
     * hash, so results are stable across runs/partitionings. Uses the
     * single-pass [[graft.functions.MinHashSignature]] aggregate (one
     * Array[Long] buffer per group, map-side combinable). */
   def signatures(docs: DataFrame, idCol: String, tokensCol: String,
-                 k: Int): DataFrame = {
+                 k: Int, mode: HashMode = XxHash): DataFrame = {
     graft.functions.MinHashSignature.register(docs.sparkSession)
     // explode_outer + attribute filter, NOT plain explode: for explode,
     // InferFiltersFromGenerate adds Filter(size(tokens) > 0) and
@@ -37,10 +74,23 @@ object MinHashLSH {
     // underlying regex split per element_at, turning a 0.3s scan into
     // ~9s. explode_outer generates no such filter; the null-token
     // filter on the GENERATED attribute is unpushable and free.
-    docs.select(col(idCol), explode_outer(col(tokensCol)).as("tok"))
+    val tok = docs.select(col(idCol), explode_outer(col(tokensCol)).as("tok"))
       .filter(col("tok").isNotNull)
-      .groupBy(col(idCol))
-      .agg(graft.functions.MinHashSignature.sig(col("tok"), k).as("sig"))
+    mode match {
+      case XxHash =>
+        tok.groupBy(col(idCol))
+          .agg(graft.functions.MinHashSignature.sig(col("tok"), k).as("sig"))
+      case Md5Hash =>
+        // plane i = min over tokens of md5("i:" + token-long-as-decimal).
+        // k plain min() aggregates instead of the mixing aggregate —
+        // still one shuffle on the doc id with map-side combine; the
+        // per-plane md5 is the price of SQL replayability.
+        val mins = (0 until k).map(i =>
+          min(md5Long(concat(lit(s"$i:"), col("tok").cast("string")))).as(s"h$i"))
+        tok.groupBy(col(idCol))
+          .agg(mins.head, mins.tail: _*)
+          .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    }
   }
 
   /** Reference formulation with k separate min() aggregates — kept to
@@ -62,11 +112,12 @@ object MinHashLSH {
     * escape hatch at 100 TB. */
   def candidatePairs(sigs: DataFrame, idCol: String,
                      bands: Int, rowsPerBand: Int,
-                     blockCol: Option[String] = None): DataFrame = {
+                     blockCol: Option[String] = None,
+                     mode: HashMode = XxHash): DataFrame = {
     val keyCols = Seq("band", "bucket") ++ blockCol
-    val a = banded(sigs, idCol, bands, rowsPerBand, blockCol)
+    val a = banded(sigs, idCol, bands, rowsPerBand, blockCol, mode)
       .withColumnRenamed(idCol, "id_a")
-    val b = banded(sigs, idCol, bands, rowsPerBand, blockCol)
+    val b = banded(sigs, idCol, bands, rowsPerBand, blockCol, mode)
       .withColumnRenamed(idCol, "id_b")
     a.join(b, keyCols)
       .filter(col("id_a") < col("id_b"))
@@ -78,16 +129,25 @@ object MinHashLSH {
     * degenerates to the full O(n²) cross product, silently: guarded
     * here, the one place every pair path goes through. */
   private def banded(sigs: DataFrame, idCol: String, bands: Int,
-                     rowsPerBand: Int, blockCol: Option[String]): DataFrame = {
+                     rowsPerBand: Int, blockCol: Option[String],
+                     mode: HashMode = XxHash): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1,
       s"bands ($bands) and rowsPerBand ($rowsPerBand) must be >= 1 — " +
       "bands must divide the signature length k, with bands <= k")
+    def bucket(b: Int): Column = {
+      val elems = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
+      mode match {
+        case XxHash  => xxhash64((lit(b) +: elems): _*)
+        // md5 of "b:v1:...:vr" (decimal longs) — concat_ws twin in SQL
+        case Md5Hash => md5Long(concat_ws(":",
+          (lit(b.toString) +: elems.map(_.cast("string"))): _*))
+      }
+    }
     sigs.select(
       (col(idCol) +: blockCol.map(col).toSeq) :+
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1))): _*)
-      }: _*)).as(Seq("band", "bucket")): _*)
+      posexplode(array((0 until bands).map(bucket): _*))
+        .as(Seq("band", "bucket")): _*)
   }
 
   /** Candidate pairs ACROSS two signature sets (id_a from `left`,
@@ -121,7 +181,8 @@ object MinHashLSH {
     * tokenization pass feeds the whole pipeline. */
   def nearDuplicates(docs: DataFrame, idCol: String, tokensCol: String,
                      k: Int, bands: Int, threshold: Double,
-                     blockCol: Option[String] = None): DataFrame = {
+                     blockCol: Option[String] = None,
+                     mode: HashMode = XxHash): DataFrame = {
     require(k % bands == 0 && bands <= k,
       s"bands ($bands) must divide the signature length k ($k): trailing " +
       "planes would silently be ignored (or every bucket degenerate)")
@@ -133,13 +194,13 @@ object MinHashLSH {
     // PrefixJoin.joinAll; RDD-level storage, GC-reclaimed.
     val hashed = docs.select(
       (col(idCol) +: blockCol.map(col).toSeq) :+
-        graft.functions.NativeFunctions.hashedTokenSet(col(tokensCol)).as("toks"): _*)
+        hashedTokenSet(col(tokensCol), mode).as("toks"): _*)
       .localCheckpoint()
-    val sigs0 = signatures(hashed, idCol, "toks", k)
+    val sigs0 = signatures(hashed, idCol, "toks", k, mode)
     val sigs = blockCol
       .map(bc => sigs0.join(hashed.select(col(idCol), col(bc)), Seq(idCol)))
       .getOrElse(sigs0)
-    val cand = candidatePairs(sigs, idCol, bands, k / bands, blockCol)
+    val cand = candidatePairs(sigs, idCol, bands, k / bands, blockCol, mode)
     val sets = hashed.select(col(idCol), col("toks"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
