@@ -661,6 +661,88 @@ object QueriesText {
         |      THEN 1 ELSE 0 END AS BIGINT) AS is_merge
         |FROM pairs""".stripMargin),
 
+    // TWO chained BPE training steps (r8 verdict ask #6): step 1 picks
+    // the winning char pair; step 2 must count pairs over the MERGED
+    // symbol sequences — the iteration-to-iteration handoff where
+    // state-threading bugs live. Applying a first-round (char,char)
+    // merge left-to-right non-overlapping is exactly string replace()
+    // semantics in both engines, with a \u0001 sentinel standing in
+    // for the fused symbol (corpus is alnum — no collision); step-2
+    // pair identities re-expand the sentinel, and the argmax uses the
+    // production (freq desc, LEFT asc, RIGHT asc) tuple order — which
+    // differs from concat order once symbols are multi-char. BpeSpec
+    // pins this query's two winners against Bpe.trainOnDict on the
+    // same corpus, tying the replay to the production trainer.
+    "q_bpe_step2_replay" -> q(
+      c => {
+        val S = "\u0001"
+        val wf = c.documents
+          .select(explode(TF.words(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .localCheckpoint() // feeds step-1 pairs AND step-2 re-count
+        val pairs1 = wf.filter(length(col("w")) >= 2)
+          .select(col("freq"),
+                  explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+                  col("w"))
+          .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").as("pair_freq"))
+        // single-char symbols: (l,r) tuple order == 2-char concat order
+        val m1 = pairs1.orderBy(col("pair_freq").desc, col("pair")).limit(1)
+          .select(col("pair").as("m1"))
+        val w2 = wf.crossJoin(broadcast(m1))
+          .select(replace(col("w"), col("m1"), lit(S)).as("w2"),
+                  col("freq"), col("m1"))
+        def sym(ch: Column) = when(ch === S, col("m1")).otherwise(ch)
+        val pairs2 = w2.filter(length(col("w2")) >= 2)
+          .select(col("freq"), col("m1"),
+                  explode(sequence(lit(1), length(col("w2")) - 1)).as("i"),
+                  col("w2"))
+          .select(sym(col("w2").substr(col("i"), lit(1))).as("left_sym"),
+                  sym(col("w2").substr(col("i") + 1, lit(1))).as("right_sym"),
+                  col("freq"))
+          .groupBy("left_sym", "right_sym").agg(sum("freq").as("pair_freq"))
+        val byFreq = Window.orderBy(col("pair_freq").desc,
+                                    col("left_sym"), col("right_sym"))
+        pairs2.select(col("left_sym"), col("right_sym"), col("pair_freq"),
+                      when(row_number().over(byFreq) === 1, 1L).otherwise(0L)
+                        .as("is_merge"))
+      },
+      """WITH wf AS (
+        | SELECT w, count(*) AS freq
+        | FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |       FROM documents)
+        | WHERE w <> '' GROUP BY 1
+        |), p1 AS (
+        | SELECT substr(w, CAST(i AS INT), 2) AS pair,
+        |        CAST(sum(freq) AS BIGINT) AS pair_freq
+        | FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+        |       FROM wf WHERE length(w) >= 2)
+        | GROUP BY 1
+        |), m1 AS (
+        | SELECT pair AS m1 FROM p1 ORDER BY pair_freq DESC, pair LIMIT 1
+        |), w2 AS (
+        | SELECT replace(w, (SELECT m1 FROM m1), chr(1)) AS w2, freq,
+        |        (SELECT m1 FROM m1) AS m1
+        | FROM wf
+        |), pos AS (
+        | SELECT w2, freq, m1, unnest(range(1, length(w2))) AS i
+        | FROM w2 WHERE length(w2) >= 2
+        |), p2 AS (
+        | SELECT
+        |  CASE WHEN substr(w2, CAST(i AS INT), 1) = chr(1) THEN m1
+        |       ELSE substr(w2, CAST(i AS INT), 1) END AS left_sym,
+        |  CASE WHEN substr(w2, CAST(i AS INT) + 1, 1) = chr(1) THEN m1
+        |       ELSE substr(w2, CAST(i AS INT) + 1, 1) END AS right_sym,
+        |  CAST(sum(freq) AS BIGINT) AS pair_freq
+        | FROM pos GROUP BY 1, 2
+        |)
+        |SELECT left_sym, right_sym, pair_freq,
+        | CAST(CASE WHEN row_number() OVER
+        |   (ORDER BY pair_freq DESC, left_sym, right_sym) = 1
+        |  THEN 1 ELSE 0 END AS BIGINT) AS is_merge
+        |FROM p2""".stripMargin),
+
     // document segmentation: sentence boundaries on [.!?]+ runs —
     // the pre-tokenization step of a text pipeline
     "q_sentence_stats" -> q(
@@ -1575,6 +1657,78 @@ object QueriesText {
         | CAST(sum(s.v[CAST(g.i AS INT) + 1] * s.dot) AS BIGINT) AS w
         |FROM s, (SELECT unnest(range(0, 64)) AS i) g
         |GROUP BY 1""".stripMargin),
+
+    // TWO chained power-iteration steps (r8 verdict ask #6): the
+    // depth-1 replay pins one moment-product; state-threading bugs
+    // live in the HANDOFF — normalize the step-1 vector, feed it back,
+    // multiply again. The inter-step normalization is the production
+    // shape (scale to unit-ish magnitude) made exactly replayable:
+    // v1[d] = floor((w1[d]/max|w1|)·10⁴ + 0.5) — one IEEE divide, one
+    // multiply, one floor, bit-identical in any IEEE engine — then
+    // step 2 is again exact integer arithmetic (|w2| ≤ n·10⁴·64·10⁸ <
+    // 2⁶³ at any test sf). Both steps and the handoff hash-match.
+    "q_power_iter2_replay" -> q(
+      c => {
+        val iv = c.embeddings.select(col("vec_id"),
+          transform(col("embedding"),
+            e => floor(e.cast("double") * 10000 + 0.5).cast("long")).as("v"))
+          .localCheckpoint() // two moment passes read it
+        val dotted = iv.withColumn("dot",
+          aggregate(col("v"), lit(0L), (a, x) => a + x))
+        val w1 = dotted.select(col("dot"), posexplode(col("v")))
+          .groupBy(col("pos").cast("long").as("dim_idx"))
+          .agg(sum(col("col") * col("dot")).as("w1"))
+        // normalize: one 64-row frame; the max broadcasts
+        val mx = w1.agg(max(abs(col("w1"))).as("mx"))
+        val v1 = w1.crossJoin(broadcast(mx))
+          .select(col("dim_idx"), col("w1"),
+            floor((col("w1").cast("double") / col("mx").cast("double"))
+              * 10000 + 0.5).cast("long").as("v1"))
+          .localCheckpoint() // feeds the row-dot join AND the output join
+        // step 2: dot2 = vᵀ·v1 per row (explode + 64-row broadcast
+        // join — v1 is dimension-indexed, not a literal), then the
+        // same per-dimension moment aggregate
+        val dot2 = iv.select(col("vec_id"), posexplode(col("v")))
+          .join(broadcast(v1.select(col("dim_idx"),  col("v1"))),
+                col("pos").cast("long") === col("dim_idx"))
+          .groupBy("vec_id").agg(sum(col("col") * col("v1")).as("dot2"))
+        val w2 = iv.join(dot2, "vec_id")
+          .select(col("dot2"), posexplode(col("v")))
+          .groupBy(col("pos").cast("long").as("dim_idx"))
+          .agg(sum(col("col") * col("dot2")).as("w2"))
+        v1.join(w2, "dim_idx")
+          .select(col("dim_idx"), col("w1"), col("v1"), col("w2"))
+      },
+      """WITH iv AS (
+        | SELECT vec_id,
+        |  [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |   FOR e IN embedding] AS v
+        | FROM embeddings
+        |), s AS (
+        | SELECT vec_id, v, list_sum(v) AS dot FROM iv
+        |), w1 AS (
+        | SELECT g.i AS dim_idx,
+        |  CAST(sum(s.v[CAST(g.i AS INT) + 1] * s.dot) AS BIGINT) AS w1
+        | FROM s, (SELECT unnest(range(0, 64)) AS i) g
+        | GROUP BY 1
+        |), v1 AS (
+        | SELECT dim_idx, w1,
+        |  CAST(floor((CAST(w1 AS DOUBLE) /
+        |    CAST((SELECT max(abs(w1)) FROM w1) AS DOUBLE)) * 10000 + 0.5)
+        |   AS BIGINT) AS v1
+        | FROM w1
+        |), d2 AS (
+        | SELECT iv.vec_id, iv.v,
+        |  CAST(sum(iv.v[CAST(v1.dim_idx AS INT) + 1] * v1.v1) AS BIGINT) AS dot2
+        | FROM iv, v1 GROUP BY 1, 2
+        |), w2 AS (
+        | SELECT g.i AS dim_idx,
+        |  CAST(sum(d2.v[CAST(g.i AS INT) + 1] * d2.dot2) AS BIGINT) AS w2
+        | FROM d2, (SELECT unnest(range(0, 64)) AS i) g
+        | GROUP BY 1
+        |)
+        |SELECT v1.dim_idx, v1.w1, v1.v1, w2.w2
+        |FROM v1 JOIN w2 ON v1.dim_idx = w2.dim_idx""".stripMargin),
 
     // TF-IDF-style keyword extraction (rational idf surrogate
     // tf·N/df — no transcendentals, which differ in the last ulp

@@ -24,16 +24,26 @@ object Tables {
       // epochs overflow double precision). Micros: isAdjustedToUTC
       // false reads as TIMESTAMP_NTZ; session TZ is pinned UTC, so the
       // cast to TimestampType is instant-preserving.
-      // KNOWN SIDE EFFECT: nanosAsLong is a session-wide SQLConf (no
-      // per-read option exists) — after this call, OTHER parquet reads
-      // in the session also map TIMESTAMP(NANOS) columns to LongType
-      // instead of failing. Every repo entry point (Verify/Bench/
-      // Profile/TestSpark) already sets it at session build, so this
-      // is belt-and-braces for ad-hoc sessions; library callers who
-      // need strict nanos handling should set the conf themselves and
-      // not rely on load-order.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // nanosAsLong is a session-wide SQLConf with no per-read option,
+      // and it is consulted again at EXECUTION time (per-file footer
+      // conversion), so a set-and-restore around this call could break
+      // the actual row read later. The library therefore never mutates
+      // it: every repo entry point (Verify/Bench/Profile/TestSpark)
+      // sets it at session BUILD, and an ad-hoc session hitting a
+      // nanos-generation file gets an actionable error instead of a
+      // silent session-wide conf flip (r8 verdict watch item).
+      val df =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        catch {
+          case e: Throwable
+            if Option(e.getMessage).exists(_.contains("NANOS")) =>
+              throw new IllegalStateException(
+                s"$dir/$name.parquet carries TIMESTAMP(NANOS) columns: " +
+                "set spark.sql.legacy.parquet.nanosAsLong=true when " +
+                "BUILDING the SparkSession (as graft.Verify/Bench/" +
+                "Profile do) — Tables.load no longer flips this " +
+                "session-wide conf on the caller's behalf", e)
+        }
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampType}
       df.schema("ts").dataType match {

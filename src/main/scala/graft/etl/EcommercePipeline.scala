@@ -132,15 +132,34 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   }
 
   /** True when `path` is an .xlsx file or a directory containing any
-    * (one driver-side listing — the same listing the file source does). */
+    * (one driver-side listing — the same listing the file source does).
+    *
+    * A MIXED drop (both .xlsx and .csv in one directory) is rejected
+    * loudly: the Excel branch reads via pathGlobFilter *.xlsx, so the
+    * CSVs would be silently skipped — never ingested, never
+    * quarantined, on this and every future run (the freshness
+    * anti-join would keep treating them as unseen but the scan would
+    * never surface them). */
   private def hasXlsx(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && {
       val st = fs.getFileStatus(p)
       if (st.isFile) p.getName.toLowerCase.endsWith(".xlsx")
-      else fs.listStatus(p)
-        .exists(_.getPath.getName.toLowerCase.endsWith(".xlsx"))
+      else {
+        val names = fs.listStatus(p).map(_.getPath.getName.toLowerCase)
+        val xlsx = names.exists(_.endsWith(".xlsx"))
+        if (xlsx) {
+          val csvs = names.filter(_.endsWith(".csv"))
+          require(csvs.isEmpty,
+            s"mixed-format drop at $path: .xlsx files present alongside " +
+            s"CSVs ${csvs.sorted.take(5).mkString(", ")}" +
+            (if (csvs.length > 5) s" (+${csvs.length - 5} more)" else "") +
+            " — the Excel reader would silently skip the CSVs; land the " +
+            "formats in separate directories")
+        }
+        xlsx
+      }
     }
   }
 

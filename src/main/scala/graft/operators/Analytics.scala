@@ -126,8 +126,12 @@ object Analytics {
     // engines (Spark NULL under ANSI-off, DuckDB Inf/NaN)
     val varXN = nullif(n * sxx - sx * sx, lit(0.0))
     val varYN = nullif(n * syy - sy * sy, lit(0.0))
-    // unit scaling cancels in slope/corr; intercept needs one rescale
-    stats.select(col(groupCol), col("n"),
+    // unit scaling cancels in slope/corr; intercept needs one rescale.
+    // n = 0 groups (every row missing x or y) drop entirely: the SQL
+    // twin's WHERE clause removes such groups before aggregation, so an
+    // all-null-stats n=0 row on the Spark side would be a row-count
+    // divergence on null-bearing inputs
+    stats.filter(col("n") > 0).select(col(groupCol), col("n"),
       rnd6(covN / varXN).as("slope"),
       rnd6(((sy - (covN / varXN) * sx) / n) / scale).as("intercept"),
       rnd6(covN / (sqrt(varXN) * sqrt(varYN))).as("corr_xy"))

@@ -427,9 +427,20 @@ object ExcelSource {
             case "t" => capture = false
             case "is" => inIs = false
             case "c" if cells != null =>
-              while (cells.length < cellCol) cells += null
-              cells += cellValue(cellType, text.toString, cellStyle,
-                                 shared, dateKind, date1904)
+              val v = cellValue(cellType, text.toString, cellStyle,
+                                shared, dateKind, date1904)
+              if (cellCol < cells.length) {
+                // out-of-order or duplicate `r` refs (malformed
+                // producers emit both): place the value at its
+                // REFERENCED index — blind append would silently
+                // shift it into the wrong column. A duplicate ref
+                // keeps the last value (spreadsheet overwrite
+                // semantics).
+                cells(cellCol) = v
+              } else {
+                while (cells.length < cellCol) cells += null
+                cells += v
+              }
               text = null
             case "row" =>
               // cell-less <row/> elements (style/height carriers real

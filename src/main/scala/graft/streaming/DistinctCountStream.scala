@@ -32,7 +32,10 @@ import scala.collection.mutable
   */
 object DistinctCountStream {
   final case class In(group: String, item: String)
-  final case class KmvState(hashes: Seq[Long], n: Long)
+  /** `k` records the sketch size the state was built under: 0 in
+    * pre-existing checkpoints (treated as "unknown → trust configured
+    * k" for compatibility). */
+  final case class KmvState(hashes: Seq[Long], n: Long, k: Int = 0)
   final case class Out(group: String, rows_seen: Long, k_used: Int,
                        hk: Long, estimate: Long)
 
@@ -45,23 +48,28 @@ object DistinctCountStream {
 
     def update(group: String, rows: Iterator[In],
                state: GroupState[KmvState]): Iterator[Out] = {
-      val prior = state.getOption.getOrElse(KmvState(Nil, 0L))
-      // a checkpoint written under a LARGER k restores an oversized
-      // set; offer() would never shrink it (the full-set branch only
-      // swaps the max) and the estimate would read the wrong order
-      // statistic forever. Keeping the k smallest IS the k-sized KMV
-      // sketch of the same prefix — downsizing a minimum-values sketch
-      // is lossless — so a k change across restarts degrades nothing.
-      val set = (mutable.TreeSet.empty[Long] ++ prior.hashes).take(k)
+      val prior = state.getOption.getOrElse(KmvState(Nil, 0L, k))
+      // k changes across restarts are one-directional: a checkpoint
+      // written under a LARGER k restores an oversized set, and keeping
+      // the k smallest IS the k-sized KMV sketch of the same prefix —
+      // downsizing a minimum-values sketch is lossless. But a k
+      // INCREASE is NOT: mid-range hashes the old sketch already
+      // discarded are gone, so the set would refill with larger values,
+      // h_k would land too high, and the estimate would be silently
+      // biased (also breaking batch parity). So the effective k is
+      // clamped to min(stored k, configured k) and persisted — once
+      // shrunk, a group's sketch never grows back.
+      val effK = if (prior.k > 0) math.min(prior.k, k) else k
+      val set = (mutable.TreeSet.empty[Long] ++ prior.hashes).take(effK)
       var n = prior.n
       rows.foreach { r =>
         n += 1 // EVERY row counts; only non-null items hash
-        if (r.item != null) { Kmv.offer(set, Kmv.hash32(r.item), k); () }
+        if (r.item != null) { Kmv.offer(set, Kmv.hash32(r.item), effK); () }
       }
-      state.update(KmvState(set.toSeq, n))
+      state.update(KmvState(set.toSeq, n, effK))
       val hk = if (set.isEmpty) 0L else set.max
       Iterator.single(
-        Out(group, n, set.size, hk, Kmv.estimate(set.size, k, hk)))
+        Out(group, n, set.size, hk, Kmv.estimate(set.size, effK, hk)))
     }
 
     typed.groupByKey(_.group)

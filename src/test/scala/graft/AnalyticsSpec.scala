@@ -73,6 +73,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r("dn")._3 == -0.5 && r("dn")._4 == 10.0 && r("dn")._5 == -1.0)
   }
 
+  test("linreg drops groups whose every row misses x or y (oracle WHERE parity)") {
+    // the SQL twin's WHERE clause removes the whole group before
+    // aggregation; an n=0 all-null-stats row on the Spark side would
+    // be a row-count divergence on null-bearing inputs
+    val rows = Seq(("ok", Some(1.0), Some(2.0)), ("ok", Some(2.0), Some(4.0)),
+                   ("gone", None, Some(3.0)), ("gone", Some(1.0), None))
+    val r = Analytics.linregBy(rows.toDF("g", "x", "y"), "g", "x", "y", d = 2)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(!r.contains("gone"), s"n=0 group must drop entirely: $r")
+    assert(r("ok")._2 == 2L && r("ok")._3 == Some(2.0))
+  }
+
   test("mad outliers: fences ignore the outlier they catch") {
     // 99 values at 10.0 +- 0.5, one wild point; median/MAD unmoved by it
     val vals = (1 to 99).map(i => ("a", 10.0 + (i % 2) * 0.5)) :+ (("a", 1e6))

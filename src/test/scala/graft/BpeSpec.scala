@@ -129,4 +129,23 @@ class BpeSpec extends AnyFunSuite {
     assert(chosen.getAs[String]("pair") == first.left + first.right)
     assert(chosen.getAs[Long]("pair_freq") == first.pairFreq)
   }
+
+  test("q_bpe_step2_replay's second winner IS the production trainer's rank-1 merge") {
+    // depth-2 replay: the step-2 argmax runs over MERGED symbol
+    // sequences with the (left, right) tuple tie-break — the
+    // iteration handoff. Must agree with trainOnDict's second merge
+    // on pair identity AND weighted frequency.
+    val dir = "/root/testdata/sf0.001"
+    val docs = Ctx(spark, dir).documents
+    val merges = graft.text.Bpe.train(docs,
+      org.apache.spark.sql.functions.col("text"), numMerges = 2)
+    assert(merges.length == 2)
+    val second = merges(1)
+    val chosen = SparkEntry.queries("q_bpe_step2_replay")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("is_merge") === 1L)
+      .collect().head
+    assert(chosen.getAs[String]("left_sym") == second.left, chosen)
+    assert(chosen.getAs[String]("right_sym") == second.right, chosen)
+    assert(chosen.getAs[Long]("pair_freq") == second.pairFreq, chosen)
+  }
 }

@@ -131,4 +131,42 @@ class DistinctCountStreamSpec extends AnyFunSuite {
     assert(o.k_used == 128 && o.hk == hashes.last &&
            o.estimate == Kmv.estimate(hashes.size, 128, hashes.last), o)
   }
+
+  test("a restart with a LARGER k clamps to the stored k (no silent bias)") {
+    // the inverse direction is NOT lossless: hashes the k=64 sketch
+    // already discarded are gone, so honoring k=256 after restore
+    // would refill the set with too-large values and bias the
+    // estimate. The effective k must clamp to min(stored, configured)
+    // — the final state must be bit-equal to a single k=64 run.
+    val dir = TestSpark.tmpDir("kmvgrow")
+    val landing = s"$dir/landing"; val ckpt = s"$dir/ckpt"
+    val rows1 = (1 to 300).map(i => ("g", s"item$i"))
+    val rows2 = (301 to 500).map(i => ("g", s"item$i"))
+    rows1.toDF("group", "item").write.mode("append").parquet(landing)
+    def runOnce(k: Int): Unit = {
+      val src = spark.readStream
+        .schema("group string, item string").parquet(landing)
+      val q = DistinctCountStream.distinctCounts(src, k)
+        .writeStream
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[DistinctCountStream.Out],
+           _: Long) =>
+            b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(64)
+    rows2.toDF("group", "item").write.mode("append").parquet(landing)
+    runOnce(256)
+    val o = spark.read.parquet(s"$dir/out")
+      .as[DistinctCountStream.Out].collect().maxBy(_.rows_seen)
+    // batch reference at the ORIGINAL k=64 over ALL items
+    val hashes = (rows1 ++ rows2).map(_._2).map(Kmv.hash32)
+      .distinct.sorted.take(64)
+    assert(o.k_used == 64 && o.hk == hashes.last &&
+           o.estimate == Kmv.estimate(hashes.size, 64, hashes.last), o)
+  }
 }

@@ -38,4 +38,22 @@ class DriverContractSpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"duplicate query definitions in source: $dupes")
     assert(defs.toSet == SparkEntry.queries.keySet)
   }
+
+  test("Tables.load mutates no session conf (nanosAsLong stays caller-owned)") {
+    // r8 verdict watch item: load() used to flip the session-wide
+    // nanosAsLong conf as a side effect; library callers inherited it
+    // silently. Contract now: the conf is read-only to the library —
+    // a session that did NOT set it keeps its value across load().
+    val spark = TestSpark.spark
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      assert(spark.conf.get(key) == "false",
+        "Tables.load must not flip session confs")
+    } finally before.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
 }

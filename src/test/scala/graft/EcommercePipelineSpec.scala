@@ -355,6 +355,30 @@ class EcommercePipelineSpec extends AnyFunSuite {
     assert(canon(gold.read) == canon(pipe.goldDailySales()))
   }
 
+  test("a mixed .xlsx/.csv drop directory is rejected loudly, not silently narrowed") {
+    // the Excel branch reads via pathGlobFilter *.xlsx: CSVs sharing
+    // the directory would never be ingested OR quarantined, on this
+    // and every future run — fail at dispatch instead
+    val dir = TestSpark.tmpDir("ecom_mixed")
+    val drop = TestSpark.tmpDir("ecom_mixed_drop")
+    writeCsv(drop, "late_orders.csv",
+      Seq("order_num,order_id,user_id,order_timestamp,total_amount,date",
+          "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01"))
+    val out = new java.io.FileOutputStream(s"$drop/orders.xlsx")
+    try graft.sources.ExcelSource.write(
+      Seq("order_num", "order_id", "user_id", "order_timestamp",
+          "total_amount", "date"),
+      Seq(Seq(2L, 101L, 1L,
+              java.sql.Timestamp.valueOf("2025-04-01 11:00:00"), 30.0,
+              java.sql.Date.valueOf("2025-04-01"))),
+      out) finally out.close()
+    val pipe = new EcommercePipeline(spark, s"$dir/warehouse")
+    val e = intercept[IllegalArgumentException] {
+      pipe.ingestBronze(drop, pipe.bronzeOrders)
+    }
+    assert(e.getMessage.contains("late_orders.csv"), e.getMessage)
+  }
+
   test("bronze ingest dispatches on Excel input (the reference's orders/items format)") {
     // the reference lands orders and order-items as Excel
     // (docs/etl_processes.md:133,189) and products as CSV — same data

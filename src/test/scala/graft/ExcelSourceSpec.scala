@@ -78,6 +78,32 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("k", "v", "w"))
   }
 
+  test("out-of-order and duplicate cell refs land at their referenced column") {
+    // malformed producers emit cells out of `r` order (and duplicated
+    // refs); a blind append would shift values into the wrong columns.
+    // Contract: value goes to its referenced index; a duplicate ref
+    // keeps the LAST value (spreadsheet overwrite semantics).
+    val dir = TestSpark.tmpDir("xlsx_ooo")
+    val f = new java.io.FileOutputStream(s"$dir/o.xlsx")
+    val z = new java.util.zip.ZipOutputStream(f)
+    def part(n: String, b: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(b.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook><sheets><sheet name="S" sheetId="1"/></sheets></workbook>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>
+        |<row r="2"><c r="C2"><v>3</v></c><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>
+        |<row r="3"><c r="A3"><v>9</v></c><c r="A3"><v>10</v></c><c r="B3"><v>20</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.finish(); f.close()
+    val df = ExcelSource.read(spark, dir, inferSchema = false)
+    val rows = df.as[(String, String, String)].collect().toSet
+    assert(rows == Set(("1", "2", "3"), ("10", "20", null)), rows)
+  }
+
   test("1904 date system shifts serials") {
     // serial 0 in the 1904 system = 1904-01-01
     assert(ExcelSource.serialToIso(0.0, withTime = false, date1904 = true)
