@@ -283,6 +283,60 @@ object QueriesAnalytics {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin),
 
+    // HAVING over the served join aggregate: a post-aggregate filter
+    // is a Filter ABOVE the Aggregate node referencing its output
+    // attributes — the rewrite preserves output expression ids, so
+    // the filter applies unchanged to the summary-served aggregate
+    // (a filter over summary OUTPUT is always safe; it is pre-agg
+    // non-grain filters the rule must bail on). Threshold 25.5·n —
+    // the per-brand mean-quantity split — filters a stable fraction
+    // of groups at every scale factor, and both sides are exact in
+    // binary (integral-double sums; 25.5 = 51/2). Plan-asserted in
+    // MaterializedAggSpec's join HAVING case.
+    "q_mv_brand_qty_having" -> q(
+      c => {
+        val summaryDir = mvBrandSummaryDir(c)
+        registerOnce(summaryDir) {
+          if (!new java.io.File(s"$summaryDir/_SUCCESS").exists) {
+            graft.plans.MaterializedAgg.buildJoin(
+                c.lineitem, c.part, "l_partkey", "p_partkey",
+                Seq("p_brand"), Seq("l_quantity"))
+              .write.mode("overwrite").parquet(summaryDir)
+          }
+          graft.plans.MaterializedAgg.attach(c.spark)
+          graft.plans.MaterializedAgg.registerJoin(c.spark,
+            s"${c.dir}/lineitem.parquet", s"${c.dir}/part.parquet",
+            "l_partkey", "p_partkey", summaryDir,
+            Seq("p_brand"), Seq("l_quantity"))
+        }
+        val li = c.lineitem
+        val pt = c.part
+        li.join(pt, li("l_partkey") === pt("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+          .filter(col("sum_qty") > col("n_items") * 25.5)
+      },
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand HAVING sum(l_quantity) > count(*) * 25.5""".stripMargin),
+
+    // the same HAVING aggregate forced onto the fact join (the
+    // pre-agg measure filter pushes it outside the covered fragment)
+    "q_mv_brand_qty_having_direct" -> q(
+      c => {
+        val li = c.lineitem
+        val pt = c.part
+        li.join(pt, li("l_partkey") === pt("p_partkey"))
+          .filter(col("l_quantity") > 0)
+          .groupBy(col("p_brand"))
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+          .filter(col("sum_qty") > col("n_items") * 25.5)
+      },
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity > 0
+        |GROUP BY p_brand HAVING sum(l_quantity) > count(*) * 25.5""".stripMargin),
+
     // The reference's priciest gold shape — department_analytics'
     // exact countDistinct (docs/etl_processes.md:559-567) — served
     // from the MV layer: a summary at (brand, suppkey) grain makes

@@ -26,8 +26,10 @@ import org.apache.spark.sql.types._
   *     custom format codes) classify a cell as date or datetime, and
   *     the serial is converted to an ISO string — including the 1900
   *     leap-year-bug offset and the 1904 date system flag;
-  *   - first worksheet by workbook order, resolved through the
-  *     workbook rels (not by hardcoded part name).
+  *   - sheet selection by workbook order (default first), name, or
+  *     index, resolved through the workbook rels (not by hardcoded
+  *     part name) — the capability the crealytics `dataAddress`
+  *     option provides.
   *
   * Spark-first distribution: files land as one row each via the
   * `binaryFile` datasource and are parsed executor-side in a flatMap —
@@ -49,21 +51,40 @@ object ExcelSource {
 
   // ───────────────────────── reading ─────────────────────────
 
+  /** Which worksheet to read from each workbook. The connector the
+    * reference docs name (`com.crealytics.spark.excel`,
+    * docs/etl_processes.md:133,189) selects sheets via `dataAddress`
+    * (`'SheetName'!A1`); this is the same capability without the A1
+    * range part (tabular drops start at A1).
+    */
+  sealed trait SheetSelector extends Serializable
+  /** Workbook order (the default — what the crealytics default
+    * `dataAddress=A1` reads). */
+  case object FirstSheet extends SheetSelector
+  /** By exact sheet name; a workbook without it fails loudly naming
+    * the sheets it does have (silent fallback to sheet 1 would read
+    * the wrong data). */
+  final case class SheetName(name: String) extends SheetSelector
+  /** By 0-based workbook-order index. */
+  final case class SheetIndex(index: Int) extends SheetSelector
+
   /** Read one .xlsx file or a directory of them into a DataFrame.
     * Row 0 of (every) sheet is the header; headers must agree across
     * files. `sourceFileCol` adds a file-lineage column (the reference
     * adds `input_file_name()` post-read — same information).
+    * `sheet` picks the worksheet per workbook (default: first).
     */
   def read(spark: SparkSession, path: String,
            inferSchema: Boolean = true,
-           sourceFileCol: Option[String] = None): DataFrame = {
+           sourceFileCol: Option[String] = None,
+           sheet: SheetSelector = FirstSheet): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(path)
       .select("path", "content").as[(String, Array[Byte])]
     // (file, rowIdx, cells padded to that file's header width)
     val parsed = bin.flatMap { case (p, bytes) =>
-      val rows = parseNamed(p, bytes, Int.MaxValue)
+      val rows = parseNamed(p, bytes, Int.MaxValue, sheet)
       val width = rows.headOption.map(_.length).getOrElse(0)
       // stray cells beyond the header width are dropped (the schema is
       // the header's); that must not happen in silence — one warning
@@ -82,7 +103,7 @@ object ExcelSource {
     // — header cells are usually shared strings — but the data rows,
     // the bulk of a large sheet, are never touched
     val hdrRows = bin.flatMap { case (p, bytes) =>
-      parseNamed(p, bytes, maxRows = 1).headOption
+      parseNamed(p, bytes, maxRows = 1, sheet).headOption
         .map(h => (p, 0L, h.toSeq))
     }.collect().sortBy(_._1)
     require(hdrRows.nonEmpty, s"no non-empty .xlsx sheets under $path")
@@ -183,20 +204,22 @@ object ExcelSource {
     * workbook in a 10k-file directory must say which one it is, not
     * surface a bare ZipException from some task. */
   private def parseNamed(path: String, bytes: Array[Byte],
-                         maxRows: Int): Vector[Array[String]] =
-    try parseWorkbook(bytes, maxRows) catch {
+                         maxRows: Int,
+                         sheet: SheetSelector = FirstSheet): Vector[Array[String]] =
+    try parseWorkbook(bytes, maxRows, sheet) catch {
       case e: Exception => throw new java.io.IOException(
         s"not a readable .xlsx workbook: $path (${e.getMessage})", e)
     }
 
-  /** Parse the first worksheet into rows of cell strings (null =
+  /** Parse the selected worksheet into rows of cell strings (null =
     * empty/error cell), in document order. Pure JDK; one streaming XML
     * pass per part over the in-memory bytes. `maxRows` stops the sheet
     * scan early (the header pass reads one row, not the workbook). */
   private[sources] def parseWorkbook(bytes: Array[Byte],
-                                     maxRows: Int = Int.MaxValue): Vector[Array[String]] = {
+                                     maxRows: Int = Int.MaxValue,
+                                     sheet: SheetSelector = FirstSheet): Vector[Array[String]] = {
     val parts = collectParts(bytes)
-    val (sheetPath, date1904) = locateFirstSheet(parts)
+    val (sheetPath, date1904) = locateSheet(parts, sheet)
     val shared = parts.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Vector.empty)
     val dateKind = parts.get("xl/styles.xml")
@@ -208,8 +231,8 @@ object ExcelSource {
     // multi-file read with no trace (parseNamed adds the file name)
     parts.get(sheetPath).orElse(entryBytes(bytes, sheetPath)) match {
       case None => throw new IllegalArgumentException(
-        s"first worksheet part '$sheetPath' not found in archive")
-      case Some(sheet) => parseSheet(sheet, shared, dateKind, date1904, maxRows)
+        s"selected worksheet part '$sheetPath' not found in archive")
+      case Some(sh) => parseSheet(sh, shared, dateKind, date1904, maxRows)
     }
   }
 
@@ -252,12 +275,18 @@ object ExcelSource {
     f.createXMLStreamReader(new ByteArrayInputStream(bytes): InputStream)
   }
 
-  /** First sheet's part path (via workbook order + rels) and the
-    * date1904 flag. Falls back to the conventional part name when the
-    * rels are absent. */
-  private def locateFirstSheet(parts: Map[String, Array[Byte]]): (String, Boolean) = {
+  /** The selected sheet's part path (via workbook order + rels) and
+    * the date1904 flag. Falls back to the conventional part name when
+    * the rels are absent (FirstSheet only — name/index selection NEEDS
+    * the workbook part to resolve, so its absence is an error there).
+    * An unknown sheet name or out-of-range index fails loudly, naming
+    * the sheets the workbook does have — silently reading sheet 1
+    * instead would be wrong-data, the worst failure mode. */
+  private def locateSheet(parts: Map[String, Array[Byte]],
+                          sel: SheetSelector): (String, Boolean) = {
     var date1904 = false
-    var firstRid: String = null
+    // (name, rid) in workbook document order
+    val sheets = Vector.newBuilder[(String, String)]
     parts.get("xl/workbook.xml").foreach { wb =>
       val r = xmlReader(wb)
       try while (r.hasNext) {
@@ -267,22 +296,54 @@ object ExcelSource {
               case "workbookPr" =>
                 val v = r.getAttributeValue(null, "date1904")
                 date1904 = v == "1" || v == "true"
-              case "sheet" if firstRid == null =>
-                firstRid = (0 until r.getAttributeCount)
+              case "sheet" =>
+                val rid = (0 until r.getAttributeCount)
                   .find(i => r.getAttributeLocalName(i) == "id")
                   .map(r.getAttributeValue).orNull
+                val name = r.getAttributeValue(null, "name")
+                if (rid != null) sheets += ((name, rid))
               case _ =>
             }
           case _ =>
         }
       } finally r.close()
     }
-    val target = for {
-      rid <- Option(firstRid)
+    val all = sheets.result()
+    val chosenRid: Option[String] = sel match {
+      case FirstSheet => all.headOption.map(_._2)
+      case SheetName(n) =>
+        Some(all.find(_._1 == n).map(_._2).getOrElse(throw new IllegalArgumentException(
+          s"no worksheet named '$n'; workbook has ${all.map(_._1).mkString("[", ", ", "]")}")))
+      case SheetIndex(i) =>
+        Some(all.lift(i).map(_._2).getOrElse(throw new IllegalArgumentException(
+          s"sheet index $i out of range; workbook has ${all.size} sheet(s)")))
+    }
+    val target = (for {
+      rid <- chosenRid
       rels <- parts.get("xl/_rels/workbook.xml.rels")
       t <- relTarget(rels, rid)
-    } yield if (t.startsWith("/")) t.drop(1) else s"xl/$t"
-    (target.getOrElse("xl/worksheets/sheet1.xml"), date1904)
+    } yield if (t.startsWith("/")) t.drop(1) else s"xl/$t")
+    sel match {
+      case FirstSheet => (target.getOrElse("xl/worksheets/sheet1.xml"), date1904)
+      case _ => (target.getOrElse(throw new IllegalArgumentException(
+        "workbook rels missing: cannot resolve the selected sheet's part")), date1904)
+    }
+  }
+
+  /** Sheet names of a workbook in document order (introspection
+    * helper; the read path errors name these too). */
+  private[sources] def sheetNames(bytes: Array[Byte]): Vector[String] = {
+    val parts = collectParts(bytes)
+    val out = Vector.newBuilder[String]
+    parts.get("xl/workbook.xml").foreach { wb =>
+      val r = xmlReader(wb)
+      try while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet")
+          out += r.getAttributeValue(null, "name")
+      } finally r.close()
+    }
+    out.result()
   }
 
   private def relTarget(rels: Array[Byte], rid: String): Option[String] = {
@@ -518,12 +579,24 @@ object ExcelSource {
   // ───────────────────────── writing ─────────────────────────
 
   /** Write a minimal valid .xlsx (inline strings, date/datetime
-    * styles). Driver-side by design: the format itself caps a sheet at
-    * 1,048,576 rows, so an Excel EXPORT is a small-result contract —
-    * large outputs belong in parquet. Deterministic bytes (fixed zip
-    * entry times) so content-addressed caches work. */
-  def write(header: Seq[String], rows: Iterable[Seq[Any]],
-            out: OutputStream): Unit = {
+    * styles). The format itself caps a sheet at 1,048,576 rows, so a
+    * single workbook is a small-result contract — large exports go
+    * through [[writeDir]], one workbook per partition. Deterministic
+    * bytes (fixed zip entry times) so content-addressed caches work. */
+  def write(header: Seq[String], rows: IterableOnce[Seq[Any]],
+            out: OutputStream): Unit =
+    writeSheets(Seq(("Sheet1", header, rows)), out)
+
+  /** Multi-sheet variant: one (name, header, rows) per worksheet, in
+    * workbook order. Sheet names must be distinct and non-empty.
+    * Rows stream straight into the zip entry — a million-row sheet
+    * never materializes as one XML string in memory. */
+  def writeSheets(sheetsIn: Seq[(String, Seq[String], IterableOnce[Seq[Any]])],
+                  out: OutputStream): Unit = {
+    require(sheetsIn.nonEmpty, "at least one sheet required")
+    val names = sheetsIn.map(_._1)
+    require(names.forall(_.nonEmpty) && names.distinct.size == names.size,
+      s"sheet names must be distinct and non-empty: $names")
     val zip = new ZipOutputStream(out)
     def part(name: String, body: String): Unit = {
       val e = new ZipEntry(name)
@@ -532,13 +605,17 @@ object ExcelSource {
       zip.write(body.getBytes("UTF-8"))
       zip.closeEntry()
     }
+    val n = sheetsIn.size
+    val sheetOverrides = (1 to n).map(i =>
+      s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+      .mkString("\n")
     part("[Content_Types].xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
         |<Default Extension="xml" ContentType="application/xml"/>
         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |$sheetOverrides
         |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
         |</Types>""".stripMargin)
     part("_rels/.rels",
@@ -546,16 +623,22 @@ object ExcelSource {
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
         |</Relationships>""".stripMargin)
+    val sheetDecls = names.zipWithIndex.map { case (nm, i) =>
+      s"""<sheet name="${xmlEscape(nm)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
     part("xl/workbook.xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+        |<sheets>$sheetDecls</sheets>
         |</workbook>""".stripMargin)
+    val sheetRels = (1 to n).map(i =>
+      s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+      .mkString("\n")
     part("xl/_rels/workbook.xml.rels",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+        |$sheetRels
+        |<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
         |</Relationships>""".stripMargin)
     // style index 1 = date (built-in 14), 2 = datetime (built-in 22)
     part("xl/styles.xml",
@@ -566,52 +649,67 @@ object ExcelSource {
         |<cellStyleXfs count="1"><xf/></cellStyleXfs>
         |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="22" applyNumberFormat="1"/></cellXfs>
         |</styleSheet>""".stripMargin)
-    val sheet = new StringBuilder
-    sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
-    sheet ++= "\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>"
-    var rowNum = 1
-    def emitRow(vals: Seq[Any]): Unit = {
-      sheet ++= s"""<row r="$rowNum">"""
-      vals.zipWithIndex.foreach { case (v, i) =>
-        val ref = s"${colRef(i)}$rowNum"
-        v match {
-          case null | None => // gap
-          case b: Boolean =>
-            sheet ++= s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
-          case n @ (_: Int | _: Long | _: Short | _: Byte) =>
-            sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
-          case d: Double =>
-            sheet ++= s"""<c r="$ref"><v>$d</v></c>"""
-          case f: Float =>
-            sheet ++= s"""<c r="$ref"><v>$f</v></c>"""
-          case d: java.math.BigDecimal =>
-            sheet ++= s"""<c r="$ref"><v>${d.toPlainString}</v></c>"""
-          case d: java.sql.Date =>
-            sheet ++= s"""<c r="$ref" s="1"><v>${dateSerial(d.toLocalDate)}</v></c>"""
-          case d: LocalDate =>
-            sheet ++= s"""<c r="$ref" s="1"><v>${dateSerial(d)}</v></c>"""
-          case t: java.sql.Timestamp =>
-            val ldt = t.toLocalDateTime
-            val serial = dateSerial(ldt.toLocalDate) +
-              ldt.toLocalTime.toSecondOfDay / 86400.0
-            sheet ++= s"""<c r="$ref" s="2"><v>$serial</v></c>"""
-          case s =>
-            sheet ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(s.toString)}</t></is></c>"""
+    sheetsIn.zipWithIndex.foreach { case ((_, header, rows), si) =>
+      val e = new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml")
+      e.setTime(1577836800000L)
+      zip.putNextEntry(e)
+      def flush(s: String): Unit = zip.write(s.getBytes("UTF-8"))
+      flush("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        "\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
+      var rowNum = 1
+      def emitRow(vals: Seq[Any]): Unit = {
+        val sheet = new StringBuilder
+        sheet ++= s"""<row r="$rowNum">"""
+        vals.zipWithIndex.foreach { case (v, i) =>
+          val ref = s"${colRef(i)}$rowNum"
+          v match {
+            case null | None => // gap
+            case b: Boolean =>
+              sheet ++= s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+            case n @ (_: Int | _: Long | _: Short | _: Byte) =>
+              sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
+            case d: Double =>
+              sheet ++= s"""<c r="$ref"><v>$d</v></c>"""
+            case f: Float =>
+              sheet ++= s"""<c r="$ref"><v>$f</v></c>"""
+            case d: java.math.BigDecimal =>
+              sheet ++= s"""<c r="$ref"><v>${d.toPlainString}</v></c>"""
+            case d: java.sql.Date =>
+              sheet ++= s"""<c r="$ref" s="1"><v>${dateSerial(d.toLocalDate)}</v></c>"""
+            case d: LocalDate =>
+              sheet ++= s"""<c r="$ref" s="1"><v>${dateSerial(d)}</v></c>"""
+            case t: java.sql.Timestamp =>
+              val ldt = t.toLocalDateTime
+              val serial = dateSerial(ldt.toLocalDate) +
+                ldt.toLocalTime.toSecondOfDay / 86400.0
+              sheet ++= s"""<c r="$ref" s="2"><v>$serial</v></c>"""
+            case t: java.time.Instant =>
+              val ldt = java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
+              val serial = dateSerial(ldt.toLocalDate) +
+                ldt.toLocalTime.toSecondOfDay / 86400.0
+              sheet ++= s"""<c r="$ref" s="2"><v>$serial</v></c>"""
+            case s =>
+              sheet ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(s.toString)}</t></is></c>"""
+          }
         }
+        sheet ++= "</row>"
+        rowNum += 1
+        flush(sheet.toString)
       }
-      sheet ++= "</row>"
-      rowNum += 1
+      emitRow(header)
+      rows.iterator.foreach(emitRow)
+      flush("</sheetData></worksheet>")
+      zip.closeEntry()
     }
-    emitRow(header)
-    rows.foreach(emitRow)
-    sheet ++= "</sheetData></worksheet>"
-    part("xl/worksheets/sheet1.xml", sheet.toString)
     zip.finish()
   }
 
-  /** Collect-and-write a DataFrame (small-export contract — see
-    * [[write]]). Dates/timestamps become styled serials, numerics
-    * native number cells, everything else inline strings. */
+  /** Collect-and-write a DataFrame to ONE workbook (small-export
+    * contract — see [[write]]; the format caps a sheet at 1,048,576
+    * rows so a single-file export is bounded by construction; use
+    * [[writeDir]] for anything larger). Dates/timestamps become
+    * styled serials, numerics native number cells, everything else
+    * inline strings. */
   def writeFile(df: DataFrame, file: String): Unit = {
     val header = df.columns.toSeq
     val rows = df.collect().toSeq.map(_.toSeq)
@@ -619,6 +717,64 @@ object ExcelSource {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     val out = java.nio.file.Files.newOutputStream(p)
     try write(header, rows, out) finally out.close()
+  }
+
+  /** Distributed export: one `part-NNNNN.xlsx` per partition, written
+    * EXECUTOR-side through the Hadoop FileSystem API (works for
+    * file:// and any configured cluster FS), plus a `_SUCCESS` marker
+    * once every partition committed — the same layout contract as the
+    * parquet sinks, so [[read]] on the directory round-trips. No rows
+    * ever pass through the driver; the per-file row bound is the
+    * caller's partitioning (Excel caps a sheet at 1,048,575 data rows
+    * and the writer enforces it per partition, failing loudly rather
+    * than emitting a workbook Excel itself would refuse to open).
+    * Empty partitions still emit a header-only part so a fully-empty
+    * frame round-trips to its schema instead of a read error.
+    * Tasks write to a `part-NNNNN.xlsx.inprogress` name and rename on
+    * completion — a crashed task never leaves a half-written file
+    * that a later directory read would pick up. */
+  def writeDir(df: DataFrame, dir: String): Unit = {
+    val header = df.columns.toSeq
+    val spark = df.sparkSession
+    // Hadoop Configuration is not Serializable; ship its entries and
+    // rebuild executor-side (public-API equivalent of Spark's internal
+    // SerializableConfiguration)
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val bcConf = spark.sparkContext.broadcast(confEntries)
+    import org.apache.hadoop.fs.Path
+    val dirPath = new Path(dir)
+    val driverFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    driverFs.mkdirs(dirPath)
+    // stale part/marker files from a previous failed export would
+    // merge into this one on read — clear them first
+    Option(driverFs.globStatus(new Path(dirPath, "part-*.xlsx*")))
+      .getOrElse(Array.empty).foreach(s => driverFs.delete(s.getPath, false))
+    driverFs.delete(new Path(dirPath, "_SUCCESS"), false)
+    val maxRows = 1048575 // Excel's sheet cap minus the header row
+    df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+      val out = new Path(dir, f"part-$pid%05d.xlsx")
+      val tmp = new Path(dir, f"part-$pid%05d.xlsx.inprogress")
+      val fs = out.getFileSystem(conf)
+      val os = fs.create(tmp, true)
+      var n = 0L
+      val rows = it.map { r =>
+        n += 1
+        if (n > maxRows) throw new IllegalStateException(
+          s"partition $pid exceeds Excel's $maxRows-row sheet cap; " +
+          "repartition the frame before writeDir")
+        r.toSeq
+      }
+      try write(header, rows, os) finally os.close()
+      fs.delete(out, false)
+      require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+      Iterator.single(1)
+    }.count()
+    val ok = driverFs.create(new Path(dirPath, "_SUCCESS"), true)
+    ok.close()
   }
 
   private def colRef(i: Int): String = {

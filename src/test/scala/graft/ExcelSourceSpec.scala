@@ -258,4 +258,90 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(df.selectExpr("cast(dt as string)").as[String].collect().toSet
       == Set("2024-01-01 00:00:00", "2024-01-01 01:02:03"))
   }
+
+  test("multi-sheet workbook: selection by name and index; default reads sheet 1 only") {
+    val dir = TestSpark.tmpDir("xlsxms")
+    val f = new java.io.FileOutputStream(s"$dir/two.xlsx")
+    try ExcelSource.writeSheets(Seq(
+      ("orders", Seq("id", "qty"), Seq(Seq(1L, 10L), Seq(2L, 20L))),
+      ("returns", Seq("rid", "reason"),
+        Seq(Seq(9L, "damaged"), Seq(8L, "late"), Seq(7L, "other")))), f)
+    finally f.close()
+
+    // default = first sheet in workbook order; the second sheet's rows
+    // must NOT leak in (the pre-r9 silent-data-loss mode, inverted:
+    // here sheet 1 IS the requested data)
+    val first = ExcelSource.read(spark, dir)
+    assert(first.columns.toSeq == Seq("id", "qty"))
+    assert(first.count() == 2)
+
+    val byName = ExcelSource.read(spark, dir,
+      sheet = ExcelSource.SheetName("returns"))
+    assert(byName.columns.toSeq == Seq("rid", "reason"))
+    assert(byName.as[(Long, String)].collect().toSet ==
+      Set((9L, "damaged"), (8L, "late"), (7L, "other")))
+
+    val byIdx = ExcelSource.read(spark, dir,
+      sheet = ExcelSource.SheetIndex(1))
+    assert(byIdx.as[(Long, String)].collect().toSet ==
+      byName.as[(Long, String)].collect().toSet)
+
+    // unknown sheet name fails loudly, naming the sheets present —
+    // silent fallback to sheet 1 would be wrong-data
+    val e = intercept[Exception] {
+      ExcelSource.read(spark, dir,
+        sheet = ExcelSource.SheetName("nope")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("nope") && m.contains("orders") && m.contains("returns")),
+      messages(e))
+    val e2 = intercept[Exception] {
+      ExcelSource.read(spark, dir,
+        sheet = ExcelSource.SheetIndex(5)).collect()
+    }
+    assert(messages(e2).exists(_.contains("out of range")), messages(e2))
+  }
+
+  test("writeDir: distributed multi-partition export round-trips, empty partitions included") {
+    val dir = TestSpark.tmpDir("xlsxdir")
+    val df = spark.range(0, 100).selectExpr(
+      "id", "concat('name-', id) AS name",
+      "cast(id * 1.5 as double) AS score",
+      "date_add(date'2024-01-01', cast(id as int)) AS d")
+      .repartition(7)
+    ExcelSource.writeDir(df, s"$dir/out")
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .map(_.getName).filter(_.endsWith(".xlsx")).sorted
+    assert(parts.length == 7, parts.toSeq)
+    assert(new java.io.File(s"$dir/out/_SUCCESS").exists())
+    assert(!parts.exists(_.contains("inprogress")))
+    val back = ExcelSource.read(spark, s"$dir/out")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", LongType), ("name", StringType),
+          ("score", DoubleType), ("d", DateType)))
+    val exp = df.selectExpr("id", "name", "score", "cast(d as string)")
+      .as[(Long, String, Double, String)].collect().toSet
+    val got = back.selectExpr("id", "name", "score", "cast(d as string)")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got == exp)
+
+    // empty frame: header-only parts still round-trip to the schema
+    val empty = df.limit(0).repartition(3)
+    ExcelSource.writeDir(empty, s"$dir/empty")
+    val backEmpty = ExcelSource.read(spark, s"$dir/empty")
+    assert(backEmpty.count() == 0)
+    assert(backEmpty.columns.toSeq == Seq("id", "name", "score", "d"))
+
+    // a rerun into the same directory replaces stale parts (the first
+    // export's 7 parts must not merge with a 2-partition rerun)
+    ExcelSource.writeDir(df.repartition(2), s"$dir/out")
+    val parts2 = new java.io.File(s"$dir/out").listFiles()
+      .map(_.getName).filter(_.endsWith(".xlsx")).sorted
+    assert(parts2.length == 2, parts2.toSeq)
+    val back2 = ExcelSource.read(spark, s"$dir/out")
+    assert(back2.count() == 100)
+  }
 }

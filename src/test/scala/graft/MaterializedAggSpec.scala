@@ -197,6 +197,32 @@ class MaterializedAggSpec extends AnyFunSuite {
         joined().filter($"brand" === "b1").groupBy($"date")
           .agg(sum($"amount").as("revenue")).orderBy("date").collect().toSeq)
 
+      // HAVING over the served join aggregate: the Filter above the
+      // Aggregate references its output attrs by expression id, which
+      // the rewrite preserves — post-aggregate filters apply
+      // unchanged to the summary-served plan (q_mv_brand_qty_having's
+      // oracle shape)
+      val hv = query().filter($"revenue" > $"n" * 950)
+      assert(scanPaths(hv).nonEmpty && scanPaths(hv).forall(_.contains("gold")),
+        scanPaths(hv))
+      assert(hv.orderBy("date", "brand").collect().toSeq ==
+        expected.filter(r => r.getAs[Long]("revenue") > r.getAs[Long]("n") * 950))
+      // SQL-form HAVING goes through the same Filter-above-Aggregate
+      // shape (the analyzer may add the HAVING aggregate to the list)
+      fact.createOrReplaceTempView("mvj_fact")
+      dim.createOrReplaceTempView("mvj_dim")
+      val sqlHv = spark.sql(
+        """SELECT brand, sum(amount) AS revenue FROM mvj_fact
+          |JOIN mvj_dim ON product_id = pid
+          |GROUP BY brand HAVING count(*) > 100""".stripMargin)
+      assert(scanPaths(sqlHv).nonEmpty &&
+        scanPaths(sqlHv).forall(_.contains("gold")), scanPaths(sqlHv))
+      assert(sqlHv.orderBy("brand").collect().toSeq ==
+        joined().groupBy($"brand")
+          .agg(sum($"amount").as("revenue"), count(lit(1)).as("n"))
+          .filter($"n" > 100).select($"brand", $"revenue")
+          .orderBy("brand").collect().toSeq)
+
       // bail-outs: measure filter (summary has no row detail)
       val mf = joined().filter($"amount" > 1000).groupBy($"brand")
         .agg(sum($"amount").as("s"))
