@@ -812,6 +812,37 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       fs.delete(new Path(versionsRoot, s"v$v"), true))
   }
 
+  /** TIME-based archive retention — the reference's vacuum windows
+    * (docs/data_model.md:312-316: bronze 7 d / silver 30 d / gold
+    * 90 d) applied to the versioned-overwrite protocol. COUNT-based
+    * pruning ([[overwriteVersioned]]'s `retain`) bounds archive
+    * growth per overwrite; this is the complementary policy knob an
+    * operator schedules: delete every archived version whose
+    * directory mtime — the time its data was last WRITTEN (a rename
+    * into the archive preserves mtime, so this is data age, matching
+    * [[history]]'s modified_at) — is older than `retainHours`. The
+    * live dir, tombstones (exclusively [[repairInterruptedSwaps]]'s
+    * to handle), and write stages ([[vacuum]]'s) are never touched.
+    * Delta-parity guardrail: a window under 168 h risks deleting an
+    * archive a concurrent [[readVersion]]/[[changesSince]] reader
+    * still holds open (their file listing resolves lazily) — going
+    * lower requires `force = true`, mirroring Delta's
+    * retentionDurationCheck. Returns the deleted version numbers. */
+  def vacuumVersions(retainHours: Double = 168.0,
+                     force: Boolean = false): Seq[Long] = {
+    require(retainHours >= 168.0 || force,
+      s"vacuumVersions retention ${retainHours}h is under the 168h safety " +
+      "floor (a concurrent readVersion/changesSince may hold an old " +
+      "archive open); pass force=true to override")
+    val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+    val dropped = versions.filter { v =>
+      fs.getFileStatus(new Path(versionsRoot, s"v$v"))
+        .getModificationTime < cutoff
+    }
+    dropped.foreach(v => fs.delete(new Path(versionsRoot, s"v$v"), true))
+    dropped
+  }
+
   /** DESCRIBE HISTORY parity for the versioned-overwrite protocol:
     * one row per retained archive plus the live state, with dir
     * mtime, bytes, and file count — the operational "what do I have,

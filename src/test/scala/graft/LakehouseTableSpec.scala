@@ -189,6 +189,33 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(t.read.count() == 1 && t.versions.nonEmpty)
   }
 
+  test("vacuumVersions: time-based archive retention with the 168h guardrail") {
+    val dir = TestSpark.tmpDir("lakevv")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.overwriteVersioned(Seq((1, "a")).toDF("k", "v"))
+    t.overwriteVersioned(Seq((2, "b")).toDF("k", "v"))
+    t.overwriteVersioned(Seq((3, "c")).toDF("k", "v"))
+    assert(t.versions == Seq(1L, 2L))
+    // guardrail: a sub-168h window needs an explicit force
+    intercept[IllegalArgumentException] { t.vacuumVersions(retainHours = 1.0) }
+    // nothing old enough yet: no-op
+    assert(t.vacuumVersions() == Nil && t.versions == Seq(1L, 2L))
+    // age v1 past the default window
+    val v1 = new java.io.File(s"$dir/t.versions/v1")
+    assert(v1.setLastModified(
+      System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    assert(t.vacuumVersions() == Seq(1L))
+    assert(t.versions == Seq(2L) && !v1.exists())
+    // live data and the surviving archive are untouched
+    assert(t.read.as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    assert(t.readVersion(2L).as[(Int, String)].collect().toSeq == Seq((2, "b")))
+    // forced sub-floor window ages out the rest
+    assert(new java.io.File(s"$dir/t.versions/v2")
+      .setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    assert(t.vacuumVersions(retainHours = 0.5, force = true) == Seq(2L))
+    assert(t.versions.isEmpty && t.read.count() == 1)
+  }
+
   test("interrupted partition swap is rolled back and batch replay recovers") {
     val dir = TestSpark.tmpDir("lakecrash")
     val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))

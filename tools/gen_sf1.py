@@ -9,11 +9,22 @@ driver generator's invariants observed across sf0.01/sf0.1:
   - region/nation fixed at 5/25 rows at every sf;
   - Customer#%09d / Supplier#%09d name patterns re-derived from the new key.
 
-Documents: replica i>0 word-permutes each text with a seed derived from
-(md5(text), i) so EXACT duplicate groups replicate (same text -> same
-permutation within a replica) while near-duplicate pairs do NOT explode
-quadratically across replicas (different texts -> unrelated permutations).
-n_chars stays equal to length(text) because texts are single-space word lists.
+Documents: replica i>0 word-permutes each text AND substitutes ~35% of
+words with a replica-tagged variant (selection keyed on md5(word, i), so
+the same word transforms identically everywhere within a replica). Both
+transforms are deterministic per (text, i), so EXACT duplicate groups
+replicate (same text -> same output within a replica) and within-replica
+NEAR-duplicate pairs keep their Jaccard (shared words transform
+identically). Crucially the substitution changes the token SET across
+replicas -- permutation alone preserves word sets exactly, which made
+every doc a 10-clique at any set-similarity threshold (cross-replica
+Jaccard 1.0): candidate generation in prefix/LSH joins then scales
+quadratically instead of linearly, and the corpus models "10x deeper
+duplication" rather than "10x more data". With 35% substitution,
+cross-replica Jaccard is ~0.48 against replica 0 and ~0.27 between
+tagged replicas -- far under the 0.9 dedup thresholds -- so near-dup
+structure replicates 10x linearly, the realistic scale story.
+n_chars is recomputed from the transformed text.
 
 Embeddings: replica i rotates the 64-dim vector by (i*7)%64 positions --
 norm- and distribution-preserving, but rotated copies are near-orthogonal to
@@ -94,6 +105,11 @@ for i in range(R):
             words = text.split(" ")
             seed = int.from_bytes(hashlib.md5((text + "|" + str(i)).encode()).digest()[:8], "big")
             random.Random(seed).shuffle(words)
+            words = [
+                w + "x" + str(i)
+                if int.from_bytes(hashlib.md5((w + "#" + str(i)).encode()).digest()[:4], "big") % 100 < 35
+                else w
+                for w in words]
             t = " ".join(words)
         out.append((doc_id + i * N["documents"], t, lang, source, len(t)))
 con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
