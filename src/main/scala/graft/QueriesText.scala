@@ -26,37 +26,24 @@ object QueriesText {
     c.documents.select(col("doc_id"), col("source"),
                        TF.wordSet(col("text")).as("ws"))
 
-  /** Source-blocked exact near-dup pairs over hashed word sets:
-    * dictionary-encode once (sorted long arrays), self-join per
-    * source, exact length-ratio prune (J ≥ num/den ⟹ den·min(|A|,|B|)
-    * ≥ num·max(|A|,|B|) — an int compare codegen evaluates before the
-    * O(|A|+|B|) merge walk), then single-pass sortedJaccard ≥
-    * threshold. Shared by the ngram/cluster/survivor queries so the
-    * pruning logic lives in exactly one place. */
+  /** Source-blocked exact near-dup pairs, via [[graft.text.PrefixJoin]]
+    * with `source` as the blocking column: candidates come from the
+    * prefix equi-join on each set's rarest tokens (split per source),
+    * then the exact length-ratio prune and single-merge-walk Jaccard
+    * verify. Shared by the ngram/cluster/survivor queries so the
+    * pruning logic lives in exactly one place.
+    *
+    * History: this was a per-source self-join with the same prune and
+    * verify — correct, and fine at driver scales, but the block count
+    * is FIXED, so per-block candidates grew quadratically with the
+    * corpus (the round-9 sf1 rehearsal measured 26× for 10× data on
+    * q_cluster_sizes). Prefix filtering emits the same exact pairs
+    * (dictionary ranks are injective, so rank-set Jaccard IS word-set
+    * Jaccard) with ~linear candidates. */
   private def jaccardPairs(c: Ctx, threshold: Double,
-                           num: Int, den: Int): DataFrame = {
-    // the prune is only sound when num/den ≤ threshold — a copy-pasted
-    // mismatched ratio would silently drop true pairs before the exact
-    // filter ever sees them
-    require(num.toDouble / den <= threshold,
-      s"prune ratio $num/$den exceeds threshold $threshold")
-    graft.functions.NativeFunctions.register(c.spark)
-    val d = docWords(c)
-      .withColumn("ws", graft.functions.NativeFunctions.hashedTokenSet(col("ws")))
-      .withColumn("n", size(col("ws")))
-    val a = d.select(col("source"), col("doc_id").as("id_a"),
-                     col("ws").as("ws_a"), col("n").as("n_a"))
-    val b = d.select(col("source"), col("doc_id").as("id_b"),
-                     col("ws").as("ws_b"), col("n").as("n_b"))
-    a.join(b, Seq("source"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(least(col("n_a"), col("n_b")) * den >=
-              greatest(col("n_a"), col("n_b")) * num)
-      .withColumn("jaccard",
-        graft.functions.NativeFunctions.sortedJaccard(col("ws_a"), col("ws_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+                           num: Int, den: Int): DataFrame =
+    graft.text.PrefixJoin.joinAll(docWords(c), "doc_id", "ws",
+      threshold, num, den, blockCols = Seq("source"))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val wsSql   = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
@@ -1260,18 +1247,26 @@ object QueriesText {
       }),
 
     // ── embedding similarity ──────────────────────────────────────────
+    // Query batches are FIXED-size (id % 50 = 0 AND id < 2000 — the
+    // realistic shape: a search batch does not grow with the corpus).
+    // At the driver's sf0.01/sf0.1 every id is < 2000, so outputs are
+    // unchanged there; at sf1+ the cap keeps query-side cost constant
+    // per corpus row — without it the queries×corpus product made
+    // every brute-force/ADC scan quadratic in the fixture scale (the
+    // round-9 sf1 rehearsal's q_ann_* superlinear findings).
     "q_embed_neardup" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
         Similarity
-          .nearDuplicates(all.filter(col("id") % 50 === 0), all, 0.3)
+          .nearDuplicates(
+            all.filter(col("id") % 50 === 0 && col("id") < 2000), all, 0.3)
           .select(col("query_id"), col("vec_id"), rnd6(col("cos")).as("cos"))
       },
       """WITH n AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) nrm
         | FROM embeddings
-        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0)
+        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000)
         |SELECT qy.vec_id AS query_id, c.vec_id AS vec_id,
         | floor(list_dot_product(qy.v, c.v) / (qy.nrm * c.nrm) * 1000000 + 0.5) / 1000000 AS cos
         |FROM qy JOIN n c ON c.vec_id <> qy.vec_id
@@ -1281,7 +1276,9 @@ object QueriesText {
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
         Similarity
-          .bruteForceTopK(all.filter(col("id") % 50 === 0), all, k = 5, rnd6)
+          .bruteForceTopK(
+            all.filter(col("id") % 50 === 0 && col("id") < 2000),
+            all, k = 5, rnd6)
           .select(col("query_id"), col("vec_id"), col("cos_r"),
                   col("rn").cast("long").as("rn"))
       },
@@ -1289,7 +1286,7 @@ object QueriesText {
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) nrm
         | FROM embeddings
-        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |scored AS (
         | SELECT qy.vec_id AS query_id, c.vec_id AS vec_id,
         |  floor(list_dot_product(qy.v, c.v) / (qy.nrm * c.nrm) * 1000000 + 0.5) / 1000000 AS cos_r
@@ -1308,8 +1305,8 @@ object QueriesText {
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
         Similarity
-          .lshTopK(all.filter(col("id") % 50 === 0), all, k = 5,
-                   nbits = 64, bands = 16, rnd6)
+          .lshTopK(all.filter(col("id") % 50 === 0 && col("id") < 2000),
+                   all, k = 5, nbits = 64, bands = 16, rnd6)
           .select(col("query_id"), col("vec_id"), col("cos_r"),
                   col("rn").cast("long").as("rn"))
       }),
@@ -1367,8 +1364,9 @@ object QueriesText {
     "q_ann_pq" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
-        Similarity.pqTopK(all, all.filter(col("id") % 50 === 0), k = 5,
-                          dim = 64, m = 16, codebookSize = 250, rnd6,
+        Similarity.pqTopK(all,
+                          all.filter(col("id") % 50 === 0 && col("id") < 2000),
+                          k = 5, dim = 64, m = 16, codebookSize = 250, rnd6,
                           kmeansIters = 2)
           .select(col("query_id"), col("vec_id"), col("score_r"),
                   col("rn").cast("long").as("rn"))
@@ -1438,9 +1436,13 @@ object QueriesText {
     "q_ann_ivf" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        // maxCentroids = 40: at sf0.1 the uncapped nlist is 38, so
+        // driver-scale results are identical; past that the cap keeps
+        // corpus→centroid assignment linear (nlist fixed, cells grow)
         Similarity.ivfTopK(c.embeddings, "vec_id", "embedding",
-          all.filter(col("id") % 50 === 0), k = 5, centroidEvery = 53,
-          nprobe = 4, rnd6, kmeansIters = 3)
+          all.filter(col("id") % 50 === 0 && col("id") < 2000),
+          k = 5, centroidEvery = 53,
+          nprobe = 4, rnd6, kmeansIters = 3, maxCentroids = 40)
           .select(col("query_id"), col("vec_id"), col("cos_r"),
                   col("rn").cast("long").as("rn"))
       }),
@@ -2436,13 +2438,16 @@ object QueriesText {
     // ── SemDeDup (Abbas et al. 2023): embedding-cosine near-dup graph
     // → connected components → one survivor (min id) per semantic
     // cluster. Pair generation here is the exact all-pairs oracle twin
-    // over a fixed 1-in-5 shard (the same quadratic-by-design contract
-    // as q_ngram_jaccard); the scale path is the sign-bit LSH
-    // bucketing of q_ann_lsh feeding the same CC + survivor stages. ──
+    // over a FIXED 400-vector shard (% 5 under id 2000 — constant at
+    // every sf, so the deliberate all-pairs step has constant cost; a
+    // corpus-growing shard would be quadratic in scale); the scale
+    // path is the sign-bit LSH bucketing of q_ann_lsh feeding the
+    // same CC + survivor stages. ──
     "q_semdedup" -> q(
       c => {
         val all = Similarity.prepare(
-          c.embeddings.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+          c.embeddings.filter(col("vec_id") % 5 === 0 && col("vec_id") < 2000),
+          "vec_id", "embedding")
         val a = all.select(col("id").as("id_a"), col("v").as("va"),
                            col("nrm").as("na"))
         val b = all.select(col("id").as("id_b"), col("v").as("vb"),
@@ -2467,7 +2472,7 @@ object QueriesText {
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |       CAST(embedding AS DOUBLE[]))) nrm
-        | FROM embeddings WHERE vec_id % 5 = 0
+        | FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2000
         |), pairs AS (
         | SELECT a.vec_id pa, b.vec_id pb
         | FROM n a JOIN n b ON a.vec_id < b.vec_id

@@ -121,12 +121,24 @@ object Similarity {
     * deterministic subsample (id % centroidEvery == 0), optionally
     * k-means-refined; each corpus vector is assigned to its nearest
     * centroid; a query scans only the `nprobe` centroids nearest to
-    * it. */
+    * it.
+    *
+    * `maxCentroids` caps the centroid count independently of the
+    * corpus (first `maxCentroids` subsampled ids). Without a cap,
+    * nlist grows as corpus/centroidEvery and the corpus→centroid
+    * assignment — a corpus×nlist product — turns quadratic in the
+    * corpus (the round-9 sf1 rehearsal measured 18× cost for 10×
+    * data). FAISS-style guidance applies: pick nlist ~ O(√corpus) or
+    * a fixed budget, never a fixed SPACING; a capped nlist trades
+    * recall (bigger cells, same nprobe) for linear assignment, the
+    * standard IVF contract. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, centroidEvery: Int, nprobe: Int,
-              roundedCos: Column => Column, kmeansIters: Int = 0): DataFrame = {
+              roundedCos: Column => Column, kmeansIters: Int = 0,
+              maxCentroids: Int = Int.MaxValue): DataFrame = {
     val all = prepare(emb, idCol, vecCol)
-    val cent0 = all.filter(col("id") % centroidEvery === 0)
+    val cent0 = all.filter(col("id") % centroidEvery === 0 &&
+        col("id") < centroidEvery.toLong * maxCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cent = broadcast(
       if (kmeansIters > 0) refineCentroids(all, cent0, kmeansIters)

@@ -753,11 +753,31 @@ object ExcelSource {
       .getOrElse(Array.empty).foreach(s => driverFs.delete(s.getPath, false))
     driverFs.delete(new Path(dirPath, "_SUCCESS"), false)
     val maxRows = 1048575 // Excel's sheet cap minus the header row
-    df.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rdd0 = df.rdd
+    // a ZERO-partition frame (spark.emptyDataFrame, empty relations)
+    // schedules no tasks at all — without this the export would be an
+    // unreadable dir of just _SUCCESS; one header-only part keeps the
+    // "empty frame round-trips to its schema" contract
+    if (rdd0.getNumPartitions == 0) {
+      val out = new Path(dirPath, "part-00000.xlsx")
+      val os = driverFs.create(out, true)
+      try write(header, Iterator.empty, os) finally os.close()
+      val ok = driverFs.create(new Path(dirPath, "_SUCCESS"), true)
+      ok.close()
+      return
+    }
+    rdd0.mapPartitionsWithIndex { (pid, it) =>
       val conf = new org.apache.hadoop.conf.Configuration(false)
       bcConf.value.foreach { case (k, v) => conf.set(k, v) }
       val out = new Path(dir, f"part-$pid%05d.xlsx")
-      val tmp = new Path(dir, f"part-$pid%05d.xlsx.inprogress")
+      // the ATTEMPT id in the tmp name keeps speculative / retried
+      // task attempts from clobbering each other's in-flight bytes;
+      // whichever attempt renames first wins, the loser removes its
+      // own tmp (both produced a complete workbook for the same
+      // partition, so either winning is correct)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new Path(dir, f"part-$pid%05d.xlsx.inprogress-$attempt")
       val fs = out.getFileSystem(conf)
       val os = fs.create(tmp, true)
       var n = 0L
@@ -770,7 +790,11 @@ object ExcelSource {
       }
       try write(header, rows, os) finally os.close()
       fs.delete(out, false)
-      require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+      if (!fs.rename(tmp, out)) {
+        val lost = fs.exists(out) // another attempt already committed
+        fs.delete(tmp, false)
+        require(lost, s"rename $tmp -> $out failed with no committed part")
+      }
       Iterator.single(1)
     }.count()
     val ok = driverFs.create(new Path(dirPath, "_SUCCESS"), true)

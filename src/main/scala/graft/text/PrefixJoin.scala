@@ -123,18 +123,25 @@ object PrefixJoin {
     * exact length-ratio prune (J ≥ num/den ⟹ den·min ≥ num·max).
     * Prefix length uses integer arithmetic (⌈num·n/den⌉ as
     * (num·n + den − 1) div den) — a float t·n would round the prefix
-    * short and silently drop true pairs. */
+    * short and silently drop true pairs. `blockCols` (columns of
+    * `encoded`) join into the candidate key: only same-block pairs
+    * are produced, and each prefix-token bucket is further split per
+    * block — the blocked-dedup shape (per-source, per-language)
+    * without a per-block quadratic anywhere. */
   def candidates(encoded: DataFrame, idCol: String,
-                 num: Int, den: Int): DataFrame = {
+                 num: Int, den: Int,
+                 blockCols: Seq[String] = Nil): DataFrame = {
     val pref = encoded
       .withColumn("plen",
         col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") + 1)
-      .select(col(idCol), col("n"),
-              explode_outer(slice(col("ws"), lit(1), col("plen"))).as("tok"))
+      .select(col(idCol) +: col("n") +: blockCols.map(col) :+
+              explode_outer(slice(col("ws"), lit(1), col("plen"))).as("tok"): _*)
       .filter(col("tok").isNotNull)
-    pref.select(col(idCol).as("id_a"), col("n").as("n_a"), col("tok"))
-      .join(pref.select(col(idCol).as("id_b"), col("n").as("n_b"),
-                        col("tok")), "tok")
+    val keys = "tok" +: blockCols
+    pref.select(col(idCol).as("id_a") +: col("n").as("n_a") +:
+                keys.map(col): _*)
+      .join(pref.select(col(idCol).as("id_b") +: col("n").as("n_b") +:
+                        keys.map(col): _*), keys)
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("n_a"), col("n_b")) * den >=
               greatest(col("n_a"), col("n_b")) * num)
@@ -143,20 +150,31 @@ object PrefixJoin {
 
   /** Full exact similarity join: encode → prefix candidates → verify
     * with the single-merge-walk [[NativeFunctions.sortedJaccard]].
-    * Output: (id_a, id_b, jaccard) for all pairs with J ≥ threshold,
-    * no blocking key, no quadratic step. */
+    * Output: (id_a, id_b, jaccard) for all pairs with J ≥ threshold —
+    * same-block pairs only when `blockCols` is non-empty (the
+    * per-source dedup shape) — no quadratic step either way. The
+    * round-9 sf1 scaling rehearsal is why blocking lives HERE: the
+    * previous source-blocked implementation was a per-block
+    * self-join, and at 10× the corpus its fixed block count made
+    * candidate generation quadratic (measured 26× for 10× data on
+    * q_cluster_sizes); a block column on the prefix equi-join keeps
+    * the same output with linear candidates. */
   def joinAll(docs: DataFrame, idCol: String, toksCol: String,
               threshold: Double, num: Int, den: Int,
-              literalVocabLimit: Int = 1 << 16): DataFrame = {
+              literalVocabLimit: Int = 1 << 16,
+              blockCols: Seq[String] = Nil): DataFrame = {
     require(num.toDouble / den <= threshold,
       s"prune ratio $num/$den exceeds threshold $threshold")
     NativeFunctions.register(docs.sparkSession)
     // the encoded corpus feeds three consumers (prefix self-join + two
     // verify joins); checkpoint so the dictionary build runs ONCE
     // instead of once per consumer (the DedupClusters pattern)
-    val d = encodeDfAscending(docs, idCol, toksCol, literalVocabLimit)
+    val enc = encodeDfAscending(docs, idCol, toksCol, literalVocabLimit)
+    val d = (if (blockCols.isEmpty) enc
+             else enc.join(
+               docs.select((idCol +: blockCols).map(col): _*), idCol))
       .localCheckpoint()
-    candidates(d, idCol, num, den)
+    candidates(d, idCol, num, den, blockCols)
       .join(d.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
       .join(d.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
       .withColumn("jaccard",

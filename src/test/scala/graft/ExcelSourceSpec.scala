@@ -335,6 +335,16 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(backEmpty.count() == 0)
     assert(backEmpty.columns.toSeq == Seq("id", "name", "score", "d"))
 
+    // a ZERO-partition frame (no tasks scheduled at all) still yields
+    // a readable header-only export
+    val zero = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("x", LongType))))
+    assert(zero.rdd.getNumPartitions == 0)
+    ExcelSource.writeDir(zero, s"$dir/zerop")
+    val backZ = ExcelSource.read(spark, s"$dir/zerop")
+    assert(backZ.count() == 0 && backZ.columns.toSeq == Seq("x"))
+
     // a rerun into the same directory replaces stale parts (the first
     // export's 7 parts must not merge with a 2-partition rerun)
     ExcelSource.writeDir(df.repartition(2), s"$dir/out")
