@@ -170,16 +170,51 @@ object PrefixJoin {
     // verify joins); checkpoint so the dictionary build runs ONCE
     // instead of once per consumer (the DedupClusters pattern)
     val enc = encodeDfAscending(docs, idCol, toksCol, literalVocabLimit)
-    val d = (if (blockCols.isEmpty) enc
-             else enc.join(
-               docs.select((idCol +: blockCols).map(col): _*), idCol))
+    val encB = (if (blockCols.isEmpty) enc
+                else enc.join(
+                  docs.select((idCol +: blockCols).map(col): _*), idCol))
       .localCheckpoint()
-    candidates(d, idCol, num, den, blockCols)
-      .join(d.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
-      .join(d.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
+    // EXACT-duplicate collapse (the Lee et al. dedup-pipeline
+    // convention: exact dedup before near-dup): identical token sets
+    // hit identical prefix buckets, so a group of g exact duplicates
+    // multiplies every one of its candidate rows by g² — on a
+    // duplicate-heavy corpus (dedup's raison d'être) candidate
+    // generation then grows with the square of duplication depth (the
+    // round-9 sf1 rehearsal measured 18× for 10× data). Joining once
+    // per DISTINCT (set, block) and expanding afterwards does the
+    // same g² work only where it IS the true output: cross-group
+    // member pairs inherit the representative pair's Jaccard verbatim
+    // (their sets are equal), within-group pairs are Jaccard 1.0 ≥
+    // any threshold. Output is row-identical to the uncollapsed join.
+    val keyCols = col("ws") +: blockCols.map(col)
+    val grouped = encB.groupBy(keyCols: _*)
+      .agg(min(col(idCol)).as("__rep"),
+           collect_list(col(idCol)).as("__mids"))
+      .localCheckpoint() // feeds reps, members ×4 below
+    val reps = grouped
+      .select(col("__rep").as(idCol) +: keyCols: _*)
+      .withColumn("n", size(col("ws")))
+    val members = grouped
+      .select(col("__rep"), explode(col("__mids")).as("__mid"))
+    val repPairs = candidates(reps, idCol, num, den, blockCols)
+      .join(reps.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(reps.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
       .withColumn("jaccard",
         NativeFunctions.sortedJaccard(col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("__mid").as("__ma")),
+            "id_a")
+      .join(members.select(col("__rep").as("id_b"), col("__mid").as("__mb")),
+            "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+              greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val within = members
+      .join(members.withColumnRenamed("__mid", "__mid2"), "__rep")
+      .filter(col("__mid") < col("__mid2"))
+      .select(col("__mid").as("id_a"), col("__mid2").as("id_b"),
+              lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 }
