@@ -754,7 +754,10 @@ object QueriesText {
 
     // array-function surface over token arrays (union/intersect/except/
     // slice), emitted as joined strings — array VALUES deserialize
-    // differently per engine, strings hash identically
+    // differently per engine, strings hash identically. The oracle wraps
+    // array_to_string in coalesce: DuckDB yields NULL for an empty list
+    // where Spark's array_join yields '' (bit at sf1, where ~half the
+    // sampled docs carry no stopword).
     "q_array_funcs" -> q(
       c => {
         val docs = c.documents.filter(col("doc_id") % 25 === 0)
@@ -775,8 +778,9 @@ object QueriesText {
         | FROM documents WHERE doc_id % 25 = 0
         |)
         |SELECT doc_id,
-        | array_to_string(list_sort(w)[1:5], ',') AS first5_words,
-        | array_to_string(list_sort(list_intersect(w, stop)), ',') AS stopwords_present,
+        | coalesce(array_to_string(list_sort(w)[1:5], ','), '') AS first5_words,
+        | coalesce(array_to_string(list_sort(list_intersect(w, stop)), ','), '')
+        |   AS stopwords_present,
         | CAST(len(list_filter(w, x -> NOT list_contains(stop, x))) AS BIGINT) AS n_content_words,
         | CAST(len(list_distinct(list_concat(w, stop))) AS BIGINT) AS n_union
         |FROM d""".stripMargin),

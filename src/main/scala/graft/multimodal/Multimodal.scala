@@ -21,6 +21,14 @@ import org.apache.spark.sql.types._
   * codecs are NOT in the JDK).
   */
 object Multimodal {
+  /** ImageIO's default stream cache spills every read/write through a
+    * temp FILE on executor disk — per-image I/O in the hot path, with
+    * identical output without it. `setUseCache` is a JVM-global
+    * static, so flip it exactly once per executor JVM (lazy val =
+    * synchronized once-only init) instead of from per-row code. */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   val MetaType: StructType = StructType(Seq(
     StructField("kind", StringType),
     StructField("byte_len", LongType),
@@ -70,10 +78,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    // in-memory stream cache: ImageIO's default file-backed cache
-    // creates+deletes a temp file on executor disk PER IMAGE — pure
-    // per-row I/O in the hot path, identical output without it
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoInMemory
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -113,7 +118,9 @@ object Multimodal {
   def decodeImages(assets: DataFrame): Dataset[DecodedImage] = {
     import assets.sparkSession.implicits._
     assets.select("asset_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
+      .mapPartitions { it =>
+        imageIoInMemory // once per task, not per row
+        it.map { case (id, payload) =>
         def fallback(reason: String): DecodedImage = {
           var checksum = 0L
           var i = 0
@@ -125,7 +132,6 @@ object Multimodal {
                        Some(reason), Some(checksum))
         }
         try {
-          javax.imageio.ImageIO.setUseCache(false) // see syntheticPng
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))
           if (img == null) fallback("not_decodable")
@@ -150,7 +156,8 @@ object Multimodal {
           case e: Exception =>
             fallback(s"decode_error:${e.getClass.getSimpleName}")
         }
-      })
+        }
+      }
   }
 
   final case class Frame(

@@ -210,8 +210,14 @@ object PrefixJoin {
             "id_b")
       .select(least(col("__ma"), col("__mb")).as("id_a"),
               greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
-    val within = members
-      .join(members.withColumnRenamed("__mid", "__mid2"), "__rep")
+    // empty token sets are one big "exact duplicate" group, but the
+    // uncollapsed join (and the J = |∩|/|∪| = 0/0 convention) never
+    // pairs them — an empty set has no prefix token to bucket on —
+    // so the within-group expansion must skip the empty-set group
+    val nonEmptyMembers = grouped.filter(size(col("ws")) > 0)
+      .select(col("__rep"), explode(col("__mids")).as("__mid"))
+    val within = nonEmptyMembers
+      .join(nonEmptyMembers.withColumnRenamed("__mid", "__mid2"), "__rep")
       .filter(col("__mid") < col("__mid2"))
       .select(col("__mid").as("id_a"), col("__mid2").as("id_b"),
               lit(1.0).as("jaccard"))

@@ -103,4 +103,30 @@ class PrefixJoinSpec extends AnyFunSuite {
       .as[(Int, Int, Double)].collect().toSet
     assert(jRaw == jSet)
   }
+
+  test("duplicate collapse: dup groups expand fully, empty sets pair with nothing") {
+    // 3 exact copies of doc A, 2 of doc B (a true 9/10 near-dup of A),
+    // plus 3 docs with EMPTY token sets. The collapse must (a) emit
+    // every member pair — within-group at J=1.0, cross-group at the
+    // representative pair's J — and (b) emit NOTHING for the empty-set
+    // group: an empty set has no prefix token to bucket on, and the
+    // 0/0 Jaccard convention excludes it (the uncollapsed join never
+    // paired them either).
+    val base = (0 until 10).map(j => s"t$j")
+    val docs = Seq(
+      (0, base), (1, base), (2, base),                 // dup group A
+      (3, base.dropRight(1)), (4, base.dropRight(1)),  // dup group B
+      (5, Seq.empty[String]), (6, Seq.empty[String]), (7, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+    val got = PrefixJoin.joinAll(docs, "doc_id", "toks", 0.9, 9, 10)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))
+      .as[(Int, Int, Double)].collect().toSet
+    val expected = Set(
+      (0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0),           // within A
+      (3, 4, 1.0),                                      // within B
+      (0, 3, 0.9), (0, 4, 0.9), (1, 3, 0.9),            // cross A×B
+      (1, 4, 0.9), (2, 3, 0.9), (2, 4, 0.9))
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
 }
