@@ -50,17 +50,25 @@ object QueriesText {
 
   /** DuckDB twin of the FULL Md5Hash-mode MinHashLSH.nearDuplicates
     * pipeline (dictionary → k-plane signature → band buckets →
-    * source-blocked bucket join → exact Jaccard ≥ threshold): every
-    * hash is the first 60 bits of md5, exactly as
-    * [[graft.text.MinHashLSH.md5Long]] computes it, so the twin
-    * replays the banding itself — which pairs LSH surfaces is part of
-    * the checked contract, not a recall gamble. `from` supplies the
-    * doc relation (doc_id, source, + whatever `tokensExpr` reads). */
+    * source-blocked bucket join → exact Jaccard ≥ threshold): the
+    * token dictionary and band buckets are the first 60 bits of md5,
+    * exactly as [[graft.text.MinHashLSH.md5Long]] computes them, and
+    * each plane i is the Carter–Wegman family
+    * [[graft.text.MinHashLSH.planeHash]] with its (aᵢ,bᵢ,cᵢ) embedded
+    * as literals — all exact BIGINT arithmetic, so the twin replays
+    * the banding itself: which pairs LSH surfaces is part of the
+    * checked contract, not a recall gamble. `from` supplies the doc
+    * relation (doc_id, source, + whatever `tokensExpr` reads). */
   private def minhashNeardupSql(from: String, tokensExpr: String,
                                 bands: Int, rowsPerBand: Int,
                                 threshold: String): String = {
     val k = bands * rowsPerBand
     val r = rowsPerBand
+    val planes = (0 until k).map { i =>
+      val (a, b, c) = graft.text.MinHashLSH.planeCoeffs(i)
+      s"list_min(list_transform(toks, h -> ($a*(h%1073741824) + " +
+        s"$b*(h//1073741824) + $c) % 2147483647))"
+    }.mkString(",\n      |   ")
     s"""WITH d AS (
       | SELECT doc_id, source,
       |  list_sort(list_transform($tokensExpr,
@@ -68,9 +76,7 @@ object QueriesText {
       | FROM $from
       |), sig AS (
       | SELECT doc_id, source, toks,
-      |  [list_min(list_transform(toks, h -> CAST('0x'||substr(md5(
-      |     CAST(i AS VARCHAR)||':'||CAST(h AS VARCHAR)),1,15) AS BIGINT)))
-      |   FOR i IN range($k)] AS sig
+      |  [$planes] AS sig
       | FROM d
       |), bnd AS (
       | SELECT doc_id, source, b,

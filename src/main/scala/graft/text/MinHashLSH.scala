@@ -32,13 +32,20 @@ object MinHashLSH {
     *    + xxhash64 band buckets. Fastest (one codegen'd aggregate), but
     *    xxhash64 internals are not reproducible in SQL engines, so
     *    results can only be pinned by recall/golden tests.
-    *  - [[Md5Hash]]: oracle. Every hash is the first 60 bits of an md5
-    *    hex digest — portable to ANY engine with md5 (DuckDB, Trino),
-    *    so the END-TO-END near-dup output (including which pairs the
-    *    banding surfaces — LSH recall < 1 stops mattering because the
-    *    oracle replays the SAME bands) hash-matches cross-engine.
-    *    ~3× more hash work per plane; use for verification surfaces,
-    *    not the 100 TB path.
+    *  - [[Md5Hash]]: oracle. The token dictionary and the band buckets
+    *    are the first 60 bits of an md5 hex digest; the k per-plane
+    *    minhashes are the classic universal-hash family over that one
+    *    md5 token hash — `(aᵢ·h_lo + bᵢ·h_hi + cᵢ) mod (2³¹−1)` with
+    *    h split into two 30-bit halves so every product stays under
+    *    2⁶¹ and every operation is exact 64-bit integer arithmetic in
+    *    ANY engine (DuckDB, Trino — no overflow, no floats). The
+    *    END-TO-END near-dup output (including which pairs the banding
+    *    surfaces — LSH recall < 1 stops mattering because the oracle
+    *    replays the SAME bands) hash-matches cross-engine. One md5 per
+    *    token total (not per plane — r9 replaced the per-plane md5,
+    *    which made md5 mode k× the hash work of production and the
+    *    sf1 bench's single heaviest query); use for verification
+    *    surfaces, production stays [[XxHash]].
     */
   sealed trait HashMode
   case object XxHash extends HashMode
@@ -49,6 +56,40 @@ object MinHashLSH {
     * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. */
   def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Md5-mode plane-hash parameters: modulus 2³¹−1 (Mersenne prime)
+    * and the 30-bit split point. Products aᵢ·h_half are < 2⁶¹ and the
+    * three-term sum < 2⁶³ — exact in BIGINT everywhere. */
+  val PlaneMod: Long  = 2147483647L   // 2^31 - 1
+  val HalfBase: Long = 1073741824L    // 2^30
+
+  /** Deterministic (aᵢ, bᵢ, cᵢ) for plane i, derived driver-side from
+    * md5 so any engine (or reviewer) can re-derive them; embedded as
+    * literals in both the Spark expression and the SQL twin. aᵢ, bᵢ
+    * are non-zero mod P so no plane degenerates to a constant. */
+  def planeCoeffs(i: Int): (Long, Long, Long) = {
+    def h60(tag: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (h60("mh-a") % (PlaneMod - 1) + 1,
+     h60("mh-b") % (PlaneMod - 1) + 1,
+     h60("mh-c") % PlaneMod)
+  }
+
+  /** Plane i's hash of a 60-bit md5 token hash `h`:
+    * `(aᵢ·(h mod 2³⁰) + bᵢ·(h div 2³⁰) + cᵢ) mod (2³¹−1)` — a
+    * 2-universal integer family (Carter–Wegman) that consumes all 60
+    * bits of h, runs entirely in codegen'd long arithmetic, and has an
+    * exact SQL twin: `(a*(h%1073741824) + b*(h//1073741824) + c) %
+    * 2147483647`. */
+  def planeHash(i: Int, h: Column): Column = {
+    val (a, b, c) = planeCoeffs(i)
+    (lit(a) * (h % lit(HalfBase)) + lit(b) * shiftright(h, 30) + lit(c)) %
+      lit(PlaneMod)
+  }
 
   /** Dictionary-encode a distinct token array into a sorted long array
     * (the form [[graft.functions.NativeFunctions.sortedJaccard]]
@@ -81,12 +122,14 @@ object MinHashLSH {
         tok.groupBy(col(idCol))
           .agg(graft.functions.MinHashSignature.sig(col("tok"), k).as("sig"))
       case Md5Hash =>
-        // plane i = min over tokens of md5("i:" + token-long-as-decimal).
-        // k plain min() aggregates instead of the mixing aggregate —
-        // still one shuffle on the doc id with map-side combine; the
-        // per-plane md5 is the price of SQL replayability.
+        // plane i = min over tokens of planeHash(i, tok) — tok is
+        // already the 60-bit md5 token hash from hashedTokenSet, so
+        // the k planes cost k long-multiplies per token, not k md5
+        // digests. k plain min() aggregates instead of the mixing
+        // aggregate — still one shuffle on the doc id with map-side
+        // combine; exact SQL replayability at near-production speed.
         val mins = (0 until k).map(i =>
-          min(md5Long(concat(lit(s"$i:"), col("tok").cast("string")))).as(s"h$i"))
+          min(planeHash(i, col("tok"))).as(s"h$i"))
         tok.groupBy(col(idCol))
           .agg(mins.head, mins.tail: _*)
           .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
