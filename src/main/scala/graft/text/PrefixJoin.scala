@@ -187,15 +187,31 @@ object PrefixJoin {
     // (their sets are equal), within-group pairs are Jaccard 1.0 ≥
     // any threshold. Output is row-identical to the uncollapsed join.
     val keyCols = col("ws") +: blockCols.map(col)
+    val keyNames = "ws" +: blockCols
     val grouped = encB.groupBy(keyCols: _*)
-      .agg(min(col(idCol)).as("__rep"),
-           collect_list(col(idCol)).as("__mids"))
-      .localCheckpoint() // feeds reps, members ×4 below
+      .agg(min(col(idCol)).as("__rep"))
+      .localCheckpoint() // feeds reps + the members join below
     val reps = grouped
       .select(col("__rep").as(idCol) +: keyCols: _*)
       .withColumn("n", size(col("ws")))
-    val members = grouped
-      .select(col("__rep"), explode(col("__mids")).as("__mid"))
+    // rep→member as ROWS via a join back on the group key — NOT
+    // collect_list: a boilerplate group with g duplicates would put
+    // all g ids in one array in one row (g=10⁷ at corpus scale is an
+    // 80 MB row → task OOM), while the join keeps every structure
+    // O(row) and distributed. Spark hash-partitions array keys fine;
+    // the set arrays shuffle once more, same order of work as the
+    // groupBy above. Checkpointed: consumed ×4 (cross ×2, within ×2).
+    // null-safe key equality: a null block VALUE groups like any other
+    // in the groupBy above, and a plain equi-join would silently drop
+    // those docs' within-group duplicate pairs (cross-block pairs for
+    // null blocks are already excluded by candidates(), before and
+    // after the collapse)
+    val mSide = encB.select(col(idCol).as("__mid") +: keyCols: _*)
+      .withColumn("__ne", size(col("ws")) > 0)
+    val members = mSide
+      .join(grouped, keyNames.map(n => mSide(n) <=> grouped(n)).reduce(_ && _))
+      .select(col("__rep"), col("__mid"), col("__ne"))
+      .localCheckpoint()
     val repPairs = candidates(reps, idCol, num, den, blockCols)
       .join(reps.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
       .join(reps.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
@@ -214,8 +230,8 @@ object PrefixJoin {
     // uncollapsed join (and the J = |∩|/|∪| = 0/0 convention) never
     // pairs them — an empty set has no prefix token to bucket on —
     // so the within-group expansion must skip the empty-set group
-    val nonEmptyMembers = grouped.filter(size(col("ws")) > 0)
-      .select(col("__rep"), explode(col("__mids")).as("__mid"))
+    val nonEmptyMembers = members.filter(col("__ne"))
+      .select(col("__rep"), col("__mid"))
     val within = nonEmptyMembers
       .join(nonEmptyMembers.withColumnRenamed("__mid", "__mid2"), "__rep")
       .filter(col("__mid") < col("__mid2"))
