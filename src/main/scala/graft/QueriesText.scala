@@ -1395,7 +1395,9 @@ object QueriesText {
     "q_pq_replay" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
-        Similarity.pqTopK(all, all.filter(col("id") % 50 === 0), k = 5,
+        Similarity.pqTopK(all,
+                          all.filter(col("id") % 50 === 0 && col("id") < 2000),
+                          k = 5,
                           dim = 64, m = 16, codebookSize = 250, rnd6,
                           kmeansIters = 0)
           .select(col("query_id"), col("vec_id"), col("score_r"),
@@ -1418,7 +1420,8 @@ object QueriesText {
         |), cw AS (
         | SELECT j.j, sidx.ci, sidx.u[j.j*4+1 : j.j*4+4] AS c
         | FROM sidx CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
-        |), qy AS (SELECT vec_id, u FROM un WHERE vec_id % 50 = 0),
+        |), qy AS (SELECT vec_id, u FROM un
+        |          WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |enc AS (
         | SELECT vec_id, j, ci AS code FROM (
         |  SELECT x.vec_id, cw.j, cw.ci,
@@ -1472,8 +1475,9 @@ object QueriesText {
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
         Similarity.ivfTopK(c.embeddings, "vec_id", "embedding",
-          all.filter(col("id") % 50 === 0), k = 5, centroidEvery = 53,
-          nprobe = 4, rnd6, kmeansIters = 0)
+          all.filter(col("id") % 50 === 0 && col("id") < 2000), k = 5,
+          centroidEvery = 53, nprobe = 4, rnd6, kmeansIters = 0,
+          maxCentroids = 40)
           .select(col("query_id"), col("vec_id"), col("cos_r"),
                   col("rn").cast("long").as("rn"))
       },
@@ -1482,9 +1486,10 @@ object QueriesText {
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                        CAST(embedding AS DOUBLE[]))) nrm
         | FROM embeddings
-        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |cent AS (
-        | SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 53 = 0
+        | SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+        | WHERE vec_id % 53 = 0 AND vec_id < 2120
         |), assigned AS (
         | SELECT vec_id, cid FROM (
         |  SELECT x.vec_id, c.cid,
