@@ -1000,8 +1000,13 @@ object QueriesAnalytics {
         val nNodes = pr.count()
         pr.select(col("node"), rnd6(col("r") * lit(nNodes)).as("scaled_rank"))
       }, {
+        // AS MATERIALIZED on every shared CTE (the q_pagerank_converged
+        // convention): DuckDB re-inlines a plain CTE at each reference,
+        // and e/deg/nn are referenced by every iteration level — at sf1
+        // that re-ran the 6M-row edge-derivation join ~18 times (the r9
+        // sf1 oracle pass measured 35+ min; materialized it is seconds)
         val iters = (1 to 5).map { k =>
-          s"""r$k AS (
+          s"""r$k AS MATERIALIZED (
              | SELECT e.dst AS node,
              |  (1e0 - 0.85e0) / nn.n + 0.85e0 * sum(r${k - 1}.r / deg.deg) AS r
              | FROM e
@@ -1011,18 +1016,18 @@ object QueriesAnalytics {
              | GROUP BY e.dst, nn.n
              |)""".stripMargin
         }.mkString(", ")
-        s"""WITH e0 AS (
+        s"""WITH e0 AS MATERIALIZED (
            | SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
            | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           |), e AS (
+           |), e AS MATERIALIZED (
            | SELECT src, dst FROM e0
            | UNION
            | SELECT dst AS src, src AS dst FROM e0
-           |), deg AS (
+           |), deg AS MATERIALIZED (
            | SELECT src, count(*) AS deg FROM e GROUP BY 1
-           |), nn AS (
+           |), nn AS MATERIALIZED (
            | SELECT count(*) AS n FROM deg
-           |), r0 AS (
+           |), r0 AS MATERIALIZED (
            | SELECT src AS node, 1e0 / nn.n AS r FROM deg CROSS JOIN nn
            |), $iters
            |SELECT node,
@@ -1226,8 +1231,12 @@ object QueriesAnalytics {
           graft.operators.CoPurchase.items(c.lineitem))
         graft.operators.LabelPropagation.run(edges, iters = 5)
       }, {
+        // AS MATERIALIZED: e (and transitively the und self-join) is
+        // referenced by every iteration level — un-materialized, DuckDB
+        // re-inlines the co-purchase derivation per level (see the
+        // q_pagerank note; same fix)
         val iters = (1 to 5).map { k =>
-          s"""l$k AS (
+          s"""l$k AS MATERIALIZED (
              | SELECT node, label FROM (
              |  SELECT e.src AS node, l.label, count(*) AS n,
              |   row_number() OVER (PARTITION BY e.src
@@ -1237,16 +1246,16 @@ object QueriesAnalytics {
              | WHERE rn = 1
              |)""".stripMargin
         }.mkString(", ")
-        s"""WITH it AS (
+        s"""WITH it AS MATERIALIZED (
            | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-           |), und AS (
+           |), und AS MATERIALIZED (
            | SELECT a.pk AS p_a, b.pk AS p_b
            | FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
            | GROUP BY 1, 2 HAVING count(*) >= 2
-           |), e AS (
+           |), e AS MATERIALIZED (
            | SELECT p_a AS src, p_b AS dst FROM und
            | UNION ALL SELECT p_b, p_a FROM und
-           |), l0 AS (
+           |), l0 AS MATERIALIZED (
            | SELECT DISTINCT src AS node, src AS label FROM e
            |), $iters
            |SELECT node, label FROM l5""".stripMargin
