@@ -1826,10 +1826,13 @@ object QueriesText {
     // path with its error pinned in ScalaTest.
     "q_kmv_replay" -> q(
       c => {
+        graft.functions.NativeFunctions.register(c.spark)
+        // graft_md5_bits(x, 8) ≡ conv(substring(md5(x),1,8),16,10):
+        // first 4 digest bytes as an unsigned int, straight off the
+        // digest — no per-row 32-char hex string at 6M rows/sf1
         val h = c.lineitem.select(
-            conv(substring(md5(col("l_partkey").cast("string")
-                                 .cast("binary")), 1, 8), 16, 10)
-              .cast("long").as("hv"))
+            graft.functions.NativeFunctions.md5Bits(
+                col("l_partkey").cast("string"), 8).as("hv"))
           .distinct()
         h.orderBy(col("hv")).limit(256)
           .agg(count(lit(1)).as("k_used"), max(col("hv")).as("hk"),

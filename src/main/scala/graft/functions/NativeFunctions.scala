@@ -504,6 +504,72 @@ case class BloomProbe(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First `nHex` hex characters of md5(input) as a BIGINT — the
+  * cross-engine hash primitive of the md5 ("oracle") modes in
+  * [[graft.text.MinHashLSH]] (nHex=15, 60 bits) and
+  * [[graft.text.SimHash]] (nHex=12, 48 bits). Value-identical to
+  * `conv(substring(md5(cast(x as binary)), 1, nHex), 16, 10)` and to
+  * DuckDB's `CAST('0x' || substr(md5(x), 1, nHex) AS BIGINT)`, but
+  * computed straight off the digest bytes: the functions._ chain
+  * allocates a 32-char hex string, a substring, and a base-16 parse
+  * per call — pure garbage at one-hash-per-token corpus scale.
+  * nHex ≤ 15 keeps the value under 2⁶⁰ (always a positive long).
+  */
+case class Md5Bits(child: Expression, nHex: Int)
+    extends UnaryExpression {
+  require(nHex >= 1 && nHex <= 15, "nHex must be in [1, 15]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | org.apache.spark.sql.types.BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_bits expects string or binary, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_bits"
+
+  private def toBytes(a: Any): Array[Byte] = child.dataType match {
+    case StringType => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    case _          => a.asInstanceOf[Array[Byte]]
+  }
+
+  override def nullSafeEval(a: Any): Any = Md5Bits.prefix(toBytes(a), nHex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytesOf: String => String = child.dataType match {
+      case StringType => c => s"$c.getBytes()"
+      case _          => c => c
+    }
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5Bits.prefix(${bytesOf(c)}, $nHex)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Bits {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First nHex hex chars of the digest as a long: whole bytes
+    * big-endian, plus the high nibble of the next byte when nHex is
+    * odd — exactly the value of parsing the hex-string prefix. */
+  def prefix(bytes: Array[Byte], nHex: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    val full = nHex >> 1
+    var v = 0L
+    var i = 0
+    while (i < full) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    if ((nHex & 1) == 1) v = (v << 4) | ((dig(full) & 0xffL) >>> 4)
+    v
+  }
+}
+
 object NativeFunctions {
   /** Single source of truth for the native function surface —
     * (name, usage, builder), consumed by BOTH the per-session
@@ -572,7 +638,10 @@ object NativeFunctions {
        .BloomFilterMightContain(exprs.head, exprs(1))),
     ("graft_bloom_probe",
      "graft_bloom_probe(bloom_column, xxhash64(x)) - per-row bloom membership probe",
-     exprs => BloomProbe(exprs.head, exprs(1))))
+     exprs => BloomProbe(exprs.head, exprs(1))),
+    ("graft_md5_bits",
+     "graft_md5_bits(x, nHex) - first nHex hex chars of md5(x) as BIGINT",
+     exprs => Md5Bits(exprs.head, constInt(exprs(1), "graft_md5_bits nHex"))))
 
   /** Idempotent per-session registration; expressions are then usable
     * from both the Column API (call_function) and spark.sql. */
@@ -616,6 +685,11 @@ object NativeFunctions {
   def topK(value: Column, id: Column, k: Int): Column =
     call_function("graft_topk", value, id,
       org.apache.spark.sql.functions.lit(k))
+
+  /** First nHex hex chars of md5(x) as BIGINT (see [[Md5Bits]]). */
+  def md5Bits(x: Column, nHex: Int): Column =
+    call_function("graft_md5_bits", x,
+      org.apache.spark.sql.functions.lit(nHex))
 
   /** Dictionary-encode a distinct token array into the sorted long
     * array [[SortedJaccard]]'s fast path consumes. */

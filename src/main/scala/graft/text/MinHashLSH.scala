@@ -53,9 +53,13 @@ object MinHashLSH {
 
   /** First 60 bits of md5 as a positive long (15 hex chars) — the
     * md5-mode hash primitive. DuckDB twin:
-    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. */
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. Native digest
+    * expression ([[graft.functions.Md5Bits]]) rather than
+    * conv∘substring∘md5: value-identical, but skips the 32-char hex
+    * string + substring + base-16 parse per token (md5 mode's entire
+    * per-token hot path; callers register NativeFunctions). */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.NativeFunctions.md5Bits(c, 15)
 
   /** Md5-mode plane-hash parameters: modulus 2³¹−1 (Mersenne prime)
     * and the 30-bit split point. Products aᵢ·h_half are < 2⁶¹ and the
@@ -107,6 +111,7 @@ object MinHashLSH {
   def signatures(docs: DataFrame, idCol: String, tokensCol: String,
                  k: Int, mode: HashMode = XxHash): DataFrame = {
     graft.functions.MinHashSignature.register(docs.sparkSession)
+    graft.functions.NativeFunctions.register(docs.sparkSession)
     // explode_outer + attribute filter, NOT plain explode: for explode,
     // InferFiltersFromGenerate adds Filter(size(tokens) > 0) and
     // predicate pushdown inlines the token expression into it BELOW
@@ -157,6 +162,7 @@ object MinHashLSH {
                      bands: Int, rowsPerBand: Int,
                      blockCol: Option[String] = None,
                      mode: HashMode = XxHash): DataFrame = {
+    graft.functions.NativeFunctions.register(sigs.sparkSession)
     val keyCols = Seq("band", "bucket") ++ blockCol
     val a = banded(sigs, idCol, bands, rowsPerBand, blockCol, mode)
       .withColumnRenamed(idCol, "id_a")

@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
 object SimHash {
   val Bits = 48
 
-  /** First 48 bits of md5(token) as a long (portable, deterministic). */
+  /** First 48 bits of md5(token) as a long (portable, deterministic).
+    * Native digest expression ([[graft.functions.Md5Bits]]) —
+    * value-identical to `conv(substring(md5(tok), 1, 12), 16, 10)`
+    * without the per-token hex-string/substring/parse allocations;
+    * callers must register NativeFunctions (simhash does). */
   def tokenHash(tok: Column): Column =
-    conv(substring(md5(tok.cast("binary")), 1, 12), 16, 10).cast("long")
+    graft.functions.NativeFunctions.md5Bits(tok, 12)
 
   /** (docId, tokens array) → (docId, simhash long). */
   def simhash(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
     val tok = docs
       // explode_outer + attribute filter, not plain explode: the
       // inferred size(tokens)>0 filter would inline a derived token

@@ -165,4 +165,32 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("graft_adc_scores")),
       s"expected graft_adc_scores in error chain, got: ${msgs(ex)}")
   }
+
+  test("md5_bits equals conv(substring(md5)) at 15 and 12 hex chars, " +
+       "incl. unicode/empty, and participates in codegen") {
+    NativeFunctions.register(spark)
+    val toks = Seq("alpha", "beta", "", "naïve", "日本語", "x" * 500,
+        "mh-a:0", "7:12345:678") ++ (0 until 2000).map(i => s"tok$i")
+    val df = toks.toDF("t")
+    for (n <- Seq(15, 12, 1, 8)) {
+      val bad = df.select(
+          NativeFunctions.md5Bits(col("t"), n).as("native"),
+          conv(substring(md5(col("t").cast("binary")), 1, n), 16, 10)
+            .cast("long").as("legacy"))
+        .filter(col("native") =!= col("legacy"))
+      assert(bad.count() == 0, s"nHex=$n")
+    }
+    // null in → null out, same as the functions._ chain
+    val nr = Seq[Option[String]](None).toDF("t")
+      .select(NativeFunctions.md5Bits(col("t"), 15).as("v")).collect()
+    assert(nr.head.isNullAt(0))
+    // inside a codegen stage, not interpreted fallback — build from
+    // spark.range so ConvertToLocalRelation can't fold the projection
+    // into a LocalTableScan before it ever reaches codegen
+    val plan = spark.range(100)
+      .select(NativeFunctions.md5Bits(
+        concat(lit("tok"), col("id").cast("string")), 15).as("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_md5_bits")), plan)
+  }
 }
