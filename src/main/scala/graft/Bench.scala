@@ -110,11 +110,25 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8).trim
         val sha =
           if (head.startsWith("ref: ")) {
-            val refPath = java.nio.file.Paths.get(".git", head.drop(5))
+            val ref = head.drop(5)
+            val refPath = java.nio.file.Paths.get(".git", ref)
             if (java.nio.file.Files.exists(refPath))
               new String(java.nio.file.Files.readAllBytes(refPath),
                 java.nio.charset.StandardCharsets.UTF_8).trim
-            else ""
+            else {
+              // after `git gc` the branch ref lives only in
+              // .git/packed-refs ("<sha> <ref>" lines) — without this
+              // fallback every post-gc bench writes BENCH_FULL_unknown
+              // .json, clobbering the cross-round drift trail
+              val packed = java.nio.file.Paths.get(".git", "packed-refs")
+              if (java.nio.file.Files.exists(packed))
+                scala.io.Source.fromFile(packed.toFile).getLines()
+                  .filterNot(l => l.startsWith("#") || l.startsWith("^"))
+                  .map(_.split(' '))
+                  .collectFirst { case Array(sha, r) if r == ref => sha }
+                  .getOrElse("")
+              else ""
+            }
           } else head
         if (sha.length >= 8) sha.take(8) else "unknown"
       } catch { case _: Throwable => "unknown" }

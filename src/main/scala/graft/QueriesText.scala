@@ -1489,7 +1489,7 @@ object QueriesText {
         |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |cent AS (
         | SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
-        | WHERE vec_id % 53 = 0 AND vec_id < 2120
+        | WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 40
         |), assigned AS (
         | SELECT vec_id, cid FROM (
         |  SELECT x.vec_id, c.cid,

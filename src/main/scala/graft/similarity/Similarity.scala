@@ -124,8 +124,13 @@ object Similarity {
     * it.
     *
     * `maxCentroids` caps the centroid count independently of the
-    * corpus (first `maxCentroids` subsampled ids). Without a cap,
-    * nlist grows as corpus/centroidEvery and the corpus→centroid
+    * corpus: the first `maxCentroids` subsampled ids BY RANK (order
+    * by id, limit — a TakeOrderedAndProject over the nlist-sized
+    * subsample, like pqTopK's codebook cap), not by id range. A range
+    * cut (id < centroidEvery·maxCentroids) silently selects fewer or
+    * ZERO centroids on offset or sparse id spaces — empty broadcast,
+    * empty assignment join, empty result with no error. Without a
+    * cap, nlist grows as corpus/centroidEvery and the corpus→centroid
     * assignment — a corpus×nlist product — turns quadratic in the
     * corpus (the round-9 sf1 rehearsal measured 18× cost for 10×
     * data). FAISS-style guidance applies: pick nlist ~ O(√corpus) or
@@ -137,9 +142,10 @@ object Similarity {
               roundedCos: Column => Column, kmeansIters: Int = 0,
               maxCentroids: Int = Int.MaxValue): DataFrame = {
     val all = prepare(emb, idCol, vecCol)
-    val cent0 = all.filter(col("id") % centroidEvery === 0 &&
-        col("id") < centroidEvery.toLong * maxCentroids)
+    val sub = all.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cent0 = if (maxCentroids == Int.MaxValue) sub
+                else sub.orderBy(col("cid")).limit(maxCentroids)
     val cent = broadcast(
       if (kmeansIters > 0) refineCentroids(all, cent0, kmeansIters)
       else cent0)

@@ -330,22 +330,6 @@ object ExcelSource {
     }
   }
 
-  /** Sheet names of a workbook in document order (introspection
-    * helper; the read path errors name these too). */
-  private[sources] def sheetNames(bytes: Array[Byte]): Vector[String] = {
-    val parts = collectParts(bytes)
-    val out = Vector.newBuilder[String]
-    parts.get("xl/workbook.xml").foreach { wb =>
-      val r = xmlReader(wb)
-      try while (r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT &&
-            r.getLocalName == "sheet")
-          out += r.getAttributeValue(null, "name")
-      } finally r.close()
-    }
-    out.result()
-  }
-
   private def relTarget(rels: Array[Byte], rid: String): Option[String] = {
     val r = xmlReader(rels)
     try {
@@ -597,6 +581,17 @@ object ExcelSource {
     val names = sheetsIn.map(_._1)
     require(names.forall(_.nonEmpty) && names.distinct.size == names.size,
       s"sheet names must be distinct and non-empty: $names")
+    // Excel's own naming rules — violating them produces a zip this
+    // library round-trips but Excel "repairs" or rejects on open,
+    // breaking the "minimal VALID .xlsx" contract at the consumer's
+    // desktop instead of here
+    val badChars = Set(':', '\\', '/', '?', '*', '[', ']')
+    names.foreach { nm =>
+      require(nm.length <= 31,
+        s"sheet name '$nm' exceeds Excel's 31-character cap")
+      require(!nm.exists(badChars), s"sheet name '$nm' contains a " +
+        "character Excel forbids (one of : \\ / ? * [ ])")
+    }
     val zip = new ZipOutputStream(out)
     def part(name: String, body: String): Unit = {
       val e = new ZipEntry(name)
@@ -789,7 +784,14 @@ object ExcelSource {
         r.toSeq
       }
       try write(header, rows, os) finally os.close()
-      fs.delete(out, false)
+      // single-step commit — NO delete(out) first: with speculation, a
+      // zombie attempt's delete could remove the winner's committed
+      // part after the stage was marked complete (count() returns,
+      // _SUCCESS written, partition silently missing). A bare rename
+      // is safe both ways: POSIX rename atomically replaces the target
+      // (both attempts wrote complete workbooks for the same
+      // partition, either is correct); HDFS rename fails when the
+      // target exists, which IS the another-attempt-committed signal.
       if (!fs.rename(tmp, out)) {
         val lost = fs.exists(out) // another attempt already committed
         fs.delete(tmp, false)

@@ -32,9 +32,14 @@ import scala.collection.mutable
   */
 object DistinctCountStream {
   final case class In(group: String, item: String)
-  /** `k` records the sketch size the state was built under: 0 in
-    * pre-existing checkpoints (treated as "unknown → trust configured
-    * k" for compatibility). */
+  /** `k` records the sketch size the state was built under. The 0
+    * default is defensive only — a checkpoint written by the PRE-k
+    * two-field KmvState cannot be restored by this code at all
+    * (flatMapGroupsWithState's state-schema compatibility check
+    * rejects the field-count change at query start), so upgrading
+    * across that schema change requires a fresh checkpoint; there is
+    * no silent-compat path. What IS supported across restarts is a
+    * configured-k change under THIS schema — see the clamp below. */
   final case class KmvState(hashes: Seq[Long], n: Long, k: Int = 0)
   final case class Out(group: String, rows_seen: Long, k_used: Int,
                        hk: Long, estimate: Long)

@@ -201,16 +201,19 @@ object PrefixJoin {
     // O(row) and distributed. Spark hash-partitions array keys fine;
     // the set arrays shuffle once more, same order of work as the
     // groupBy above. Checkpointed: consumed ×4 (cross ×2, within ×2).
-    // null-safe key equality: a null block VALUE groups like any other
-    // in the groupBy above, and a plain equi-join would silently drop
-    // those docs' within-group duplicate pairs (cross-block pairs for
-    // null blocks are already excluded by candidates(), before and
-    // after the collapse)
-    val mSide = encB.select(col(idCol).as("__mid") +: keyCols: _*)
-      .withColumn("__ne", size(col("ws")) > 0)
+    // Docs with a NULL block value are dropped here: candidates()'
+    // equi-join (like the uncollapsed join and the SQL twins) never
+    // matches a NULL key, so NULL-block docs can contribute NOTHING
+    // to the output — not even an exact-duplicate pair. Keeping them
+    // in the member expansion would make `within` ADD J=1.0 rows the
+    // uncollapsed join doesn't have, breaking the row-identical
+    // invariant above. (ws itself is never null/empty — both
+    // encodeDfAscending paths drop docs with no valid tokens.)
+    val mSide0 = encB.select(col(idCol).as("__mid") +: keyCols: _*)
+    val mSide = blockCols.foldLeft(mSide0)((d, c) => d.filter(col(c).isNotNull))
     val members = mSide
-      .join(grouped, keyNames.map(n => mSide(n) <=> grouped(n)).reduce(_ && _))
-      .select(col("__rep"), col("__mid"), col("__ne"))
+      .join(grouped, keyNames.map(n => mSide(n) === grouped(n)).reduce(_ && _))
+      .select(col("__rep"), col("__mid"))
       .localCheckpoint()
     val repPairs = candidates(reps, idCol, num, den, blockCols)
       .join(reps.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
@@ -226,14 +229,8 @@ object PrefixJoin {
             "id_b")
       .select(least(col("__ma"), col("__mb")).as("id_a"),
               greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
-    // empty token sets are one big "exact duplicate" group, but the
-    // uncollapsed join (and the J = |∩|/|∪| = 0/0 convention) never
-    // pairs them — an empty set has no prefix token to bucket on —
-    // so the within-group expansion must skip the empty-set group
-    val nonEmptyMembers = members.filter(col("__ne"))
-      .select(col("__rep"), col("__mid"))
-    val within = nonEmptyMembers
-      .join(nonEmptyMembers.withColumnRenamed("__mid", "__mid2"), "__rep")
+    val within = members
+      .join(members.withColumnRenamed("__mid", "__mid2"), "__rep")
       .filter(col("__mid") < col("__mid2"))
       .select(col("__mid").as("id_a"), col("__mid2").as("id_b"),
               lit(1.0).as("jaccard"))

@@ -354,4 +354,21 @@ class ExcelSourceSpec extends AnyFunSuite {
     val back2 = ExcelSource.read(spark, s"$dir/out")
     assert(back2.count() == 100)
   }
+
+  test("writeSheets rejects sheet names Excel itself would refuse") {
+    // >31 chars, and each forbidden character — a workbook with such a
+    // name is a valid zip this library round-trips but Excel "repairs"
+    // or rejects on open; fail at the API boundary instead
+    def attempt(name: String): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      ExcelSource.writeSheets(
+        Seq((name, Seq("a"), Seq(Seq[Any](1)))), out)
+    }
+    intercept[IllegalArgumentException](attempt("x" * 32))
+    Seq(":", "\\", "/", "?", "*", "[", "]").foreach { ch =>
+      intercept[IllegalArgumentException](attempt(s"q1${ch}draft"))
+    }
+    attempt("x" * 31) // at the cap: fine
+    attempt("Q1 (draft) — final!") // parens/dash/bang: all legal
+  }
 }

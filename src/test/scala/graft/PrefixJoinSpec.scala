@@ -129,4 +129,30 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
+
+  test("blocked join: NULL-block docs pair with nothing, like the equi-join") {
+    // candidates() buckets on (prefix token, block) with a plain
+    // equi-join, so a NULL block value never matches — not even two
+    // exact duplicates in the NULL block. The duplicate-collapse
+    // expansion must preserve that: before the fix, `within` used a
+    // null-safe member join and ADDED J=1.0 pairs for NULL-block
+    // duplicates that the uncollapsed join (and the SQL twins, which
+    // join on a.source = b.source) never produce.
+    val base = (0 until 10).map(j => s"t$j")
+    val docs = Seq(
+      (0, base, "web"), (1, base, "web"),             // dup group, block web
+      (2, base, null), (3, base, null),               // dup group, NULL block
+      (4, base.dropRight(1), "web"),                  // near-dup, block web
+      (5, base.dropRight(1), null))                   // near-dup, NULL block
+      .toDF("doc_id", "toks", "source")
+    val got = PrefixJoin.joinAll(docs, "doc_id", "toks", 0.9, 9, 10,
+        blockCols = Seq("source"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))
+      .as[(Int, Int, Double)].collect().toSet
+    val expected = Set(
+      (0, 1, 1.0),                                    // within web dups
+      (0, 4, 0.9), (1, 4, 0.9))                       // cross web near-dups
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
 }

@@ -49,6 +49,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf recall $recall too low")
   }
 
+  test("ivf maxCentroids cap is rank-based: offset id spaces keep centroids") {
+    // ids offset by 1M: the old range cut (id < centroidEvery*maxCentroids
+    // = 2120) selected ZERO centroids here -- empty broadcast, empty
+    // assignment join, silently empty result. The rank cap (order by id,
+    // limit) must keep exactly maxCentroids centroids and produce k rows
+    // per query regardless of where the id space starts.
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val off = c.embeddings.withColumn("vec_id", col("vec_id") + 1000000L)
+    val queries = Similarity.prepare(off, "vec_id", "embedding")
+      .filter(col("id") % 50 === 0)
+    val nQueries = queries.count()
+    val got = Similarity.ivfTopK(off, "vec_id", "embedding",
+        queries, 5, 53, 4, rnd6, kmeansIters = 0, maxCentroids = 4)
+    assert(got.count() == nQueries * 5,
+      s"expected ${nQueries * 5} rows, got ${got.count()}")
+  }
+
   test("lsh topk on testdata: k results per query, recall vs brute force") {
     val c = Ctx(spark, "/root/testdata/sf0.001")
     val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")

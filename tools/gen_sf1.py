@@ -46,6 +46,27 @@ os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 con.execute("PRAGMA threads=16")
 
+# The replication offsets below hardcode the sf0.1 row counts (N): if a
+# regenerated fixture drifts (say 15500 customers vs N=15000), replica
+# 1's key range would OVERLAP replica 0's tail -- duplicate primary
+# keys, broken referential integrity, and a silently corrupted scaling
+# corpus. Fail loudly instead.
+_CHECKS = dict(customer="c_custkey", supplier="s_suppkey", part="p_partkey",
+               orders="o_orderkey", events="event_id",
+               documents="doc_id", embeddings="vec_id")
+for _t, _k in _CHECKS.items():
+    _n = con.sql(f"SELECT count(*) FROM '{SRC}/{_t}.parquet'").fetchone()[0]
+    assert _n == N[_t], (
+        f"{_t}: sf0.1 fixture has {_n} rows but N['{_t}']={N[_t]} -- "
+        "update N or key replicas will collide")
+    _mx = con.sql(f"SELECT max({_k}) FROM '{SRC}/{_t}.parquet'").fetchone()[0]
+    assert _mx < N[_t], (
+        f"{_t}: max {_k}={_mx} >= offset stride {N[_t]} -- replica key "
+        "ranges would overlap")
+_n = con.sql(f"SELECT count(*) FROM '{SRC}/lineitem.parquet'").fetchone()[0]
+assert _n == N["lineitem"] * 4, (
+    f"lineitem: expected ~4 rows per order ({N['lineitem']*4}), got {_n}")
+
 def gen(sql, name):
     con.execute(f"COPY ({sql}) TO '{OUT}/{name}.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)")
     n = con.sql(f"SELECT count(*) FROM '{OUT}/{name}.parquet'").fetchone()[0]
