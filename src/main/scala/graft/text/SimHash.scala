@@ -85,17 +85,32 @@ object SimHash {
       .filter(col("k").isNotNull)
       .select(col("blk"), col("k.seg").as("seg"), col("k.bits").as("bits"),
               col("id"), col("sh"))
+      // checkpointed: BOTH sides of the self-join read this frame, and
+      // without truncation each re-runs the upstream simhash aggregate
+      // (tokenize + two shuffles) — measured 2.9 s of a 18.3 s query
+      // at sf1 paid twice. nSeg·n rows of 4 small columns.
+      .localCheckpoint()
     val a = keyed.select(col("blk"), col("seg"), col("bits"),
                          col("id").as("id_a"), col("sh").as("sh_a"))
     val b = keyed.select(col("blk"), col("seg"), col("bits"),
                          col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk", "seg", "bits"))
       .filter(col("id_a") < col("id_b"))
-      // a close pair can share several identical segments — emit it once
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      // exact hamming filter FIRST, distinct second: with 48 bits and
+      // maxHamming+1 segments each segment key is only 5-6 bits wide
+      // (≤64 buckets per block), so candidate volume is the sum of
+      // m²-sized buckets — 10s of millions of rows at 50k docs. The
+      // bit_count is a codegen'd per-row op that cuts that stream to
+      // the true near-dup pairs BEFORE the distinct's shuffle; a
+      // distinct-first order shuffles the full candidate stream
+      // (measured ~15 s of the 18.3 s sf1 query). A close pair shares
+      // several identical segments, so the distinct (on the pair plus
+      // its deterministic hamming) still collapses the multi-segment
+      // emits to one row.
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 
   /** The quadratic within-block comparison — the oracle twin the banded
