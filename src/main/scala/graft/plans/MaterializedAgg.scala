@@ -209,8 +209,14 @@ object MaterializedAgg {
     spark.read.parquet(summaryPath).queryExecution.analyzed match {
       case lr: LogicalRelation =>
         val have = lr.output.map(_.name.toLowerCase).toSet
-        val need = "cnt" +: measures.flatMap(m => Seq(
-          s"sum_$m", s"min_$m", s"max_$m", s"cnt_$m").map(_.toLowerCase))
+        // groupCols too, not just the aggregate columns: a summary
+        // actually built at a COARSER grain passes the cnt/sum_
+        // checks, registers fine, and then silently never serves
+        // (the rewrite's groupAttr lookup misses) — the exact failure
+        // mode registration-time validation exists to catch
+        val need = groupCols.map(_.toLowerCase) ++
+          ("cnt" +: measures.flatMap(m => Seq(
+            s"sum_$m", s"min_$m", s"max_$m", s"cnt_$m").map(_.toLowerCase)))
         val missing = need.filterNot(have)
         require(missing.isEmpty,
           s"summary at $summaryPath lacks column(s) ${missing.mkString(", ")}" +
@@ -241,8 +247,11 @@ object MaterializedAgg {
     (rootsOf(srcPlan), sumPlan) match {
       case (Some(roots), lr: LogicalRelation) =>
         val have = lr.output.map(_.name.toLowerCase).toSet
-        val need = "cnt" +: measures.flatMap(m => Seq(
-          s"sum_$m", s"min_$m", s"max_$m", s"cnt_$m").map(_.toLowerCase))
+        // groupCols too (see registerStar): a mis-grained summary must
+        // fail HERE, not silently never serve
+        val need = groupCols.map(_.toLowerCase) ++
+          ("cnt" +: measures.flatMap(m => Seq(
+            s"sum_$m", s"min_$m", s"max_$m", s"cnt_$m").map(_.toLowerCase)))
         val missing = need.filterNot(have)
         require(missing.isEmpty,
           s"summary at $summaryPath lacks column(s) ${missing.mkString(", ")}" +
@@ -264,6 +273,51 @@ object MaterializedAgg {
   def deregister(spark: SparkSession, sourcePath: String): Unit =
     rootsOf(spark.read.parquet(sourcePath).queryExecution.analyzed)
       .foreach(registry.remove)
+
+  /** Drop only the registration of ONE logical shape (grain +
+    * measures) over `sourcePath`, leaving coexisting-grain summaries
+    * registered — [[refresh]]'s deregistration: dropping the whole
+    * key there silently unregistered every SIBLING summary each
+    * maintenance cycle (A's fresh registration gone the moment B
+    * refreshes), demoting its covered queries to full fact scans
+    * until A's own next refresh. Siblings left registered are safe to
+    * serve the rebuild: any source MUTATION already dropped them via
+    * the table layer's [[invalidate]]; a direct refresh call leaves
+    * only fresh ones. */
+  private def deregisterShape(spark: SparkSession, sourcePath: String,
+                              groupCols: Seq[String],
+                              measures: Seq[String]): Unit = {
+    val g = groupCols.map(_.toLowerCase).toSet
+    val m = measures.map(_.toLowerCase).toSet
+    rootsOf(spark.read.parquet(sourcePath).queryExecution.analyzed)
+      .foreach { roots =>
+        registry.compute(roots, (_, v) =>
+          if (v == null) null
+          else {
+            val kept = v.filterNot(o => o.groupCols == g && o.measures == m)
+            if (kept.isEmpty) null else kept
+          })
+      }
+  }
+
+  /** [[deregisterShape]] for a JOIN summary (grain + measures + join
+    * spec over the star's root set) — [[refreshJoin]]'s shape-scoped
+    * deregistration. */
+  private def deregisterJoinShape(roots: Set[Set[String]],
+                                  groupCols: Seq[String],
+                                  measures: Seq[String],
+                                  dims: Seq[DimSpec]): Unit = {
+    val g = groupCols.map(_.toLowerCase).toSet
+    val m = measures.map(_.toLowerCase).toSet
+    joinRegistry.compute(roots, (_, v) =>
+      if (v == null) null
+      else {
+        val kept = v.filterNot(o =>
+          o.groupCols == g && o.measures == m && o.dims == dims)
+        if (kept.isEmpty) null else kept
+      })
+    ()
+  }
 
   /** Drop every registered summary whose SOURCE root set contains
     * `path` — the table layer's enforcement hook: [[graft.tables
@@ -290,23 +344,30 @@ object MaterializedAgg {
       // overwrite/compact of the summary path has deleted (or renamed
       // into .versions) — left registered, the next covered aggregate
       // rewrites onto dead paths and fails mid-scan. Drop those
-      // entries too (CAS forms: a concurrent re-registration wins and
-      // is then re-checked by its own epoch).
-      registry.forEach { (k, v) =>
-        val kept = v.filterNot(_.summaryRoots.contains(canon))
-        if (kept.size != v.size) {
-          if (kept.isEmpty) registry.remove(k, v)
-          else registry.replace(k, v, kept)
-          ()
-        }
+      // entries too — via compute, which is atomic per key: the
+      // earlier one-shot replace/remove CAS could LOSE to a concurrent
+      // registration of a DIFFERENT-shaped summary over the same
+      // source (the list gains an element, the CAS fails, no retry)
+      // and leave the dead-listing entry serving. compute's filter
+      // may also drop a registration racing in for the mutated path
+      // itself — over-invalidation, the safe direction.
+      registry.forEach { (k, _) =>
+        registry.compute(k, (_, v) =>
+          if (v == null) null
+          else {
+            val kept = v.filterNot(_.summaryRoots.contains(canon))
+            if (kept.isEmpty) null else kept
+          })
+        ()
       }
-      joinRegistry.forEach { (k, v) =>
-        val kept = v.filterNot(_.summaryRoots.contains(canon))
-        if (kept.size != v.size) {
-          if (kept.isEmpty) joinRegistry.remove(k, v)
-          else joinRegistry.replace(k, v, kept)
-          ()
-        }
+      joinRegistry.forEach { (k, _) =>
+        joinRegistry.compute(k, (_, v) =>
+          if (v == null) null
+          else {
+            val kept = v.filterNot(_.summaryRoots.contains(canon))
+            if (kept.isEmpty) null else kept
+          })
+        ()
       }
     }
     // the epoch bump is UNCONDITIONAL — no early return above, even
@@ -375,11 +436,15 @@ object MaterializedAgg {
         s"MaterializedAgg.refresh: source ${source.path} is partitioned " +
         s"by ${source.partitionCols}, not ${Seq(groupCols.head)} — the " +
         "per-refresh slice is a full source scan, not a pruned one")
-    // deregister FIRST: the rebuild below is itself an Aggregate over
-    // the registered source — left registered, the rewrite rule would
-    // serve it from the stale summary, recomputing the summary from
-    // itself (the classic MV self-reference loop)
-    deregister(source.spark, source.path)
+    // deregister THIS SHAPE first: the rebuild below is itself an
+    // Aggregate over the registered source — left registered, the
+    // rewrite rule would serve it from the stale summary, recomputing
+    // the summary from itself (the classic MV self-reference loop).
+    // Shape-scoped, NOT deregister(source): dropping the whole key
+    // unregistered every coexisting-grain sibling on each refresh
+    // cycle (see [[deregisterShape]]); siblings are safe — any source
+    // mutation already invalidated them table-side.
+    deregisterShape(source.spark, source.path, groupCols, measures)
     val slice = source.read
       .filter(col(groupCols.head).isInCollection(changed))
     val rebuilt = build(slice, groupCols, measures)
@@ -435,12 +500,22 @@ object MaterializedAgg {
         s"MaterializedAgg.refreshJoin: fact ${fact.path} is partitioned " +
         s"by ${fact.partitionCols}, not ${Seq(groupCols.head)} — the " +
         "per-refresh slice is a full fact scan, not a pruned one")
-    // drop the join registration FIRST (the rebuild below contains the
-    // registered join+Aggregate shape — left registered, the rule
+    // drop THIS join registration first (the rebuild below contains
+    // the registered join+Aggregate shape — left registered, the rule
     // would serve it from the stale summary: the MV self-reference
-    // loop). invalidate() also covers any plain registration of the
-    // fact path, conservatively.
-    invalidate(fact.spark, fact.path)
+    // loop). Shape-scoped like [[refresh]]'s: the old invalidate()
+    // here dropped every registration touching the fact path —
+    // including freshly-refreshed siblings — each maintenance cycle.
+    // The rebuilt plan's aggregate sits over a Join, which the PLAIN
+    // rewrite's unwrap bails on, so plain registrations of the fact
+    // path cannot capture it and may stay.
+    val dimPlan = fact.spark.read.parquet(dimPath).queryExecution.analyzed
+    val dimRoots = rootsOf(dimPlan).getOrElse(
+      throw new IllegalArgumentException(s"$dimPath must be a parquet scan"))
+    rootsOf(factRead.queryExecution.analyzed).foreach { factRoots =>
+      deregisterJoinShape(Set(factRoots, dimRoots), groupCols, measures,
+        Seq(DimSpec(dimRoots, factKey.toLowerCase, dimKey.toLowerCase)))
+    }
     val dim = fact.spark.read.parquet(dimPath)
     val slice = factRead.filter(col(groupCols.head).isInCollection(changed))
     val rebuilt = buildStar(slice, Seq((dim, factKey, dimKey)),

@@ -54,6 +54,27 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       .parquet(path)
   }
 
+  /** Live-table schema, one listing per mutation epoch. The
+    * skip-index readers ([[readPruned]], [[readBloomFiltered]],
+    * [[readFiles]]) need only the SCHEMA to assemble their
+    * explicit-file reads, but `read.schema` performs a full recursive
+    * listing + footer read per call — at 100 TB / ~400k files that
+    * O(files) listing dominates a pruned point lookup, the exact cost
+    * the manifests exist to avoid. Cached here; every mutator clears
+    * it via [[invalidateFileStats]] (single-writer contract, like the
+    * manifests themselves). */
+  @volatile private var cachedSchema: org.apache.spark.sql.types.StructType = _
+  private def liveSchema: org.apache.spark.sql.types.StructType = {
+    if (cachedSchema == null) cachedSchema = read.schema
+    cachedSchema
+  }
+
+  /** Schema-preserving empty frame — the zero-survivor result of a
+    * pruned lookup, without `read.limit(0)`'s full listing. */
+  private def emptyFrame: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                          liveSchema)
+
   private def write(df: DataFrame, target: String): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -249,6 +270,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
             !bucket.contains("=") && !bucket.startsWith("batch-") &&
             !bucket.startsWith("done-") && !bucket.startsWith("."),
       s"bucket must be a single plain dir name, got '$bucket'")
+    // same guard as appendBatch: on a PARTITIONED table the staged
+    // write would itself be partitioned, and swapping that tree in as
+    // path/<bucket>/ plants col= dirs beside the live ones — partition
+    // discovery then fails with conflicting structures, far from here
+    require(partitionCols.isEmpty,
+      s"replaceBucket is for unpartitioned tables; $path is partitioned " +
+      s"by ${partitionCols.mkString(",")}")
     repairInterruptedSwaps()
     invalidateFileStats()
     val tag = UUID.randomUUID().toString.take(8)
@@ -280,18 +308,25 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * or carry the partition value inside the pk. */
   def upsert(updates: DataFrame): Unit = {
     repairInterruptedSwaps()
-    val deduped = updates.dropDuplicates(pk)
-    // merging an empty batch is a no-op; on a missing table it must not
-    // create one — an empty PARTITIONED overwrite writes a dir holding
-    // only _SUCCESS, which wedges every later read's schema inference.
-    // The guard lives here so every caller gets it.
-    if (deduped.isEmpty) return
-    if (!exists) overwrite(deduped)
-    else if (partitionCols.size == 1) {
-      assertPartitionedLayout()
-      upsertPartitions(deduped)
-    }
-    else overwrite(Upsert.merge(read, deduped, pk)) // pre-deduped above
+    // persisted: THREE actions read the deduped batch (the isEmpty
+    // probe, the partition-values collect, and the merged staged
+    // write) — unpersisted, each re-runs the upstream batch plan plus
+    // the dedup shuffle, tripling per-microbatch cost on the streaming
+    // upsert hot path (EventsPipeline calls this every batch)
+    val deduped = updates.dropDuplicates(pk).persist()
+    try {
+      // merging an empty batch is a no-op; on a missing table it must
+      // not create one — an empty PARTITIONED overwrite writes a dir
+      // holding only _SUCCESS, which wedges every later read's schema
+      // inference. The guard lives here so every caller gets it.
+      if (deduped.isEmpty) return
+      if (!exists) overwrite(deduped)
+      else if (partitionCols.size == 1) {
+        assertPartitionedLayout()
+        upsertPartitions(deduped)
+      }
+      else overwrite(Upsert.merge(read, deduped, pk)) // pre-deduped above
+    } finally deduped.unpersist(blocking = false)
   }
 
   /** Mixed-layout guard for partition-scoped mutators: a table
@@ -617,6 +652,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * back to a full filtered scan until [[writeFileStats]] /
     * [[writeFileBlooms]] run again. */
   private def invalidateFileStats(): Unit = {
+    cachedSchema = null // the mutation may evolve the live schema
     fs.delete(new Path(fileStatsPath), true)
     fs.delete(new Path(bloomStatsPath), true)
     // same discipline for the MV registry: a summary registered over
@@ -713,9 +749,9 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       case None => filtered(read)
       case Some(survivors) =>
         val files = survivors.collect().map(_.getString(0))
-        if (files.isEmpty) read.limit(0).filter(col(c) === lit(value))
+        if (files.isEmpty) emptyFrame.filter(col(c) === lit(value))
         else filtered(spark.read.option("basePath", path)
-          .schema(read.schema).parquet(files.toIndexedSeq: _*))
+          .schema(liveSchema).parquet(files.toIndexedSeq: _*))
     }
   }
 
@@ -734,7 +770,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     graft.functions.NativeFunctions.register(spark)
     // hash exactly as the build did: same column type, same xxhash64
     val hash = spark.range(1)
-      .select(xxhash64(lit(value).cast(read.schema(c).dataType)))
+      .select(xxhash64(lit(value).cast(liveSchema(c).dataType)))
       .head().getLong(0)
     Some(manifest
       .filter(call_function("graft_bloom_probe", col(s"bloom_$c"), lit(hash)))
@@ -757,11 +793,11 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val files = spark.read.parquet(fileStatsPath)
       .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
       .select("file").collect().map(_.getString(0))
-    if (files.isEmpty) read.limit(0)
+    if (files.isEmpty) emptyFrame
     // basePath lets a partitioned table's explicit file list still
     // recover its key=value partition columns from the paths
     else filtered(spark.read.option("basePath", path)
-      .schema(read.schema).parquet(files.toIndexedSeq: _*))
+      .schema(liveSchema).parquet(files.toIndexedSeq: _*))
   }
 
   // ── version retention (Delta time-travel parity, single-writer) ────
@@ -806,9 +842,23 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       val ts = new Path(s"$path.tombstone-$tag")
       renameOrFail(live, ts)
       renameOrFail(new Path(staged), live)
-      renameOrFail(ts, new Path(versionsRoot, s"v$next"))
+      val archived = new Path(versionsRoot, s"v$next")
+      renameOrFail(ts, archived)
+      // stamp WHEN this version stopped being live: the rename
+      // preserves the dir's data mtime, so without a marker a
+      // time-based vacuum would measure DATA age and delete a
+      // just-archived version of long-static data instantly (Delta
+      // measures retention from the deletion timestamp, not write
+      // time). Leading underscore: Spark's FileIndex ignores it, so
+      // readVersion over the archive is unaffected.
+      fs.create(new Path(archived, "_ARCHIVED_AT"), true).close()
     } else renameOrFail(new Path(staged), live)
-    versions.dropRight(retain).foreach(v =>
+    // never prune below ONE archive: the newest archive anchors the
+    // monotonic version counter (next = versions.last + 1) — deleting
+    // every archive would restart numbering at v1 and silently hand a
+    // changesSince consumer an unrelated generation under a reused
+    // version number
+    versions.dropRight(math.max(retain, 1)).foreach(v =>
       fs.delete(new Path(versionsRoot, s"v$v"), true))
   }
 
@@ -817,17 +867,23 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * 90 d) applied to the versioned-overwrite protocol. COUNT-based
     * pruning ([[overwriteVersioned]]'s `retain`) bounds archive
     * growth per overwrite; this is the complementary policy knob an
-    * operator schedules: delete every archived version whose
-    * directory mtime — the time its data was last WRITTEN (a rename
-    * into the archive preserves mtime, so this is data age, matching
-    * [[history]]'s modified_at) — is older than `retainHours`. The
-    * live dir, tombstones (exclusively [[repairInterruptedSwaps]]'s
-    * to handle), and write stages ([[vacuum]]'s) are never touched.
-    * Delta-parity guardrail: a window under 168 h risks deleting an
-    * archive a concurrent [[readVersion]]/[[changesSince]] reader
-    * still holds open (their file listing resolves lazily) — going
-    * lower requires `force = true`, mirroring Delta's
-    * retentionDurationCheck. Returns the deleted version numbers. */
+    * operator schedules: delete every archived version that stopped
+    * being live more than `retainHours` ago — measured from the
+    * `_ARCHIVED_AT` marker [[overwriteVersioned]] stamps at archive
+    * time (Delta measures retention the same way, from the deletion
+    * timestamp; the dir's own mtime is DATA age, which a rename
+    * preserves, and data age would delete a just-archived version of
+    * long-static data instantly). Marker-less legacy archives fall
+    * back to the dir mtime. The NEWEST archive is always retained:
+    * it anchors the monotonic version counter and the rollback-by-one
+    * path. The live dir, tombstones (exclusively
+    * [[repairInterruptedSwaps]]'s to handle), and write stages
+    * ([[vacuum]]'s) are never touched. Delta-parity guardrail: a
+    * window under 168 h risks deleting an archive a concurrent
+    * [[readVersion]]/[[changesSince]] reader still holds open (their
+    * file listing resolves lazily) — going lower requires
+    * `force = true`, mirroring Delta's retentionDurationCheck.
+    * Returns the deleted version numbers. */
   def vacuumVersions(retainHours: Double = 168.0,
                      force: Boolean = false): Seq[Long] = {
     require(retainHours >= 168.0 || force,
@@ -835,10 +891,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       "floor (a concurrent readVersion/changesSince may hold an old " +
       "archive open); pass force=true to override")
     val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
-    val dropped = versions.filter { v =>
-      fs.getFileStatus(new Path(versionsRoot, s"v$v"))
-        .getModificationTime < cutoff
+    def archivedAt(v: Long): Long = {
+      val dir = new Path(versionsRoot, s"v$v")
+      val marker = new Path(dir, "_ARCHIVED_AT")
+      if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+      else fs.getFileStatus(dir).getModificationTime
     }
+    val dropped = versions.dropRight(1).filter(archivedAt(_) < cutoff)
     dropped.foreach(v => fs.delete(new Path(versionsRoot, s"v$v"), true))
     dropped
   }

@@ -131,6 +131,15 @@ class LakehouseTableSpec extends AnyFunSuite {
       t.appendBatch(Seq((9, "z")).toDF("k", "v"), bucket = "a/b"))
     intercept[IllegalArgumentException](
       t.replaceBucket("", Seq((9, "z")).toDF("k", "v")))
+
+    // bucket ops are an unpartitioned-table protocol: on a PARTITIONED
+    // table the staged write would itself be partitioned and the swap
+    // would plant col= dirs inside a stray bucket dir, wedging
+    // partition discovery — must refuse like appendBatch does
+    val pt = LakehouseTable(spark, s"$dir/pq", Seq("k"), Seq("part"))
+    pt.upsert(Seq((1, "a", "p1")).toDF("k", "v", "part"))
+    intercept[IllegalArgumentException](
+      pt.replaceBucket("src-x", Seq((2, "b", "p1")).toDF("k", "v", "part")))
   }
 
   test("partition-scoped upsert touches only the batch's partitions") {
@@ -200,20 +209,31 @@ class LakehouseTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.vacuumVersions(retainHours = 1.0) }
     // nothing old enough yet: no-op
     assert(t.vacuumVersions() == Nil && t.versions == Seq(1L, 2L))
-    // age v1 past the default window
+    // retention is measured from ARCHIVE time (_ARCHIVED_AT marker),
+    // not data mtime: aging the DIR (data age) must not delete it —
+    // a just-archived version of long-static data stays restorable
     val v1 = new java.io.File(s"$dir/t.versions/v1")
     assert(v1.setLastModified(
       System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    assert(t.vacuumVersions() == Nil && t.versions == Seq(1L, 2L))
+    // age the archive MARKER past the default window -> deleted
+    assert(new java.io.File(s"$dir/t.versions/v1/_ARCHIVED_AT")
+      .setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
     assert(t.vacuumVersions() == Seq(1L))
     assert(t.versions == Seq(2L) && !v1.exists())
     // live data and the surviving archive are untouched
     assert(t.read.as[(Int, String)].collect().toSeq == Seq((3, "c")))
     assert(t.readVersion(2L).as[(Int, String)].collect().toSeq == Seq((2, "b")))
-    // forced sub-floor window ages out the rest
-    assert(new java.io.File(s"$dir/t.versions/v2")
+    // the NEWEST archive is never vacuumed, however old: it anchors
+    // the monotonic version counter (a deleted-all state would restart
+    // numbering at v1 and hand changesSince consumers a reused number)
+    assert(new java.io.File(s"$dir/t.versions/v2/_ARCHIVED_AT")
       .setLastModified(System.currentTimeMillis() - 3600L * 1000))
-    assert(t.vacuumVersions(retainHours = 0.5, force = true) == Seq(2L))
-    assert(t.versions.isEmpty && t.read.count() == 1)
+    assert(t.vacuumVersions(retainHours = 0.5, force = true) == Nil)
+    assert(t.versions == Seq(2L) && t.read.count() == 1)
+    // and the counter stays monotonic across the vacuum
+    t.overwriteVersioned(Seq((4, "d")).toDF("k", "v"))
+    assert(t.versions == Seq(2L, 3L))
   }
 
   test("interrupted partition swap is rolled back and batch replay recovers") {

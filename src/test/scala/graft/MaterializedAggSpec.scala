@@ -88,6 +88,53 @@ class MaterializedAggSpec extends AnyFunSuite {
     } finally MaterializedAgg.clear()
   }
 
+  test("refresh is shape-scoped: a sibling grain's registration survives the cycle") {
+    val dir = TestSpark.tmpDir("mvsibling")
+    val src = graft.tables.LakehouseTable(spark, s"$dir/src", Seq("id"), Seq("d"))
+    src.overwrite(Seq((1, "d1", "b1", 10), (2, "d1", "b2", 20), (3, "d2", "b1", 5))
+      .toDF("id", "d", "b", "v"))
+    // two summaries over the same source: grain {d} and grain {d,b}
+    val goldD = graft.tables.LakehouseTable(spark, s"$dir/gold_d", Seq("d"), Seq("d"))
+    goldD.overwrite(MaterializedAgg.build(src.read, Seq("d"), Seq("v")))
+    val goldDb = graft.tables.LakehouseTable(spark, s"$dir/gold_db", Seq("d", "b"), Seq("d"))
+    goldDb.overwrite(MaterializedAgg.build(src.read, Seq("d", "b"), Seq("v")))
+    MaterializedAgg.attach(spark)
+    MaterializedAgg.register(spark, src.path, goldD.path, Seq("d"), Seq("v"))
+    MaterializedAgg.register(spark, src.path, goldDb.path, Seq("d", "b"), Seq("v"))
+    try {
+      def byD = src.read.groupBy($"d").agg(sum($"v").as("sv"))
+      def byDb = src.read.groupBy($"d", $"b").agg(sum($"v").as("sv"))
+      assert(scanPaths(byD).forall(_.contains("gold_d")))
+      assert(scanPaths(byDb).forall(_.contains("gold_db")))
+      // maintenance cycle for the {d} shape only: before the fix this
+      // deregistered the WHOLE source key, silently demoting the {d,b}
+      // sibling to fact scans until its own next refresh
+      MaterializedAgg.refresh(src, goldD, Seq("d"), Seq("v"), Seq("d1"))
+      assert(scanPaths(byD).forall(_.contains("gold_d")), scanPaths(byD))
+      assert(scanPaths(byDb).nonEmpty &&
+             scanPaths(byDb).forall(_.contains("gold_db")),
+        s"sibling registration lost by refresh: ${scanPaths(byDb)}")
+      assert(byDb.orderBy("d", "b").as[(String, String, Long)].collect().toSeq ==
+        Seq(("d1", "b1", 10L), ("d1", "b2", 20L), ("d2", "b1", 5L)))
+    } finally MaterializedAgg.clear()
+  }
+
+  test("registration rejects a summary missing a grain column (mis-grained)") {
+    val dir = TestSpark.tmpDir("mvgrainchk")
+    (1 to 100).map(i => (i % 7, s"b${i % 3}", i)).toDF("k", "b", "v")
+      .write.parquet(s"$dir/src")
+    val src = spark.read.parquet(s"$dir/src")
+    // summary built at the COARSER {k} grain: all cnt/sum_ columns
+    // present, so before the fix register() at {k,b} succeeded and the
+    // acceleration was silently absent (rewrite-time groupAttr miss)
+    MaterializedAgg.build(src, Seq("k"), Seq("v")).write.parquet(s"$dir/gold_k")
+    val ex = intercept[IllegalArgumentException] {
+      MaterializedAgg.register(spark, s"$dir/src", s"$dir/gold_k",
+                               Seq("k", "b"), Seq("v"))
+    }
+    assert(ex.getMessage.contains("b"), ex.getMessage)
+  }
+
   test("table mutation auto-invalidates the registry: no deregister call needed") {
     val dir = TestSpark.tmpDir("mvinval")
     val src = graft.tables.LakehouseTable(spark, s"$dir/src", Seq("id"), Seq("d"))
