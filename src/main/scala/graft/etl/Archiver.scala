@@ -21,13 +21,26 @@ object Archiver {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(srcDir), conf)
+    // the DESTINATION may live on a different filesystem (hdfs -> s3a
+    // archive tier, the reference's own S3 shape): rename cannot cross
+    // filesystems at all — it would wedge on the FIRST file and every
+    // rerun after it, so cross-FS moves fall back to copy+delete
+    // (copy first, delete only after, so a crash between them leaves a
+    // duplicate, never a loss; the rerun's exists(target) path then
+    // suffixes it like any re-delivery)
     val dst = new Path(dstDir)
-    if (!fs.exists(dst)) fs.mkdirs(dst)
+    val dstFs = dst.getFileSystem(conf)
+    val sameFs = fs.getUri == dstFs.getUri
+    def move(from: Path, to: Path): Boolean =
+      if (sameFs) fs.rename(from, to)
+      else org.apache.hadoop.fs.FileUtil.copy(fs, from, dstFs, to,
+        /*deleteSource=*/ true, /*overwrite=*/ false, conf)
+    if (!dstFs.exists(dst)) dstFs.mkdirs(dst)
     val files = fs.listStatus(new Path(srcDir)).filter(_.isFile).map(_.getPath)
     var moved = 0
     files.foreach { f =>
       val target = new Path(dst, f.getName)
-      if (fs.exists(target)) {
+      if (dstFs.exists(target)) {
         // a same-named file was archived before (re-delivered input):
         // suffix with the source mtime so the move always completes —
         // silently skipping would leave the file in srcDir forever,
@@ -38,11 +51,11 @@ object Archiver {
         val mtime = fs.getFileStatus(f).getModificationTime
         val suffixed = new Path(dst, s"${f.getName}.$mtime")
         val unique =
-          if (!fs.exists(suffixed)) suffixed
+          if (!dstFs.exists(suffixed)) suffixed
           else new Path(dst, s"${f.getName}.$mtime." +
             java.util.UUID.randomUUID().toString.take(8))
-        require(fs.rename(f, unique), s"archive rename failed for $f")
-      } else require(fs.rename(f, target), s"archive rename failed for $f")
+        require(move(f, unique), s"archive move failed for $f")
+      } else require(move(f, target), s"archive move failed for $f")
       moved += 1
       if (moved % batchSize == 0)
         org.slf4j.LoggerFactory.getLogger(getClass)

@@ -67,7 +67,14 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
   val silverProducts: LakehouseTable   = table("silver_products", "product_id")
   val silverOrders: LakehouseTable     = table("silver_orders", "order_id", Seq("date"))
   val silverOrderItems: LakehouseTable = table("silver_order_items", "id", Seq("date"))
-  val quarantine: LakehouseTable       = table("rejected_records", "id")
+  // pk = the quarantine row identity (raw record + its source), NOT a
+  // column named "id" — the quarantine schema is (record,
+  // validation_errors, source_table, rejected_at) and a phantom pk
+  // would crash the first pk-dependent op (upsert's dropDuplicates)
+  // with a missing-column AnalysisException far from this declaration
+  val quarantine: LakehouseTable =
+    LakehouseTable(spark, s"$warehouse/rejected_records",
+                   Seq("record", "source_table"))
 
   /** Bronze ingest (reference docs/etl_processes.md:84-86,
     * docs/data_model.md:46-52): raw inferred-schema rows plus per-row
@@ -93,11 +100,14 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
     * inferSchema guessed — mixed file schemas in one directory would
     * poison every later read.
     *
-    * Returns ONLY the fresh (newly ingested) rows: the silver stage is
-    * incremental — reprocessing the full bronze history per run would
-    * re-quarantine every historical reject and let an arbitrary-winner
-    * dedup nondeterministically flip settled silver rows. */
-  def ingestBronze(csvPath: String, target: LakehouseTable): DataFrame = {
+    * Lands the fresh rows and returns Unit: the silver stage reads
+    * the landed batch dirs itself through the [[withPending]] /
+    * unackedBatches crash-window handshake (which also picks up
+    * batches a previous run landed but died before processing) — a
+    * returned DataFrame would be a second, handshake-bypassing path
+    * to the same data, and the earlier read-back here was exactly
+    * that: dead code every caller discarded. */
+  def ingestBronze(csvPath: String, target: LakehouseTable): Unit = {
     val ingestTs = new java.sql.Timestamp(System.currentTimeMillis())
     // format dispatch: the reference's bronze orders/order-items land
     // as Excel (docs/etl_processes.md:133,189), products as CSV — both
@@ -122,24 +132,21 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
         val seen = existing.select("source_file").distinct()
         conformed.join(broadcast(seen), Seq("source_file"), "left_anti")
       }
-    // the silver stage triggers several actions over the fresh batch
-    // (validation split, reject count, upsert); handing it the lazy
-    // CSV+anti-join lineage would re-run that scan per action. Reading
-    // the just-landed batch dir back gives every downstream action the
-    // landed columnar data instead.
-    if (fresh.isEmpty) fresh.limit(0)
-    else spark.read.parquet(target.appendBatch(fresh))
+    if (!fresh.isEmpty) { target.appendBatch(fresh); () }
   }
 
   /** True when `path` is an .xlsx file or a directory containing any
     * (one driver-side listing — the same listing the file source does).
     *
-    * A MIXED drop (both .xlsx and .csv in one directory) is rejected
-    * loudly: the Excel branch reads via pathGlobFilter *.xlsx, so the
-    * CSVs would be silently skipped — never ingested, never
-    * quarantined, on this and every future run (the freshness
-    * anti-join would keep treating them as unseen but the scan would
-    * never surface them). */
+    * A MIXED drop is rejected loudly IN BOTH DIRECTIONS — not just
+    * .csv beside .xlsx: the Excel branch reads via pathGlobFilter
+    * *.xlsx, so ANY other format (.csv, .xls, .json, .tsv...) would be
+    * silently skipped — never ingested, never quarantined, on this and
+    * every future run (the freshness anti-join would keep treating
+    * those files as unseen but the scan would never surface them).
+    * Symmetrically, the CSV branch parses every non-hidden file in the
+    * directory as CSV, so a stray .json there would ingest as garbage
+    * rows; only .csv files may accompany .csv files. */
   private def hasXlsx(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -147,17 +154,25 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
       val st = fs.getFileStatus(p)
       if (st.isFile) p.getName.toLowerCase.endsWith(".xlsx")
       else {
-        val names = fs.listStatus(p).map(_.getPath.getName.toLowerCase)
+        // data files only: _-/.-prefixed entries (markers, hidden) and
+        // subdirectories are ignored by both readers anyway
+        val names = fs.listStatus(p).filter(_.isFile)
+          .map(_.getPath.getName.toLowerCase)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
         val xlsx = names.exists(_.endsWith(".xlsx"))
-        if (xlsx) {
-          val csvs = names.filter(_.endsWith(".csv"))
-          require(csvs.isEmpty,
-            s"mixed-format drop at $path: .xlsx files present alongside " +
-            s"CSVs ${csvs.sorted.take(5).mkString(", ")}" +
-            (if (csvs.length > 5) s" (+${csvs.length - 5} more)" else "") +
-            " — the Excel reader would silently skip the CSVs; land the " +
+        val wanted = if (xlsx) ".xlsx" else ".csv"
+        val strays = names.filterNot(_.endsWith(wanted))
+        // a pure-CSV drop with no strays is the reference layout; a
+        // directory of neither (e.g. extensionless parts) stays on the
+        // CSV branch only when nothing LOOKS like another format
+        if (xlsx || names.exists(_.endsWith(".csv")))
+          require(strays.isEmpty,
+            s"mixed-format drop at $path: $wanted files present alongside " +
+            s"${strays.sorted.take(5).mkString(", ")}" +
+            (if (strays.length > 5) s" (+${strays.length - 5} more)" else "") +
+            s" — the ${if (xlsx) "Excel" else "CSV"} reader would " +
+            s"${if (xlsx) "silently skip" else "mis-parse"} them; land the " +
             "formats in separate directories")
-        }
         xlsx
       }
     }
@@ -449,20 +464,28 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
       case "orders"      => (parsed, orderRules, Seq.empty[String])
       case _             => (parsed, requiredRules(products), Seq.empty[String])
     }
+    // persisted: THREE actions read the validated rows (count, the
+    // upsert input, and the quarantine-rewrite anti-join) — and the
+    // plan above them re-runs the JSON parse plus (for order_items)
+    // both RI dimension joins per action. Same discipline as
+    // LakehouseTable.upsert and stage().
     val valid = helpers.foldLeft(Validation.split(checked, rules)._1)(_.drop(_))
-    val n = valid.count()
-    if (n > 0) {
-      // same deterministic within-batch winner as stage(): two
-      // recovered re-deliveries of one pk must not flip arbitrarily
-      // across runs (upsert's own dropDuplicates has no ordering)
-      target.upsert(Dedup.keepFirst(valid.drop("record"), target.pk,
-        Seq(col("ingestion_timestamp").desc, col("source_file").desc)))
-      // bucket-scoped rewrite: drop the recovered records from THIS
-      // source's bucket only — other sources' dead letters untouched
-      quarantine.replaceBucket(s"src-$name",
-        qrows.join(valid.select(col("record")), Seq("record"), "left_anti"))
-    }
-    n
+      .persist()
+    try {
+      val n = valid.count()
+      if (n > 0) {
+        // same deterministic within-batch winner as stage(): two
+        // recovered re-deliveries of one pk must not flip arbitrarily
+        // across runs (upsert's own dropDuplicates has no ordering)
+        target.upsert(Dedup.keepFirst(valid.drop("record"), target.pk,
+          Seq(col("ingestion_timestamp").desc, col("source_file").desc)))
+        // bucket-scoped rewrite: drop the recovered records from THIS
+        // source's bucket only — other sources' dead letters untouched
+        quarantine.replaceBucket(s"src-$name",
+          qrows.join(valid.select(col("record")), Seq("record"), "left_anti"))
+      }
+      n
+    } finally { valid.unpersist(blocking = false); () }
   }
 
   // ── gold layer (docs/etl_processes.md:420-683 on the e-commerce model) ──

@@ -225,16 +225,26 @@ object Similarity {
     * for repeated lookups against the same corpus (a streaming sink, a
     * query service), where recomputing the corpus signatures per call
     * would dominate: buckets are deterministic (hash-derived
-    * hyperplanes), so compute them once, persist, and reuse. */
+    * hyperplanes), so compute them once, persist, and reuse.
+    *
+    * `excludeSelf` (default true) drops candidates whose corpus id
+    * equals the query id — right for SELF-search, where queries are
+    * drawn from the corpus and "your own row" is a degenerate
+    * neighbor. Pass FALSE when the two id spaces are unrelated (a
+    * stream of external queries against a static corpus): there an
+    * accidental id collision would otherwise silently censor a true
+    * nearest neighbor from that query's top-k. */
   def lshTopKWith(queries: DataFrame, corpus: DataFrame,
                   corpusBuckets: DataFrame, k: Int,
                   nbits: Int, bands: Int,
-                  roundedCos: Column => Column): DataFrame = {
+                  roundedCos: Column => Column,
+                  excludeSelf: Boolean = true): DataFrame = {
     val qb = broadcast(lshBuckets(queries, nbits, bands)
       .withColumnRenamed("id", "query_id"))
-    val cand = corpusBuckets
+    val cand0 = corpusBuckets
       .join(qb, Seq("band", "bucket"))
-      .filter(col("query_id") =!= col("id"))
+    val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("id"))
+                else cand0)
       .select("query_id", "id").distinct()
     val q = broadcast(queries.select(col("id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qn")))

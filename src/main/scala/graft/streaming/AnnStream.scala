@@ -36,7 +36,8 @@ object AnnStream {
   def lshTopKSink(stream: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String,
                   k: Int, nbits: Int, bands: Int, checkpoint: String,
-                  sink: DataFrame => Unit): StreamingQuery = {
+                  sink: DataFrame => Unit,
+                  excludeSelf: Boolean = false): StreamingQuery = {
     val corpusP = corpus
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = Similarity.lshBuckets(corpusP, nbits, bands)
@@ -46,8 +47,15 @@ object AnnStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val queries = Similarity.prepare(batch, idCol, vecCol)
+        // excludeSelf defaults FALSE here, opposite of the batch
+        // operator: stream queries and the static corpus live in
+        // UNRELATED id spaces, so the self-search id filter would
+        // silently censor a true nearest neighbor whenever a stream id
+        // happens to collide with a corpus id. Pass true only when the
+        // stream actually replays corpus rows (self-search semantics).
         sink(Similarity.lshTopKWith(queries, corpusP, buckets, k, nbits,
-                                    bands, graft.functions.CrossEngine.rnd6))
+                                    bands, graft.functions.CrossEngine.rnd6,
+                                    excludeSelf = excludeSelf))
         ()
       }
       .start()

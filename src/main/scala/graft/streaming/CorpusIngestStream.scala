@@ -63,15 +63,22 @@ object CorpusIngestStream {
                  checkpoint: String, minWords: Int = 30,
                  maxPunctRatio: Double = 0.2, maxTopBigramShare: Double = 0.1,
                  jaccardThreshold: Double = 0.9, perLangCap: Int = 1000,
-                 availableNow: Boolean = false)
+                 availableNow: Boolean = false,
+                 k: Int = 64, bands: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // k/bands MUST be pass-through: a curated table bootstrapped with a
+    // non-default minhash size rejects mismatched-k batches
+    // (CorpusPipeline's storedK check), and a sink pinned to k=64 would
+    // turn that into a poison pill — the microbatch fails, the
+    // checkpoint replays it, and the error's "rerun with k=<stored>"
+    // advice would be impossible to follow from this API
     val w = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.etl.CorpusPipeline.curateIncremental(
           batch, table, minWords, maxPunctRatio, maxTopBigramShare,
-          jaccardThreshold, perLangCap)
+          jaccardThreshold, perLangCap, k, bands)
         ()
       }
     // AvailableNow snapshots offsets at START and then terminates —

@@ -60,6 +60,17 @@ object EventsPipeline {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventSchema).parquet(dir)
 
+  /** AvailableNow snapshots source offsets at START and terminates —
+    * right for scheduled drain-the-backlog runs (and the spec
+    * harness), wrong for a live feed: events arriving after start
+    * would silently never process and the serving table would go
+    * stale with no error. Every sink below takes `availableNow` so a
+    * live deployment can run continuous (the default micro-batch
+    * trigger), same as [[CorpusIngestStream.curateSink]]. */
+  private def trig(availableNow: Boolean): Trigger =
+    if (availableNow) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(0L)
+
   /** writeStream with a foreachBatch update-wins upsert into
     * `targetPath` (parquet), keyed on (window_start, event_type) —
     * the streaming MERGE the reference approximates with Glue batch.
@@ -68,11 +79,12 @@ object EventsPipeline {
     * earlier hand-rolled delete-then-rename here had exactly that gap)
     * and the write parallelism follows the data instead of coalesce(1). */
   def upsertSink(rollup: DataFrame, targetPath: String,
-                 checkpoint: String): DataStreamWriter[Row] =
+                 checkpoint: String,
+                 availableNow: Boolean = true): DataStreamWriter[Row] =
     rollup.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trig(availableNow))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.tables.LakehouseTable(batch.sparkSession, targetPath,
             Seq("window_start", "event_type"))
@@ -102,11 +114,12 @@ object EventsPipeline {
     * summary: KBs instead of the window-grain table. */
   def maintainedUpsertSink(rollup: DataFrame, targetPath: String,
                            summaryPath: String,
-                           checkpoint: String): DataStreamWriter[Row] =
+                           checkpoint: String,
+                           availableNow: Boolean = true): DataStreamWriter[Row] =
     rollup.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trig(availableNow))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val serving = graft.tables.LakehouseTable(spark, targetPath,
@@ -137,11 +150,12 @@ object EventsPipeline {
     * refreshJoin cannot (and refuses to) express incrementally. */
   def maintainedJoinSink(rollup: DataFrame, targetPath: String,
                          dimPath: String, summaryPath: String,
-                         checkpoint: String): DataStreamWriter[Row] =
+                         checkpoint: String,
+                         availableNow: Boolean = true): DataStreamWriter[Row] =
     rollup.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trig(availableNow))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val serving = graft.tables.LakehouseTable(spark, targetPath,

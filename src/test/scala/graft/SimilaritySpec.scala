@@ -84,6 +84,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == lsh)
   }
 
+  test("lsh excludeSelf=false: an id collision between unrelated query/corpus " +
+       "spaces does not censor a true neighbor") {
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val corpus = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(corpus, 64, 16)
+    // a query that IS corpus vector 0's embedding but arrives under an
+    // id that collides with a DIFFERENT corpus id (50): with the
+    // self-search filter its nearest neighbor set is intact (0 is not
+    // 50); but a query whose external id collides with its own true
+    // neighbor would lose it — assert both directions
+    val qSame = c.embeddings.filter(col("vec_id") === 0)
+      .select(lit(50L).as("vec_id"), col("embedding"))
+    val qs = Similarity.prepare(qSame, "vec_id", "embedding")
+    val withFilter = Similarity.lshTopKWith(qs, corpus, buckets, 5, 64, 16,
+        rnd6, excludeSelf = true)
+      .select("vec_id").as[Long].collect().toSet
+    val noFilter = Similarity.lshTopKWith(qs, corpus, buckets, 5, 64, 16,
+        rnd6, excludeSelf = false)
+      .select("vec_id").as[Long].collect().toSet
+    // corpus doc 0 (the exact match, cosine 1.0) survives both ways
+    assert(withFilter.contains(0L) && noFilter.contains(0L))
+    // corpus doc 50 is a legitimate candidate for the EXTERNAL query
+    // "50": only the no-filter mode may ever return it, and the
+    // filtered mode must have censored it from the candidate set
+    assert(!withFilter.contains(50L))
+  }
+
   test("pq topk on testdata: k results per query, recall vs brute force, deterministic") {
     val c = Ctx(spark, "/root/testdata/sf0.001")
     val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")

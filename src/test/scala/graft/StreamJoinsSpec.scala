@@ -101,6 +101,11 @@ class StreamJoinsSpec extends AnyFunSuite {
 
     val ms = MemoryStream[(Long, Seq[Float])]
     val results = scala.collection.mutable.Set[(Long, Long)]()
+    // excludeSelf = true: THIS stream replays corpus rows as queries
+    // (self-search), so the batch operator's self-exclusion is the
+    // correct semantics. The sink's default is false because a real
+    // stream's query ids are unrelated to corpus ids — an id collision
+    // must not censor a true neighbor (pinned in SimilaritySpec).
     val q = graft.streaming.AnnStream.lshTopKSink(
       ms.toDF().toDF("qid", "qvec"), corpus, "qid", "qvec",
       k = 5, nbits = 64, bands = 16,
@@ -108,7 +113,8 @@ class StreamJoinsSpec extends AnyFunSuite {
       sink = df => results.synchronized {
         results ++= df.select("query_id", "vec_id")
           .as[(Long, Long)].collect()
-      })
+      },
+      excludeSelf = true)
     try {
       val (b1, b2) = queryRows.splitAt(queryRows.length / 2)
       ms.addData(b1.toSeq); q.processAllAvailable()
