@@ -46,8 +46,16 @@ object AsOfJoin {
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         when(col(key).isNotNull, rStruct).otherwise(lit(null).cast(rType))
           .as("__r"): _*)
+    // third ordering key = the carry struct itself: multiple RIGHT
+    // rows at the same (key, time) would otherwise leave last() to
+    // shuffle order — run-to-run nondeterminism in an operator whose
+    // consumers hash-compare results (the tie-break discipline every
+    // other arbitrary-winner op here pins: Dedup.keepFirst, TopKPairs).
+    // Rule: ties resolve to the GREATEST carry tuple, deterministically.
+    // Struct ordering requires orderable carry types (atomics/arrays);
+    // an unorderable carry (map) fails loudly at analysis, not silently.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lAligned.unionByName(rAligned)
       .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))

@@ -38,26 +38,39 @@ object LabelPropagation {
   def runWithStats(edges: DataFrame, maxIters: Int,
                    earlyExit: Boolean): (DataFrame, Int) = {
     require(maxIters >= 1, "maxIters must be >= 1")
+    // materialize the edge table before the loop (PageRank's rule,
+    // applied to this operator's own input): a caller-supplied DERIVED
+    // edge list (join/aggregate lineage) would otherwise re-execute
+    // its full construction once per iteration — the Lloyd-rule
+    // failure the doc below warns about for the label vector, but for
+    // the edges
+    val edgesM = edges.select(col("src"), col("dst")).localCheckpoint()
     // node set = src ∪ dst (PageRank's convention): seeding from src
     // alone drops sink-only nodes, and an update step that only kept
     // nodes WITH in-neighbors would shrink the vector every iteration
     // on a directed input — nodes silently vanishing from the output
     // despite the one-row-per-node contract. (On undirected inputs —
     // both directions present — the two formulations are identical.)
-    var labels = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    var labels = edgesM.select(col("src").as("node"))
+      .union(edgesM.select(col("dst").as("node"))).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val freq = edges
+      val freq = edgesM
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
+      // smallest-label tie-break WITHOUT negation: -label overflows at
+      // Long.MinValue (wraps to itself under ANSI-off, throws under
+      // ANSI-on — the hazard TopKPairs.ordering documents). Flip the
+      // BITS instead: x -> ~x = -x-1 is a total order reversal with no
+      // overflow, and ~~x round-trips exactly.
       val adopted = freq.groupBy("node")
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("adopted"))
+        .agg(max(struct(col("cnt"),
+                        bitwise_not(col("label")).as("nl"))).as("m"))
+        .select(col("node"), bitwise_not(col("m.nl")).as("adopted"))
       // left join: a node with no in-neighbors keeps its current label
       val next = labels.select(col("node"), col("label").as("prev0"))
         .join(adopted, Seq("node"), "left_outer")

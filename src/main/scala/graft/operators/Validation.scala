@@ -27,7 +27,11 @@ object Validation {
     * (etl_utils.py:148-159). */
   def requiredFieldRules(schema: StructType): Seq[Rule] =
     schema.fields.filterNot(_.nullable).toSeq.map { f =>
-      Rule(col(f.name).isNull, s"Missing required field: ${f.name}")
+      // Casting.ref, not bare col(): a dotted field name (legal in
+      // CSV/Excel headers, the reason ref() exists) would parse as a
+      // struct path here and throw — or silently resolve a struct
+      // field — while the cast loop next to it backtick-quotes
+      Rule(Casting.ref(f.name).isNull, s"Missing required field: ${f.name}")
     }
 
   /** Error-string column: NULL when valid. array_distinct preserves the

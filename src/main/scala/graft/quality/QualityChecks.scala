@@ -22,10 +22,14 @@ object QualityChecks {
     rows.toDF()
   }
 
-  /** Duplicate-PK check (data_quality.md:152-162). */
+  /** Duplicate-PK check (data_quality.md:152-162). ONE aggregate pass
+    * — count + count_distinct share a single scan (the two-job
+    * count/distinct-count form doubles the I/O of this check; same
+    * lesson as [[graft.operators.Dedup.duplicateStats]]). */
   def duplicatePk(df: DataFrame, table: String, pk: Seq[String]): Check = {
-    val total = df.count()
-    val dups = total - df.select(pk.map(col): _*).distinct().count()
+    val r = df.agg(count(lit(1)).as("t"),
+                   count_distinct(struct(pk.map(col): _*)).as("d")).head()
+    val dups = r.getLong(0) - r.getLong(1)
     Check("duplicate_pk", table, dups.toDouble, dups == 0)
   }
 
@@ -54,12 +58,14 @@ object QualityChecks {
   }
 
   /** Numeric-range check: share of rows outside [lo, hi]
-    * (data_quality.md:249-259). */
+    * (data_quality.md:249-259). ONE aggregate pass — total and
+    * violation count share a single scan. */
   def range(df: DataFrame, table: String, column: String,
             lo: Double, hi: Double, maxViolRatio: Double = 0.005): Check = {
-    val total = df.count().max(1L)
-    val out = df.filter(col(column) < lo || col(column) > hi).count()
-    val ratio = out.toDouble / total
+    val r = df.agg(count(lit(1)).as("t"),
+                   count(when(col(column) < lo || col(column) > hi, 1))
+                     .as("v")).head()
+    val ratio = r.getLong(1).toDouble / r.getLong(0).max(1L)
     Check(s"range_$column", table, ratio, ratio <= maxViolRatio)
   }
 
@@ -71,7 +77,15 @@ object QualityChecks {
     * — the exact pipeline bug reconciliation exists to catch — and a
     * null metric would null out the > comparison and count as a
     * match. A key present on only one side, or a metric null on
-    * exactly one side, is a mismatch; null==null matches. */
+    * exactly one side, is a mismatch; null==null matches.
+    *
+    * `tolerance` is RELATIVE — the reference contract is "metric
+    * discrepancy >1 % => alert" (data_quality.md:414-421), a
+    * proportional SLA: an ABSOLUTE 0.01 would flag a money total of
+    * 1,000,000.00 vs 1,000,000.05 (0.000005 % off) while passing a
+    * rate of 0.500 vs 0.509 (1.8 % off). |g-r| must be within
+    * tolerance x max(|g|,|r|), with a 1e-9 absolute floor so
+    * float-dust differences near zero do not flag. */
   def reconcile(gold: DataFrame, recalc: DataFrame, key: Seq[String],
                 metrics: Seq[String], table: String,
                 tolerance: Double = 0.01): Check = {
@@ -81,7 +95,9 @@ object QualityChecks {
     val joined = g.join(r, key, "full_outer")
     val bothNull = (m: String) => col(m).isNull && col(s"${m}_rc").isNull
     val withinTol = (m: String) =>
-      coalesce(abs(col(m) - col(s"${m}_rc")) <= tolerance, lit(false))
+      coalesce(abs(col(m) - col(s"${m}_rc")) <=
+        greatest(greatest(abs(col(m)), abs(col(s"${m}_rc"))) * tolerance,
+                 lit(1e-9)), lit(false))
     val bad = col("__g").isNull || col("__r").isNull ||
       metrics.map(m => !(bothNull(m) || withinTol(m))).reduce(_ || _)
     val n = joined.filter(bad).count()

@@ -33,6 +33,16 @@ class QualityAndOpsSpec extends AnyFunSuite {
     val recalcBad = gold.withColumn("sales", $"sales" + 5.0)
     assert(!QualityChecks.reconcile(gold, recalcBad, Seq("k"),
       Seq("sales"), "g").passed)
+    // tolerance is RELATIVE (the reference's ">1 % discrepancy" SLA):
+    // a money-scale total 0.000005 % off passes, a rate 1.8 % off fails
+    val big = Seq(("a", 1000000.00)).toDF("k", "sales")
+    val bigOff = Seq(("a", 1000000.05)).toDF("k", "sales")
+    assert(QualityChecks.reconcile(big, bigOff, Seq("k"),
+      Seq("sales"), "g").passed, "0.000005% money drift must pass a 1% SLA")
+    val rate = Seq(("a", 0.500)).toDF("k", "sales")
+    val rateOff = Seq(("a", 0.509)).toDF("k", "sales")
+    assert(!QualityChecks.reconcile(rate, rateOff, Seq("k"),
+      Seq("sales"), "g").passed, "1.8% rate drift must fail a 1% SLA")
   }
 
   test("reconciliation catches missing rows and null metrics — the inner-join blind spots") {
