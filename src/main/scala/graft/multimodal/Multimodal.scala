@@ -131,7 +131,14 @@ object Multimodal {
           DecodedImage(id, None, None, None, None, None,
                        Some(reason), Some(checksum))
         }
-        try {
+        // NULL payload checked up front: ByteArrayInputStream(null)
+        // throws NPE, and the catch's fallback() would then NPE a
+        // second time on payload.length OUTSIDE any try — failing the
+        // task instead of degrading to the contractual err row
+        if (payload == null)
+          DecodedImage(id, None, None, None, None, None,
+                       Some("null_payload"), Some(0L))
+        else try {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))
           if (img == null) fallback("not_decodable")

@@ -140,12 +140,24 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, centroidEvery: Int, nprobe: Int,
               roundedCos: Column => Column, kmeansIters: Int = 0,
-              maxCentroids: Int = Int.MaxValue): DataFrame = {
+              maxCentroids: Int = Int.MaxValue,
+              excludeSelf: Boolean = true): DataFrame = {
+    // centroidEvery <= 0: `id % 0` is NULL under ANSI-off, the filter
+    // drops every row, and the result is silently empty — fail loudly
+    // like pqTopK's codebookSize guard and lshBuckets' bit guard
+    require(centroidEvery >= 1, s"centroidEvery must be >= 1, got $centroidEvery")
+    require(nprobe >= 1 && k >= 1, s"nprobe ($nprobe) and k ($k) must be >= 1")
     val all = prepare(emb, idCol, vecCol)
     val sub = all.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cent0 = if (maxCentroids == Int.MaxValue) sub
                 else sub.orderBy(col("cid")).limit(maxCentroids)
+    // an id space with NO multiples of centroidEvery (tiny corpus, or
+    // ids all in one residue class) yields zero centroids — empty
+    // broadcast, empty assignment join, silently empty result
+    require(!cent0.isEmpty,
+      s"no centroid candidates: no id in '$idCol' is a multiple of " +
+      s"$centroidEvery — pick a smaller centroidEvery for this id space")
     val cent = broadcast(
       if (kmeansIters > 0) refineCentroids(all, cent0, kmeansIters)
       else cent0)
@@ -167,16 +179,21 @@ object Similarity {
         struct(col("cid"), col("v"), col("nrm")),
         // rounded, matching the rank-window ordering this replaced
         roundedCos(cosine(col("cv"), col("v"), col("cn"), col("nrm"))))
+      // best.v/best.nrm are the CORPUS vector's own vector and norm
+      // (the struct argmaxByCos reduced over) — named vvec/vnrm so a
+      // future reader does not mistake them for the centroid's
       .select(col("id").as("vec_id"), col("best.cid").as("cid"),
-              col("best.v").as("cvec"), col("best.nrm").as("cnrm"))
+              col("best.v").as("vvec"), col("best.nrm").as("vnrm"))
     val probes = nearestCentroids(queries, nprobe)
       .select(col("id").as("query_id"), col("cid"), col("v").as("qv"),
               col("nrm").as("qn"))
 
-    val scored = probes.join(assigned, Seq("cid"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val scored0 = probes.join(assigned, Seq("cid"))
       .withColumn("cos_r",
-        roundedCos(cosine(col("qv"), col("cvec"), col("qn"), col("cnrm"))))
+        roundedCos(cosine(col("qv"), col("vvec"), col("qn"), col("vnrm"))))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("vec_id"))
+      else scored0
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_r").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -289,7 +306,8 @@ object Similarity {
     * ambiguity); ranking uses the rounded score + vec_id tie-break. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              dim: Int, m: Int, codebookSize: Int,
-             roundedScore: Column => Column, kmeansIters: Int = 0): DataFrame = {
+             roundedScore: Column => Column, kmeansIters: Int = 0,
+             excludeSelf: Boolean = true): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     // an empty codebook would make the ADC stride 0 and scoring divide
     // by zero per corpus row at scan time, far from the misconfiguration
@@ -309,7 +327,7 @@ object Similarity {
       .join(corpus
         .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
         .limit(codebookSize).select("id"), "id")
-      .collect().sortBy(_.getLong(0))
+      .collect().sortBy(_.getAs[Number](0).longValue) // int/short ids too
       .map(_.getSeq[Double](1).toArray)
     // ragged (shorter-than-dim) seed vectors are skipped PER SUBSPACE,
     // exactly as the refinement loop below does: one short vector's
@@ -379,8 +397,9 @@ object Similarity {
     // joined formulation this replaces dragged each query's tables
     // (~16 KB) through every join-output row — GBs of UnsafeRow
     // materialization just to read m doubles per row.
-    val qRows = unit(queries).collect().sortBy(_.getLong(0))
-    val qIds = qRows.map(_.getLong(0))
+    val qRows = unit(queries).collect()
+      .sortBy(_.getAs[Number](0).longValue) // int/short ids too
+    val qIds = qRows.map(_.getAs[Number](0).longValue)
     val qVecs = qRows.map(_.getSeq[Double](1).toArray)
     val njs = (0 until m).map(j => cb(j).length / sub)
     val offsets = njs.scanLeft(0)(_ + _) // m prefix offsets + total stride
@@ -397,16 +416,25 @@ object Similarity {
     }
 
     val scored = codes
+      // a degenerate corpus vector (zero-norm -> NaN after unit
+      // normalization) encodes to ALL -1 sentinel codes; AdcScores
+      // then sums nothing and its 0.0 would OUTRANK every real
+      // negative-similarity neighbor — the "zero vector steals rank 1"
+      // failure the cosine() nullif guard prevents in the exact paths.
+      // Rows with no valid code carry no information: drop them.
+      .filter(array_max(col("codes")) >= 0)
       .select(col("vec_id"),
         posexplode(graft.functions.NativeFunctions.adcScores(
           col("codes"), lit(tables), lit(offsets.toArray)))
           .as(Seq("__qi", "score")))
       .select(element_at(lit(qIds), col("__qi") + 1).as("query_id"),
               col("vec_id"), roundedScore(col("score")).as("score_r"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val scoredX =
+      if (excludeSelf) scored.filter(col("query_id") =!= col("vec_id"))
+      else scored
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_r").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
+    scoredX.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("score_r"), col("rn"))
   }

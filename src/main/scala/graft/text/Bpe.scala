@@ -44,8 +44,14 @@ object Bpe {
     * top `maxVocab` by (freq desc, word asc) — plans as
     * TakeOrderedAndProject, so no single-task global sort. */
   def wordDict(docs: DataFrame, textCol: Column, maxVocab: Int): DataFrame =
-    docs.select(explode(TextFunctions.words(textCol)).as("word"))
-      .filter(length(col("word")) > 0)
+    // house explode pattern (MinHashLSH.signatures): a plain explode of
+    // the DERIVED words() array lets InferFiltersFromGenerate push an
+    // inferred size()>0 filter below the projection and re-run the
+    // regex split per row; explode_outer over a materialized column +
+    // a filter on the GENERATED attribute generates no such filter
+    docs.select(TextFunctions.words(textCol).as("__w"))
+      .select(explode_outer(col("__w")).as("word"))
+      .filter(col("word").isNotNull && length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word"))
       .limit(maxVocab)
@@ -158,9 +164,14 @@ object Bpe {
     * (docId, tokens array). */
   def encodeDocs(docs: DataFrame, idCol: Column, textCol: Column,
                  merges: Seq[Merge]): DataFrame = {
+    // explode_outer + generated-attribute filter, not plain posexplode
+    // of the derived array (see wordDict) — and empty texts keep their
+    // doc_id row alive here anyway for the left-outer re-attach below
     val words = docs.select(idCol.as("doc_id"),
-      posexplode(TextFunctions.words(textCol)).as(Seq("pos", "word")))
-      .filter(length(col("word")) > 0)
+        TextFunctions.words(textCol).as("__w"))
+      .select(col("doc_id"),
+              posexplode_outer(col("__w")).as(Seq("pos", "word")))
+      .filter(col("word").isNotNull && length(col("word")) > 0)
     val vocab = encodeVocab(words.select("word").distinct(), merges)
     val encoded = words.join(vocab, Seq("word"))
       .groupBy("doc_id")

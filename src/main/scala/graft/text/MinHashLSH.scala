@@ -127,6 +127,20 @@ object MinHashLSH {
         tok.groupBy(col(idCol))
           .agg(graft.functions.MinHashSignature.sig(col("tok"), k).as("sig"))
       case Md5Hash =>
+        // contract check the XxHash branch does not need: md5-mode
+        // tokens must already be the 60-bit LONG hashes from
+        // hashedTokenSet. A raw STRING array (the type XxHash accepts)
+        // would cast to NULL inside planeHash's arithmetic, every sig
+        // element would be NULL, and banding would collapse to ONE
+        // constant bucket per band — the silent O(n²) cross product
+        // the rowsPerBand guard exists to prevent.
+        docs.schema(tokensCol).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+                 org.apache.spark.sql.types.LongType, _) => ()
+          case t => throw new IllegalArgumentException(
+            s"Md5Hash signatures need array<bigint> token hashes from " +
+            s"hashedTokenSet(_, Md5Hash); '$tokensCol' is $t")
+        }
         // plane i = min over tokens of planeHash(i, tok) — tok is
         // already the 60-bit md5 token hash from hashedTokenSet, so
         // the k planes cost k long-multiplies per token, not k md5
@@ -215,11 +229,16 @@ object MinHashLSH {
     * so the corpus-side bucket table never shuffles. */
   def crossCandidatePairs(left: DataFrame, right: DataFrame, idCol: String,
                           bands: Int, rowsPerBand: Int,
-                          blockCol: Option[String] = None): DataFrame = {
+                          blockCol: Option[String] = None,
+                          mode: HashMode = XxHash): DataFrame = {
+    // mode must thread through to BOTH bandings: an Md5Hash pipeline
+    // banded here with xxhash would be self-consistent (results look
+    // fine) but silently lose the cross-engine SQL replayability that
+    // is md5 mode's entire purpose
     val keyCols = Seq("band", "bucket") ++ blockCol
-    val l = banded(left, idCol, bands, rowsPerBand, blockCol)
+    val l = banded(left, idCol, bands, rowsPerBand, blockCol, mode)
       .withColumnRenamed(idCol, "id_a")
-    val r = banded(right, idCol, bands, rowsPerBand, blockCol)
+    val r = banded(right, idCol, bands, rowsPerBand, blockCol, mode)
       .withColumnRenamed(idCol, "id_b")
     broadcast(l).join(r, keyCols)
       .select("id_a", "id_b").distinct()

@@ -65,6 +65,9 @@ object SimHash {
     */
   def nearDuplicates(sigs: DataFrame, idCol: String, blockCol: String,
                      maxHamming: Int): DataFrame = {
+    // a negative value would make nSeg <= 0 and the segment-bound
+    // arithmetic below divide by zero with no hint the ARG was bad
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val nSeg = maxHamming + 1
     // pigeonhole needs maxHamming+1 segments of ≥1 bit; past that every
     // pair qualifies anyway, so the plain block join is the only option
