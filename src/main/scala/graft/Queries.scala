@@ -49,14 +49,19 @@ object Queries {
   final case class QueryDef(fn: Q, oracle: Option[String])
 
   /** q_excel_roundtrip's workbook fixture: 200 orders rows exported to
-    * two .xlsx files, built ONCE per (session, sf dir) into a fresh
-    * temp dir — session-fresh by construction, so a regenerated
-    * parquet fixture can never serve a stale workbook (the mtime-tag
-    * trap the MV summary caches had to engineer around). */
+    * two .xlsx files, built ONCE per (content generation of
+    * orders.parquet) into a fresh temp dir. Keyed on the LISTING TAG
+    * of the source parquet, not its path: a path key would serve a
+    * stale workbook after an in-JVM fixture regeneration (the exact
+    * round-7 failure mode the MV caches' parquetTag exists for) — the
+    * oracle would read the NEW rows while the query round-trips the
+    * OLD ones, a spurious hash mismatch dressed as a codec bug. */
   private val excelFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def excelFixtureDir(c: Ctx): String =
-    excelFixtures.computeIfAbsent(c.dir, _ => {
+    excelFixtures.computeIfAbsent(
+      s"${c.dir}:${QueriesAnalytics.parquetTag(s"${c.dir}/orders.parquet")}",
+      _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
       val src = c.orders.orderBy("o_orderkey").limit(200)
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -202,10 +207,15 @@ object Queries {
         |FROM lineitem""".stripMargin),
 
     // ── joins (SURVEY §2.3) ───────────────────────────────────────────
+    // broadcastRef = false: the ref side here is ORDERS — its distinct
+    // custkeys are customer-cardinality, and customer is fact-sized at
+    // the 100 TB target (the q_right_outer comment's own reasoning) —
+    // a forced broadcast would OOM the driver; AQE still upgrades the
+    // un-hinted join to broadcast at small SF
     "q_anti_join" -> q(
       c => Validation.riViolations(
              c.customer.select(col("c_custkey"), col("c_name")),
-             c.orders, "c_custkey", "o_custkey"),
+             c.orders, "c_custkey", "o_custkey", broadcastRef = false),
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
 
@@ -218,11 +228,13 @@ object Queries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin),
 
+    // broadcastRef = false: distinct high-discount l_orderkeys are
+    // order-cardinality — fact-derived, never force-broadcast
     "q_left_outer_tag" -> q(
       c => Validation.tagRiViolations(
              c.orders.select("o_orderkey"),
              c.lineitem.filter(col("l_discount") > 0.08), "o_orderkey",
-             "l_orderkey", "no_high_discount"),
+             "l_orderkey", "no_high_discount", broadcastRef = false),
       """SELECT o_orderkey, h.l_orderkey IS NULL AS no_high_discount
         |FROM orders LEFT JOIN
         | (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount > 0.08) h
@@ -557,8 +569,15 @@ object Queries {
       c => {
         val e = c.events.select(col("event_id"), col("user_id"),
           col("event_type"), unix_micros(col("ts")).as("us"))
+        // one purchase per (user, timestamp), max event id winning --
+        // NOT fixture trivia: AsOfJoin resolves same-time right rows
+        // deterministically (greatest carry tuple) but DuckDB's ASOF
+        // pick among equal right timestamps is unspecified, so the
+        // cross-engine hash match must make ties impossible BEFORE the
+        // join, identically on both sides
         val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("p_event_id"), col("us"))
+          .groupBy(col("user_id"), col("us"))
+          .agg(max(col("event_id")).as("p_event_id"))
         val trades = e.filter(col("event_type") =!= "purchase")
         AsOfJoin.asOf(trades, purchases, "user_id", "us", "us",
                       Seq("p_event_id"))
@@ -568,8 +587,8 @@ object Queries {
       """WITH e AS (
         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
         |), p AS (
-        | SELECT user_id, event_id AS p_event_id, us FROM e
-        | WHERE event_type = 'purchase'
+        | SELECT user_id, us, max(event_id) AS p_event_id FROM e
+        | WHERE event_type = 'purchase' GROUP BY 1, 2
         |), t AS (SELECT * FROM e WHERE event_type <> 'purchase')
         |SELECT t.user_id, t.event_id, t.event_type,
         | p.p_event_id AS asof_p_event_id

@@ -38,7 +38,7 @@ object QueriesAnalytics {
     * against a fresh oracle (exactly the round-7 testdata-regeneration
     * failure mode). Per-file entries change whenever any part file
     * does. */
-  private def parquetTag(path: String): Long = {
+  private[graft] def parquetTag(path: String): Long = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).fold(Seq.empty[java.io.File])(
@@ -75,8 +75,20 @@ object QueriesAnalytics {
     // idempotent; the rewrite rule's registry lookup stays the
     // correctness backstop either way.
     mvRegistered.keySet.removeIf(!_.startsWith(s"$ep:"))
-    if (mvRegistered.putIfAbsent(s"$ep:$key", java.lang.Boolean.TRUE) == null)
-      body
+    // mark-first-then-run MUST roll back on failure: a transient build
+    // error (IO mid-summary-write) would otherwise latch the key and
+    // every later call this epoch would skip the body — the summary
+    // never built, the rewrite never registered, every MV query a
+    // silent full fact scan for the JVM lifetime (and the MV-vs-direct
+    // bench pair measuring two identical plans)
+    if (mvRegistered.putIfAbsent(s"$ep:$key", java.lang.Boolean.TRUE) == null) {
+      try body
+      catch {
+        case e: Throwable =>
+          mvRegistered.remove(s"$ep:$key")
+          throw e
+      }
+    }
   }
 
   /** Join-summary location for q_mv_brand_qty, keyed on BOTH inputs'
@@ -96,6 +108,77 @@ object QueriesAnalytics {
         parquetTag(s"${c.dir}/part.parquet"), 42))
     s"${sys.props("java.io.tmpdir")}/graft_mv_deptdistinct_$tag"
   }
+
+  /** Shared customer↔part interaction edge derivation for the two
+    * PageRank twins: bipartite (cust*2) -> (part*2+1) purchase edges,
+    * symmetrized. One definition so the twins cannot drift. */
+  private def prEdges(c: Ctx, firstLineOnly: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val li = if (firstLineOnly) c.lineitem.filter(col("l_linenumber") === 1)
+             else c.lineitem
+    val e0 = c.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(li.select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst"))
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Shared unrolled-CTE prefix for the PageRank oracle twins: the
+    * e0/e/deg/nn/r0 chain plus maxI iteration levels, parameterized by
+    * damping and the edge filter. ONE definition of the per-iteration
+    * formula and of the AS MATERIALIZED discipline (DuckDB re-inlines
+    * plain CTEs per reference — the r9 sf1 rehearsal measured 35+ min
+    * without it) — a fix applied here reaches both twins. */
+  private def prOracleCtes(damping: String, maxI: Int,
+                           edgeWhere: String): String = {
+    val iters = (1 to maxI).map { k =>
+      s"""r$k AS MATERIALIZED (
+         | SELECT e.dst AS node,
+         |  (1e0 - $damping) / nn.n + $damping * sum(r${k - 1}.r / deg.deg) AS r
+         | FROM e
+         | JOIN r${k - 1} ON e.src = r${k - 1}.node
+         | JOIN deg ON e.src = deg.src
+         | CROSS JOIN nn
+         | GROUP BY e.dst, nn.n
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""e0 AS MATERIALIZED (
+       | SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       | FROM orders JOIN lineitem ON o_orderkey = l_orderkey$edgeWhere
+       |), e AS MATERIALIZED (
+       | SELECT src, dst FROM e0
+       | UNION
+       | SELECT dst AS src, src AS dst FROM e0
+       |), deg AS MATERIALIZED (
+       | SELECT src, count(*) AS deg FROM e GROUP BY 1
+       |), nn AS MATERIALIZED (
+       | SELECT count(*) AS n FROM deg
+       |), r0 AS MATERIALIZED (
+       | SELECT src AS node, 1e0 / nn.n AS r FROM deg CROSS JOIN nn
+       |), $iters""".stripMargin
+  }
+
+  /** Build-if-absent + attach + register for the lineitem⋈part JOIN
+    * summaries — ONE definition of the _SUCCESS check / buildJoin /
+    * registerJoin sequence, parameterized by grain+measures, so a
+    * grain or path change cannot be applied to one of a served/direct
+    * query pair and silently miss its twin. */
+  private def registerJoinSummaryOnce(c: Ctx, summaryDir: String,
+                                      groupCols: Seq[String],
+                                      measures: Seq[String]): Unit =
+    registerOnce(summaryDir) {
+      if (!new java.io.File(s"$summaryDir/_SUCCESS").exists) {
+        graft.plans.MaterializedAgg.buildJoin(
+            c.lineitem, c.part, "l_partkey", "p_partkey",
+            groupCols, measures)
+          .write.mode("overwrite").parquet(summaryDir)
+      }
+      graft.plans.MaterializedAgg.attach(c.spark)
+      graft.plans.MaterializedAgg.registerJoin(c.spark,
+        s"${c.dir}/lineitem.parquet", s"${c.dir}/part.parquet",
+        "l_partkey", "p_partkey", summaryDir, groupCols, measures)
+    }
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
@@ -259,20 +342,8 @@ object QueriesAnalytics {
     // re-aggregated summary is bit-identical.
     "q_mv_brand_qty" -> q(
       c => {
-        val summaryDir = mvBrandSummaryDir(c)
-        registerOnce(summaryDir) {
-          if (!new java.io.File(s"$summaryDir/_SUCCESS").exists) {
-            graft.plans.MaterializedAgg.buildJoin(
-                c.lineitem, c.part, "l_partkey", "p_partkey",
-                Seq("p_brand"), Seq("l_quantity"))
-              .write.mode("overwrite").parquet(summaryDir)
-          }
-          graft.plans.MaterializedAgg.attach(c.spark)
-          graft.plans.MaterializedAgg.registerJoin(c.spark,
-            s"${c.dir}/lineitem.parquet", s"${c.dir}/part.parquet",
-            "l_partkey", "p_partkey", summaryDir,
-            Seq("p_brand"), Seq("l_quantity"))
-        }
+        registerJoinSummaryOnce(c, mvBrandSummaryDir(c),
+          Seq("p_brand"), Seq("l_quantity"))
         val li = c.lineitem
         val pt = c.part
         li.join(pt, li("l_partkey") === pt("p_partkey"))
@@ -295,20 +366,8 @@ object QueriesAnalytics {
     // MaterializedAggSpec's join HAVING case.
     "q_mv_brand_qty_having" -> q(
       c => {
-        val summaryDir = mvBrandSummaryDir(c)
-        registerOnce(summaryDir) {
-          if (!new java.io.File(s"$summaryDir/_SUCCESS").exists) {
-            graft.plans.MaterializedAgg.buildJoin(
-                c.lineitem, c.part, "l_partkey", "p_partkey",
-                Seq("p_brand"), Seq("l_quantity"))
-              .write.mode("overwrite").parquet(summaryDir)
-          }
-          graft.plans.MaterializedAgg.attach(c.spark)
-          graft.plans.MaterializedAgg.registerJoin(c.spark,
-            s"${c.dir}/lineitem.parquet", s"${c.dir}/part.parquet",
-            "l_partkey", "p_partkey", summaryDir,
-            Seq("p_brand"), Seq("l_quantity"))
-        }
+        registerJoinSummaryOnce(c, mvBrandSummaryDir(c),
+          Seq("p_brand"), Seq("l_quantity"))
         val li = c.lineitem
         val pt = c.part
         li.join(pt, li("l_partkey") === pt("p_partkey"))
@@ -348,20 +407,8 @@ object QueriesAnalytics {
     // twin below must scan. Plan-asserted in PlanSpec.
     "q_mv_dept_distinct" -> q(
       c => {
-        val summaryDir = mvDeptSummaryDir(c)
-        registerOnce(summaryDir) {
-          if (!new java.io.File(s"$summaryDir/_SUCCESS").exists) {
-            graft.plans.MaterializedAgg.buildJoin(
-                c.lineitem, c.part, "l_partkey", "p_partkey",
-                Seq("p_brand", "l_suppkey"), Seq("l_quantity"))
-              .write.mode("overwrite").parquet(summaryDir)
-          }
-          graft.plans.MaterializedAgg.attach(c.spark)
-          graft.plans.MaterializedAgg.registerJoin(c.spark,
-            s"${c.dir}/lineitem.parquet", s"${c.dir}/part.parquet",
-            "l_partkey", "p_partkey", summaryDir,
-            Seq("p_brand", "l_suppkey"), Seq("l_quantity"))
-        }
+        registerJoinSummaryOnce(c, mvDeptSummaryDir(c),
+          Seq("p_brand", "l_suppkey"), Seq("l_quantity"))
         val li = c.lineitem
         val pt = c.part
         li.join(pt, li("l_partkey") === pt("p_partkey"))
@@ -638,8 +685,13 @@ object QueriesAnalytics {
 
     // ── CDC snapshot diff: what changed between two table versions —
     //    deletions (key%7=3), updates (key%10=0 → status U), inserts
-    //    (key%13=0 cloned to key+10M); the oracle recomputes the
-    //    classification from the construction rules ──────────────────
+    //    (key%13=0 cloned to key+10^12); the oracle recomputes the
+    //    classification from the construction rules. The clone offset
+    //    is 10^12, provably outside any orderkey domain this engine
+    //    will see (TPC-H max orderkey = 6M*SF; a 10M offset collided
+    //    with REAL keys from SF~1.7 — duplicate pks in `after`, the
+    //    full-outer diff fanning out while the rule-replay oracle
+    //    says 'inserted') ──────────────────────────────────────────────
     "q_snapshot_diff" -> q(
       c => {
         val before = c.orders.select(
@@ -649,7 +701,7 @@ object QueriesAnalytics {
           .withColumn("o_orderstatus",
             when(col("o_orderkey") % 10 === 0, "U").otherwise(col("o_orderstatus")))
           .unionByName(before.filter(col("o_orderkey") % 13 === 0)
-            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            .select((col("o_orderkey") + 1000000000000L).as("o_orderkey"),
                     col("o_orderstatus"), col("o_totalprice")))
         graft.tables.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
       },
@@ -658,7 +710,7 @@ object QueriesAnalytics {
         |SELECT o_orderkey, 'updated' FROM orders
         |WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 = 0 AND o_orderstatus <> 'U'
         |UNION ALL
-        |SELECT o_orderkey + 10000000, 'inserted' FROM orders
+        |SELECT o_orderkey + 1000000000000 AS o_orderkey, 'inserted' FROM orders
         |WHERE o_orderkey % 13 = 0""".stripMargin),
 
     // ── SCD2 dimension merge: changed keys close the open version and
@@ -988,52 +1040,16 @@ object QueriesAnalytics {
     // orders of magnitude below the rounding step. ───────────────────
     "q_pagerank" -> q(
       c => {
-        val e0 = c.orders.select(col("o_orderkey"), col("o_custkey"))
-          .join(c.lineitem.select(col("l_orderkey"), col("l_partkey")),
-                col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-                  (col("l_partkey") * 2 + 1).as("dst"))
-        val edges = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        val pr = graft.operators.PageRank.run(edges, iters = 5)
+        val pr = graft.operators.PageRank.run(
+          prEdges(c, firstLineOnly = false), iters = 5)
         // |V| is one scalar off a checkpointed O(V) table — model-scale
         val nNodes = pr.count()
         pr.select(col("node"), rnd6(col("r") * lit(nNodes)).as("scaled_rank"))
-      }, {
-        // AS MATERIALIZED on every shared CTE (the q_pagerank_converged
-        // convention): DuckDB re-inlines a plain CTE at each reference,
-        // and e/deg/nn are referenced by every iteration level — at sf1
-        // that re-ran the 6M-row edge-derivation join ~18 times (the r9
-        // sf1 oracle pass measured 35+ min; materialized it is seconds)
-        val iters = (1 to 5).map { k =>
-          s"""r$k AS MATERIALIZED (
-             | SELECT e.dst AS node,
-             |  (1e0 - 0.85e0) / nn.n + 0.85e0 * sum(r${k - 1}.r / deg.deg) AS r
-             | FROM e
-             | JOIN r${k - 1} ON e.src = r${k - 1}.node
-             | JOIN deg ON e.src = deg.src
-             | CROSS JOIN nn
-             | GROUP BY e.dst, nn.n
-             |)""".stripMargin
-        }.mkString(", ")
-        s"""WITH e0 AS MATERIALIZED (
-           | SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           |), e AS MATERIALIZED (
-           | SELECT src, dst FROM e0
-           | UNION
-           | SELECT dst AS src, src AS dst FROM e0
-           |), deg AS MATERIALIZED (
-           | SELECT src, count(*) AS deg FROM e GROUP BY 1
-           |), nn AS MATERIALIZED (
-           | SELECT count(*) AS n FROM deg
-           |), r0 AS MATERIALIZED (
-           | SELECT src AS node, 1e0 / nn.n AS r FROM deg CROSS JOIN nn
-           |), $iters
-           |SELECT node,
-           | floor(r * nn.n * 1000000 + 0.5) / 1000000 AS scaled_rank
-           |FROM r5 CROSS JOIN nn""".stripMargin
-      }),
+      },
+      s"""WITH ${prOracleCtes("0.85e0", 5, "")}
+         |SELECT node,
+         | floor(r * nn.n * 1000000 + 0.5) / 1000000 AS scaled_rank
+         |FROM r5 CROSS JOIN nn""".stripMargin),
 
     // ── the PRODUCTION PageRank mode — convergence early-exit — under
     // its own hash-matched oracle. q_pagerank pins the per-iteration
@@ -1052,54 +1068,22 @@ object QueriesAnalytics {
     // mean the same convergence quality at any graph size. ───────────
     "q_pagerank_converged" -> q(
       c => {
-        val e0 = c.orders.select(col("o_orderkey"), col("o_custkey"))
-          .join(c.lineitem.filter(col("l_linenumber") === 1)
-                  .select(col("l_orderkey"), col("l_partkey")),
-                col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-                  (col("l_partkey") * 2 + 1).as("dst"))
-        val edges = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
         val (pr, it) = graft.operators.PageRank.runWithStats(
-          edges, maxIters = 10, damping = 0.5, tolScaled = Some(0.02))
+          prEdges(c, firstLineOnly = true),
+          maxIters = 10, damping = 0.5, tolScaled = Some(0.02))
         val nNodes = pr.count()
         pr.select(col("node"), rnd6(col("r") * lit(nNodes)).as("scaled_rank"),
                   lit(it.toLong).as("iters"))
       }, {
         val maxI = 10
-        // every r_k is referenced TWICE (by r_{k+1} and by allr):
-        // left to DuckDB's inliner that doubles the plan per level —
-        // exponential. AS MATERIALIZED pins each iteration to one
-        // O(V) evaluation, the same thing localCheckpoint does for
-        // the Spark loop.
-        val iters = (1 to maxI).map { k =>
-          s"""r$k AS MATERIALIZED (
-             | SELECT e.dst AS node,
-             |  (1e0 - 0.5e0) / nn.n + 0.5e0 * sum(r${k - 1}.r / deg.deg) AS r
-             | FROM e
-             | JOIN r${k - 1} ON e.src = r${k - 1}.node
-             | JOIN deg ON e.src = deg.src
-             | CROSS JOIN nn
-             | GROUP BY e.dst, nn.n
-             |)""".stripMargin
-        }.mkString(", ")
+        // the shared prefix lives in prOracleCtes (one definition of
+        // the formula and the AS MATERIALIZED discipline for BOTH
+        // twins); this adds the stopping-rule machinery: every r_k is
+        // referenced TWICE (by r_{k+1} and by allr) — left to DuckDB's
+        // inliner that doubles the plan per level, exponential.
         val allr = (0 to maxI).map(k =>
           s"SELECT $k AS it, node, r FROM r$k").mkString(" UNION ALL ")
-        s"""WITH e0 AS MATERIALIZED (
-           | SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           | WHERE l_linenumber = 1
-           |), e AS MATERIALIZED (
-           | SELECT src, dst FROM e0
-           | UNION
-           | SELECT dst AS src, src AS dst FROM e0
-           |), deg AS MATERIALIZED (
-           | SELECT src, count(*) AS deg FROM e GROUP BY 1
-           |), nn AS MATERIALIZED (
-           | SELECT count(*) AS n FROM deg
-           |), r0 AS MATERIALIZED (
-           | SELECT src AS node, 1e0 / nn.n AS r FROM deg CROSS JOIN nn
-           |), $iters, allr AS MATERIALIZED (
+        s"""WITH ${prOracleCtes("0.5e0", maxI, "\n | WHERE l_linenumber = 1")}, allr AS MATERIALIZED (
            | $allr
            |), deltas AS (
            | SELECT a.it, max(abs(a.r - b.r)) AS d

@@ -70,18 +70,29 @@ object Validation {
     * a distributed anti-join (etl_utils.py:170-179). `ref` key sets are
     * dimension-sized, so broadcast keeps this shuffle-free on the fact
     * side at any scale. */
-  def riViolations(df: DataFrame, ref: DataFrame, fk: String, pk: String): DataFrame =
-    df.join(broadcast(ref.select(col(pk)).distinct()),
+  def riViolations(df: DataFrame, ref: DataFrame, fk: String, pk: String,
+                   broadcastRef: Boolean = true): DataFrame = {
+    // broadcastRef = true is the REFERENCE shape (fact fk vs a
+    // dimension's pk — a dim-sized key set, forced broadcast keeps the
+    // check shuffle-free). Pass FALSE when `ref` is fact-derived: the
+    // forced hint would drag a fact-cardinality distinct through the
+    // driver at 100 TB; un-hinted, the planner shuffles and AQE still
+    // upgrades to broadcast when the key set turns out small.
+    val keys = ref.select(col(pk)).distinct()
+    df.join(if (broadcastRef) broadcast(keys) else keys,
             col(fk) === col(pk), "left_anti")
+  }
 
   /** FK-violation membership flag joined back onto `df` (the v2
     * left-outer tag pattern, etl_utils.py:182-245): adds a boolean
     * `flagName` column, true when fk has no match in ref. */
   def tagRiViolations(df: DataFrame, ref: DataFrame, fk: String, pk: String,
-                      flagName: String): DataFrame = {
-    val keys = broadcast(
-      ref.select(col(pk).as("__ri_pk")).distinct()
-         .withColumn("__ri_hit", lit(1)))
+                      flagName: String,
+                      broadcastRef: Boolean = true): DataFrame = {
+    // broadcastRef contract as in [[riViolations]]
+    val keys0 = ref.select(col(pk).as("__ri_pk")).distinct()
+      .withColumn("__ri_hit", lit(1))
+    val keys = if (broadcastRef) broadcast(keys0) else keys0
     df.join(keys, col(fk) === col("__ri_pk"), "left_outer")
       .withColumn(flagName, col("__ri_hit").isNull)
       .drop("__ri_pk", "__ri_hit")

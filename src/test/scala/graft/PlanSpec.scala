@@ -39,10 +39,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("l_returnflag"))
   }
 
-  test("anti-join RI check broadcasts the key set") {
+  test("anti-join RI: dim-shaped ref broadcasts; fact-derived ref does not force it") {
+    // the pipeline shape: fact fk vs a dimension's pk — forced broadcast
+    import spark.implicits._
+    val fact = (1 to 100).map(i => (i, i % 10)).toDF("id", "fk")
+    val dim = (0 to 8).map(k => Tuple1(k)).toDF("pk")
+    val dimPlan = planOf(
+      graft.operators.Validation.riViolations(fact, dim, "fk", "pk"))
+    assert(dimPlan.contains("BroadcastHashJoin") && dimPlan.contains("LeftAnti"),
+      dimPlan.take(2000))
+    // q_anti_join's ref is ORDERS (fact-derived keys): the hint must be
+    // ABSENT — at 100 TB a forced broadcast of a fact-cardinality key
+    // set OOMs the driver; AQE may still pick broadcast at runtime,
+    // but the static plan must not mandate it
     val p = planOf(Queries.defs("q_anti_join").fn(spark, sf))
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    val logical = Queries.defs("q_anti_join").fn(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!logical.contains("broadcast"),
+      "fact-derived ref must not carry a broadcast hint:\n" +
+        logical.take(2000))
   }
 
   test("date-partitioned tables prune partitions on date filters") {
