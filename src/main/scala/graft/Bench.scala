@@ -42,7 +42,13 @@ object Bench {
     // that throws is marked failed (-1, excluded from total, listed in
     // "failed") — a fail-fast elapsed time must not make the bench
     // look faster.
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the set for local
+    // iteration on one operator; the driver never sets it, so the
+    // per-round artifact always covers the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def measure(dir: String, iters: Int): Seq[(String, Option[Double])] = {
       val samples = scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
@@ -152,13 +158,17 @@ object Bench {
     // object as the FINAL line — small enough to always survive the
     // tail window intact.
     println(full)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // durable per-commit copy (not overwritten by later rounds)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"BENCH_FULL_$gitHead.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the
+    // committed full-suite artifacts with a partial line
+    if (only.isEmpty) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // durable per-commit copy (not overwritten by later rounds)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_FULL_$gitHead.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"failed":$failed,"queries_in":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()

@@ -382,7 +382,16 @@ object PqArgmin {
   * carry every query's tables (tens of KB) through each join-output
   * row — materializing GBs of UnsafeRow just to read m doubles per
   * row. Here the tables ride along as ONE literal evaluated once, and
-  * the scan emits narrow (vector × query) scores directly. */
+  * the scan emits narrow (vector × query) scores directly.
+  *
+  * All-sentinel codes (a degenerate zero-norm corpus vector encodes
+  * to every subspace's -1) return an EMPTY array: such a row carries
+  * no information, and its all-zero scores would outrank every real
+  * negative-similarity neighbor. Emitting nothing lets the caller's
+  * posexplode drop the row with NO separate filter — a predicate on
+  * the codes column would be projection-collapsed by Catalyst and
+  * re-run the m-subspace encode per row (the round-9 `72dd647`
+  * regression: 4.3× on q_ann_pq/q_pq_replay at sf0.1). */
 case class AdcScores(first: Expression, second: Expression,
                      third: Expression) extends TernaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -408,6 +417,12 @@ case class AdcScores(first: Expression, second: Expression,
       // offsets carries m prefix offsets + the total stride as entry m
       off.getInt(m)
     }
+    var anyValid = false
+    var jv = 0
+    while (jv < m && !anyValid) { anyValid = codes.getInt(jv) >= 0; jv += 1 }
+    if (!anyValid)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyDoubleArray)
     val nq = tables.numElements() / stride
     val out = new Array[Double](nq)
     var q = 0
@@ -433,10 +448,10 @@ case class AdcScores(first: Expression, second: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (codes, tables, off) => {
-      val (m, stride, nq, out, q, j, s) =
+      val (m, stride, nq, out, q, j, s, anyValid, jv) =
         (ctx.freshName("m"), ctx.freshName("stride"), ctx.freshName("nq"),
          ctx.freshName("out"), ctx.freshName("q"), ctx.freshName("j"),
-         ctx.freshName("s"))
+         ctx.freshName("s"), ctx.freshName("anyValid"), ctx.freshName("jv"))
       s"""
          |int $m = $codes.numElements();
          |if ($off.numElements() < $m + 1) {
@@ -444,20 +459,29 @@ case class AdcScores(first: Expression, second: Expression,
          |    "graft_adc_scores: offsets must carry m+1 entries (m prefix " +
          |    "offsets + total stride); got " + $off.numElements() + " for m=" + $m);
          |}
-         |int $stride = $m == 0 ? 1 : $off.getInt($m);
-         |int $nq = $tables.numElements() / $stride;
-         |double[] $out = new double[$nq];
-         |for (int $q = 0; $q < $nq; $q++) {
-         |  double $s = 0.0;
-         |  for (int $j = 0; $j < $m; $j++) {
-         |    int ${j}_c = $codes.getInt($j);
-         |    if (${j}_c >= 0 && $off.getInt($j) + ${j}_c < $off.getInt($j + 1)) {
-         |      $s += $tables.getDouble($q * $stride + $off.getInt($j) + ${j}_c);
-         |    }
-         |  }
-         |  $out[$q] = $s;
+         |boolean $anyValid = false;
+         |for (int $jv = 0; $jv < $m && !$anyValid; $jv++) {
+         |  $anyValid = $codes.getInt($jv) >= 0;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if (!$anyValid) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new double[0]);
+         |} else {
+         |  int $stride = $m == 0 ? 1 : $off.getInt($m);
+         |  int $nq = $tables.numElements() / $stride;
+         |  double[] $out = new double[$nq];
+         |  for (int $q = 0; $q < $nq; $q++) {
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      int ${j}_c = $codes.getInt($j);
+         |      if (${j}_c >= 0 && $off.getInt($j) + ${j}_c < $off.getInt($j + 1)) {
+         |        $s += $tables.getDouble($q * $stride + $off.getInt($j) + ${j}_c);
+         |      }
+         |    }
+         |    $out[$q] = $s;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

@@ -152,21 +152,32 @@ object Similarity {
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cent0 = if (maxCentroids == Int.MaxValue) sub
                 else sub.orderBy(col("cid")).limit(maxCentroids)
-    // an id space with NO multiples of centroidEvery (tiny corpus, or
-    // ids all in one residue class) yields zero centroids — empty
-    // broadcast, empty assignment join, silently empty result
-    require(!cent0.isEmpty,
-      s"no centroid candidates: no id in '$idCol' is a multiple of " +
-      s"$centroidEvery — pick a smaller centroidEvery for this id space")
     val cent = broadcast(
       if (kmeansIters > 0) refineCentroids(all, cent0, kmeansIters)
       else cent0)
 
+    // An id space with NO multiples of centroidEvery (tiny corpus, or
+    // ids all in one residue class) yields zero centroids — empty
+    // broadcast, empty assignment join, silently empty result. The
+    // guard must be LAZY: an eager `cent0.isEmpty` is a standalone
+    // Spark job per ivfTopK CALL (subsample scan + orderBy/limit),
+    // paid even when the returned frame is composed lazily — and in
+    // AnnStream it re-ran per microbatch (round-9 measured 1.6× on
+    // q_ivf_replay). Instead the query-probe side joins the broadcast
+    // centroids LEFT on `true`: an empty centroid set null-pads every
+    // query row instead of silently dropping it, and the coalesced
+    // raise_error fires inside the plan the caller already executes —
+    // zero extra jobs, zero extra scans. (Queries empty → zero rows →
+    // correct empty result, nothing to guard.)
     def nearestCentroids(vecs: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("id"))
         .orderBy(roundedCos(cosine(col("cv"), col("v"), col("cn"), col("nrm"))).desc,
                  col("cid"))
-      vecs.crossJoin(cent)
+      vecs.join(cent, lit(true), "left")
+        .withColumn("cid", coalesce(col("cid"), raise_error(lit(
+          s"no centroid candidates: no id in '$idCol' is a multiple of " +
+          s"$centroidEvery — pick a smaller centroidEvery for this id " +
+          "space")).cast(cent0.schema("cid").dataType)))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= n)
     }
@@ -174,8 +185,17 @@ object Similarity {
     // corpus→centroid assignment via the aggregate argmax (map-side
     // partial reduction over the corpus×centroid product); the query
     // side keeps the rank window — it needs top-nprobe, and the
-    // query set is small by construction
-    val assigned = argmaxByCos(all.crossJoin(cent),
+    // query set is small by construction. The corpus side carries the
+    // SAME lazy empty-centroid guard: AQE's empty-relation propagation
+    // can short-circuit the final probe⋈assigned join off an empty
+    // assignment stage before the probe side's guard ever evaluates,
+    // so each side must fail loudly on its own.
+    val allGuarded = all.join(cent, lit(true), "left")
+      .withColumn("cid", coalesce(col("cid"), raise_error(lit(
+        s"no centroid candidates: no id in '$idCol' is a multiple of " +
+        s"$centroidEvery — pick a smaller centroidEvery for this id " +
+        "space")).cast(cent0.schema("cid").dataType)))
+    val assigned = argmaxByCos(allGuarded,
         struct(col("cid"), col("v"), col("nrm")),
         // rounded, matching the rank-window ordering this replaced
         roundedCos(cosine(col("cv"), col("v"), col("cn"), col("nrm"))))
@@ -314,8 +334,18 @@ object Similarity {
     require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     val sub = dim / m
     graft.functions.NativeFunctions.register(corpus.sparkSession)
+    // Spark's non-ANSI divide returns NULL (not IEEE NaN) on a zero
+    // divisor, and null array slots read back as 0.0 through
+    // UnsafeArrayData — a zero-norm vector would silently encode AS
+    // the zero vector (argmin = the min-norm codeword) instead of
+    // hitting PqArgmin's NaN -> -1 sentinel path. Map the nulls to
+    // NaN explicitly so degenerate vectors take the documented
+    // sentinel route (all -1 codes -> AdcScores emits empty -> row
+    // dropped by posexplode).
     def unit(df: DataFrame): DataFrame =
-      df.select(col("id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      df.select(col("id"),
+        transform(col("v"),
+          x => coalesce(x / col("nrm"), lit(Double.NaN))).as("u"))
     val cu = unit(corpus)
 
     // Codebooks live DRIVER-side as flat row-major arrays — model-scale
@@ -329,6 +359,11 @@ object Similarity {
         .limit(codebookSize).select("id"), "id")
       .collect().sortBy(_.getAs[Number](0).longValue) // int/short ids too
       .map(_.getSeq[Double](1).toArray)
+      // a degenerate (zero-norm) sample is all-NaN after unit
+      // normalization: as a codeword it can never win an argmin (NaN
+      // scores) but it would waste a slot and put NaN into the ADC
+      // tables — keep the codebook finite
+      .filter(_.forall(java.lang.Double.isFinite))
     // ragged (shorter-than-dim) seed vectors are skipped PER SUBSPACE,
     // exactly as the refinement loop below does: one short vector's
     // partial slice would otherwise shift every subsequent codeword in
@@ -415,14 +450,16 @@ object Similarity {
       tables(qi * stride + offsets(j) + ci) = s
     }
 
+    // a degenerate corpus vector (zero-norm -> NaN after unit
+    // normalization) encodes to ALL -1 sentinel codes; its all-zero
+    // score would OUTRANK every real negative-similarity neighbor —
+    // the "zero vector steals rank 1" failure the cosine() nullif
+    // guard prevents in the exact paths. AdcScores returns an EMPTY
+    // array for such rows, so posexplode drops them here with no
+    // separate predicate: a filter on `codes` would be projection-
+    // collapsed into this select and re-run the m-subspace encode
+    // per row (the 4.3× round-9 regression).
     val scored = codes
-      // a degenerate corpus vector (zero-norm -> NaN after unit
-      // normalization) encodes to ALL -1 sentinel codes; AdcScores
-      // then sums nothing and its 0.0 would OUTRANK every real
-      // negative-similarity neighbor — the "zero vector steals rank 1"
-      // failure the cosine() nullif guard prevents in the exact paths.
-      // Rows with no valid code carry no information: drop them.
-      .filter(array_max(col("codes")) >= 0)
       .select(col("vec_id"),
         posexplode(graft.functions.NativeFunctions.adcScores(
           col("codes"), lit(tables), lit(offsets.toArray)))

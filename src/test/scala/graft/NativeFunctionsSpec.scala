@@ -85,6 +85,23 @@ class NativeFunctionsSpec extends AnyFunSuite {
     got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
   }
 
+  test("adc_scores: all-sentinel codes yield an EMPTY array (posexplode drops the row)") {
+    NativeFunctions.register(spark)
+    val offsets = Array(0, 2, 5)
+    val tables = Array(1.0, 2.0, 10.0, 20.0, 30.0,
+                       -1.0, -2.0, 0.5, 0.25, 0.125)
+    // all -1 -> empty (the in-expression guard that replaced the
+    // projection-collapsed filter); one valid code -> full nq array
+    // with the sentinel subspace contributing 0
+    val df = Seq((Seq(-1, -1), Seq.empty[Double]),
+                 (Seq(-1, 1), Seq(20.0, 0.25)))
+      .toDF("codes", "expect")
+    val got = df.select(NativeFunctions.adcScores(
+        col("codes"), lit(tables), lit(offsets)).as("got"), col("expect"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
+
   test("misra-gries: superset + bounded-undercount guarantee on adversarial streams") {
     NativeFunctions.register(spark)
     val k = 9

@@ -131,6 +131,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == pq)
   }
 
+  test("ivf: empty centroid set fails loudly AT ACTION TIME, not at plan build") {
+    // ids all odd, centroidEvery even: no id is a multiple -> zero
+    // centroids. The guard must be lazy (constructing the frame runs
+    // NO job — the round-9 eager isEmpty cost a standalone scan per
+    // call, 1.6x on q_ivf_replay and once per AnnStream microbatch)
+    // and must still surface the actionable message when executed.
+    val corpus = emb(1L -> Seq(1f, 0f), 3L -> Seq(0f, 1f), 5L -> Seq(1f, 1f))
+    val queries = Similarity.prepare(corpus, "vec_id", "embedding")
+    val plan = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, 2, 2, 1, rnd6) // construction must not throw
+    val ex = intercept[Exception] { plan.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("no centroid candidates")),
+      s"expected the centroid guard in the error chain, got: ${msgs(ex)}")
+  }
+
+  test("pq: zero-norm corpus vector is dropped in-expression, never ranked") {
+    // a zero-norm vector unit-normalizes to NaN and encodes to all -1
+    // sentinel codes; AdcScores emits an EMPTY score array so
+    // posexplode drops the row — no separate filter on `codes` (a
+    // predicate there gets projection-collapsed and re-runs the
+    // m-subspace encode per row: the round-9 4.3x regression).
+    val all = Similarity.prepare(
+      emb(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.9f, 0.1f, 0f, 0f),
+          2L -> Seq(0f, 1f, 0f, 0f), 3L -> Seq(0f, 0f, 0f, 0f)),
+      "vec_id", "embedding")
+    val queries = all.filter(col("id") === 0L)
+    val got = Similarity.pqTopK(all, queries, 3, dim = 4, m = 2,
+        codebookSize = 8, rnd6)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(!got.exists(_._2 == 3L),
+      s"zero-norm vector ranked: ${got.toSeq}")
+    assert(got.map(_._2).toSet == Set(1L, 2L), got.toSeq)
+  }
+
   test("zero-norm vectors never pass a threshold or steal a rank") {
     // 0/0 would be NaN, which Spark orders ABOVE every number: the
     // degenerate vector would pass any threshold and take rank 1 from
