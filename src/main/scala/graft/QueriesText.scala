@@ -1308,18 +1308,60 @@ object QueriesText {
         | FROM scored) WHERE rn <= 5""".stripMargin),
 
     // LSH-bucketed ANN (the second scale path next to IVF): sign-bit
-    // hyperplane buckets → collision candidates → exact rerank.
-    // Internals (hash-derived hyperplanes) aren't SQL-expressible →
-    // rows-only; recall vs brute force pinned in SimilaritySpec.
+    // hyperplane buckets → collision candidates → exact rerank. Md5
+    // plane mode (the r9 near-dup HashMode treatment applied to
+    // sign-bit LSH): ±1 planes from md5 over fixed-point vectors make
+    // the bucket keys — and therefore WHICH pairs the banding
+    // surfaces — bit-identical in DuckDB, so the whole end-to-end
+    // top-k hash-matches (LSH recall < 1 stops mattering because the
+    // oracle replays the same bands). The xxhash64 production path
+    // ([[Similarity.lshTopK]]) keeps its recall + determinism pins in
+    // SimilaritySpec and its streaming drive in AnnStream.
     "q_ann_lsh" -> q(
       c => {
         val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
         Similarity
-          .lshTopK(all.filter(col("id") % 50 === 0 && col("id") < 2000),
-                   all, k = 5, nbits = 64, bands = 16, rnd6)
+          .lshTopKMd5(all.filter(col("id") % 50 === 0 && col("id") < 2000),
+                      all, k = 5, nbits = 64, bands = 16, dim = 64, rnd6)
           .select(col("query_id"), col("vec_id"), col("cos_r"),
                   col("rn").cast("long").as("rn"))
-      }),
+      },
+      """WITH signs AS (
+        | SELECT p, [CASE WHEN substr(md5('lshq' || p::VARCHAR || '_' || i::VARCHAR), 1, 1)
+        |              BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END
+        |            FOR i IN range(0, 64)] AS s
+        | FROM (SELECT unnest(range(0, 64)) AS p)
+        |), iv AS (
+        | SELECT vec_id,
+        |  [floor(CAST(e AS DOUBLE) * 10000 + 0.5) FOR e IN embedding] AS v
+        | FROM embeddings
+        |), bits AS (
+        | SELECT iv.vec_id, s.p,
+        |  CASE WHEN list_dot_product(iv.v, s.s) >= 0 THEN 1 ELSE 0 END AS bit
+        | FROM iv CROSS JOIN signs s
+        |), buckets AS (
+        | SELECT vec_id, p // 4 AS band, sum(bit * (1 << (p % 4))) AS bucket
+        | FROM bits GROUP BY vec_id, p // 4
+        |), cand AS (
+        | SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        | FROM (SELECT * FROM buckets WHERE vec_id % 50 = 0 AND vec_id < 2000) qb
+        | JOIN buckets cb ON cb.band = qb.band AND cb.bucket = qb.bucket
+        |   AND cb.vec_id <> qb.vec_id
+        |), n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) nrm
+        | FROM embeddings
+        |), scored AS (
+        | SELECT cd.query_id, cd.vec_id,
+        |  floor(list_dot_product(qy.v, c.v) / (qy.nrm * c.nrm) * 1000000 + 0.5) / 1000000 AS cos_r
+        | FROM cand cd
+        | JOIN n qy ON qy.vec_id = cd.query_id
+        | JOIN n c ON c.vec_id = cd.vec_id
+        |)
+        |SELECT query_id, vec_id, cos_r, rn FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rn
+        | FROM scored) WHERE rn <= 5""".stripMargin),
 
     // The LSH MECHANISM under a hash-matched oracle (the
     // q_minhash_replay convention applied to sign-bit LSH): hyperplane

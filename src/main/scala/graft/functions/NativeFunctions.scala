@@ -256,6 +256,68 @@ object LshSignBits {
   }
 }
 
+/** Packed sign bits against an EXPLICIT plane matrix: `left` is the
+  * vector (array<double>), `right` a FLAT row-major plane matrix
+  * (array<double> of nbits·dim values, normally a literal). Bit p is
+  * set iff Σ_d v(d)·planes(p·dim+d) ≥ 0, summed in ascending-d order.
+  * The md5-mode twin of [[LshSignBits]] (whose planes are xxhash64-
+  * derived INSIDE the expression): the caller supplies ±1 sign rows
+  * from [[graft.similarity.DimReduce.jlSigns]] and a fixed-point
+  * vector, making every sign decision exact integer arithmetic — the
+  * same MinHashLSH HashMode convention, applied to sign-bit LSH so
+  * the end-to-end ANN query is DuckDB-replayable. */
+case class PlaneSignBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_plane_bits expects (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_plane_bits"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PlaneSignBits.pack(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PlaneSignBits.pack($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PlaneSignBits {
+  /** Shared by interpreted eval and generated code. Fails loudly on a
+    * stride mismatch (a ragged vector would silently shear every
+    * later plane row) or >64 planes (the packed-long capacity). */
+  def pack(v: ArrayData, planes: ArrayData): Long = {
+    val dim = v.numElements()
+    if (dim == 0 || planes.numElements() % dim != 0)
+      throw new IllegalArgumentException(
+        s"graft_plane_bits: plane matrix length ${planes.numElements()} " +
+        s"is not a multiple of the vector length $dim")
+    val nbits = planes.numElements() / dim
+    if (nbits > 64)
+      throw new IllegalArgumentException(
+        s"graft_plane_bits: $nbits planes exceed the 64-bit pack capacity")
+    var bits = 0L
+    var p = 0
+    while (p < nbits) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += v.getDouble(d) * planes.getDouble(p * dim + d); d += 1 }
+      if (s >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
+
 /** argmin-by-L2 codeword index for product quantization: `left` is a
   * subvector (array<double>, length dim), `right` a FLAT row-major
   * codebook (array<double> of n·dim values, normally a literal).
@@ -629,6 +691,9 @@ object NativeFunctions {
     ("graft_lsh_bits",
      "graft_lsh_bits(v, nbits) - packed sign-bit LSH signature of array<double>",
      exprs => LshSignBits(exprs.head, constInt(exprs(1), "graft_lsh_bits nbits"))),
+    ("graft_plane_bits",
+     "graft_plane_bits(v, planes) - sign bits of v against a flat plane matrix",
+     exprs => PlaneSignBits(exprs.head, exprs(1))),
     ("graft_minhash_sig",
      "graft_minhash_sig(token, k) - k-element MinHash signature aggregate",
      exprs => MinHashSignature(exprs.head, constInt(exprs(1), "graft_minhash_sig k"))),
@@ -678,6 +743,11 @@ object NativeFunctions {
   /** Packed sign-bit LSH signature (see [[LshSignBits]]). */
   def lshBits(v: Column, nbits: Int): Column =
     call_function("graft_lsh_bits", v, org.apache.spark.sql.functions.lit(nbits))
+
+  /** Packed sign bits against an explicit plane matrix (see
+    * [[PlaneSignBits]]). */
+  def planeBits(v: Column, planes: Column): Column =
+    call_function("graft_plane_bits", v, planes)
 
   /** Element-wise vector-sum aggregate (see [[VectorSum]]). */
   def vectorSum(v: Column): Column = call_function("graft_vector_sum", v)

@@ -229,19 +229,48 @@ object Similarity {
     * + dim) — deterministic across runs/executors with no side state
     * to distribute. Returns one (id, band, bucket) row per band. */
   def lshBuckets(prepared: DataFrame, nbits: Int, bands: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(prepared.sparkSession)
+    // all nbits sign bits in ONE codegen'd pass (LshSignBits), then
+    // each band's bucket is a shift+mask over the packed long
+    bandBuckets(prepared.select(col("id"),
+      graft.functions.NativeFunctions.lshBits(col("v"), nbits).as("__bits")),
+      nbits, bands)
+  }
+
+  /** Md5-mode sign-bit buckets — the MinHashLSH HashMode convention
+    * applied to hyperplane LSH: planes are ±1 sign rows derived
+    * driver-side from md5 ([[DimReduce.jlSigns]]) and the vector is
+    * fixed-pointed (×10⁴, the q_jl_project convention), so every sign
+    * decision is exact integer arithmetic that any engine replays
+    * bit-identically (DuckDB: md5 nibble → ±1, list_dot_product ≥ 0).
+    * Same banding and downstream join/rerank code as the xxhash64
+    * production path; use for verification surfaces. */
+  def lshBucketsMd5(prepared: DataFrame, nbits: Int, bands: Int,
+                    dim: Int, prefix: String = "lshq"): DataFrame = {
+    graft.functions.NativeFunctions.register(prepared.sparkSession)
+    val planes = lit(DimReduce.jlSigns(nbits, dim, prefix).flatten)
+    val iv = prepared.select(col("id"),
+      // floor() returns LONG; the expression wants array<double> —
+      // the cast is exact (|values| ≪ 2^53) and keeps one input type
+      transform(col("v"),
+        x => floor(x * 10000 + lit(0.5)).cast("double")).as("__iv"))
+    bandBuckets(iv.select(col("id"),
+      graft.functions.NativeFunctions.planeBits(col("__iv"), planes)
+        .as("__bits")), nbits, bands)
+  }
+
+  /** Shared banding over a packed sign-bit long: one (id, band,
+    * bucket) row per band, bucket = bits[b·r, (b+1)·r) as an int. */
+  private def bandBuckets(withBits: DataFrame, nbits: Int,
+                          bands: Int): DataFrame = {
     require(nbits % bands == 0, "nbits must be divisible by bands")
     // r = 64 would shift 1L by 64 — a mod-64 no-op in the JVM, so the
     // mask silently became 0 and EVERY vector landed in bucket 0: the
     // bucket join degenerates to the full |Q|×|C| cross product
     require(nbits / bands <= 63,
       s"bits per band must be <= 63, got ${nbits / bands} (nbits=$nbits, bands=$bands)")
-    graft.functions.NativeFunctions.register(prepared.sparkSession)
     val r = nbits / bands
     val mask = (1L << r) - 1
-    // all nbits sign bits in ONE codegen'd pass (LshSignBits), then
-    // each band's bucket is a shift+mask over the packed long
-    val withBits = prepared.select(col("id"),
-      graft.functions.NativeFunctions.lshBits(col("v"), nbits).as("__bits"))
     withBits.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("__bits"), b * r).bitwiseAND(lit(mask))): _*))
@@ -275,9 +304,30 @@ object Similarity {
                   corpusBuckets: DataFrame, k: Int,
                   nbits: Int, bands: Int,
                   roundedCos: Column => Column,
-                  excludeSelf: Boolean = true): DataFrame = {
-    val qb = broadcast(lshBuckets(queries, nbits, bands)
-      .withColumnRenamed("id", "query_id"))
+                  excludeSelf: Boolean = true): DataFrame =
+    lshRerank(queries, corpus, corpusBuckets,
+      lshBuckets(queries, nbits, bands), k, roundedCos, excludeSelf)
+
+  /** [[lshTopK]] with md5-derived ±1 planes on BOTH sides
+    * ([[lshBucketsMd5]]): the end-to-end ANN query becomes DuckDB-
+    * replayable — which pairs the banding surfaces included — while
+    * exercising the same candidate-join + exact-rerank code as the
+    * production path. */
+  def lshTopKMd5(queries: DataFrame, corpus: DataFrame, k: Int,
+                 nbits: Int, bands: Int, dim: Int,
+                 roundedCos: Column => Column): DataFrame =
+    lshRerank(queries, corpus, lshBucketsMd5(corpus, nbits, bands, dim),
+      lshBucketsMd5(queries, nbits, bands, dim), k, roundedCos,
+      excludeSelf = true)
+
+  /** Candidate join + exact-cosine rerank shared by every LSH top-k
+    * variant; `queryBuckets` is broadcast (the query side is small by
+    * the same contract as [[bruteForceTopK]]). */
+  private def lshRerank(queries: DataFrame, corpus: DataFrame,
+                        corpusBuckets: DataFrame, queryBuckets: DataFrame,
+                        k: Int, roundedCos: Column => Column,
+                        excludeSelf: Boolean): DataFrame = {
+    val qb = broadcast(queryBuckets.withColumnRenamed("id", "query_id"))
     val cand0 = corpusBuckets
       .join(qb, Seq("band", "bucket"))
     val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("id"))

@@ -84,6 +84,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == lsh)
   }
 
+  test("lsh md5-plane mode: k-bounded results, recall vs brute force, deterministic") {
+    // the DuckDB-replayable variant (±1 md5 planes over fixed-point
+    // vectors) must behave like an LSH: bounded by k, decent recall,
+    // bit-stable across runs — same contract as the xxhash path
+    val c = Ctx(spark, "/root/testdata/sf0.001")
+    val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+    val queries = all.filter(col("id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(queries, all, 5, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    val lsh = Similarity.lshTopKMd5(queries, all, 5, nbits = 64, bands = 16,
+        dim = 64, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(lsh.size <= bf.size)
+    val recall = (lsh & bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"md5-lsh recall $recall too low")
+    val again = Similarity.lshTopKMd5(queries, all, 5, nbits = 64, bands = 16,
+        dim = 64, rnd6)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(again == lsh)
+  }
+
   test("lsh excludeSelf=false: an id collision between unrelated query/corpus " +
        "spaces does not censor a true neighbor") {
     val c = Ctx(spark, "/root/testdata/sf0.001")
