@@ -173,6 +173,36 @@ class EcommercePipeline(spark: SparkSession, warehouse: String) {
             s" — the ${if (xlsx) "Excel" else "CSV"} reader would " +
             s"${if (xlsx) "silently skip" else "mis-parse"} them; land the " +
             "formats in separate directories")
+        else {
+          // no .csv and no .xlsx AT ALL: a drop composed entirely of
+          // some OTHER recognizable format (all .json, all .tsv...)
+          // would fall through to the CSV branch and ingest mis-parsed
+          // garbage rows silently — the same wrong-data mode the mixed
+          // guard exists for, just without a native file to flag it.
+          // Extensionless parts stay on the CSV branch (the Spark CSV
+          // reader's own layout); compression suffixes are transparent
+          // to it, so look through them before reading the extension.
+          val foreignExts = Set("json", "jsonl", "ndjson", "tsv", "psv",
+            "xls", "xlsm", "xlsb", "ods", "parquet", "avro", "orc",
+            "xml", "yaml", "yml", "txt")
+          val comp = Set("gz", "bz2", "zst", "snappy", "deflate", "lz4")
+          def ext(n: String): Option[String] = {
+            val base = n.split('.').toSeq match {
+              case parts if parts.length > 1 && comp(parts.last) =>
+                parts.dropRight(1)
+              case parts => parts
+            }
+            if (base.length > 1) Some(base.last) else None
+          }
+          val foreign = names.filter(n => ext(n).exists(foreignExts))
+          require(foreign.isEmpty,
+            s"unrecognized drop format at $path: no .csv or .xlsx file, " +
+            s"but ${foreign.sorted.take(5).mkString(", ")}" +
+            (if (foreign.length > 5) s" (+${foreign.length - 5} more)"
+             else "") +
+            " present — the CSV branch would mis-parse these; land a " +
+            "supported format (.csv or .xlsx)")
+        }
         xlsx
       }
     }

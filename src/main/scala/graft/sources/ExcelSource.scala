@@ -68,6 +68,69 @@ object ExcelSource {
   /** By 0-based workbook-order index. */
   final case class SheetIndex(index: Int) extends SheetSelector
 
+  /** Rectangular sub-range of a sheet, 0-based INCLUSIVE bounds;
+    * `None` = open (an `A3` start cell reads to the sheet's end in
+    * both directions). Row 0 of the RANGE is the header — that's what
+    * lets a workbook with preamble rows above its real header parse
+    * correctly, the crealytics `dataAddress` capability
+    * (`'Sheet1'!A3:C35`, docs/etl_processes.md:133,189) the r9 sheet
+    * selector left out. Rows with no cell inside the column window
+    * are skipped like cell-less rows (no phantom all-null rows). */
+  final case class CellRange(firstRow: Int, firstCol: Int,
+                             lastRow: Option[Int], lastCol: Option[Int])
+      extends Serializable
+
+  /** Crealytics-style `dataAddress` grammar: `[sheet!]start[:end]`
+    * where `sheet` is a bare name or `'quoted name'` ('' = embedded
+    * quote) and start/end are A1 cell refs. Returns the sheet
+    * selector (FirstSheet when unqualified) + the range. */
+  object DataAddress {
+    private val Cell = "([A-Za-z]{1,3})([0-9]+)".r
+    def parse(addr: String): (SheetSelector, CellRange) = {
+      require(addr != null && addr.trim.nonEmpty, "empty dataAddress")
+      val a = addr.trim
+      val (sel: SheetSelector, rangePart: String) =
+        if (a.startsWith("'")) {
+          // scan for the closing quote, skipping doubled ''
+          val sb = new StringBuilder
+          var i = 1
+          var closed = -1
+          while (i < a.length && closed < 0) {
+            if (a.charAt(i) == '\'') {
+              if (i + 1 < a.length && a.charAt(i + 1) == '\'') {
+                sb.append('\''); i += 2
+              } else closed = i
+            } else { sb.append(a.charAt(i)); i += 1 }
+          }
+          require(closed > 0 && closed + 1 < a.length &&
+                  a.charAt(closed + 1) == '!',
+            s"malformed dataAddress '$addr': expected 'sheet'!range")
+          (SheetName(sb.toString), a.substring(closed + 2))
+        } else a.indexOf('!') match {
+          case -1 => (FirstSheet, a)
+          case i  => (SheetName(a.substring(0, i)), a.substring(i + 1))
+        }
+      def cell(s: String): (Int, Int) = s match {
+        case Cell(colS, rowS) => (rowS.toInt - 1, colIndex(colS))
+        case _ => throw new IllegalArgumentException(
+          s"malformed dataAddress '$addr': '$s' is not an A1 cell ref")
+      }
+      val range = rangePart.split(":", -1) match {
+        case Array(s) =>
+          val (r0, c0) = cell(s); CellRange(r0, c0, None, None)
+        case Array(s, e) =>
+          val (r0, c0) = cell(s)
+          val (r1, c1) = cell(e)
+          require(r1 >= r0 && c1 >= c0,
+            s"malformed dataAddress '$addr': end cell precedes start")
+          CellRange(r0, c0, Some(r1), Some(c1))
+        case _ => throw new IllegalArgumentException(
+          s"malformed dataAddress '$addr': expected start[:end]")
+      }
+      (sel, range)
+    }
+  }
+
   /** Read one .xlsx file or a directory of them into a DataFrame.
     * Row 0 of (every) sheet is the header; headers must agree across
     * files. `sourceFileCol` adds a file-lineage column (the reference
@@ -77,14 +140,15 @@ object ExcelSource {
   def read(spark: SparkSession, path: String,
            inferSchema: Boolean = true,
            sourceFileCol: Option[String] = None,
-           sheet: SheetSelector = FirstSheet): DataFrame = {
+           sheet: SheetSelector = FirstSheet,
+           range: Option[CellRange] = None): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(path)
       .select("path", "content").as[(String, Array[Byte])]
     // (file, rowIdx, cells padded to that file's header width)
     val parsed = bin.flatMap { case (p, bytes) =>
-      val rows = parseNamed(p, bytes, Int.MaxValue, sheet)
+      val rows = parseNamed(p, bytes, Int.MaxValue, sheet, range)
       val width = rows.headOption.map(_.length).getOrElse(0)
       // stray cells beyond the header width are dropped (the schema is
       // the header's); that must not happen in silence — one warning
@@ -103,7 +167,7 @@ object ExcelSource {
     // — header cells are usually shared strings — but the data rows,
     // the bulk of a large sheet, are never touched
     val hdrRows = bin.flatMap { case (p, bytes) =>
-      parseNamed(p, bytes, maxRows = 1, sheet).headOption
+      parseNamed(p, bytes, maxRows = 1, sheet, range).headOption
         .map(h => (p, 0L, h.toSeq))
     }.collect().sortBy(_._1)
     require(hdrRows.nonEmpty, s"no non-empty .xlsx sheets under $path")
@@ -203,10 +267,22 @@ object ExcelSource {
   /** [[parseWorkbook]] with the FILE named in any failure — a corrupt
     * workbook in a 10k-file directory must say which one it is, not
     * surface a bare ZipException from some task. */
+  /** [[read]] with a crealytics-style `dataAddress`
+    * (`'Sheet2'!A3:C35`, `Sheet1!B2`, `A1`): sheet qualifier +
+    * sub-range in one string, the option surface the reference's
+    * connector exposes (docs/etl_processes.md:133,189). */
+  def readAddress(spark: SparkSession, path: String, dataAddress: String,
+                  inferSchema: Boolean = true,
+                  sourceFileCol: Option[String] = None): DataFrame = {
+    val (sel, range) = DataAddress.parse(dataAddress)
+    read(spark, path, inferSchema, sourceFileCol, sel, Some(range))
+  }
+
   private def parseNamed(path: String, bytes: Array[Byte],
                          maxRows: Int,
-                         sheet: SheetSelector = FirstSheet): Vector[Array[String]] =
-    try parseWorkbook(bytes, maxRows, sheet) catch {
+                         sheet: SheetSelector = FirstSheet,
+                         range: Option[CellRange] = None): Vector[Array[String]] =
+    try parseWorkbook(bytes, maxRows, sheet, range) catch {
       case e: Exception => throw new java.io.IOException(
         s"not a readable .xlsx workbook: $path (${e.getMessage})", e)
     }
@@ -217,7 +293,8 @@ object ExcelSource {
     * scan early (the header pass reads one row, not the workbook). */
   private[sources] def parseWorkbook(bytes: Array[Byte],
                                      maxRows: Int = Int.MaxValue,
-                                     sheet: SheetSelector = FirstSheet): Vector[Array[String]] = {
+                                     sheet: SheetSelector = FirstSheet,
+                                     range: Option[CellRange] = None): Vector[Array[String]] = {
     val parts = collectParts(bytes)
     val (sheetPath, date1904) = locateSheet(parts, sheet)
     val shared = parts.get("xl/sharedStrings.xml")
@@ -232,7 +309,7 @@ object ExcelSource {
     parts.get(sheetPath).orElse(entryBytes(bytes, sheetPath)) match {
       case None => throw new IllegalArgumentException(
         s"selected worksheet part '$sheetPath' not found in archive")
-      case Some(sh) => parseSheet(sh, shared, dateKind, date1904, maxRows)
+      case Some(sh) => parseSheet(sh, shared, dateKind, date1904, maxRows, range)
     }
   }
 
@@ -435,9 +512,16 @@ object ExcelSource {
 
   private def parseSheet(bytes: Array[Byte], shared: Vector[String],
                          dateKind: Array[Int], date1904: Boolean,
-                         maxRows: Int): Vector[Array[String]] = {
+                         maxRows: Int,
+                         range: Option[CellRange] = None): Vector[Array[String]] = {
+    val firstRow = range.map(_.firstRow).getOrElse(0)
+    val lastRow = range.flatMap(_.lastRow).getOrElse(Int.MaxValue)
+    val firstCol = range.map(_.firstCol).getOrElse(0)
+    val lastColExcl = range.flatMap(_.lastCol).map(_ + 1).getOrElse(Int.MaxValue)
     val rows = Vector.newBuilder[Array[String]]
     var nRows = 0
+    var physRow = 0           // document-order row count (fallback when
+                              // a producer omits the r= row attribute)
     val r = xmlReader(bytes)
     var cells: scala.collection.mutable.ArrayBuffer[String] = null
     var cellCol = -1          // 0-based column of the current <c>
@@ -451,7 +535,17 @@ object ExcelSource {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "row" =>
-              cells = scala.collection.mutable.ArrayBuffer[String]()
+              // sheet row number: the 1-based r= attribute when present
+              // (sparse sheets omit EMPTY rows entirely — document
+              // order alone would mis-place everything after a gap),
+              // else document order
+              val rowNum = Option(r.getAttributeValue(null, "r"))
+                .map(_.toInt - 1).getOrElse(physRow)
+              physRow = rowNum + 1
+              if (rowNum > lastRow) return rows.result() // past the range
+              cells =
+                if (rowNum < firstRow) null // preamble row: skip cheaply
+                else scala.collection.mutable.ArrayBuffer[String]()
             case "c" if cells != null =>
               val ref = r.getAttributeValue(null, "r")
               cellCol = if (ref != null) colIndex(ref) else cells.length
@@ -490,10 +584,26 @@ object ExcelSource {
             case "row" =>
               // cell-less <row/> elements (style/height carriers real
               // producers emit) hold no data: skip, don't emit a
-              // phantom all-null row (or a zero-width header)
-              if (cells.nonEmpty) {
-                rows += cells.toArray
-                nRows += 1
+              // phantom all-null row (or a zero-width header). The
+              // column window is applied here: values sit at their
+              // ABSOLUTE column index, so the slice both drops
+              // out-of-window cells and shifts firstCol to index 0.
+              if (cells != null && cells.nonEmpty) {
+                if (firstCol == 0 && lastColExcl == Int.MaxValue) {
+                  rows += cells.toArray // unranged: exact r9 behavior
+                  nRows += 1
+                } else {
+                  val windowed = cells.slice(firstCol,
+                    math.min(lastColExcl, cells.length)).toArray
+                  // a row whose cells all sit OUTSIDE the column
+                  // window carries nothing — emitting it would be a
+                  // phantom all-null row the preamble was supposed
+                  // to exclude
+                  if (windowed.exists(_ != null)) {
+                    rows += windowed
+                    nRows += 1
+                  }
+                }
               }
               cells = null
               if (nRows >= maxRows) return rows.result()
@@ -799,6 +909,18 @@ object ExcelSource {
       }
       Iterator.single(1)
     }.count()
+    // failed/lost task attempts that died between create and rename
+    // leave `*.xlsx.inprogress-<attempt>` tmps behind — invisible to
+    // read() (its glob is *.xlsx) but accumulating forever. The stage
+    // is complete here, so every partition has a committed part and
+    // ANY surviving inprogress file is a dead attempt's: sweep them
+    // before declaring success. (Swept in-task instead, a speculative
+    // twin could delete a LIVE attempt's in-flight tmp — two racing
+    // attempts deleting each other would fail both renames.) A crashed
+    // JOB still leaves tmps, but also no _SUCCESS; the next writeDir's
+    // part-*.xlsx* pre-sweep clears them on rerun.
+    Option(driverFs.globStatus(new Path(dirPath, "part-*.xlsx.inprogress-*")))
+      .getOrElse(Array.empty).foreach(s => driverFs.delete(s.getPath, false))
     val ok = driverFs.create(new Path(dirPath, "_SUCCESS"), true)
     ok.close()
   }

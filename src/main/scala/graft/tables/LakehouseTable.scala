@@ -63,10 +63,23 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * the manifests exist to avoid. Cached here; every mutator clears
     * it via [[invalidateFileStats]] (single-writer contract, like the
     * manifests themselves). */
-  @volatile private var cachedSchema: org.apache.spark.sql.types.StructType = _
+  @volatile private var cachedSchema
+    : (String, org.apache.spark.sql.types.StructType) = _
   private def liveSchema: org.apache.spark.sql.types.StructType = {
-    if (cachedSchema == null) cachedSchema = read.schema
-    cachedSchema
+    // Cache validity is tied to ON-DISK state, not to this instance's
+    // invalidateFileStats calls: the single-writer contract is
+    // per-PATH, and a long-lived instance whose sibling (same path,
+    // different LakehouseTable object) performed a schema-evolving
+    // mutation would otherwise keep serving its stale schema to
+    // readPruned/readBloomFiltered explicit-file reads — parquet with
+    // a stale explicit schema silently yields nulls for new columns
+    // instead of an error. Every mutator stamps a fresh epoch marker;
+    // reading it is O(1) against the O(files) listing the cache saves.
+    val epoch = schemaEpoch()
+    val cached = cachedSchema
+    if (cached == null || cached._1 != epoch)
+      cachedSchema = (epoch, read.schema)
+    cachedSchema._2
   }
 
   /** Schema-preserving empty frame — the zero-survivor result of a
@@ -645,6 +658,29 @@ final case class LakehouseTable(spark: SparkSession, path: String,
 
   private def fileStatsPath = s"$path.filestats"
   private def bloomStatsPath = s"$path.bloomstats"
+  private def schemaEpochPath = s"$path.schemaepoch"
+
+  /** Current schema epoch: the marker's content, written fresh by
+    * every mutation ([[invalidateFileStats]]). "absent" (pre-marker
+    * tables, or a table never mutated through this API) behaves like
+    * any other single value — the first mutation stamps a real one. */
+  private def schemaEpoch(): String = {
+    val p = new Path(schemaEpochPath)
+    if (!fs.exists(p)) "absent"
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+  }
+
+  private def stampSchemaEpoch(): Unit = {
+    val out = fs.create(new Path(schemaEpochPath), true)
+    try out.write(UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Stats are DERIVED data: every mutating entry point deletes them
     * (a stale manifest would silently drop appended files from pruned
@@ -653,6 +689,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * [[writeFileBlooms]] run again. */
   private def invalidateFileStats(): Unit = {
     cachedSchema = null // the mutation may evolve the live schema
+    stampSchemaEpoch()  // ...and sibling instances on this path must see it
     fs.delete(new Path(fileStatsPath), true)
     fs.delete(new Path(bloomStatsPath), true)
     // same discipline for the MV registry: a summary registered over

@@ -377,6 +377,29 @@ class EcommercePipelineSpec extends AnyFunSuite {
       pipe.ingestBronze(drop, pipe.bronzeOrders)
     }
     assert(e.getMessage.contains("late_orders.csv"), e.getMessage)
+
+    // a drop of ONLY another recognizable format (no .csv, no .xlsx)
+    // must not fall through to the CSV branch as mis-parsed garbage
+    val jsonDrop = TestSpark.tmpDir("ecom_json_drop")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(jsonDrop, "orders.json"),
+      """{"order_id": 100}""".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      pipe.ingestBronze(jsonDrop, pipe.bronzeOrders)
+    }
+    assert(e2.getMessage.contains("orders.json"), e2.getMessage)
+
+    // compressed CSV parts are NOT foreign — the CSV reader handles
+    // .csv.gz transparently and the guard must look through the suffix
+    val gzDrop = TestSpark.tmpDir("ecom_gz_drop")
+    val gzOut = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$gzDrop/orders.csv.gz"))
+    try gzOut.write(
+      ("order_num,order_id,user_id,order_timestamp,total_amount,date\n" +
+       "1,100,1,2025-04-01T10:00:00,50.0,2025-04-01\n").getBytes("UTF-8"))
+    finally gzOut.close()
+    pipe.ingestBronze(gzDrop, pipe.bronzeOrders)
+    assert(pipe.bronzeOrders.read.count() == 1L)
   }
 
   test("bronze ingest dispatches on Excel input (the reference's orders/items format)") {

@@ -305,6 +305,59 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(messages(e2).exists(_.contains("out of range")), messages(e2))
   }
 
+  test("dataAddress sub-range: preamble rows and margin columns excluded, " +
+       "range row 0 is the header") {
+    // a real-world workbook shape: a title + blank preamble above the
+    // header, a notes column to the right, data in B3:C6 of sheet
+    // "data" (second in workbook order) — the crealytics dataAddress
+    // case (docs/etl_processes.md:133,189) the bare sheet selector
+    // mis-parses (title row would become the header)
+    val dir = TestSpark.tmpDir("xlsxaddr")
+    val f = new java.io.FileOutputStream(s"$dir/p.xlsx")
+    val z = new java.util.zip.ZipOutputStream(f)
+    def part(n: String, b: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(b.getBytes("UTF-8")); z.closeEntry()
+    }
+    def is(s: String) = s"""t="inlineStr"><is><t>$s</t></is>"""
+    part("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="cover" sheetId="1" r:id="rId1"/><sheet name="data" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Target="worksheets/sheet2.xml"/></Relationships>""")
+    part("xl/worksheets/sheet1.xml",
+      s"""<worksheet><sheetData><row r="1"><c r="A1" ${is("COVER")}</c></row></sheetData></worksheet>""")
+    part("xl/worksheets/sheet2.xml",
+      s"""<worksheet><sheetData>
+        |<row r="1"><c r="A1" ${is("Quarterly report")}</c></row>
+        |<row r="3"><c r="B3" ${is("sku")}</c><c r="C3" ${is("qty")}</c><c r="D3" ${is("notes")}</c></row>
+        |<row r="4"><c r="A4" ${is("x")}</c><c r="B4"><v>11</v></c><c r="C4"><v>5</v></c><c r="D4" ${is("rush")}</c></row>
+        |<row r="6"><c r="B6"><v>12</v></c><c r="C6"><v>7</v></c></row>
+        |<row r="7"><c r="B7"><v>99</v></c><c r="C7"><v>99</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.finish(); f.close()
+
+    val df = ExcelSource.readAddress(spark, dir, "'data'!B3:C6")
+    assert(df.columns.toSeq == Seq("sku", "qty"))
+    // row 2 is empty in the sheet (sparse), row 7 is past the range,
+    // column D (notes) and column A (margin) are outside the window
+    assert(df.as[(Long, Long)].collect().toSet == Set((11L, 5L), (12L, 7L)))
+
+    // open-ended start cell: header at B3, data to the sheet's end
+    val open = ExcelSource.readAddress(spark, dir, "data!B3")
+    assert(open.columns.toSeq == Seq("sku", "qty", "notes"))
+    assert(open.count() == 3) // rows 4, 6, 7
+
+    // parser grammar: quoting, escaped quote, unqualified, rejects
+    import ExcelSource.{DataAddress, SheetName, FirstSheet, CellRange}
+    assert(DataAddress.parse("'it''s'!A1:B2") ==
+      ((SheetName("it's"), CellRange(0, 0, Some(1), Some(1)))))
+    assert(DataAddress.parse("C35") ==
+      ((FirstSheet, CellRange(34, 2, None, None))))
+    intercept[IllegalArgumentException] { DataAddress.parse("data!") }
+    intercept[IllegalArgumentException] { DataAddress.parse("'data'A1") }
+    intercept[IllegalArgumentException] { DataAddress.parse("data!C3:A1") }
+  }
+
   test("writeDir: distributed multi-partition export round-trips, empty partitions included") {
     val dir = TestSpark.tmpDir("xlsxdir")
     val df = spark.range(0, 100).selectExpr(
@@ -346,11 +399,17 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(backZ.count() == 0 && backZ.columns.toSeq == Seq("x"))
 
     // a rerun into the same directory replaces stale parts (the first
-    // export's 7 parts must not merge with a 2-partition rerun)
+    // export's 7 parts must not merge with a 2-partition rerun), and
+    // sweeps a dead attempt's .inprogress leftover (planted here as a
+    // crashed prior job would leave it)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/out", "part-00099.xlsx.inprogress-7"),
+      "half-written".getBytes("UTF-8"))
     ExcelSource.writeDir(df.repartition(2), s"$dir/out")
-    val parts2 = new java.io.File(s"$dir/out").listFiles()
-      .map(_.getName).filter(_.endsWith(".xlsx")).sorted
+    val all2 = new java.io.File(s"$dir/out").listFiles().map(_.getName)
+    val parts2 = all2.filter(_.endsWith(".xlsx")).sorted
     assert(parts2.length == 2, parts2.toSeq)
+    assert(!all2.exists(_.contains("inprogress")), all2.toSeq)
     val back2 = ExcelSource.read(spark, s"$dir/out")
     assert(back2.count() == 100)
   }

@@ -302,6 +302,32 @@ class LakehouseTableSpec extends AnyFunSuite {
            Seq((118, "versioned")))
   }
 
+  test("schema cache follows the PATH, not the instance: a sibling " +
+       "instance's evolving mutation is visible to pruned reads") {
+    // the single-writer contract is per-path; two sequential writers
+    // through different LakehouseTable objects are legal. A stale
+    // per-instance schema cache would make the first instance's
+    // readPruned assemble explicit-file parquet reads with the OLD
+    // schema — new columns silently all-null, no error.
+    val dir = TestSpark.tmpDir("epoch")
+    val a = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    a.overwrite((1 to 100).map(i => (i, s"v$i")).toDF("k", "v"))
+    a.writeFileStats(Seq("k"))
+    // populate a's schema cache through a pruned read
+    assert(a.readPruned("k", 1, 10).columns.toSeq == Seq("k", "v"))
+
+    val b = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    b.overwrite((1 to 100).map(i => (i, s"v$i", i * 2L))
+      .toDF("k", "v", "extra"))
+    b.writeFileStats(Seq("k"))
+
+    val throughA = a.readPruned("k", 1, 10)
+    assert(throughA.columns.toSeq == Seq("k", "v", "extra"),
+      s"stale schema served: ${throughA.columns.toSeq}")
+    assert(throughA.filter(col("extra").isNull).count() == 0,
+      "new column silently null through the stale cache")
+  }
+
   test("maintenance rewrites repair interrupted swaps BEFORE snapshotting") {
     val dir = TestSpark.tmpDir("repairfirst")
     val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
