@@ -14,6 +14,18 @@ import org.apache.spark.sql.SparkSession
   * validation stage equivalent, delta-lake.json:147-215).
   */
 object EtlMain {
+  /** Wall-clock per pipeline stage, printed in the `[etl]` log stream
+    * — the observability line a scale rehearsal diffs across fixture
+    * sizes (a stage whose time grows faster than its input is the
+    * thing to find BEFORE 100 TB). Timing wraps the action, so lazy
+    * frames cost where they execute, like Spark's own stage view. */
+  private def timed[T](stage: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[etl] timing $stage%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 4,
       "usage: EtlMain <productsCsv> <ordersCsv> <orderItemsCsv> <warehouse>")
@@ -33,7 +45,9 @@ object EtlMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val pipe = new EcommercePipeline(spark, warehouse)
-    val results = pipe.run(productsCsv, ordersCsv, itemsCsv)
+    val results = timed("bronze_silver") {
+      pipe.run(productsCsv, ordersCsv, itemsCsv)
+    }
     results.foreach { case (name, r) =>
       println(f"[etl] $name%-12s upserted=${r.upserted}%7d rejected=${r.rejected}%5d")
     }
@@ -43,7 +57,7 @@ object EtlMain {
     // must land in silver before gold aggregates it — replayed after,
     // gold and the MV summaries (built even later) would disagree on
     // the same run's data until the NEXT run
-    val recovered = pipe.replayQuarantine()
+    val recovered = timed("quarantine_replay") { pipe.replayQuarantine() }
     if (recovered.values.sum > 0)
       println(s"[etl] quarantine replay recovered: " +
         recovered.map { case (k, v) => s"$k=$v" }.mkString(" "))
@@ -65,8 +79,10 @@ object EtlMain {
       "gold_department_analytics" -> pipe.goldDepartmentAnalytics(),
       "gold_customer_insights"    -> pipe.goldCustomerInsights(etlDate))
     gold.foreach { case (name, df) =>
-      graft.tables.LakehouseTable(spark, s"$warehouse/$name", Seq.empty)
-        .overwrite(df)
+      timed(name) {
+        graft.tables.LakehouseTable(spark, s"$warehouse/$name", Seq.empty)
+          .overwrite(df)
+      }
       println(f"[etl] $name%-26s rows=${spark.read.parquet(s"$warehouse/$name").count()}%7d")
     }
 
@@ -90,7 +106,7 @@ object EtlMain {
           .withColumn("valid_to", lit(null).cast("date"))
       val merged = graft.operators.Scd2.merge(current, updates,
         Seq("product_id"), attrs, etlDate)
-      hist.overwrite(merged)
+      timed("scd2_history") { hist.overwrite(merged) }
       println(f"[etl] silver_products_history      rows=${hist.read.count()}%7d")
     }
 
@@ -132,6 +148,7 @@ object EtlMain {
     // overwrite, so a crash mid-compact repairs like any other write.
     // Vacuum sweeps staged-write leftovers (repairing interrupted
     // swaps first).
+    timed("compact_vacuum") {
     Seq(pipe.bronzeProducts, pipe.bronzeOrders, pipe.bronzeOrderItems)
       .foreach { t => t.compact(128L * 1024 * 1024); t.vacuum() }
     // silver_orders is rewritten BY its clustering pass below (the
@@ -146,12 +163,14 @@ object EtlMain {
       val t = graft.tables.LakehouseTable(spark, s"$warehouse/$name", Seq.empty)
       t.compact(512L * 1024 * 1024); t.vacuum()
     }
+    }
     println("[etl] bronze/silver/gold compaction + vacuum done")
 
     // data skipping on the hottest non-partition predicate: cluster
     // silver_orders by user, then write the per-file min/max
     // manifest so user-scoped reads open only intersecting files
     // (OPTIMIZE ZORDER + Delta stats parity, docs/etl_processes.md:382)
+    timed("cluster_zorder_stats") {
     pipe.silverOrders.optimizeClustered(Seq("user_id"))
     pipe.silverOrders.vacuum()
     pipe.silverOrders.writeFileStats(Seq("user_id"))
@@ -167,6 +186,7 @@ object EtlMain {
     // partitions, pk layout): product point lookups span every file's
     // min/max — per-file blooms are the index that works there
     pipe.silverOrderItems.writeFileBlooms(Seq("product_id"))
+    }
     println("[etl] silver_orders clustered + gold z-ordered; " +
       "min/max + bloom file stats written")
 
@@ -179,6 +199,7 @@ object EtlMain {
     // the rewrite is only sound while summary and source are in sync.
     // partitioned by date like its source, so incremental runs can
     // refresh only the dates a batch touched (MaterializedAgg.refresh)
+    timed("mv_summaries") {
     val summaryPath = s"$warehouse/gold_orders_date_summary"
     val summaryT =
       graft.tables.LakehouseTable(spark, summaryPath, Seq("date"), Seq("date"))
@@ -246,6 +267,7 @@ object EtlMain {
         "MV join rewrite did not serve the department probe from the summary")
       println(s"[etl] gold_department_daily_summary registered; department " +
         s"reorders served from the join summary (${jProbe.count()} departments)")
+    }
     }
     spark.stop()
   }

@@ -88,8 +88,26 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                           liveSchema)
 
-  private def write(df: DataFrame, target: String): Unit = {
-    val w = df.write.mode("overwrite")
+  private def write(df: DataFrame, target: String,
+                    preShaped: Boolean = false): Unit = {
+    // Partitioned writes shuffle onto the partition columns first:
+    // without it, every input task holds rows for every partition
+    // value and the writer opens tasks × |partitions| files — a
+    // 2,400-date history load on 32 tasks wrote ~77k tiny parquet
+    // files, and EVERY later stage (gold builds, reconcile, replay
+    // validation) re-paid the per-file open cost reading them. The
+    // REBALANCE hint is Delta's "optimized write": under AQE it also
+    // splits a skewed partition value across tasks (a 40 GB date must
+    // not become one 40 GB file task) and coalesces tiny ones; without
+    // AQE it degrades to a plain hash shuffle on the partition cols.
+    // `preShaped` opts out for callers that already laid the frame
+    // out deliberately (compact / optimizeClustered / optimizeZOrder
+    // range-shape their rewrite; a second shuffle here would undo it).
+    val out =
+      if (partitionCols.nonEmpty && !preShaped)
+        df.hint("REBALANCE", partitionCols.map(col): _*)
+      else df
+    val w = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(target)
   }
@@ -122,12 +140,18 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * survives past the start of the next write. Without it, a stale
     * partition tombstone could sit out a full replace and a later
     * repair would resurrect old-generation data into the new table. */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame): Unit = overwrite(df, preShaped = false)
+
+  /** [[overwrite]] with the write-side rebalance disabled — for the
+    * maintenance rewrites whose frames arrive deliberately shaped
+    * (compaction's size-targeted repartition, clustering's range
+    * layout); see [[write]]. */
+  private def overwrite(df: DataFrame, preShaped: Boolean): Unit = {
     repairInterruptedSwaps()
     invalidateFileStats()
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
-    write(df, staged)
+    write(df, staged, preShaped)
     swapIn(new Path(staged), new Path(path), new Path(s"$path.tombstone-$tag"))
   }
 
@@ -546,7 +570,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val df = if (partitionCols.isEmpty) read.repartition(nFiles)
              else read.repartition(nFiles,
                                    partitionCols.map(org.apache.spark.sql.functions.col): _*)
-    overwrite(df)
+    overwrite(df, preShaped = true)
   }
 
   /** Spark-native approximation of OPTIMIZE ZORDER BY
@@ -565,7 +589,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // files a compaction just merged.
     val cs = (partitionCols ++ cols.filterNot(partitionCols.contains))
       .map(org.apache.spark.sql.functions.col)
-    overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*))
+    overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*),
+              preShaped = true)
   }
 
   /** TRUE multi-column Z-order (Delta `OPTIMIZE ZORDER BY` semantics,
@@ -623,7 +648,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       val bytes = fs.getContentSummary(new Path(path)).getLength
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     }
-    overwrite(snapshot.repartitionByRange(n, zkey).sortWithinPartitions(zkey))
+    overwrite(snapshot.repartitionByRange(n, zkey).sortWithinPartitions(zkey),
+              preShaped = true)
   }
 
   /** Delta-VACUUM parity for the staged-write protocol: first repair
