@@ -169,15 +169,18 @@ object Similarity {
     // raise_error fires inside the plan the caller already executes —
     // zero extra jobs, zero extra scans. (Queries empty → zero rows →
     // correct empty result, nothing to guard.)
-    def nearestCentroids(vecs: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(roundedCos(cosine(col("cv"), col("v"), col("cn"), col("nrm"))).desc,
-                 col("cid"))
+    def joinCentGuarded(vecs: DataFrame): DataFrame =
       vecs.join(cent, lit(true), "left")
         .withColumn("cid", coalesce(col("cid"), raise_error(lit(
           s"no centroid candidates: no id in '$idCol' is a multiple of " +
           s"$centroidEvery — pick a smaller centroidEvery for this id " +
           "space")).cast(cent0.schema("cid").dataType)))
+
+    def nearestCentroids(vecs: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(roundedCos(cosine(col("cv"), col("v"), col("cn"), col("nrm"))).desc,
+                 col("cid"))
+      joinCentGuarded(vecs)
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= n)
     }
@@ -190,12 +193,7 @@ object Similarity {
     // can short-circuit the final probe⋈assigned join off an empty
     // assignment stage before the probe side's guard ever evaluates,
     // so each side must fail loudly on its own.
-    val allGuarded = all.join(cent, lit(true), "left")
-      .withColumn("cid", coalesce(col("cid"), raise_error(lit(
-        s"no centroid candidates: no id in '$idCol' is a multiple of " +
-        s"$centroidEvery — pick a smaller centroidEvery for this id " +
-        "space")).cast(cent0.schema("cid").dataType)))
-    val assigned = argmaxByCos(allGuarded,
+    val assigned = argmaxByCos(joinCentGuarded(all),
         struct(col("cid"), col("v"), col("nrm")),
         // rounded, matching the rank-window ordering this replaced
         roundedCos(cosine(col("cv"), col("v"), col("cn"), col("nrm"))))
