@@ -1561,6 +1561,59 @@ object QueriesText {
         |   ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rn
         | FROM scored) WHERE rn <= 5""".stripMargin),
 
+    // The k-means REFINEMENT mechanism under a hash-matched oracle —
+    // the one DataFrame-side iterative loop q_ivf_replay leaves
+    // unpinned (it runs kmeansIters=0). This calls the production
+    // [[Similarity.refineCentroids]] itself — argmax-by-raw-cosine
+    // assignment (max_by(struct(cos, -cid)) ≡ ORDER BY cos DESC, cid),
+    // per-centroid element-wise mean via the VectorSum aggregate — on
+    // FIXED-POINT vectors (×10⁴, the q_jl_project convention): dots
+    // are exact integers in any summation order, norms/cosines are
+    // single correctly-rounded IEEE ops on exact inputs, and the mean
+    // is an exact-int sum over an exact count, so even the refined
+    // centroid DOUBLES hash-match across engines. Memberless centroids
+    // drop (groupBy over assignments) in both formulations. q_ann_ivf
+    // keeps the raw-embedding 3-iteration production configuration
+    // with recall pinned in SimilaritySpec.
+    "q_kmeans_replay" -> q(
+      c => {
+        val all0 = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        val iv = all0.select(col("id"),
+            transform(col("v"),
+              x => floor(x * 10000 + lit(0.5)).cast("double")).as("v"))
+          .withColumn("nrm", Similarity.norm(col("v")))
+        val cent0 = iv.filter(col("id") % 53 === 0)
+          .orderBy(col("id")).limit(40)
+          .select(col("id").as("cid"), col("v").as("cv"),
+                  col("nrm").as("cn"))
+        Similarity.refineCentroids(iv, cent0, iters = 1)
+          .select(col("cid"), posexplode(col("cv")).as(Seq("dim_idx", "c")))
+          .select(col("cid"), col("dim_idx").cast("long").as("dim_idx"),
+                  col("c"))
+      },
+      """WITH iv AS (
+        | SELECT vec_id,
+        |  [floor(CAST(e AS DOUBLE) * 10000 + 0.5) FOR e IN embedding] AS v
+        | FROM embeddings
+        |), n AS (
+        | SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM iv
+        |), cent AS (
+        | SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+        | WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 40
+        |), assigned AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT x.vec_id, c.cid,
+        |   row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |     list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC, c.cid) AS arn
+        |  FROM n x CROSS JOIN cent c) WHERE arn = 1
+        |)
+        |SELECT a.cid, g.i AS dim_idx,
+        | sum(n.v[CAST(g.i AS INT) + 1]) / count(*) AS c
+        |FROM assigned a
+        |JOIN n ON n.vec_id = a.vec_id,
+        |     (SELECT unnest(range(0, 64)) AS i) g
+        |GROUP BY 1, 2""".stripMargin),
+
     // int8 embedding quantization (the storage-scale embedding op:
     // 4× smaller vectors for ANN shortlists): symmetric per-vector
     // scale to [-127, 127], then measure round-trip cosine fidelity
