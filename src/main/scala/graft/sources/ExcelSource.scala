@@ -111,7 +111,12 @@ object ExcelSource {
           case i  => (SheetName(a.substring(0, i)), a.substring(i + 1))
         }
       def cell(s: String): (Int, Int) = s match {
-        case Cell(colS, rowS) => (rowS.toInt - 1, colIndex(colS))
+        case Cell(colS, rowS) =>
+          // A1 rows are 1-based: 'A0' would make firstRow -1 (noop)
+          // but an end row of 0 silently reads NOTHING — reject
+          require(rowS.toInt >= 1,
+            s"malformed dataAddress '$addr': row in '$s' is 1-based")
+          (rowS.toInt - 1, colIndex(colS))
         case _ => throw new IllegalArgumentException(
           s"malformed dataAddress '$addr': '$s' is not an A1 cell ref")
       }
@@ -542,7 +547,11 @@ object ExcelSource {
               val rowNum = Option(r.getAttributeValue(null, "r"))
                 .map(_.toInt - 1).getOrElse(physRow)
               physRow = rowNum + 1
-              if (rowNum > lastRow) return rows.result() // past the range
+              // past the range: stop the scan (the point of a bounded
+              // range on a huge sheet). Safe because ECMA-376 requires
+              // <row> elements in ascending r order — unlike CELLS,
+              // where real producers do emit out-of-order refs
+              if (rowNum > lastRow) return rows.result()
               cells =
                 if (rowNum < firstRow) null // preamble row: skip cheaply
                 else scala.collection.mutable.ArrayBuffer[String]()

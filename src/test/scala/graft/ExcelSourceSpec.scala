@@ -356,6 +356,7 @@ class ExcelSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { DataAddress.parse("data!") }
     intercept[IllegalArgumentException] { DataAddress.parse("'data'A1") }
     intercept[IllegalArgumentException] { DataAddress.parse("data!C3:A1") }
+    intercept[IllegalArgumentException] { DataAddress.parse("A0") } // 1-based
   }
 
   test("writeDir: distributed multi-partition export round-trips, empty partitions included") {
