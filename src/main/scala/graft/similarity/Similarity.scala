@@ -344,6 +344,38 @@ object Similarity {
       .select(col("query_id"), col("id").as("vec_id"), col("cos_r"), col("rn"))
   }
 
+  /** ONE per-subspace Lloyd refinement step over the training sample,
+    * entirely driver-side (the faiss/MLlib convention: codebooks train
+    * on a bounded sample, not the corpus — a corpus-wide assignment
+    * pass per iteration costs full scans for marginal centroid
+    * quality). Same semantics the Spark formulation had: L2 argmin via
+    * 2·x·c − |c|² ([[graft.functions.PqArgmin.bestIndex]], the ONE
+    * definition shared with the encode expression — its -1 for a
+    * degenerate NaN vector or empty codebook contributes to no
+    * cluster), ties to the lowest index, empty codewords drop with
+    * index order preserved, ragged (short) seeds skipped per
+    * subspace. Deterministic throughout; golden-tested directly in
+    * SimilaritySpec. */
+  private[graft] def refineSubspaceCodebooks(
+      seed: Array[Array[Double]], cb: Array[Array[Double]],
+      sub: Int): Array[Array[Double]] =
+    Array.tabulate(cb.length) { j =>
+      val cbj = cb(j)
+      val n = cbj.length / sub
+      val sums = Array.fill(n)(new Array[Double](sub))
+      val cnts = new Array[Long](n)
+      seed.filter(_.length >= (j + 1) * sub).foreach { v =>
+        val best = graft.functions.PqArgmin.bestIndex(v, j * sub, cbj, sub)
+        if (best >= 0) {
+          cnts(best) += 1
+          var d2 = 0
+          while (d2 < sub) { sums(best)(d2) += v(j * sub + d2); d2 += 1 }
+        }
+      }
+      (0 until n).filter(cnts(_) > 0).toArray
+        .flatMap(c => sums(c).map(_ / cnts(c)))
+    }
+
   /** Product quantization (PQ, Jégou et al. 2011) approximate top-k —
     * the memory-compression ANN scale path next to IVF (partitioning)
     * and sign-LSH (bucketing). Vectors are unit-normalized (so cosine
@@ -436,36 +468,7 @@ object Similarity {
           .as(s"code_$j")
       }
 
-    // per-subspace Lloyd refinement ON THE TRAINING SAMPLE, entirely
-    // driver-side (the faiss/MLlib convention: codebooks train on a
-    // bounded sample, not the corpus — a corpus-wide assignment pass
-    // per iteration costs full scans for marginal centroid quality).
-    // Same semantics the Spark formulation had: L2 argmin via
-    // 2·x·c − |c|², ties to the lowest index, empty codewords drop
-    // with index order preserved. Deterministic throughout.
-    for (_ <- 1 to kmeansIters) {
-      cb = Array.tabulate(m) { j =>
-        val cbj = cb(j)
-        val n = cbj.length / sub
-        val sums = Array.fill(n)(new Array[Double](sub))
-        val cnts = new Array[Long](n)
-        // ragged (short) vectors are skipped up front; then
-        // PqArgmin.bestIndex is the ONE definition of the argmin
-        // semantics — its -1 (degenerate NaN vector from a zero-norm
-        // embedding, or empty codebook) contributes to no cluster,
-        // exactly like the expression's sentinel on the encode side
-        seed.filter(_.length >= (j + 1) * sub).foreach { v =>
-          val best = graft.functions.PqArgmin.bestIndex(v, j * sub, cbj, sub)
-          if (best >= 0) {
-            cnts(best) += 1
-            var d2 = 0
-            while (d2 < sub) { sums(best)(d2) += v(j * sub + d2); d2 += 1 }
-          }
-        }
-        (0 until n).filter(cnts(_) > 0).toArray
-          .flatMap(c => sums(c).map(_ / cnts(c)))
-      }
-    }
+    for (_ <- 1 to kmeansIters) cb = refineSubspaceCodebooks(seed, cb, sub)
 
     // encode the corpus: m int codes per vector, single codegen'd pass
     val codes = cu.select(col("id").as("vec_id"),

@@ -188,6 +188,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).toSet == Set(1L, 2L), got.toSeq)
   }
 
+  test("pq codebook refinement: golden Lloyd step — means, ties, drops, " +
+       "ragged skips, NaN sentinel") {
+    // the driver-side per-subspace Lloyd loop, hand-computed: m=2
+    // subspaces of sub=2 dims. Subspace 0 starts with codewords
+    // (0,0) and (4,0); subspace 1 with (0,0) and (0,4).
+    val cb = Array(Array(0.0, 0.0, 4.0, 0.0), Array(0.0, 0.0, 0.0, 4.0))
+    val seed = Array(
+      Array(1.0, 0.0, 0.0, 1.0),  // ss0 -> cw0 (d²=1 vs 9); ss1 -> cw0
+      Array(3.0, 0.0, 0.0, 3.0),  // ss0 -> cw1 (1 vs 9); ss1 -> cw1 (9 vs 1)
+      Array(2.0, 0.0, 0.0, 2.0),  // EQUIDISTANT (4 vs 4): tie -> cw0 both
+      Array(9.0, 9.0),            // ragged: ss0 ONLY -> cw1 (162 vs 106)
+      Array(Double.NaN, 0.0, 0.0, 0.0)) // ss0: NaN scores -> NO cluster;
+                                        // ss1 slice (0,0) is finite -> cw0
+    val out = Similarity.refineSubspaceCodebooks(seed, cb, sub = 2)
+    // ss0: cw0 = mean((1,0),(2,0)) = (1.5,0); cw1 = mean((3,0),(9,9)) = (6,4.5)
+    assert(out(0).toSeq == Seq(1.5, 0.0, 6.0, 4.5), out(0).toSeq)
+    // ss1: cw0 = mean((0,1),(0,2),(0,0)) = (0,1); cw1 = (0,3) — the NaN
+    // sentinel is PER SUBSPACE, so the half-degenerate seed still
+    // trains the subspace where its slice is finite
+    assert(out(1).toSeq == Seq(0.0, 1.0, 0.0, 3.0), out(1).toSeq)
+    // an empty codeword DROPS, order preserved: a codebook where cw0
+    // wins everything loses cw1 entirely
+    val cbFar = Array(Array(0.0, 0.0, 100.0, 100.0))
+    val out2 = Similarity.refineSubspaceCodebooks(
+      Array(Array(1.0, 1.0), Array(2.0, 2.0)), cbFar, sub = 2)
+    assert(out2(0).toSeq == Seq(1.5, 1.5), out2(0).toSeq)
+  }
+
   test("zero-norm vectors never pass a threshold or steal a rank") {
     // 0/0 would be NaN, which Spark orders ABOVE every number: the
     // degenerate vector would pass any threshold and take rank 1 from
