@@ -1614,6 +1614,85 @@ object QueriesText {
         |     (SELECT unnest(range(0, 64)) AS i) g
         |GROUP BY 1, 2""".stripMargin),
 
+    // The REFINED IVF end to end under a hash-matched oracle: the
+    // production ivfTopK at kmeansIters=1 — refinement assignment by
+    // RAW cosine (refineCentroids), per-centroid means, then the
+    // rounded-cosine assignment/probe/rerank of q_ivf_replay against
+    // the REFINED centroids. Inputs are fixed-pointed INTO THE FLOAT
+    // embedding column (×10⁴ integers are exact in float32), so the
+    // unchanged production function computes: exact-int dots, means
+    // that are exact-int sums over exact counts, and sequential
+    // double folds for the mean-vector norms/cosines — the same
+    // cross-engine fold equality q_ann_topk rests on. Only q_ann_ivf's
+    // raw-embedding multi-iteration configuration stays rows-only.
+    "q_ivf_refined_replay" -> q(
+      c => {
+        val fp = c.embeddings.select(col("vec_id"),
+          transform(col("embedding"),
+            e => floor(e.cast("double") * 10000 + 0.5).cast("float"))
+            .as("embedding"))
+        val all = Similarity.prepare(fp, "vec_id", "embedding")
+        Similarity.ivfTopK(fp, "vec_id", "embedding",
+          all.filter(col("id") % 50 === 0 && col("id") < 2000), k = 5,
+          centroidEvery = 53, nprobe = 4, rnd6, kmeansIters = 1,
+          maxCentroids = 40)
+          .select(col("query_id"), col("vec_id"), col("cos_r"),
+                  col("rn").cast("long").as("rn"))
+      },
+      """WITH iv AS (
+        | SELECT vec_id,
+        |  [floor(CAST(e AS DOUBLE) * 10000 + 0.5) FOR e IN embedding] AS v
+        | FROM embeddings
+        |), n AS (
+        | SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM iv
+        |), qy AS (SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
+        |cent0 AS (
+        | SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+        | WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 40
+        |), assigned0 AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT x.vec_id, c.cid,
+        |   row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |     list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC, c.cid) AS arn
+        |  FROM n x CROSS JOIN cent0 c) WHERE arn = 1
+        |), centm AS (
+        | SELECT a.cid, g.i,
+        |  sum(n.v[CAST(g.i AS INT) + 1]) / count(*) AS m
+        | FROM assigned0 a JOIN n ON n.vec_id = a.vec_id,
+        |      (SELECT unnest(range(0, 64)) AS i) g
+        | GROUP BY 1, 2
+        |), cent AS (
+        | SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+        |  SELECT cid, list(m ORDER BY i) AS cv FROM centm GROUP BY cid)
+        |), assigned AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT x.vec_id, c.cid,
+        |   row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |     floor(list_dot_product(x.v, c.cv) / (x.nrm * c.cn)
+        |           * 1000000 + 0.5) / 1000000 DESC, c.cid) AS arn
+        |  FROM n x CROSS JOIN cent c) WHERE arn = 1
+        |), probes AS (
+        | SELECT query_id, cid FROM (
+        |  SELECT q.vec_id AS query_id, c.cid,
+        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |     floor(list_dot_product(q.v, c.cv) / (q.nrm * c.cn)
+        |           * 1000000 + 0.5) / 1000000 DESC, c.cid) AS crn
+        |  FROM qy q CROSS JOIN cent c) WHERE crn <= 4
+        |), scored AS (
+        | SELECT p.query_id, a.vec_id,
+        |  floor(list_dot_product(q.v, x.v) / (q.nrm * x.nrm)
+        |        * 1000000 + 0.5) / 1000000 AS cos_r
+        | FROM probes p
+        | JOIN assigned a ON a.cid = p.cid
+        | JOIN n x ON x.vec_id = a.vec_id
+        | JOIN qy q ON q.vec_id = p.query_id
+        | WHERE a.vec_id <> p.query_id
+        |)
+        |SELECT query_id, vec_id, cos_r, rn FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rn
+        | FROM scored) WHERE rn <= 5""".stripMargin),
+
     // int8 embedding quantization (the storage-scale embedding op:
     // 4× smaller vectors for ANN shortlists): symmetric per-vector
     // scale to [-127, 127], then measure round-trip cosine fidelity
