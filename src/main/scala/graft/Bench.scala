@@ -169,8 +169,14 @@ object Bench {
         java.nio.file.Paths.get(s"BENCH_FULL_$gitHead.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // a subset run skipped the artifact writes above — pointing its
+    // summary at BENCH_FULL.json would hand tooling a stale (or
+    // missing) full-suite artifact as if it described THIS run
+    val queriesIn =
+      if (only.isEmpty) "\"BENCH_FULL.json\""
+      else results.map(r => s""""${r._1}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"failed":$failed,"queries_in":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"failed":$failed,"queries_in":$queriesIn,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -599,6 +599,7 @@ object ExcelSource {
               // out-of-window cells and shifts firstCol to index 0.
               if (cells != null && cells.nonEmpty) {
                 if (firstCol == 0 && lastColExcl == Int.MaxValue) {
+                  anchorRangeStart(range, nRows, physRow - 1, firstRow)
                   rows += cells.toArray // unranged: exact r9 behavior
                   nRows += 1
                 } else {
@@ -609,6 +610,7 @@ object ExcelSource {
                   // phantom all-null row the preamble was supposed
                   // to exclude
                   if (windowed.exists(_ != null)) {
+                    anchorRangeStart(range, nRows, physRow - 1, firstRow)
                     rows += windowed
                     nRows += 1
                   }
@@ -623,6 +625,22 @@ object ExcelSource {
     } finally r.close()
     rows.result()
   }
+
+  /** Header-anchor guard for ranged reads: the FIRST emitted row must
+    * be the row at the range's start (crealytics anchors the header at
+    * the start cell). Without this, a start row that is sparse-omitted
+    * from the XML, cell-less, or all-null inside the column window is
+    * silently skipped and the next qualifying DATA row is promoted to
+    * header — mislabeling every column by one row. Fail loudly with
+    * the 1-based sheet coordinates instead. */
+  private def anchorRangeStart(range: Option[CellRange], nRows: Int,
+                               rowNum: Int, firstRow: Int): Unit =
+    if (range.isDefined && nRows == 0 && rowNum != firstRow)
+      throw new IllegalArgumentException(
+        s"dataAddress start row ${firstRow + 1} has no cells inside the " +
+        s"range's column window (first non-empty row is ${rowNum + 1}): " +
+        "the header must anchor at the range start — fix the dataAddress " +
+        "or the sheet's preamble")
 
   private def cellValue(t: String, raw: String, style: Int,
                         shared: Vector[String], dateKind: Array[Int],
@@ -920,14 +938,22 @@ object ExcelSource {
     }.count()
     // failed/lost task attempts that died between create and rename
     // leave `*.xlsx.inprogress-<attempt>` tmps behind — invisible to
-    // read() (its glob is *.xlsx) but accumulating forever. The stage
-    // is complete here, so every partition has a committed part and
-    // ANY surviving inprogress file is a dead attempt's: sweep them
-    // before declaring success. (Swept in-task instead, a speculative
-    // twin could delete a LIVE attempt's in-flight tmp — two racing
-    // attempts deleting each other would fail both renames.) A crashed
-    // JOB still leaves tmps, but also no _SUCCESS; the next writeDir's
-    // part-*.xlsx* pre-sweep clears them on rerun.
+    // read() (its glob is *.xlsx) but accumulating forever. When
+    // count() returns every partition has a COMMITTED part, so the
+    // sweep is correct to run — but it is best-effort, not a
+    // completeness proof: Spark kills zombie speculative attempts
+    // asynchronously, so a still-running twin can recreate an
+    // inprogress tmp after this sweep (harmless leftover) or rename
+    // its complete workbook over the winner's committed part (also
+    // harmless — both attempts wrote complete workbooks for the same
+    // partition, see the in-task commit note above; read() never sees
+    // a partial file because the rename is the only publish step).
+    // (Swept in-task instead, a speculative twin could delete a LIVE
+    // attempt's in-flight tmp — two racing attempts deleting each
+    // other would fail both renames.) Residuals are cleared by the
+    // next writeDir's unconditional part-*.xlsx* pre-sweep, which
+    // runs whether or not _SUCCESS exists; a crashed JOB leaves tmps
+    // but no _SUCCESS, handled the same way.
     Option(driverFs.globStatus(new Path(dirPath, "part-*.xlsx.inprogress-*")))
       .getOrElse(Array.empty).foreach(s => driverFs.delete(s.getPath, false))
     val ok = driverFs.create(new Path(dirPath, "_SUCCESS"), true)

@@ -65,7 +65,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * manifests themselves). */
   @volatile private var cachedSchema
     : (String, org.apache.spark.sql.types.StructType) = _
-  private def liveSchema: org.apache.spark.sql.types.StructType = {
+  private[graft] def liveSchema: org.apache.spark.sql.types.StructType = {
     // Cache validity is tied to ON-DISK state, not to this instance's
     // invalidateFileStats calls: the single-writer contract is
     // per-PATH, and a long-lived instance whose sibling (same path,
@@ -112,12 +112,28 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       .parquet(target)
   }
 
+  /** TEST SEAM — crash-fault injection for the fault-schedule specs.
+    * When set, invoked immediately BEFORE every FileSystem rename and
+    * every protocol-relevant delete this table performs, with a label
+    * like `rename:<from>-><to>` or `delete:<name>`. A hook that throws
+    * simulates a writer crash at exactly that interruption point; a
+    * hook that runs observer code (a concurrent reader) exercises the
+    * mid-window visibility contract. Production code never sets it —
+    * the default is a no-op and the check is a single volatile read. */
+  @volatile private[graft] var faultHook: String => Unit = null
+  private def step(label: String): Unit = {
+    val h = faultHook
+    if (h != null) h(label)
+  }
+
   /** Hadoop FileSystem.rename reports most failures by returning
     * false, not throwing (dest exists, src vanished, cross-store move)
     * — an unchecked rename would leave stale data live while the
     * caller believes the swap succeeded. */
-  private def renameOrFail(from: Path, to: Path): Unit =
+  private def renameOrFail(from: Path, to: Path): Unit = {
+    step(s"rename:${from.getName}->${to.getName}")
     require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
 
   /** The tombstone-swap protocol shared by full-table overwrite and
     * per-partition merges: rename live aside (rename, not delete),
@@ -131,7 +147,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val hadLive = fs.exists(live)
     if (hadLive) renameOrFail(live, tombstone)
     renameOrFail(staged, live)
-    if (hadLive) fs.delete(tombstone, true)
+    if (hadLive) { step(s"delete:${tombstone.getName}"); fs.delete(tombstone, true) }
   }
 
   /** Atomic full replace: write staged, then tombstone-swap. Repairs
@@ -153,6 +169,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val staged = s"$path.staged-$tag"
     write(df, staged, preShaped)
     swapIn(new Path(staged), new Path(path), new Path(s"$path.tombstone-$tag"))
+    publishSchemaEpoch()
   }
 
   /** Roll back swaps a crashed writer left half-done. A tombstone whose
@@ -180,6 +197,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
         if (!fs.exists(target)) {
           renameOrFail(ts, target); s"restored:${target.getName}"
         } else {
+          step(s"delete:${ts.getName}")
           fs.delete(ts, true); s"dropped:${ts.getName}"
         }
       }
@@ -210,6 +228,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val w = df.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
+    publishSchemaEpoch()
   }
 
   /** Crash-safe append for unpartitioned append-only tables: the batch
@@ -240,6 +259,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     fs.mkdirs(new Path(parent))
     val batchDir = s"$parent/batch-$tag"
     renameOrFail(new Path(staged), new Path(batchDir))
+    publishSchemaEpoch()
     batchDir
   }
 
@@ -321,6 +341,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     write(df, staged)
     swapIn(new Path(staged), new Path(s"$path/$bucket"),
            new Path(s"$path.tombstone-$tag-$bucket"))
+    publishSchemaEpoch()
   }
 
   /** Delta-MERGE parity (S6): dedup the batch on pk (reference
@@ -429,8 +450,9 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       swapIn(child, new Path(path, child.getName),
              new Path(s"$path.tombstone-$tag-${child.getName}"))
     }
+    step(s"delete:staged-$tag")
     fs.delete(new Path(staged), true)
-    ()
+    publishSchemaEpoch()
   }
 
   /** Partition-scoped REPLACE (Delta `replaceWhere` shape): every
@@ -484,8 +506,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     values.foreach { v =>
       val dir = s"$pc=" + org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(partitionValueString(v))
+      step(s"delete:$dir")
       fs.delete(new Path(path, dir), true)
     }
+    publishSchemaEpoch()
   }
 
   /** The string form Spark's partitioned writer used for the dir name.
@@ -672,7 +696,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     repaired ++ fs.listStatus(parent).toSeq
       .filter(s => prefixes.exists(s.getPath.getName.startsWith))
       .filter(_.getModificationTime < cutoff)
-      .map { s => fs.delete(s.getPath, true); s"deleted:${s.getPath.getName}" }
+      .map { s =>
+        step(s"delete:${s.getPath.getName}")
+        fs.delete(s.getPath, true); s"deleted:${s.getPath.getName}"
+      }
   }
 
   // ── file-skipping statistics (Delta data-skipping parity) ──────────
@@ -713,6 +740,21 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * reads, or point at part-files an overwrite removed); readers fall
     * back to a full filtered scan until [[writeFileStats]] /
     * [[writeFileBlooms]] run again. */
+  /** Post-publish epoch re-stamp. [[invalidateFileStats]] stamps the
+    * epoch BEFORE the staged write (so derived data can never pair
+    * with the incoming generation), but a sibling instance calling
+    * liveSchema inside the write window would pair that NEW epoch with
+    * the still-live OLD schema and cache the stale pair past the swap
+    * — serving silent nulls indefinitely. Every mutator therefore
+    * stamps AGAIN after its publish rename: the post-swap epoch can
+    * only ever be observed alongside the post-swap schema, so the
+    * worst a racing reader caches is the pre-swap epoch + pre-swap
+    * schema, which the second stamp immediately invalidates. */
+  private def publishSchemaEpoch(): Unit = {
+    cachedSchema = null
+    stampSchemaEpoch()
+  }
+
   private def invalidateFileStats(): Unit = {
     cachedSchema = null // the mutation may evolve the live schema
     stampSchemaEpoch()  // ...and sibling instances on this path must see it
@@ -921,8 +963,11 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // every archive would restart numbering at v1 and silently hand a
     // changesSince consumer an unrelated generation under a reused
     // version number
-    versions.dropRight(math.max(retain, 1)).foreach(v =>
-      fs.delete(new Path(versionsRoot, s"v$v"), true))
+    versions.dropRight(math.max(retain, 1)).foreach { v =>
+      step(s"delete:v$v")
+      fs.delete(new Path(versionsRoot, s"v$v"), true)
+    }
+    publishSchemaEpoch()
   }
 
   /** TIME-based archive retention — the reference's vacuum windows
@@ -961,7 +1006,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       else fs.getFileStatus(dir).getModificationTime
     }
     val dropped = versions.dropRight(1).filter(archivedAt(_) < cutoff)
-    dropped.foreach(v => fs.delete(new Path(versionsRoot, s"v$v"), true))
+    dropped.foreach { v =>
+      step(s"delete:v$v")
+      fs.delete(new Path(versionsRoot, s"v$v"), true)
+    }
     dropped
   }
 

@@ -347,6 +347,22 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(open.columns.toSeq == Seq("sku", "qty", "notes"))
     assert(open.count() == 3) // rows 4, 6, 7
 
+    // header-anchor guard (crealytics anchors the header at the range
+    // start): a start row that is sparse-OMITTED from the XML (row 2)
+    // or all-null INSIDE the column window (the title row 1 has only
+    // A1, outside B:C) must fail loudly — silently promoting the next
+    // qualifying row to header would mislabel every column by one row
+    def anchorMsgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    Seq("'data'!B2:C6", "'data'!B1:C6").foreach { addr =>
+      val ea = intercept[Exception] {
+        ExcelSource.readAddress(spark, dir, addr).collect()
+      }
+      assert(anchorMsgs(ea).exists(_.contains("anchor")),
+        s"$addr: expected the header-anchor failure, got: $ea")
+    }
+
     // parser grammar: quoting, escaped quote, unqualified, rejects
     import ExcelSource.{DataAddress, SheetName, FirstSheet, CellRange}
     assert(DataAddress.parse("'it''s'!A1:B2") ==

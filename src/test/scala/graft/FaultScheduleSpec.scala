@@ -1,0 +1,328 @@
+package graft
+
+import graft.tables.LakehouseTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Systematic crash-fault enumeration for the table layer's swap
+  * protocol (SURVEY §7.4 atomic-swap requirement; the reference's
+  * at-least-once retry contract, stepfunctions/lambda_function.py:84-98
+  * — a crashed Glue attempt is simply re-run). Every FileSystem
+  * rename/delete a mutator performs is an interruption point; a
+  * counting pass through the fault-injection seam enumerates them, and
+  * the writer is then killed at EACH one in turn. At every kill point
+  * the spec asserts the two-sided contract:
+  *
+  *   1. READER VISIBILITY: a fresh reader sees only complete states —
+  *      each swap unit (whole table, partition dir, or bucket dir) is
+  *      the old generation, the new generation, or absent WITH its
+  *      tombstone present (recoverable); never a half-visible mix
+  *      inside one unit. (Cross-unit visibility is sequential by
+  *      contract — the Hive dynamic-partition-overwrite shape.)
+  *   2. CONVERGENCE: repairInterruptedSwaps + re-running the SAME
+  *      mutation lands on exactly the no-crash final state.
+  *
+  * This generalizes the ad-hoc crash-window tests in LakehouseTableSpec
+  * to the full schedule: if a new rename/delete is ever added to a
+  * mutator, the counting pass picks it up automatically and the kill
+  * loop covers it with no spec change.
+  */
+class FaultScheduleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class InjectedCrash(k: Int, label: String)
+    extends RuntimeException(s"injected crash at step $k ($label)")
+
+  /** Enumerate the mutation's interruption points (no-op hook). */
+  private def countSteps(t: LakehouseTable)(mutate: => Unit): Int = {
+    var n = 0
+    t.faultHook = _ => n += 1
+    try mutate finally t.faultHook = null
+    n
+  }
+
+  /** Run the mutation, killing the writer just before step k's
+    * rename/delete executes. Returns the step's label. */
+  private def crashAt(t: LakehouseTable, k: Int)(mutate: => Unit): String = {
+    var n = 0
+    var hit = ""
+    t.faultHook = label => {
+      n += 1
+      if (n == k) { hit = label; throw InjectedCrash(k, label) }
+    }
+    try {
+      mutate
+      fail(s"mutation completed without reaching step $k")
+    } catch { case _: InjectedCrash => () }
+    finally t.faultHook = null
+    hit
+  }
+
+  private def tombstones(parent: String): Seq[String] =
+    Option(new java.io.File(parent).list()).getOrElse(Array.empty[String])
+      .filter(_.contains(".tombstone-")).toSeq
+
+  // ── full-table swap family: overwrite / upsert(full-merge) /
+  //    compact / optimizeClustered / optimizeZOrder / overwriteVersioned
+
+  /** Shared schedule for mutators whose publish is ONE whole-table
+    * tombstone swap. `validLive`: the complete states a reader may
+    * observe; `finalRows`: the converged state after repair + rerun. */
+  private def fullTableSchedule(name: String,
+                                setup: LakehouseTable => Unit,
+                                mutate: LakehouseTable => Unit,
+                                validLive: Set[Set[(Int, String)]],
+                                finalRows: Set[(Int, String)]): Unit = {
+    val probe = LakehouseTable(spark, s"${TestSpark.tmpDir(s"fs-$name-n")}/t", Seq("k"))
+    setup(probe)
+    val steps = countSteps(probe)(mutate(probe))
+    assert(steps >= 1, s"$name: no interruption points enumerated")
+    // the no-crash run must land on finalRows (sanity on the scenario)
+    assert(probe.read.as[(Int, String)].collect().toSet == finalRows)
+
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"fs-$name-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      setup(t)
+      val label = crashAt(t, k)(mutate(t))
+      // 1. reader visibility from a FRESH instance
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      if (r.exists) {
+        val seen = r.read.as[(Int, String)].collect().toSet
+        assert(validLive.contains(seen),
+          s"$name step $k ($label): partial state visible: $seen")
+      } else
+        assert(tombstones(dir).nonEmpty,
+          s"$name step $k ($label): table absent with NO tombstone — unrecoverable")
+      // 2. repair + rerun converges
+      r.repairInterruptedSwaps()
+      mutate(r)
+      assert(r.read.as[(Int, String)].collect().toSet == finalRows,
+        s"$name step $k ($label): repair + rerun did not converge")
+    }
+  }
+
+  private val oldGen = (1 to 20).map(i => (i, s"old$i")).toSet
+  private def oldDf = oldGen.toSeq.toDF("k", "v")
+
+  test("fault schedule: overwrite — every interruption point recovers") {
+    val newGen = (1 to 5).map(i => (i, s"new$i")).toSet
+    fullTableSchedule("overwrite",
+      t => t.overwrite(oldDf),
+      t => t.overwrite(newGen.toSeq.toDF("k", "v")),
+      validLive = Set(oldGen, newGen),
+      finalRows = newGen)
+  }
+
+  test("fault schedule: upsert (unpartitioned full-merge path)") {
+    val merged = oldGen.filterNot(_._1 == 3) ++ Set((3, "UP3"), (21, "new21"))
+    fullTableSchedule("upsert-full",
+      t => t.overwrite(oldDf),
+      t => t.upsert(Seq((3, "UP3"), (21, "new21")).toDF("k", "v")),
+      validLive = Set(oldGen, merged),
+      finalRows = merged)
+  }
+
+  test("fault schedule: compact (content-preserving rewrite)") {
+    fullTableSchedule("compact",
+      t => { t.overwrite(oldDf); t.append(Seq((21, "old21")).toDF("k", "v")) },
+      t => t.compact(512L * 1024 * 1024),
+      validLive = Set(oldGen + ((21, "old21"))), // rows never change
+      finalRows = oldGen + ((21, "old21")))
+  }
+
+  test("fault schedule: optimizeClustered and optimizeZOrder") {
+    fullTableSchedule("optclu",
+      t => t.overwrite(oldDf),
+      t => t.optimizeClustered(Seq("k")),
+      validLive = Set(oldGen),
+      finalRows = oldGen)
+    fullTableSchedule("optz",
+      t => t.overwrite(oldDf),
+      t => t.optimizeZOrder(Seq("k", "v")),
+      validLive = Set(oldGen),
+      finalRows = oldGen)
+  }
+
+  test("fault schedule: overwriteVersioned — live table is never the casualty") {
+    val newGen = (1 to 5).map(i => (i, s"new$i")).toSet
+    // finalRows covers live; archive content legitimately varies with
+    // the kill point (a crash before the archive rename loses that one
+    // archive by design — the tombstone is dropped as superseded), so
+    // the schedule pins the live table and archive EXISTENCE only.
+    val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-ver-n")}/t", Seq("k"))
+    probe.overwrite(oldDf)
+    val steps = countSteps(probe)(probe.overwriteVersioned(newGen.toSeq.toDF("k", "v")))
+    assert(steps >= 3, s"expected the 3 swap renames, got $steps")
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"fs-ver-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      t.overwrite(oldDf)
+      val label = crashAt(t, k)(t.overwriteVersioned(newGen.toSeq.toDF("k", "v")))
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      if (r.exists) {
+        val seen = r.read.as[(Int, String)].collect().toSet
+        assert(seen == oldGen || seen == newGen,
+          s"versioned step $k ($label): partial live state: $seen")
+      } else assert(tombstones(dir).nonEmpty,
+        s"versioned step $k ($label): live absent with no tombstone")
+      r.repairInterruptedSwaps()
+      r.overwriteVersioned(newGen.toSeq.toDF("k", "v"))
+      assert(r.read.as[(Int, String)].collect().toSet == newGen,
+        s"versioned step $k ($label): rerun did not converge")
+      assert(r.versions.nonEmpty, s"versioned step $k: no archive after rerun")
+    }
+  }
+
+  // ── partition-scoped family: each partition dir is its own swap unit
+
+  test("fault schedule: partition-scoped upsert — per-partition atomicity") {
+    val init = Set((1, "a", "p1"), (2, "b", "p2"))
+    val batch = Set((1, "A", "p1"), (3, "c", "p2"))
+    val finalP = Map("p1" -> Set((1, "A")), "p2" -> Set((2, "b"), (3, "c")))
+    val oldP = Map("p1" -> Set((1, "a")), "p2" -> Set((2, "b")))
+
+    val probe = LakehouseTable(spark,
+      s"${TestSpark.tmpDir("fs-upp-n")}/t", Seq("k"), Seq("part"))
+    probe.overwrite(init.toSeq.toDF("k", "v", "part"))
+    val steps = countSteps(probe)(probe.upsert(batch.toSeq.toDF("k", "v", "part")))
+    // 2 partitions x (tombstone, promote, drop) + the staged-dir sweep
+    assert(steps == 7, s"expected 7 interruption points, got $steps")
+
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"fs-upp-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+      t.overwrite(init.toSeq.toDF("k", "v", "part"))
+      val label = crashAt(t, k)(t.upsert(batch.toSeq.toDF("k", "v", "part")))
+      // reader visibility: each PARTITION is old-complete, new-complete,
+      // or absent with its tombstone present
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+      val crashed: Set[(Int, String, String)] =
+        r.read.as[(Int, String, String)].collect().toSet
+      val byPart: Map[String, Set[(Int, String)]] =
+        crashed.groupBy(_._3).view.mapValues(_.map(x => (x._1, x._2))).toMap
+      Seq("p1", "p2").foreach { p =>
+        byPart.get(p) match {
+          case Some(rows) =>
+            assert(rows == oldP(p) || rows == finalP(p),
+              s"upsert-part step $k ($label): partition $p partial: $rows")
+          case None =>
+            assert(tombstones(dir).exists(_.endsWith(s"part=$p")),
+              s"upsert-part step $k ($label): $p absent with no tombstone")
+        }
+      }
+      r.repairInterruptedSwaps()
+      r.upsert(batch.toSeq.toDF("k", "v", "part"))
+      val conv = r.read.as[(Int, String, String)].collect().toSet
+      assert(conv == Set((1, "A", "p1"), (2, "b", "p2"), (3, "c", "p2")),
+        s"upsert-part step $k ($label): did not converge: $conv")
+    }
+  }
+
+  test("fault schedule: dropPartitions — per-partition delete, rerun is a no-op") {
+    val init = Set((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3"))
+    val probe = LakehouseTable(spark,
+      s"${TestSpark.tmpDir("fs-dp-n")}/t", Seq("k"), Seq("part"))
+    probe.overwrite(init.toSeq.toDF("k", "v", "part"))
+    val steps = countSteps(probe)(probe.dropPartitions(Seq("p1", "p2")))
+    assert(steps == 2, s"expected 2 per-partition deletes, got $steps")
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"fs-dp-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+      t.overwrite(init.toSeq.toDF("k", "v", "part"))
+      crashAt(t, k)(t.dropPartitions(Seq("p1", "p2")))
+      // untouched partition intact; dropped prefix is all-or-nothing per dir
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+      val seen = r.read.as[(Int, String, String)].collect().toSet
+      assert(seen.contains((3, "c", "p3")), s"drop step $k: untouched p3 lost")
+      val remaining = seen.map(_._3)
+      assert(remaining == Set("p1", "p2", "p3") || remaining == Set("p2", "p3") ||
+             remaining == Set("p3"),
+        s"drop step $k: non-prefix partial drop: $remaining")
+      r.dropPartitions(Seq("p1", "p2")) // rerun converges (missing = no-op)
+      assert(r.read.as[(Int, String, String)].collect().toSet ==
+             Set((3, "c", "p3")), s"drop step $k: rerun did not converge")
+    }
+  }
+
+  // ── append / bucket / vacuum families
+
+  test("fault schedule: appendBatch — a batch is visible all-or-nothing") {
+    val first = Seq((1, "a")).toDF("k", "v")
+    val second = Seq((2, "b")).toDF("k", "v")
+    val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-ab-n")}/t", Seq("k"))
+    probe.appendBatch(first)
+    val steps = countSteps(probe) { probe.appendBatch(second); () }
+    assert(steps == 1, s"appendBatch must publish via ONE rename, got $steps")
+
+    val dir = TestSpark.tmpDir("fs-ab-1")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.appendBatch(first)
+    crashAt(t, 1) { t.appendBatch(second); () }
+    val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    // crashed batch is INVISIBLE (only an orphaned staging dir remains)
+    assert(r.read.as[(Int, String)].collect().toSet == Set((1, "a")),
+      "half-landed batch visible")
+    r.appendBatch(second)
+    assert(r.read.as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    // the orphaned staging dir is vacuum's to sweep, and vacuum's own
+    // delete is itself an interruption point that a rerun finishes
+    val v = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    val vSteps = countSteps(v) { v.vacuum(maxAgeMs = 0); () }
+    assert(vSteps >= 1, "vacuum found no orphaned staging dir to sweep")
+    val dir2 = Option(new java.io.File(dir).list()).get.toSeq
+    assert(!dir2.exists(_.contains(".appendstage-")),
+      s"orphaned staging dir survived vacuum: $dir2")
+  }
+
+  test("fault schedule: replaceBucket — bucket dir is the swap unit") {
+    val oldB = Set((1, "a"))
+    val newB = Set((9, "z"))
+    val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-rb-n")}/t", Seq("k"))
+    probe.appendBatch(oldB.toSeq.toDF("k", "v"), bucket = "b")
+    val steps = countSteps(probe)(probe.replaceBucket("b", newB.toSeq.toDF("k", "v")))
+    assert(steps == 3, s"expected the 3 swap steps, got $steps")
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"fs-rb-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      t.appendBatch(oldB.toSeq.toDF("k", "v"), bucket = "b")
+      val label = crashAt(t, k)(t.replaceBucket("b", newB.toSeq.toDF("k", "v")))
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      r.readBucket("b") match {
+        case Some(df) =>
+          val seen = df.as[(Int, String)].collect().toSet
+          assert(seen == oldB || seen == newB,
+            s"bucket step $k ($label): partial bucket: $seen")
+        case None =>
+          assert(tombstones(dir).exists(_.endsWith("-b")),
+            s"bucket step $k ($label): bucket absent with no tombstone")
+      }
+      r.repairInterruptedSwaps()
+      r.replaceBucket("b", newB.toSeq.toDF("k", "v"))
+      assert(r.readBucket("b").get.as[(Int, String)].collect().toSet == newB,
+        s"bucket step $k ($label): rerun did not converge")
+    }
+  }
+
+  test("fault schedule: vacuumVersions — live and newest archive never touched") {
+    def setup(dir: String): LakehouseTable = {
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      (1 to 3).foreach(g =>
+        t.overwriteVersioned(Seq((g, s"g$g")).toDF("k", "v"), retain = 5))
+      assert(t.versions == Seq(1L, 2L))
+      t
+    }
+    val probe = setup(TestSpark.tmpDir("fs-vv-n"))
+    val steps = countSteps(probe) { probe.vacuumVersions(0.0, force = true); () }
+    assert(steps == 1, s"expected 1 archive delete (newest retained), got $steps")
+    val dir = TestSpark.tmpDir("fs-vv-1")
+    val t = setup(dir)
+    crashAt(t, 1) { t.vacuumVersions(0.0, force = true); () }
+    val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    assert(r.read.as[(Int, String)].collect().toSet == Set((3, "g3")),
+      "vacuumVersions crash touched the live table")
+    assert(r.versions.contains(2L), "newest archive lost mid-vacuum")
+    r.vacuumVersions(0.0, force = true)
+    assert(r.versions == Seq(2L), "vacuum rerun did not converge")
+  }
+}

@@ -328,6 +328,97 @@ class LakehouseTableSpec extends AnyFunSuite {
       "new column silently null through the stale cache")
   }
 
+  test("schema epoch is re-stamped post-publish: a reader inside the " +
+       "write window cannot pair the new epoch with the old schema") {
+    // the pre-publish stamp (invalidateFileStats) opens a window —
+    // from the stamp to the swap rename — where the NEW epoch sits on
+    // disk beside the OLD live schema. A sibling that reads liveSchema
+    // inside that window caches (newEpoch, oldSchema); without the
+    // post-publish re-stamp it would serve that stale schema FOREVER
+    // after the swap (new columns silently all-null). The fault hook
+    // lands the sibling's read at exactly the first swap rename.
+    val dir = TestSpark.tmpDir("epochrace")
+    val a = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    a.overwrite((1 to 50).map(i => (i, s"v$i")).toDF("k", "v"))
+    assert(a.liveSchema.fieldNames.toSeq == Seq("k", "v"))
+
+    val b = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    var observedInWindow: Seq[String] = Nil
+    b.faultHook = label =>
+      if (label.startsWith("rename:") && label.contains("tombstone") &&
+          observedInWindow.isEmpty) {
+        // mid-window: b stamped the new epoch at mutation start, the
+        // old generation is still live — a reads and (re-)caches here
+        observedInWindow = a.liveSchema.fieldNames.toSeq
+      }
+    try b.overwrite((1 to 50).map(i => (i, s"v$i", i * 2L))
+      .toDF("k", "v", "extra"))
+    finally b.faultHook = null
+    assert(observedInWindow == Seq("k", "v"), "hook did not fire in-window")
+
+    // post-publish stamp: a must now see the evolved schema, and a
+    // pruned (explicit-file, cached-schema) read must serve real values
+    assert(a.liveSchema.fieldNames.toSeq == Seq("k", "v", "extra"),
+      "stale (newEpoch, oldSchema) pair survived the publish")
+    b.writeFileStats(Seq("k"))
+    val throughA = a.readPruned("k", 1, 10)
+    assert(throughA.columns.toSeq == Seq("k", "v", "extra"))
+    assert(throughA.filter(col("extra").isNull).count() == 0,
+      "new column silently null through the stale cache")
+  }
+
+  test("reader holding a DataFrame across an overwrite swap fails " +
+       "loudly, never silently serves partial data") {
+    // the realistic multi-session case: a long-lived reader resolved
+    // its file listing, then a writer swapped the table under it. The
+    // contract is Delta's: the stale handle must ERROR (missing
+    // underlying files), and a fresh read sees exactly the new
+    // generation — a stale handle silently returning empty/partial
+    // rows would be corruption, not staleness.
+    val dir = TestSpark.tmpDir("readswap")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.overwrite((1 to 100).map(i => (i, s"old$i")).toDF("k", "v"))
+    val handle = t.read
+    assert(handle.count() == 100) // listing resolved pre-swap
+
+    val w = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    w.overwrite((1 to 5).map(i => (i, s"new$i")).toDF("k", "v"))
+
+    val e = intercept[Exception] { handle.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+      Option(c.getMessage).exists(_.contains("FileNotFound"))),
+      s"expected a loud missing-files failure, got: $e")
+    // fresh read: exactly the new generation
+    assert(t.read.as[(Int, String)].collect().toMap ==
+           (1 to 5).map(i => (i, s"new$i")).toMap)
+  }
+
+  test("reader during a versioned overwrite: snapshot consistency via " +
+       "the archived version, loud failure on the stale live handle") {
+    val dir = TestSpark.tmpDir("readvswap")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.overwriteVersioned((1 to 50).map(i => (i, s"g1-$i")).toDF("k", "v"))
+    val stale = t.read
+    assert(stale.count() == 50)
+
+    val w = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    w.overwriteVersioned((1 to 50).map(i => (i, s"g2-$i")).toDF("k", "v"))
+
+    // the pre-swap generation is intact and readable as a snapshot —
+    // this is the versioned path's answer to read-during-write
+    assert(t.versions.nonEmpty)
+    val snap = t.readVersion(t.versions.last).as[(Int, String)].collect().toMap
+    assert(snap == (1 to 50).map(i => (i, s"g1-$i")).toMap,
+      "archived snapshot does not match the pre-swap generation")
+    // the stale LIVE handle errors — its files moved into the archive
+    intercept[Exception] { stale.collect() }
+    assert(t.read.as[(Int, String)].collect().toMap ==
+           (1 to 50).map(i => (i, s"g2-$i")).toMap)
+  }
+
   test("maintenance rewrites repair interrupted swaps BEFORE snapshotting") {
     val dir = TestSpark.tmpDir("repairfirst")
     val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
