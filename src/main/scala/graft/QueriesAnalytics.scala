@@ -572,6 +572,31 @@ object QueriesAnalytics {
             .as("price_median_approx"),
           count(lit(1)).as("n_items"))),
 
+    // q_approx_percentiles' PlanSpec accuracy pin lifted into the
+    // driver gate: the Greenwald-Khanna median tracks the exact
+    // interpolating median within 1 % of the group's value, for every
+    // group, on both measures.
+    "q_approx_percentiles_check" -> q(
+      c => {
+        val g = c.lineitem.groupBy(col("l_returnflag")).agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("aq"),
+          percentile(col("l_quantity"), lit(0.5)).as("eq"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("ap"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("ep"))
+        val stats = g.agg(
+          min(abs(col("aq") - col("eq")) * 100 <= abs(col("eq")))
+            .as("q_ok"),
+          min(abs(col("ap") - col("ep")) * 100 <= abs(col("ep")))
+            .as("p_ok"))
+        graft.Checks.fromFlags(stats,
+          "gk_qty_p50_within_1pct" -> col("q_ok"),
+          "gk_price_p50_within_1pct" -> col("p_ok"))
+      },
+      graft.Checks.oracle("gk_qty_p50_within_1pct",
+                          "gk_price_p50_within_1pct")),
+
     // the SAMPLE-sketch mechanism under a hash-matched oracle (the
     // q_minhash_replay convention applied to quantile estimation):
     // cross-engine sketch registers aren't portable, but the other

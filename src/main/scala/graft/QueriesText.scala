@@ -589,6 +589,30 @@ object QueriesText {
     "q_bpe_merges" -> q(
       c => Bpe.mergesDf(c, Bpe.train(c.documents, col("text"), numMerges = 48))),
 
+    // q_bpe_merges' BpeSpec invariant pins lifted into the driver
+    // gate: training is reproducible run-to-run, ranks are dense,
+    // every rule is well-formed with positive selection frequency,
+    // and the corpus vocabulary supports the full requested merge
+    // depth. The merge table is driver-side model-scale by contract,
+    // so the flags are computed locally (the training itself still
+    // runs its distributed word-frequency pass per train call).
+    "q_bpe_merges_check" -> q(
+      c => {
+        val m1 = Bpe.train(c.documents, col("text"), numMerges = 48)
+        val m2 = Bpe.train(c.documents, col("text"), numMerges = 48)
+        Checks.fromLocal(c.spark,
+          "bpe_deterministic" -> (m1 == m2),
+          "bpe_ranks_dense" -> (m1.map(_.rank) == m1.indices.toVector),
+          "bpe_freq_positive" -> m1.forall(_.pairFreq >= 1),
+          "bpe_wellformed" -> m1.forall(m =>
+            m.merged == m.left + m.right &&
+            m.left.nonEmpty && m.right.nonEmpty),
+          "bpe_full_depth" -> (m1.length == 48))
+      },
+      Checks.oracle("bpe_deterministic", "bpe_ranks_dense",
+                    "bpe_freq_positive", "bpe_wellformed",
+                    "bpe_full_depth")),
+
     // the corpus encoded with the trained tokenizer: the iterative
     // merge loop runs once per DISTINCT word (Heaps-law vocab rows),
     // occurrences get token arrays back via a vocab-side equi-join,
@@ -607,6 +631,37 @@ object QueriesText {
                rnd4(avg("n_tokens")).as("avg_tokens_per_doc"))
           .orderBy(col("lang"))
       }),
+
+    // q_bpe_encode's BpeSpec round-trip pin lifted into the driver
+    // gate, DISTRIBUTED over the whole corpus (the spec checks the
+    // sf0.001 vocab driver-side): concatenating every document's BPE
+    // tokens must reproduce its concatenated words exactly, every
+    // input doc must survive encoding (row parity — the empty-text
+    // re-attach), and the trained merges must actually compress.
+    "q_bpe_encode_check" -> q(
+      c => {
+        val merges = Bpe.train(c.documents, col("text"), numMerges = 48)
+        val enc = Bpe.encodeDocs(c.documents, col("doc_id"), col("text"),
+                                 merges)
+        val joined = c.documents
+          .select(col("doc_id"),
+            array_join(filter(TF.words(col("text")),
+                              w => length(w) > 0), "").as("orig"))
+          .join(enc, Seq("doc_id"))
+        val stats = joined.agg(
+            count(lit(1)).as("n"),
+            sum(when(array_join(col("tokens"), "") === col("orig"), 0L)
+                  .otherwise(1L)).as("n_bad"),
+            sum(size(col("tokens")).cast("long")).as("n_tok"),
+            sum(length(col("orig")).cast("long")).as("n_chr"))
+          .crossJoin(c.documents.agg(count(lit(1)).as("n_docs")))
+        Checks.fromFlags(stats,
+          "bpe_roundtrip_all_docs" -> (col("n_bad") === 0L),
+          "bpe_doc_parity" -> (col("n") === col("n_docs")),
+          "bpe_compressive" -> (col("n_tok") < col("n_chr")))
+      },
+      Checks.oracle("bpe_roundtrip_all_docs", "bpe_doc_parity",
+                    "bpe_compressive")),
 
     // ONE BPE training step under a hash-matched oracle (the
     // q_minhash_replay convention applied to tokenizer training): the
@@ -1424,6 +1479,40 @@ object QueriesText {
                   col("rn").cast("long").as("rn"))
       }),
 
+    // q_ann_pq's SimilaritySpec invariant pins lifted into the driver
+    // gate: recall floor vs brute force, exact row parity (PQ scores
+    // every vector), and run-to-run determinism (seedless codebooks,
+    // fixed-order sums) — the determinism leg executes the Lloyd-
+    // refined path twice and counts symmetric-difference rows.
+    "q_ann_pq_check" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        val queries = all.filter(col("id") % 50 === 0 && col("id") < 2000)
+        // see q_ann_ivf_check: checkpoint the nQueries·k-row results
+        // so each PQ path executes exactly once (the determinism leg
+        // needs two INDEPENDENT executions — but only two)
+        val bf = Similarity.bruteForceTopK(queries, all, 5, rnd6)
+          .select(col("query_id"), col("vec_id")).localCheckpoint()
+        def run() = Similarity.pqTopK(all, queries, k = 5, dim = 64,
+            m = 16, codebookSize = 250, rnd6, kmeansIters = 2)
+          .select(col("query_id"), col("vec_id")).localCheckpoint()
+        val pq = run()
+        val pq2 = run()
+        val stats = pq.agg(count(lit(1)).as("n_pq"))
+          .crossJoin(bf.agg(count(lit(1)).as("n_bf")))
+          .crossJoin(bf.join(pq, Seq("query_id", "vec_id"), "left_semi")
+                       .agg(count(lit(1)).as("n_hit")))
+          .crossJoin(pq.exceptAll(pq2).unionAll(pq2.exceptAll(pq))
+                       .agg(count(lit(1)).as("n_diff")))
+        Checks.fromFlags(stats,
+          "pq_row_parity" -> (col("n_pq") === col("n_bf")),
+          // the SimilaritySpec floor: recall >= 0.6 vs brute force
+          "pq_recall_ge_60pct" -> (col("n_hit") * 10 >= col("n_bf") * 6),
+          "pq_deterministic" -> (col("n_diff") === 0L))
+      },
+      Checks.oracle("pq_row_parity", "pq_recall_ge_60pct",
+                    "pq_deterministic")),
+
     // The PQ MECHANISM under a hash-matched oracle: with kmeansIters=0
     // the codebooks are the md5-ordered top-250 sample (md5 hex strings
     // order identically in both engines), split per subspace in seed-id
@@ -1501,6 +1590,40 @@ object QueriesText {
           .select(col("query_id"), col("vec_id"), col("cos_r"),
                   col("rn").cast("long").as("rn"))
       }),
+
+    // q_ann_ivf's SimilaritySpec invariant pins lifted into the driver
+    // gate (Checks convention): the k-means-refined production config
+    // is recall-floored against brute force, k-bounded, and row-parity
+    // checked — all computed distributed (semi-join hit count, no
+    // collect), emitted as constant-oracle pass rows.
+    "q_ann_ivf_check" -> q(
+      c => {
+        val all = Similarity.prepare(c.embeddings, "vec_id", "embedding")
+        val queries = all.filter(col("id") % 50 === 0 && col("id") < 2000)
+        // top-k outputs are nQueries·k rows — localCheckpoint them so
+        // the flag aggregates below (counts, semi-join, parity) read
+        // the tiny materialized result instead of re-executing the
+        // whole index scan per crossJoined aggregate
+        val bf = Similarity.bruteForceTopK(queries, all, 5, rnd6)
+          .select(col("query_id"), col("vec_id")).localCheckpoint()
+        val ivf = Similarity.ivfTopK(c.embeddings, "vec_id", "embedding",
+          queries, k = 5, centroidEvery = 53,
+          nprobe = 4, rnd6, kmeansIters = 3, maxCentroids = 40)
+          .localCheckpoint()
+        val stats = ivf
+          .agg(count(lit(1)).as("n_ivf"), max(col("rn")).as("max_rn"))
+          .crossJoin(bf.agg(count(lit(1)).as("n_bf")))
+          .crossJoin(bf.join(ivf.select("query_id", "vec_id"),
+                             Seq("query_id", "vec_id"), "left_semi")
+                       .agg(count(lit(1)).as("n_hit")))
+        Checks.fromFlags(stats,
+          "ivf_k_bounded" -> (col("max_rn") <= 5),
+          "ivf_row_parity" -> (col("n_ivf") === col("n_bf")),
+          // the SimilaritySpec floor: recall >= 0.5 vs brute force
+          "ivf_recall_ge_50pct" -> (col("n_hit") * 2 >= col("n_bf")))
+      },
+      Checks.oracle("ivf_k_bounded", "ivf_row_parity",
+                    "ivf_recall_ge_50pct")),
 
     // The IVF MECHANISM under a hash-matched oracle: with
     // kmeansIters=0 the whole path is deterministic SQL — centroids
@@ -1779,6 +1902,48 @@ object QueriesText {
             rnd4(lit(model.explained(8))).as("explained8"))
       }),
 
+    // q_embed_pca's DimReduceSpec invariant pins lifted into the
+    // driver gate: component orthonormality and a valid descending
+    // spectrum (driver-side — the model is k·d doubles by contract)
+    // plus the distributed Parseval bound over EVERY projected row
+    // (projected energy never exceeds centered energy; a broken
+    // eigensolve or de-normalized component fails it immediately).
+    "q_embed_pca_check" -> q(
+      c => {
+        val model = DimReduce.fit(c.embeddings, col("embedding"), k = 8)
+        val comps = model.components
+        val orth = (for {
+          i <- comps.indices; j <- i until comps.length
+        } yield math.abs(
+          comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum -
+            (if (i == j) 1.0 else 0.0))).max <= 1e-6
+        val desc = model.eigenvalues.zip(model.eigenvalues.drop(1))
+          .forall { case (a, b) => a >= b - 1e-9 }
+        val valid = model.eigenvalues.forall(_ >= -1e-9) &&
+          model.explained(8) <= 1.0 + 1e-9
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val mu = typedlit(model.mean.toSeq)
+        val proj = DimReduce.project(c.embeddings, col("embedding"),
+                                     model, "pc")
+          .withColumn("centered_sq",
+            aggregate(zip_with(v, mu, (x, m) => (x - m) * (x - m)),
+                      lit(0.0), (a, x) => a + x))
+          .withColumn("pc_sq",
+            aggregate(transform(col("pc"), x => x * x),
+                      lit(0.0), (a, x) => a + x))
+        val stats = proj.agg(
+          min(col("pc_sq") <= col("centered_sq") * 1.000001 + 1e-9)
+            .as("parseval"))
+        Checks.fromLocal(c.spark,
+            "pca_orthonormal" -> orth,
+            "pca_descending_spectrum" -> desc,
+            "pca_spectrum_valid" -> valid)
+          .unionAll(Checks.fromFlags(stats,
+            "pca_parseval_bound" -> col("parseval")))
+      },
+      Checks.oracle("pca_orthonormal", "pca_descending_spectrum",
+                    "pca_spectrum_valid", "pca_parseval_bound")),
+
     // Johnson-Lindenstrauss sparse random projection (Achlioptas ±1
     // signs), the data-INDEPENDENT reducer next to PCA. Signs derive
     // from md5 and embeddings are fixed-pointed (1e4, exact in
@@ -1984,6 +2149,22 @@ object QueriesText {
         .crossJoin(c.lineitem.agg(
           countDistinct("l_partkey").as("exact_parts"),
           approx_count_distinct("l_partkey").as("approx_parts")))),
+
+    // q_approx_distinct's PlanSpec error pin lifted into the driver
+    // gate: the production HLL estimate stays within 5 % of the exact
+    // distinct count on both keys (the sketch's configured rsd).
+    "q_approx_distinct_check" -> q(
+      c => {
+        val stats = c.lineitem.agg(
+          countDistinct("l_orderkey").as("eo"),
+          approx_count_distinct("l_orderkey").as("ao"),
+          countDistinct("l_partkey").as("ep"),
+          approx_count_distinct("l_partkey").as("ap"))
+        Checks.fromFlags(stats,
+          "hll_orders_within_5pct" -> (abs(col("ao") - col("eo")) * 20 <= col("eo")),
+          "hll_parts_within_5pct" -> (abs(col("ap") - col("ep")) * 20 <= col("ep")))
+      },
+      Checks.oracle("hll_orders_within_5pct", "hll_parts_within_5pct")),
 
     // the distinct-SKETCH mechanism under a hash-matched oracle (the
     // q_minhash_replay convention applied to cardinality estimation):
