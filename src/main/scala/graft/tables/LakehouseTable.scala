@@ -124,6 +124,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def step(label: String): Unit = {
     val h = faultHook
     if (h != null) h(label)
+    val g = LakehouseTable.globalFaultHook
+    if (g != null) g(path, label)
   }
 
   /** Hadoop FileSystem.rename reports most failures by returning
@@ -1068,4 +1070,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   def changesSince(from: Long, to: Option[Long] = None): DataFrame =
     SnapshotDiff.diff(readVersion(from),
                       to.map(readVersion).getOrElse(read), pk)
+}
+
+object LakehouseTable {
+  /** TEST SEAM — process-wide variant of the instance [[faultHook]],
+    * for the streaming sinks that construct their table INSIDE a
+    * foreachBatch closure (the test never holds the instance). Invoked
+    * with (table path, step label) before every protocol rename/delete
+    * of EVERY table in the process; hooks MUST filter on their own
+    * table path and no-op otherwise, so concurrently-running suites
+    * cannot trip each other. Production never sets it — the default is
+    * a single volatile read per step. */
+  @volatile private[graft] var globalFaultHook: (String, String) => Unit = null
 }

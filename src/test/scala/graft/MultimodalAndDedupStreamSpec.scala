@@ -138,6 +138,73 @@ class MultimodalAndDedupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curate sink: mid-microbatch kill (append half-staged) " +
+       "— the replayed batch matches the no-crash run exactly") {
+    // foreachBatch at-least-once (SURVEY §2.9): kill the sink INSIDE
+    // the curated table's appendBatch publish (batch fully staged, not
+    // yet visible), restart from the same checkpoint, and compare the
+    // final corpus against a CONTROL pipeline that saw the identical
+    // batch sequence with no crash — byte-identical admitted sets, no
+    // drops, no duplicates.
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .as[(Long, String, String, String, Long)].collect()
+    val b1 = docs.filter(_._1 % 2 == 0).toSeq
+    val b2 = docs.toSeq // re-delivers b1 + the odd half
+    val dir = TestSpark.tmpDir("streamcorpuskill")
+
+    def drain(ms: MemoryStream[(Long, String, String, String, Long)],
+              t: graft.tables.LakehouseTable, ckpt: String): Unit = {
+      val q = graft.streaming.CorpusIngestStream.curateSink(
+        ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        t, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // control: same two batches, no crash
+    val msC = MemoryStream[(Long, String, String, String, Long)]
+    val tC = graft.tables.LakehouseTable(spark, s"$dir/control", Seq("doc_id"))
+    msC.addData(b1); drain(msC, tC, s"$dir/ckptC")
+    msC.addData(b2); drain(msC, tC, s"$dir/ckptC")
+
+    // treatment: batch 2's appendBatch publish is killed mid-flight
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    val t = graft.tables.LakehouseTable(spark, s"$dir/corpus", Seq("doc_id"))
+    ms.addData(b1); drain(ms, t, s"$dir/ckpt")
+    val afterB1 = t.read.select("doc_id").as[Long].collect().toSet
+
+    @volatile var fired = false
+    t.faultHook = label =>
+      if (!fired && label.startsWith("rename:")) {
+        fired = true
+        throw new RuntimeException("injected mid-microbatch kill")
+      }
+    ms.addData(b2)
+    intercept[Exception] { drain(ms, t, s"$dir/ckpt") }
+    t.faultHook = null
+    assert(fired, "kill hook never fired — appendBatch publish not reached")
+    // half-written: the batch is staged but NOT visible
+    assert(t.read.select("doc_id").as[Long].collect().toSet == afterB1,
+      "half-landed batch visible after the kill")
+
+    // restart from the same checkpoint: the uncommitted batch replays
+    drain(ms, t, s"$dir/ckpt")
+    val treatIds = t.read.select("doc_id").as[Long].collect().toSet
+    val controlIds = tC.read.select("doc_id").as[Long].collect().toSet
+    assert(treatIds == controlIds,
+      s"replayed corpus diverged from the no-crash control: " +
+      s"missing=${controlIds -- treatIds} extra=${treatIds -- controlIds}")
+    // and the pk/fp uniqueness contracts still hold
+    assert(t.read.select("doc_id").distinct().count() == treatIds.size)
+    val fps = t.read.select("fp")
+    assert(fps.count() == fps.distinct().count())
+
+    // a further full replay admits nothing (at-least-once tolerance)
+    ms.addData(b2)
+    drain(ms, t, s"$dir/ckpt")
+    assert(t.read.select("doc_id").as[Long].collect().toSet == treatIds)
+  }
+
   test("real imageio decode: golden 2x2 PNG yields exact pixel stats; text falls back labeled") {
     // golden bytes: a hand-pinned 2x2 PNG through the REAL codec
     val golden = Multimodal.syntheticPng(id = 1L, w = 2, h = 2)

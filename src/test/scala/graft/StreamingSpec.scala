@@ -105,6 +105,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.exists { case (t, n, v) => t == "click" && n == 3 && v == 7.0 })
   }
 
+  test("maintained sink: mid-microbatch kill inside the serving swap — " +
+       "the replayed batch neither drops nor duplicates") {
+    // the foreachBatch at-least-once contract (SURVEY §2.9): a batch
+    // whose sink died half-written is re-presented from the checkpoint
+    // on restart, and the sink must land it EXACTLY once overall. Two
+    // kill points: inside the serving upsert's partition swap (sink
+    // half written), and inside the summary refresh (serving written,
+    // summary not). Both injected via the process-wide fault hook,
+    // path-filtered to this test's tables.
+    val dir = TestSpark.tmpDir("streamkill")
+    val landing = s"$dir/landing"
+    val target = s"$dir/serving"
+    val summary = s"$dir/summary"
+
+    def runOnce(): Unit = {
+      val rollup = EventsPipeline.hourlyRollup(
+        EventsPipeline.readEventsStream(spark, landing))
+      val q = EventsPipeline.maintainedUpsertSink(
+        rollup, target, summary, s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    def killAt(path: String): Exception = {
+      @volatile var fired = false
+      graft.tables.LakehouseTable.globalFaultHook = (p, label) =>
+        if (p == path && !fired && label.startsWith("rename:") &&
+            label.contains("tombstone")) {
+          fired = true
+          throw new RuntimeException("injected mid-microbatch kill")
+        }
+      val e = intercept[Exception](runOnce())
+      graft.tables.LakehouseTable.globalFaultHook = null
+      assert(fired, "kill hook never fired — no swap rename reached")
+      e
+    }
+    try {
+      // batch 1 lands clean
+      Seq(ev(1, "2024-01-01 10:05:00", "click", 1.0),
+          ev(2, "2024-01-01 10:20:00", "view", 8.0))
+        .toDF().write.mode("append").parquet(landing)
+      runOnce()
+
+      // batch 2: killed INSIDE the serving table's partition swap
+      Seq(ev(3, "2024-01-01 10:30:00", "click", 4.0),
+          ev(4, "2024-01-01 11:05:00", "click", 2.0))
+        .toDF().write.mode("append").parquet(landing)
+      killAt(target)
+      // restart from the same checkpoint: offsets were never
+      // committed, the batch replays, upsert repairs the interrupted
+      // swap and re-applies — exactly-once landing
+      runOnce()
+      val got = spark.read.parquet(target)
+        .select("event_type", "n_events", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == Set(("click", 2L, 5.0),   // 10:00 window: ev1+ev3
+                        ("click", 1L, 2.0),   // 11:00 window: ev4
+                        ("view", 1L, 8.0)), got)
+      val sum1 = spark.read.parquet(summary)
+        .select("event_type", "sum_n_events", "sum_total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(sum1 == Set(("click", 3L, 7.0), ("view", 1L, 8.0)), sum1)
+
+      // batch 3: killed INSIDE the summary refresh (serving already
+      // upserted) — the replay re-upserts idempotently and completes
+      // the refresh; nothing drops, nothing doubles
+      Seq(ev(5, "2024-01-01 11:30:00", "view", 16.0))
+        .toDF().write.mode("append").parquet(landing)
+      killAt(summary)
+      runOnce()
+      val got3 = spark.read.parquet(target)
+        .select("event_type", "n_events", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got3 == Set(("click", 2L, 5.0), ("click", 1L, 2.0),
+                         ("view", 1L, 8.0), ("view", 1L, 16.0)), got3)
+      val sum3 = spark.read.parquet(summary)
+        .select("event_type", "sum_n_events", "sum_total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(sum3 == Set(("click", 3L, 7.0), ("view", 2L, 24.0)), sum3)
+    } finally {
+      graft.tables.LakehouseTable.globalFaultHook = null
+      graft.plans.MaterializedAgg.clear()
+    }
+  }
+
   test("maintained sink keeps the MV summary serving across microbatches") {
     val dir = TestSpark.tmpDir("streammv")
     val landing = s"$dir/landing"
