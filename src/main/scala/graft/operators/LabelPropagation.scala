@@ -55,6 +55,7 @@ object LabelPropagation {
       .union(edgesM.select(col("dst").as("node"))).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    var prevCheckpoint: Option[org.apache.spark.sql.DataFrame] = None
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -72,6 +73,12 @@ object LabelPropagation {
                         bitwise_not(col("label")).as("nl"))).as("m"))
         .select(col("node"), bitwise_not(col("m.nl")).as("adopted"))
       // left join: a node with no in-neighbors keeps its current label
+      // eager localCheckpoint, then RELEASE the superseded vector (see
+      // Checkpoints.release: plain unpersist can't free checkpoint
+      // blocks, and leaking one O(V) vector per iteration starved
+      // execution memory in the 2 GB heap rehearsal). Materialization
+      // happens before the release — this plan reads the previous
+      // vector, whose lineage is already truncated.
       val next = labels.select(col("node"), col("label").as("prev0"))
         .join(adopted, Seq("node"), "left_outer")
         .select(col("node"),
@@ -87,8 +94,12 @@ object LabelPropagation {
           .filter(col("label") =!= col("prev"))
           .isEmpty
       }
+      prevCheckpoint.foreach(Checkpoints.release)
+      prevCheckpoint = Some(next)
       labels = next
     }
+    // the final vector stays persisted (it is the result); every
+    // intermediate iteration's blocks are released
     (labels, it)
   }
 }

@@ -143,6 +143,14 @@ object PageRank {
 
     val effTol: Option[Double] = tol.orElse(tolScaled.map(_ / n))
     var rank = nodes.withColumn("r", lit(1.0 / n))
+    // superseded rank vectors must be RELEASED, not just replaced: a
+    // 10-iteration run would otherwise pin 10 O(V) checkpoint vectors
+    // in the block manager — on a memory-tight executor that squeezes
+    // execution below the hash-aggregate minimum (surfaced as
+    // AGGREGATE_OUT_OF_MEMORY by the 2 GB heap rehearsal at sf1). See
+    // [[Checkpoints.release]] for why plain DataFrame.unpersist can't
+    // do it and why .rdd-persist would cost 20-30 % here.
+    var prevCheckpoint: Option[org.apache.spark.sql.DataFrame] = None
     var it = 0
     var converged = false
     while (it < iters && !converged) {
@@ -172,6 +180,9 @@ object PageRank {
           withAll.select(col("node"),
             (lit(base) + lit(damping) * cexpr).as("r"))
         }
+      // eager localCheckpoint: materialized HERE (before the previous
+      // vector is released — this plan reads it, and its own lineage
+      // is truncated, so a later recompute would be impossible)
       val checkpointed = next.localCheckpoint()
       it += 1
       if (effTol.isDefined && it < iters && it % checkEvery == 0) {
@@ -183,8 +194,12 @@ object PageRank {
           .collect()(0).getDouble(0)
         converged = delta <= effTol.get
       }
+      prevCheckpoint.foreach(Checkpoints.release)
+      prevCheckpoint = Some(checkpointed)
       rank = checkpointed
     }
+    // the final vector stays persisted — it IS the result the caller
+    // reads; intermediate iterations' blocks are all released
     (rank, it)
   }
 }
