@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * compare goes red, and CORRECTNESS_r{N} carries a checked status
   * for every rows-only family instead of "no_oracle" alone.
   *
+  * Floors are SCALE-ROBUST regression floors, not the strict per-scale
+  * pins: the same check query runs at sf0.01 (driver gate), sf0.1 and
+  * sf1 (rehearsals), and honest quality metrics move with scale (IVF
+  * recall 0.415 and PQ recall 0.42 at sf1 under the same bounded
+  * configs; HLL excursions past 1σ of its 5 % rsd). The gate floors
+  * (recall ≥ 0.35, HLL ≤ 2σ) hold at every rehearsal scale and still
+  * catch real breakage (broken paths land near random: ~1/nlist, ~k/N,
+  * unbounded); the tight small-scale pins (0.5 / 0.6 / 1σ) stay in
+  * SimilaritySpec / PlanSpec where the scale is fixed.
+  *
   * ok is BIGINT (not BOOLEAN) on purpose: integer equality is
   * identical across Spark/parquet/pandas/DuckDB, boolean dtypes are
   * not guaranteed to be.
