@@ -145,11 +145,40 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * [[repairInterruptedSwaps]] rolls back automatically. ONE
     * implementation on purpose: the crash-recovery story depends on
     * every swap following exactly this sequence and naming. */
-  private def swapIn(staged: Path, live: Path, tombstone: Path): Unit = {
+  private def swapIn(staged: Path, live: Path, tombstone: Path,
+                     token: String, op: String): Unit = {
+    assertEpochOwned(token, op)
     val hadLive = fs.exists(live)
     if (hadLive) renameOrFail(live, tombstone)
     renameOrFail(staged, live)
     if (hadLive) { step(s"delete:${tombstone.getName}"); fs.delete(tombstone, true) }
+  }
+
+  /** Optimistic concurrent-writer TRIPWIRE (the Delta commit-conflict
+    * idea applied to the epoch marker). Every mutator stamps a fresh
+    * epoch token at its start; immediately before each publish rename
+    * it re-reads the marker — a different token means another mutator
+    * interleaved, and publishing would silently lose its update (the
+    * classic read-modify-write race two accidental writers hit). The
+    * mutation ABORTS instead: the live table keeps the other writer's
+    * generation intact, this writer's staged dir is left as a
+    * `*.staged-*` orphan for [[vacuum]], and a re-run applies the
+    * mutation on top of the current state. This is a tripwire, not a
+    * lock: a writer interleaving entirely inside the check-to-rename
+    * window is not detected (the contract remains single-writer) — it
+    * converts accidental contract violations from silent lost updates
+    * into loud, actionable failures, with no coordination cost in the
+    * single-writer case beyond one marker read per publish. */
+  private def assertEpochOwned(token: String, op: String): Unit = {
+    val cur = schemaEpoch()
+    if (cur != token)
+      throw new java.util.ConcurrentModificationException(
+        s"$op on $path: mutation epoch changed under this writer " +
+        s"($token -> $cur) — a concurrent mutator violated the " +
+        "single-writer contract. This mutation aborted BEFORE its " +
+        "publish rename: the live table holds the other writer's " +
+        "generation; this writer's staged data is an orphan for " +
+        "vacuum(). Re-run the mutation to apply it to the current state.")
   }
 
   /** Atomic full replace: write staged, then tombstone-swap. Repairs
@@ -166,11 +195,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * layout); see [[write]]. */
   private def overwrite(df: DataFrame, preShaped: Boolean): Unit = {
     repairInterruptedSwaps()
-    invalidateFileStats()
+    val token = invalidateFileStats()
+    step("begin:overwrite")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged, preShaped)
-    swapIn(new Path(staged), new Path(path), new Path(s"$path.tombstone-$tag"))
+    swapIn(new Path(staged), new Path(path), new Path(s"$path.tombstone-$tag"),
+           token, "overwrite")
     publishSchemaEpoch()
   }
 
@@ -211,7 +242,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // mutators do, or readPruned/readBloomFiltered silently drop the
     // restored rows. Dropped (superseded) tombstones change nothing
     // live, so they skip the invalidation.
-    if (actions.exists(_.startsWith("restored:"))) invalidateFileStats()
+    if (actions.exists(_.startsWith("restored:"))) { invalidateFileStats(); () }
     actions
   }
 
@@ -226,7 +257,11 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // the crashed swap as completed and drop the tombstone — losing
     // the entire pre-crash table
     repairInterruptedSwaps()
-    invalidateFileStats()
+    val token = invalidateFileStats()
+    step("begin:append")
+    // blind append has no single publish rename; the tripwire check
+    // runs at the last driver-side point before files land
+    assertEpochOwned(token, "append")
     val w = df.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
@@ -253,13 +288,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // full-table tombstone would make a later repair treat the swap as
     // completed and drop the tombstone — losing the pre-crash rows
     repairInterruptedSwaps()
-    invalidateFileStats()
+    val token = invalidateFileStats()
+    step("begin:appendBatch")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.appendstage-$tag"
     write(df, staged)
     val parent = if (bucket.isEmpty) path else s"$path/$bucket"
     fs.mkdirs(new Path(parent))
     val batchDir = s"$parent/batch-$tag"
+    assertEpochOwned(token, "appendBatch")
     renameOrFail(new Path(staged), new Path(batchDir))
     publishSchemaEpoch()
     batchDir
@@ -337,12 +374,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       s"replaceBucket is for unpartitioned tables; $path is partitioned " +
       s"by ${partitionCols.mkString(",")}")
     repairInterruptedSwaps()
-    invalidateFileStats()
+    val token = invalidateFileStats()
+    step("begin:replaceBucket")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)
     swapIn(new Path(staged), new Path(s"$path/$bucket"),
-           new Path(s"$path.tombstone-$tag-$bucket"))
+           new Path(s"$path.tombstone-$tag-$bucket"), token, "replaceBucket")
     publishSchemaEpoch()
   }
 
@@ -423,7 +461,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * by the batch's partition count (e.g. dates per delivery), not row
     * count. */
   private def upsertPartitions(deduped: DataFrame): Unit = {
-    invalidateFileStats()
+    val token = invalidateFileStats()
+    step("begin:upsert")
     val pc = partitionCols.head
     val values = deduped.select(col(pc)).distinct().collect().map(_.get(0))
     // null AND empty-string partition values both land in
@@ -434,14 +473,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       s"partition-scoped upsert requires non-null, non-empty $pc values: $path")
     val affected = read.filter(col(pc).isInCollection(values.toSeq))
     val merged = Upsert.merge(affected, deduped, pk) // pre-deduped by upsert()
-    swapStagedPartitions(merged)
+    swapStagedPartitions(merged, token, "upsert")
   }
 
   /** Stage `slice` partitioned, then tombstone-swap each of its
     * partition dirs into the live table. Shared by the merge path
     * ([[upsertPartitions]]) and the replace path
     * ([[replacePartitions]]); each partition's swap is atomic. */
-  private def swapStagedPartitions(slice: DataFrame): Unit = {
+  private def swapStagedPartitions(slice: DataFrame, token: String,
+                                   op: String): Unit = {
     val pc = partitionCols.head
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
@@ -449,8 +489,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val children = fs.listStatus(new Path(staged)).toSeq
       .map(_.getPath).filter(_.getName.startsWith(s"$pc="))
     children.foreach { child =>
+      // per-child ownership check: an interleaver mid-SEQUENCE aborts
+      // the remaining partition swaps too, not just the first
       swapIn(child, new Path(path, child.getName),
-             new Path(s"$path.tombstone-$tag-${child.getName}"))
+             new Path(s"$path.tombstone-$tag-${child.getName}"), token, op)
     }
     step(s"delete:staged-$tag")
     fs.delete(new Path(staged), true)
@@ -470,7 +512,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       s"replacePartitions needs a single-column-partitioned table: $path")
     repairInterruptedSwaps()
     if (exists) assertPartitionedLayout()
-    invalidateFileStats()
+    val token = invalidateFileStats()
+    step("begin:replacePartitions")
     val pc = partitionCols.head
     // the slice is often an aggregation (summary refresh); persist it
     // across the two actions here (values collect + staged write) or
@@ -482,7 +525,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
         s"replacePartitions requires non-null, non-empty $pc values: $path")
       if (values.isEmpty) return
       if (!exists) { overwrite(cached); return }
-      swapStagedPartitions(cached)
+      swapStagedPartitions(cached, token, "replacePartitions")
     } finally { cached.unpersist(); () }
   }
 
@@ -503,11 +546,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
             !values.exists(v => String.valueOf(v).isEmpty),
       s"dropPartitions requires non-null, non-empty values: $path")
     repairInterruptedSwaps()
-    invalidateFileStats()
+    val token = invalidateFileStats()
+    step("begin:dropPartitions")
     val pc = partitionCols.head
     values.foreach { v =>
       val dir = s"$pc=" + org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(partitionValueString(v))
+      assertEpochOwned(token, "dropPartitions")
       step(s"delete:$dir")
       fs.delete(new Path(path, dir), true)
     }
@@ -730,11 +775,14 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     }
   }
 
-  private def stampSchemaEpoch(): Unit = {
+  /** Stamp a fresh epoch token and return it — the returned value is
+    * this mutation's OWNERSHIP token for [[assertEpochOwned]]. */
+  private def stampSchemaEpoch(): String = {
+    val token = UUID.randomUUID().toString
     val out = fs.create(new Path(schemaEpochPath), true)
-    try out.write(UUID.randomUUID().toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    token
   }
 
   /** Stats are DERIVED data: every mutating entry point deletes them
@@ -755,11 +803,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def publishSchemaEpoch(): Unit = {
     cachedSchema = null
     stampSchemaEpoch()
+    ()
   }
 
-  private def invalidateFileStats(): Unit = {
+  private def invalidateFileStats(): String = {
     cachedSchema = null // the mutation may evolve the live schema
-    stampSchemaEpoch()  // ...and sibling instances on this path must see it
+    val token = stampSchemaEpoch() // ...and sibling instances must see it;
+    // the token is the caller's publish-time ownership proof
     fs.delete(new Path(fileStatsPath), true)
     fs.delete(new Path(bloomStatsPath), true)
     // same discipline for the MV registry: a summary registered over
@@ -771,7 +821,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // over-invalidate, which is the safe direction — re-register after
     // maintenance, exactly as EtlMain orders it.
     graft.plans.MaterializedAgg.invalidate(spark, path)
-    ()
+    token
   }
 
   /** One row per data file with min/max of each tracked column,
@@ -930,12 +980,14 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     repairInterruptedSwaps() // every mutator repairs first — a stale
     // partition tombstone surviving into the NEXT generation would be
     // "restored" into it later, resurrecting old-generation rows
-    invalidateFileStats() // a stale manifest would point at part-files
-    // renamed into .versions/
+    val token = invalidateFileStats() // a stale manifest would point at
+    // part-files renamed into .versions/
+    step("begin:overwriteVersioned")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)
     val live = new Path(path)
+    assertEpochOwned(token, "overwriteVersioned")
     if (fs.exists(live)) {
       // archive through the TOMBSTONE protocol, not a direct rename:
       // live→tombstone, staged→live, tombstone→archive. A crash before

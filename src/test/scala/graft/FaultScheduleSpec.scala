@@ -186,8 +186,8 @@ class FaultScheduleSpec extends AnyFunSuite {
       s"${TestSpark.tmpDir("fs-upp-n")}/t", Seq("k"), Seq("part"))
     probe.overwrite(init.toSeq.toDF("k", "v", "part"))
     val steps = countSteps(probe)(probe.upsert(batch.toSeq.toDF("k", "v", "part")))
-    // 2 partitions x (tombstone, promote, drop) + the staged-dir sweep
-    assert(steps == 7, s"expected 7 interruption points, got $steps")
+    // begin + 2 partitions x (tombstone, promote, drop) + staged sweep
+    assert(steps == 8, s"expected 8 interruption points, got $steps")
 
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-upp-$k")
@@ -225,7 +225,7 @@ class FaultScheduleSpec extends AnyFunSuite {
       s"${TestSpark.tmpDir("fs-dp-n")}/t", Seq("k"), Seq("part"))
     probe.overwrite(init.toSeq.toDF("k", "v", "part"))
     val steps = countSteps(probe)(probe.dropPartitions(Seq("p1", "p2")))
-    assert(steps == 2, s"expected 2 per-partition deletes, got $steps")
+    assert(steps == 3, s"expected begin + 2 per-partition deletes, got $steps")
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-dp-$k")
       val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
@@ -253,26 +253,30 @@ class FaultScheduleSpec extends AnyFunSuite {
     val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-ab-n")}/t", Seq("k"))
     probe.appendBatch(first)
     val steps = countSteps(probe) { probe.appendBatch(second); () }
-    assert(steps == 1, s"appendBatch must publish via ONE rename, got $steps")
+    assert(steps == 2,
+      s"appendBatch must be begin + ONE publish rename, got $steps")
 
-    val dir = TestSpark.tmpDir("fs-ab-1")
-    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
-    t.appendBatch(first)
-    crashAt(t, 1) { t.appendBatch(second); () }
-    val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
-    // crashed batch is INVISIBLE (only an orphaned staging dir remains)
-    assert(r.read.as[(Int, String)].collect().toSet == Set((1, "a")),
-      "half-landed batch visible")
-    r.appendBatch(second)
-    assert(r.read.as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
-    // the orphaned staging dir is vacuum's to sweep, and vacuum's own
-    // delete is itself an interruption point that a rerun finishes
-    val v = LakehouseTable(spark, s"$dir/t", Seq("k"))
-    val vSteps = countSteps(v) { v.vacuum(maxAgeMs = 0); () }
-    assert(vSteps >= 1, "vacuum found no orphaned staging dir to sweep")
-    val dir2 = Option(new java.io.File(dir).list()).get.toSeq
-    assert(!dir2.exists(_.contains(".appendstage-")),
-      s"orphaned staging dir survived vacuum: $dir2")
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"fs-ab-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      t.appendBatch(first)
+      crashAt(t, k) { t.appendBatch(second); () }
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      // crashed batch is INVISIBLE (at worst an orphaned staging dir)
+      assert(r.read.as[(Int, String)].collect().toSet == Set((1, "a")),
+        s"step $k: half-landed batch visible")
+      r.appendBatch(second)
+      assert(r.read.as[(Int, String)].collect().toSet ==
+             Set((1, "a"), (2, "b")))
+      // orphaned staging dirs are vacuum's to sweep (only the kill at
+      // the publish rename leaves one — the begin kill precedes the
+      // staged write)
+      val v = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      v.vacuum(maxAgeMs = 0)
+      val dir2 = Option(new java.io.File(dir).list()).get.toSeq
+      assert(!dir2.exists(_.contains(".appendstage-")),
+        s"step $k: orphaned staging dir survived vacuum: $dir2")
+    }
   }
 
   test("fault schedule: replaceBucket — bucket dir is the swap unit") {
@@ -281,7 +285,7 @@ class FaultScheduleSpec extends AnyFunSuite {
     val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-rb-n")}/t", Seq("k"))
     probe.appendBatch(oldB.toSeq.toDF("k", "v"), bucket = "b")
     val steps = countSteps(probe)(probe.replaceBucket("b", newB.toSeq.toDF("k", "v")))
-    assert(steps == 3, s"expected the 3 swap steps, got $steps")
+    assert(steps == 4, s"expected begin + the 3 swap steps, got $steps")
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-rb-$k")
       val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
@@ -302,6 +306,64 @@ class FaultScheduleSpec extends AnyFunSuite {
       assert(r.readBucket("b").get.as[(Int, String)].collect().toSet == newB,
         s"bucket step $k ($label): rerun did not converge")
     }
+  }
+
+  test("concurrent-writer tripwire: an interleaved mutator aborts the " +
+       "first writer loudly — never a silent lost update") {
+    // two pipelines accidentally pointed at one table are the realistic
+    // single-writer violation. The epoch token turns it from a silent
+    // lost update into a loud abort: writer A stamps its epoch, writer B
+    // interleaves a COMPLETE mutation, and A's publish-time ownership
+    // check throws — B's generation stays live and intact, A's staged
+    // data is a vacuumable orphan, and A's retry applies cleanly.
+    val dir = TestSpark.tmpDir("tripwire")
+    val a = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    a.overwrite(Seq((1, "base")).toDF("k", "v"))
+    val b = LakehouseTable(spark, s"$dir/t", Seq("k"))
+
+    var injected = false
+    a.faultHook = label =>
+      if (label == "begin:overwrite" && !injected) {
+        injected = true
+        b.overwrite(Seq((9, "other")).toDF("k", "v"))
+      }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      a.overwrite(Seq((2, "mine")).toDF("k", "v"))
+    }
+    a.faultHook = null
+    assert(injected, "interleaved writer never ran")
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // B's generation is live and COMPLETE — A aborted pre-publish
+    assert(a.read.as[(Int, String)].collect().toSet == Set((9, "other")))
+    // A's staged orphan is vacuum's to sweep; the retry then applies
+    LakehouseTable(spark, s"$dir/t", Seq("k")).vacuum(maxAgeMs = 0)
+    assert(!Option(new java.io.File(dir).list()).get.exists(_.contains(".staged-")))
+    a.overwrite(Seq((2, "mine")).toDF("k", "v"))
+    assert(a.read.as[(Int, String)].collect().toSet == Set((2, "mine")))
+
+    // same contract on the partition-scoped upsert path: B completes a
+    // full upsert inside A's window; A aborts before ANY partition
+    // swap, so the table is exactly B's merge — then A's retry lands
+    val dir2 = TestSpark.tmpDir("tripwire2")
+    val pa = LakehouseTable(spark, s"$dir2/t", Seq("k"), Seq("part"))
+    pa.overwrite(Seq((1, "a", "p1"), (2, "b", "p2")).toDF("k", "v", "part"))
+    val pb = LakehouseTable(spark, s"$dir2/t", Seq("k"), Seq("part"))
+    var injected2 = false
+    pa.faultHook = label =>
+      if (label == "begin:upsert" && !injected2) {
+        injected2 = true
+        pb.upsert(Seq((2, "B2", "p2")).toDF("k", "v", "part"))
+      }
+    intercept[java.util.ConcurrentModificationException] {
+      pa.upsert(Seq((1, "A1", "p1")).toDF("k", "v", "part"))
+    }
+    pa.faultHook = null
+    assert(injected2)
+    assert(pa.read.as[(Int, String, String)].collect().toSet ==
+           Set((1, "a", "p1"), (2, "B2", "p2")), "B's merge not intact")
+    pa.upsert(Seq((1, "A1", "p1")).toDF("k", "v", "part"))
+    assert(pa.read.as[(Int, String, String)].collect().toSet ==
+           Set((1, "A1", "p1"), (2, "B2", "p2")))
   }
 
   test("fault schedule: vacuumVersions — live and newest archive never touched") {
