@@ -7,18 +7,43 @@ import org.apache.spark.sql.functions._
   * made deterministic: each node adopts the most frequent label among
   * its neighbors, ties broken by SMALLEST label. The per-node argmax
   * is window-free — `max(struct(count, −label))` in one aggregate — so
-  * no per-node sort ever happens; each iteration is one join keyed on
-  * the neighbor plus two hash-shuffles on node id, localCheckpointed
-  * (the Lloyd rule: without truncation every iteration's consumer
-  * re-executes the whole lineage). Candidate (node, label) pairs per
+  * no per-node sort ever happens; candidate (node, label) pairs per
   * iteration are bounded by the edge count.
+  *
+  * Iteration shape (PageRank's two-regime rule, applied to this
+  * operator's join): the edge table is materialized ONCE, laid out by
+  * the per-iteration AGGREGATION key `src` — and since a hash layout
+  * on `src` satisfies clustering for BOTH `groupBy(src, label)` and
+  * the downstream `groupBy(node = src)` argmax (partitioning
+  * expressions are a subset of each grouping key set), the whole
+  * frequency→adopt pipeline runs partition-local. Small V (≤
+  * `maxBroadcastNodes`): the label vector is broadcast into the
+  * neighbor join and the adopted labels broadcast back into the O(V)
+  * keep-old-label join, so an iteration exchanges NOTHING — the O(E)
+  * side never moves after its one up-front shuffle. Large V: edges are
+  * re-laid-out by the JOIN key `dst` instead (the superseded src-copy
+  * released — see [[Checkpoints.release]]), the O(V) label vector
+  * reshuffles to meet them, and one O(E) exchange on `src` feeds both
+  * aggregates; per iteration that is one O(E) exchange, not the two a
+  * naive join+groupBy plan pays. Label vectors are localCheckpointed
+  * per iteration and superseded ones released (the Lloyd rule:
+  * without truncation every iteration's consumer re-executes the
+  * whole lineage; without release a long run pins O(iters · V)
+  * storage). Edge-checkpoint BLOCK SIZE is bounded via
+  * [[Checkpoints.boundBlocks]]: a task reading a cached block
+  * read-locks it, so fat blocks with partitions == cores pin the
+  * whole O(E) checkpoint at once (the 2 GB sf1 rehearsal's
+  * AGGREGATE_OUT_OF_MEMORY); bounding restores the partitions ≫
+  * concurrent-tasks shape a real cluster always has, at zero cost on
+  * the common (already-bounded) path.
   *
   * Convergence: synchronous deterministic LPA reaches a FIXED POINT —
   * once no label changes, every later iteration recomputes the same
   * assignment — so `earlyExit` stops the loop the first time a
   * zero-change iteration is observed, with output IDENTICAL to running
   * the remaining iterations. The check is one O(V) join over two
-  * checkpointed label vectors per iteration. At 100 TB this is the
+  * checkpointed label vectors per iteration (both descend from the
+  * same layout, so it is exchange-free too). At 100 TB this is the
   * difference between paying full graph passes a converged run no
   * longer needs and an unconverged run silently under-iterating:
   * callers pick `maxIters` generously and let the fixed point cut it.
@@ -28,7 +53,10 @@ import org.apache.spark.sql.functions._
 object LabelPropagation {
 
   /** @param edges directed edge list with `src`/`dst`; pass both
-    *              directions for an undirected graph.
+    *              directions for an undirected graph. Duplicate edges
+    *              are deliberately KEPT — multiplicity weights the
+    *              neighbor vote (weighted LPA); pass a distinct edge
+    *              list for the unweighted form.
     * @return one row per node: (node, label). */
   def run(edges: DataFrame, iters: Int,
           earlyExit: Boolean = false): DataFrame =
@@ -36,15 +64,21 @@ object LabelPropagation {
 
   /** [[run]] plus the number of iterations actually executed. */
   def runWithStats(edges: DataFrame, maxIters: Int,
-                   earlyExit: Boolean): (DataFrame, Int) = {
+                   earlyExit: Boolean,
+                   maxBroadcastNodes: Long = 500000): (DataFrame, Int) = {
     require(maxIters >= 1, "maxIters must be >= 1")
-    // materialize the edge table before the loop (PageRank's rule,
-    // applied to this operator's own input): a caller-supplied DERIVED
-    // edge list (join/aggregate lineage) would otherwise re-execute
-    // its full construction once per iteration — the Lloyd-rule
-    // failure the doc below warns about for the label vector, but for
-    // the edges
-    val edgesM = edges.select(col("src"), col("dst")).localCheckpoint()
+    // materialize the edge table before the loop: a caller-supplied
+    // DERIVED edge list (join/aggregate lineage) would otherwise
+    // re-execute its full construction once per iteration. Laid out by
+    // `src` up front — exactly what the (common) broadcast regime
+    // wants, so that regime needs no second materialization pass.
+    // boundBlocks re-layouts ONLY if the blocks came out fatter than a
+    // reader can afford to have read-locked all at once (see
+    // Checkpoints) — free stat check on the common path.
+    val edgesM = Checkpoints.boundBlocks(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src")).localCheckpoint(),
+      Seq(col("src")))
     // node set = src ∪ dst (PageRank's convention): seeding from src
     // alone drops sink-only nodes, and an update step that only kept
     // nodes WITH in-neighbors would shrink the vector every iteration
@@ -55,12 +89,40 @@ object LabelPropagation {
       .union(edgesM.select(col("dst").as("node"))).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // regime choice on an exact driver-side statistic, made ONCE
+    // (checkpointed vectors are LogicalRDDs — AQE never sees their
+    // size, so compile-time stats would force shuffles even for a
+    // tiny label table)
+    val n = labels.count()
+    val broadcastLabels = n <= maxBroadcastNodes
+    val edgesPre =
+      if (broadcastLabels) edgesM
+      else {
+        // sized directly from the measured footprint of the src copy
+        // (same rows, same bytes) — block-bounded without a
+        // materialize-then-widen double pass
+        val dstParts = Checkpoints.boundedParts(
+          edgesM, Checkpoints.cachedBytes(edgesM))
+        val byDst = edgesM.repartition(dstParts, col("dst"))
+          .localCheckpoint()
+        // the src-laid-out copy is superseded — release it, or the run
+        // pins two O(E) edge checkpoints for its whole duration
+        Checkpoints.release(edgesM)
+        byDst
+      }
     var prevCheckpoint: Option[org.apache.spark.sql.DataFrame] = None
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val freq = edgesM
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+      val lblAtDst = labels.select(col("node").as("dst"), col("label"))
+      val joined = edgesPre.join(
+        if (broadcastLabels) broadcast(lblAtDst) else lblAtDst, Seq("dst"))
+      // large V: ONE explicit exchange on the aggregation key; both
+      // groupBys below then run partition-local on top of it. Small V:
+      // the broadcast join preserved the src layout, nothing moves.
+      val freqIn = if (broadcastLabels) joined
+                   else joined.repartition(col("src"))
+      val freq = freqIn
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       // smallest-label tie-break WITHOUT negation: -label overflows at
@@ -72,15 +134,20 @@ object LabelPropagation {
         .agg(max(struct(col("cnt"),
                         bitwise_not(col("label")).as("nl"))).as("m"))
         .select(col("node"), bitwise_not(col("m.nl")).as("adopted"))
-      // left join: a node with no in-neighbors keeps its current label
-      // eager localCheckpoint, then RELEASE the superseded vector (see
-      // Checkpoints.release: plain unpersist can't free checkpoint
-      // blocks, and leaking one O(V) vector per iteration starved
-      // execution memory in the 2 GB heap rehearsal). Materialization
-      // happens before the release — this plan reads the previous
-      // vector, whose lineage is already truncated.
+      // left join: a node with no in-neighbors keeps its current
+      // label. Broadcasting the O(V) adopted table keeps the label
+      // vector's own layout stable across iterations (so this join AND
+      // the early-exit check below stay exchange-free); large V pays
+      // the O(V) shuffle instead. Then eager localCheckpoint, then
+      // RELEASE the superseded vector (see Checkpoints.release: plain
+      // unpersist can't free checkpoint blocks, and leaking one O(V)
+      // vector per iteration starved execution memory in the 2 GB heap
+      // rehearsal). Materialization happens before the release — this
+      // plan reads the previous vector, whose lineage is already
+      // truncated.
       val next = labels.select(col("node"), col("label").as("prev0"))
-        .join(adopted, Seq("node"), "left_outer")
+        .join(if (broadcastLabels) broadcast(adopted) else adopted,
+              Seq("node"), "left_outer")
         .select(col("node"),
                 coalesce(col("adopted"), col("prev0")).as("label"))
         .localCheckpoint()

@@ -87,9 +87,15 @@ object PageRank {
     // laid out by the aggregation key up front: the repartition is one
     // extra stage inside this same job, and it is exactly the layout
     // the (common) broadcast regime wants — so that regime needs no
-    // second materialization pass at all
-    val withDegRaw = e.join(deg, "src").repartition(col("dst"))
-      .localCheckpoint()
+    // second materialization pass at all. boundBlocks then re-layouts
+    // ONLY if the materialized blocks came out fatter than a reader
+    // can afford to have read-locked all at once (the 2 GB sf1
+    // rehearsal's AGGREGATE_OUT_OF_MEMORY — see Checkpoints) — on
+    // ample heaps it is a free driver-side stat check, so the common
+    // path pays nothing.
+    val withDegRaw = Checkpoints.boundBlocks(
+      e.join(deg, "src").repartition(col("dst")).localCheckpoint(),
+      Seq(col("dst")))
     // one union+groupBy pass enumerates the nodes AND classifies each:
     // has_out=0 → dangling (needs mass redistribution), has_in=0 →
     // unreachable (needs the left-outer completion join). Folding the
@@ -125,8 +131,24 @@ object PageRank {
     val broadcastRanks = n <= maxBroadcastNodes
     val withDeg =
       if (broadcastRanks) withDegRaw
-      else withDegRaw.repartition(col("src")).sortWithinPartitions("src")
-        .localCheckpoint()
+      else {
+        // the src layout is sized directly from the measured footprint
+        // of the dst copy (same rows, same bytes) — block-bounded
+        // without a materialize-then-widen double pass
+        val srcParts = Checkpoints.boundedParts(
+          withDegRaw, Checkpoints.cachedBytes(withDegRaw))
+        val bySrc = withDegRaw.repartition(srcParts, col("src"))
+          .sortWithinPartitions("src").localCheckpoint()
+        // the dst-partitioned copy is now SUPERSEDED: nodeTab (the only
+        // other consumer) is already checkpointed and counted above, so
+        // nothing reads withDegRaw again — release it, or the run pins
+        // TWO O(E) edge checkpoints for its whole duration. At sf1 on a
+        // 2 GB heap that second pinned copy starved the contribution
+        // hash-aggregate (same AGGREGATE_OUT_OF_MEMORY family as the
+        // rank-vector leak fixed alongside Checkpoints.release).
+        Checkpoints.release(withDegRaw)
+        bySrc
+      }
     val base = (1.0 - damping) / n
     // Both structural facts are STATIC (graph shape, not rank state),
     // so they are resolved once, driver-side, from the tiny node
