@@ -211,4 +211,54 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("non-empty"))
   }
+
+  test("pagerank + label propagation: large-V regime ≡ broadcast regime") {
+    import graft.operators.{LabelPropagation, PageRank}
+    // maxBroadcastNodes = 0 forces the pre-partitioned (large-V) plan
+    // on the same graph the broadcast plan serves by default — neither
+    // regime's result may depend on the join strategy. Nothing else in
+    // the suite (or the sf fixtures, V ≤ 500k) exercises the large-V
+    // path, so this is its only correctness pin.
+    val quads = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+                    (10L, 11L), (11L, 12L), (2L, 11L))
+    val edges = quads.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val (lb, _) = LabelPropagation.runWithStats(edges, 6, earlyExit = false)
+    val (ll, _) = LabelPropagation.runWithStats(edges, 6, earlyExit = false,
+      maxBroadcastNodes = 0)
+    assert(lb.orderBy("node").as[(Long, Long)].collect().toSeq ==
+           ll.orderBy("node").as[(Long, Long)].collect().toSeq)
+    val rb = PageRank.run(edges, iters = 5).as[(Long, Double)]
+      .collect().toMap
+    val rl = PageRank.run(edges, iters = 5, maxBroadcastNodes = 0)
+      .as[(Long, Double)].collect().toMap
+    assert(rb.keySet == rl.keySet)
+    // same IEEE formula either way; only distributed sum order may
+    // differ, which on 7 nodes is ≤ a few ulps
+    rb.foreach { case (k, v) => assert(math.abs(v - rl(k)) < 1e-12,
+      s"node $k: broadcast=$v largeV=${rl(k)}") }
+  }
+
+  test("boundBlocks: fat checkpoint blocks re-layout, bounded ones pass through") {
+    import graft.operators.Checkpoints
+    val df = spark.range(0, 20000)
+      .select((col("id") % 97).as("k"), col("id").as("v"))
+      .repartition(2, col("k")).localCheckpoint()
+    // generous target: stat check must return the SAME frame, no job
+    assert(Checkpoints.boundBlocks(df, Seq(col("k")), 1L << 30) eq df)
+    val bytes = Checkpoints.cachedBytes(df)
+    assert(bytes > 0L, "block manager must report the checkpoint")
+    // tiny target: must widen to ~bytes/target partitions, keep every
+    // row, and release the fat copy's blocks
+    val wide = Checkpoints.boundBlocks(df, Seq(col("k")), 16L << 10)
+    assert(wide.rdd.getNumPartitions > 2, wide.rdd.getNumPartitions)
+    assert(wide.groupBy("k").count().count() == 97)
+    assert(wide.count() == 20000)
+    assert(Checkpoints.cachedBytes(df) == 0L,
+      "superseded fat checkpoint must be released")
+    // boundedParts floors at the session's shuffle parallelism
+    assert(Checkpoints.boundedParts(wide, 0L) ==
+      spark.sessionState.conf.numShufflePartitions)
+    assert(Checkpoints.boundedParts(wide, 100L << 20, 32L << 20) == 4)
+  }
 }
