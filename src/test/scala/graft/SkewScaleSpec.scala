@@ -53,7 +53,16 @@ class SkewScaleSpec extends AnyFunSuite {
     // hot part inside baskets (pair generation per order)
     "q_market_basket",
     // the salting operator itself, on data that actually skews
-    "q_salted_agg")
+    "q_salted_agg",
+    // iterative graph family: the hot part/customer becomes a
+    // high-degree node. PageRank's edge distinct() collapses the 40%
+    // row multiplicity to a distinct-neighbor degree (measured ~6-8%
+    // of E on the skew fixture), so the clustered exchange-free
+    // layout's hot partition is a bounded ~2-3x straggler per
+    // iteration, not a 40% serialization; LPA's co-purchase edges are
+    // deduped+thresholded upstream the same way
+    "q_pagerank",
+    "q_label_prop")
 
   private val MaxRatio = 2.0
   private val AbsFloor = 0.3 // seconds: below this, ratios are noise
