@@ -52,7 +52,20 @@ object Checkpoints {
     * shape a real cluster always has: the locked set is at most
     * cores × targetBytes, independent of data scale, and everything
     * else stays evictable to disk under execution pressure. On ample
-    * heaps the stat check is driver-side and free. */
+    * heaps the stat check is driver-side and free.
+    *
+    * KNOWN LIMIT: the check is on the AVERAGE block (the block
+    * manager exposes no per-block sizes), and a keyed re-layout
+    * cannot split ONE key whose rows alone exceed the target — hash
+    * clustering is exactly what the callers' exchange-free aggregates
+    * require, so a single mega-key is a regime problem, not a layout
+    * problem (an unclustered layout + partial/final aggregation
+    * flattens it). In practice the graph callers dedup their edge
+    * lists, which bounds any key's mass to its distinct-neighbor
+    * count — the Zipf rehearsal (SkewScaleSpec) measured the hot key
+    * at ~6-8 % of E post-distinct and the clustered plans FASTER
+    * under skew, so the adaptive-regime escape hatch stays
+    * unimplemented until a measurement demands it. */
   def boundBlocks(checkpointed: DataFrame, keys: Seq[Column],
                   targetBytes: Long = 32L << 20): DataFrame = {
     val bytes = cachedBytes(checkpointed)
@@ -66,14 +79,30 @@ object Checkpoints {
     }
   }
 
-  /** Partition count that keeps a table of `bytes` at `targetBytes`
-    * blocks, floored at the session's shuffle parallelism — for
-    * sizing a SECOND layout of a checkpoint whose footprint is
-    * already measured (avoids materialize-then-widen double work). */
-  def boundedParts(df: DataFrame, bytes: Long,
-                   targetBytes: Long = 32L << 20): Int =
-    math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
-             (bytes / targetBytes + 1).toInt)
+  /** Second block-bounded layout of an already-measured checkpoint:
+    * repartition `checkpointed` by `keys` into enough partitions to
+    * keep blocks at `targetBytes` (floored at the session's shuffle
+    * parallelism), optionally sort within partitions, eagerly
+    * checkpoint the copy, and ONLY THEN release the superseded
+    * original — the materialize-before-release ordering is the
+    * invariant this helper exists to keep in one place (a released
+    * checkpoint cannot be recomputed). Sized from the original's
+    * measured footprint (same rows, same bytes), avoiding a
+    * materialize-then-widen double pass. */
+  def relayout(checkpointed: DataFrame, keys: Seq[Column],
+               sortCols: Seq[String] = Nil,
+               targetBytes: Long = 32L << 20): DataFrame = {
+    val parts = math.max(
+      checkpointed.sparkSession.sessionState.conf.numShufflePartitions,
+      (cachedBytes(checkpointed) / targetBytes + 1).toInt)
+    val keyed = checkpointed.repartition(parts, keys: _*)
+    val sorted = if (sortCols.isEmpty) keyed
+                 else keyed.sortWithinPartitions(sortCols.head,
+                                                 sortCols.tail: _*)
+    val re = sorted.localCheckpoint()
+    release(checkpointed)
+    re
+  }
 
   private def rddOf(df: DataFrame)
       : Option[org.apache.spark.rdd.RDD[_]] =

@@ -59,8 +59,9 @@ object LabelPropagation {
     *              list for the unweighted form.
     * @return one row per node: (node, label). */
   def run(edges: DataFrame, iters: Int,
-          earlyExit: Boolean = false): DataFrame =
-    runWithStats(edges, iters, earlyExit)._1
+          earlyExit: Boolean = false,
+          maxBroadcastNodes: Long = 500000): DataFrame =
+    runWithStats(edges, iters, earlyExit, maxBroadcastNodes)._1
 
   /** [[run]] plus the number of iterations actually executed. */
   def runWithStats(edges: DataFrame, maxIters: Int,
@@ -97,20 +98,18 @@ object LabelPropagation {
     val broadcastLabels = n <= maxBroadcastNodes
     val edgesPre =
       if (broadcastLabels) edgesM
-      else {
-        // sized directly from the measured footprint of the src copy
-        // (same rows, same bytes) — block-bounded without a
-        // materialize-then-widen double pass
-        val dstParts = Checkpoints.boundedParts(
-          edgesM, Checkpoints.cachedBytes(edgesM))
-        val byDst = edgesM.repartition(dstParts, col("dst"))
-          .localCheckpoint()
-        // the src-laid-out copy is superseded — release it, or the run
+      else
+        // block-bounded dst layout; relayout releases the superseded
+        // src copy AFTER the new checkpoint materializes, or the run
         // pins two O(E) edge checkpoints for its whole duration
-        Checkpoints.release(edgesM)
-        byDst
-      }
-    var prevCheckpoint: Option[org.apache.spark.sql.DataFrame] = None
+        Checkpoints.relayout(edgesM, Seq(col("dst")))
+    // the SEED vector is a checkpoint too — seeding prevCheckpoint
+    // with it means iteration 1's release frees it like any other
+    // superseded vector (it was pinned for the whole run before;
+    // iteration 1's `next` and the convergence check both finish
+    // reading it ahead of the end-of-loop release)
+    var prevCheckpoint: Option[org.apache.spark.sql.DataFrame] =
+      Some(labels)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -165,8 +164,12 @@ object LabelPropagation {
       prevCheckpoint = Some(next)
       labels = next
     }
-    // the final vector stays persisted (it is the result); every
-    // intermediate iteration's blocks are released
+    // the final vector stays persisted (it is the result, a
+    // self-contained checkpoint); the O(E) edge checkpoint is
+    // released HERE, not left to GC — on a memory-tight executor a
+    // lingering edge table starves the NEXT query's aggregates (the
+    // locked-storage class the 2 GB rehearsal surfaced)
+    Checkpoints.release(edgesPre)
     (labels, it)
   }
 }

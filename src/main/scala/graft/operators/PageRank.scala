@@ -131,24 +131,17 @@ object PageRank {
     val broadcastRanks = n <= maxBroadcastNodes
     val withDeg =
       if (broadcastRanks) withDegRaw
-      else {
-        // the src layout is sized directly from the measured footprint
-        // of the dst copy (same rows, same bytes) — block-bounded
-        // without a materialize-then-widen double pass
-        val srcParts = Checkpoints.boundedParts(
-          withDegRaw, Checkpoints.cachedBytes(withDegRaw))
-        val bySrc = withDegRaw.repartition(srcParts, col("src"))
-          .sortWithinPartitions("src").localCheckpoint()
-        // the dst-partitioned copy is now SUPERSEDED: nodeTab (the only
-        // other consumer) is already checkpointed and counted above, so
-        // nothing reads withDegRaw again — release it, or the run pins
-        // TWO O(E) edge checkpoints for its whole duration. At sf1 on a
-        // 2 GB heap that second pinned copy starved the contribution
-        // hash-aggregate (same AGGREGATE_OUT_OF_MEMORY family as the
-        // rank-vector leak fixed alongside Checkpoints.release).
-        Checkpoints.release(withDegRaw)
-        bySrc
-      }
+      else
+        // block-bounded src layout; relayout releases the superseded
+        // dst copy AFTER the new checkpoint materializes — nodeTab
+        // (the only other consumer) is already checkpointed and
+        // counted above, so nothing reads withDegRaw again. Without
+        // the release the run pins TWO O(E) edge checkpoints for its
+        // whole duration: at sf1 on a 2 GB heap that second pinned
+        // copy starved the contribution hash-aggregate (same
+        // AGGREGATE_OUT_OF_MEMORY family as the rank-vector leak
+        // fixed alongside Checkpoints.release).
+        Checkpoints.relayout(withDegRaw, Seq(col("src")), Seq("src"))
     val base = (1.0 - damping) / n
     // Both structural facts are STATIC (graph shape, not rank state),
     // so they are resolved once, driver-side, from the tiny node
@@ -221,7 +214,15 @@ object PageRank {
       rank = checkpointed
     }
     // the final vector stays persisted — it IS the result the caller
-    // reads; intermediate iterations' blocks are all released
+    // reads (a self-contained checkpoint); everything else the run
+    // pinned is released HERE, not left to GC/ContextCleaner: the
+    // loop ran ≥1 iteration so rank no longer reads nodeTab or the
+    // edge table, and on a memory-tight executor an O(E) checkpoint
+    // that lingers past the return starves the NEXT query's
+    // aggregates (the same locked-storage class the 2 GB rehearsal
+    // surfaced inside the loop).
+    Checkpoints.release(withDeg)
+    Checkpoints.release(nodeTab)
     (rank, it)
   }
 }

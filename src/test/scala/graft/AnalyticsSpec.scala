@@ -256,9 +256,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(wide.count() == 20000)
     assert(Checkpoints.cachedBytes(df) == 0L,
       "superseded fat checkpoint must be released")
-    // boundedParts floors at the session's shuffle parallelism
-    assert(Checkpoints.boundedParts(wide, 0L) ==
+    // relayout: keyed + sorted second layout, floored at shuffle
+    // parallelism, original released only after materialization
+    val re = Checkpoints.relayout(wide, Seq(col("k")), Seq("v"))
+    assert(re.rdd.getNumPartitions >=
       spark.sessionState.conf.numShufflePartitions)
-    assert(Checkpoints.boundedParts(wide, 100L << 20, 32L << 20) == 4)
+    assert(re.count() == 20000)
+    assert(Checkpoints.cachedBytes(wide) == 0L,
+      "relayout must release the superseded layout")
+    assert(Checkpoints.cachedBytes(re) > 0L)
   }
 }
