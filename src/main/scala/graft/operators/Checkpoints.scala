@@ -27,6 +27,34 @@ object Checkpoints {
   def release(checkpointed: DataFrame): Unit =
     rddOf(checkpointed).foreach(_.unpersist(blocking = false))
 
+  /** localCheckpoint that actually RETAINS the physical hash layout.
+    *
+    * Under AQE — this engine's production config — `Dataset
+    * .localCheckpoint` captures the adaptive plan's partitioning as
+    * UNKNOWN, so the resulting LogicalRDD forces a re-exchange in
+    * every downstream consumer: a pre-partitioned iteration layout
+    * (PageRank / LabelPropagation's whole design) silently degrades
+    * to one O(E) shuffle per iteration. Probe-measured on this Spark:
+    * a clustered groupBy over a checkpoint plans 1 exchange with AQE
+    * on and 0 with it off, and a checkpoint taken with AQE scoped OFF
+    * serves AQE-ON consumers exchange-free (the layout survives
+    * through alias-aware projections into multi-level aggregates).
+    *
+    * Scoping: only THIS materialization runs without AQE — no
+    * runtime coalescing / skew-split inside the checkpointed query
+    * (its exchanges are explicit keyed repartitions anyway, which AQE
+    * leaves alone; the Zipf rehearsal pins the skew behavior of the
+    * operators built on this). The session flag is restored in a
+    * finally block; callers are driver-synchronous. */
+  def checkpointKeepingLayout(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key, "true")
+    conf.set(key, "false")
+    try df.localCheckpoint()
+    finally conf.set(key, prev)
+  }
+
   /** Total cached footprint (memory + disk) of a materialized
     * checkpoint, from the block manager's live stats; 0 if unknown. */
   def cachedBytes(checkpointed: DataFrame): Long =
@@ -73,7 +101,8 @@ object Checkpoints {
     if (bytes <= targetBytes * math.max(parts, 1)) checkpointed
     else {
       val wider = (bytes / targetBytes + 1).toInt
-      val re = checkpointed.repartition(wider, keys: _*).localCheckpoint()
+      val re = checkpointKeepingLayout(
+        checkpointed.repartition(wider, keys: _*))
       release(checkpointed)
       re
     }
@@ -99,7 +128,7 @@ object Checkpoints {
     val sorted = if (sortCols.isEmpty) keyed
                  else keyed.sortWithinPartitions(sortCols.head,
                                                  sortCols.tail: _*)
-    val re = sorted.localCheckpoint()
+    val re = checkpointKeepingLayout(sorted)
     release(checkpointed)
     re
   }

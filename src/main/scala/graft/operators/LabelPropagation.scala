@@ -73,12 +73,17 @@ object LabelPropagation {
     // re-execute its full construction once per iteration. Laid out by
     // `src` up front — exactly what the (common) broadcast regime
     // wants, so that regime needs no second materialization pass.
-    // boundBlocks re-layouts ONLY if the blocks came out fatter than a
-    // reader can afford to have read-locked all at once (see
-    // Checkpoints) — free stat check on the common path.
-    val edgesM = Checkpoints.boundBlocks(
-      edges.select(col("src"), col("dst"))
-        .repartition(col("src")).localCheckpoint(),
+    // Two-phase materialization (PageRank's shape): the caller's
+    // derivation runs under AQE into a plain checkpoint; relayout then
+    // re-keys it by src in a pure-exchange pass with AQE scoped OFF so
+    // the hash layout is CAPTURED into the LogicalRDD (plain
+    // localCheckpoint records Unknown partitioning under AQE and every
+    // iteration re-exchanges O(E) for the frequency aggregate — the
+    // shuffle this layout exists to eliminate; see
+    // Checkpoints.checkpointKeepingLayout). relayout also bounds block
+    // sizes and releases the derivation copy.
+    val edgesM = Checkpoints.relayout(
+      edges.select(col("src"), col("dst")).localCheckpoint(),
       Seq(col("src")))
     // node set = src ∪ dst (PageRank's convention): seeding from src
     // alone drops sink-only nodes, and an update step that only kept
@@ -89,7 +94,7 @@ object LabelPropagation {
     var labels = edgesM.select(col("src").as("node"))
       .union(edgesM.select(col("dst").as("node"))).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .transform(Checkpoints.checkpointKeepingLayout)
     // regime choice on an exact driver-side statistic, made ONCE
     // (checkpointed vectors are LogicalRDDs — AQE never sees their
     // size, so compile-time stats would force shuffles even for a
@@ -149,7 +154,7 @@ object LabelPropagation {
               Seq("node"), "left_outer")
         .select(col("node"),
                 coalesce(col("adopted"), col("prev0")).as("label"))
-        .localCheckpoint()
+        .transform(Checkpoints.checkpointKeepingLayout)
       it += 1
       if (earlyExit && it < maxIters) {
         // fixed point reached: label vector unchanged => every later

@@ -93,9 +93,18 @@ object PageRank {
     // rehearsal's AGGREGATE_OUT_OF_MEMORY — see Checkpoints) — on
     // ample heaps it is a free driver-side stat check, so the common
     // path pays nothing.
-    val withDegRaw = Checkpoints.boundBlocks(
-      e.join(deg, "src").repartition(col("dst")).localCheckpoint(),
-      Seq(col("dst")))
+    // Two-phase materialization: the DERIVATION (join + distinct +
+    // degree join) runs under AQE — runtime join re-planning and
+    // coalescing matter there — into a plain checkpoint; then relayout
+    // re-keys it by dst in a pure-exchange pass with AQE scoped OFF so
+    // the hash layout is CAPTURED into the LogicalRDD (plain
+    // localCheckpoint records Unknown partitioning under AQE and every
+    // iteration re-exchanges O(E) for the contribution aggregate —
+    // exactly the shuffle this layout exists to eliminate; see
+    // Checkpoints.checkpointKeepingLayout). relayout also bounds block
+    // sizes and releases the derivation copy.
+    val withDegRaw = Checkpoints.relayout(
+      e.join(deg, "src").localCheckpoint(), Seq(col("dst")))
     // one union+groupBy pass enumerates the nodes AND classifies each:
     // has_out=0 → dangling (needs mass redistribution), has_in=0 →
     // unreachable (needs the left-outer completion join). Folding the
@@ -107,7 +116,7 @@ object PageRank {
         .select(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i")))
       .groupBy("node")
       .agg(max("o").as("has_out"), max("i").as("has_in"))
-      .localCheckpoint()
+      .transform(Checkpoints.checkpointKeepingLayout)
     val n = nodeTab.count()
     // fail here, not three lines down: an empty edge set would compute
     // base = (1-d)/0 = Infinity without complaint and then NPE on the
@@ -126,8 +135,9 @@ object PageRank {
     // shuffle this removes is O(E), not O(V)). Large V: pre-partition
     // and sort by the JOIN key `src` instead; iterations then reshuffle
     // only the O(V) rank side plus the unavoidable dst aggregation.
-    // localCheckpoint preserves partitioning + ordering through
-    // LogicalRDD, so the layout survives into every iteration.
+    // checkpointKeepingLayout carries partitioning + ordering through
+    // LogicalRDD (plain localCheckpoint LOSES them under AQE), so the
+    // layout survives into every iteration.
     val broadcastRanks = n <= maxBroadcastNodes
     val withDeg =
       if (broadcastRanks) withDegRaw
@@ -198,7 +208,10 @@ object PageRank {
       // eager localCheckpoint: materialized HERE (before the previous
       // vector is released — this plan reads it, and its own lineage
       // is truncated, so a later recompute would be impossible)
-      val checkpointed = next.localCheckpoint()
+      // keepingLayout: the delta-check join below pairs two
+      // consecutive node-hashed vectors — preserved layouts make it
+      // exchange-free
+      val checkpointed = Checkpoints.checkpointKeepingLayout(next)
       it += 1
       if (effTol.isDefined && it < iters && it % checkEvery == 0) {
         // L∞ delta between consecutive checkpointed vectors: one O(V)
