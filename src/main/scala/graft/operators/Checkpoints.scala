@@ -45,8 +45,16 @@ object Checkpoints {
     * (its exchanges are explicit keyed repartitions anyway, which AQE
     * leaves alone; the Zipf rehearsal pins the skew behavior of the
     * operators built on this). The session flag is restored in a
-    * finally block; callers are driver-synchronous. */
-  def checkpointKeepingLayout(df: DataFrame): DataFrame = {
+    * finally block, and the set/materialize/restore window is
+    * SERIALIZED on this object: the flag lives in the session's shared
+    * RuntimeConfig, so two concurrent callers on one session could
+    * otherwise interleave (A sets off, B reads prev="false", A
+    * restores, B "restores" to false) and leave AQE disabled
+    * session-wide — a library engine can't assume driver-synchronous
+    * callers. Concurrent checkpoints serialize their materialization
+    * jobs behind the lock; that is the price of a shared-session conf
+    * toggle, and iterative-graph materializations are the rare path. */
+  def checkpointKeepingLayout(df: DataFrame): DataFrame = synchronized {
     val conf = df.sparkSession.conf
     val key = "spark.sql.adaptive.enabled"
     val prev = conf.get(key, "true")
@@ -104,6 +112,21 @@ object Checkpoints {
       val re = checkpointKeepingLayout(
         checkpointed.repartition(wider, keys: _*))
       release(checkpointed)
+      // the escape hatch the KNOWN LIMIT above defers: a keyed
+      // re-layout can't split one mega-key, so if the AVERAGE block is
+      // still fat after widening, the data — not the layout — is the
+      // problem and the caller should fall back to an unclustered
+      // layout + partial/final aggregation. Surface that regime by
+      // measurement (a log the operator's perf rehearsals would see)
+      // instead of letting it reappear as an executor OOM.
+      val reBytes = cachedBytes(re)
+      val reParts = rddOf(re).map(_.getNumPartitions).getOrElse(1)
+      if (reBytes > targetBytes * math.max(reParts, 1))
+        log.warn(s"boundBlocks: post-relayout blocks still average " +
+          s"${reBytes / math.max(reParts, 1) >> 20} MB > " +
+          s"${targetBytes >> 20} MB target across $reParts partitions " +
+          s"— a single key likely exceeds the target; consider an " +
+          s"unclustered layout + partial aggregation for this input")
       re
     }
   }
@@ -117,12 +140,24 @@ object Checkpoints {
     * invariant this helper exists to keep in one place (a released
     * checkpoint cannot be recomputed). Sized from the original's
     * measured footprint (same rows, same bytes), avoiding a
-    * materialize-then-widen double pass. */
+    * materialize-then-widen double pass.
+    *
+    * Width: bytes/targetBytes when the data is big, floored at the
+    * SMALLER of the session's shuffle parallelism and the input's own
+    * partition count — so a tiny edge table AQE already coalesced
+    * narrow stays narrow (widening a 14-edge graph to full shuffle
+    * parallelism would cache hundreds of near-empty blocks and, in
+    * the broadcast regime, launch that many tasks per iteration),
+    * while a full-parallelism input keeps its width even when its
+    * bytes alone would suggest fewer blocks. */
   def relayout(checkpointed: DataFrame, keys: Seq[Column],
                sortCols: Seq[String] = Nil,
                targetBytes: Long = 32L << 20): DataFrame = {
+    val inParts = rddOf(checkpointed).map(_.getNumPartitions).getOrElse(1)
     val parts = math.max(
-      checkpointed.sparkSession.sessionState.conf.numShufflePartitions,
+      math.min(
+        checkpointed.sparkSession.sessionState.conf.numShufflePartitions,
+        math.max(inParts, 1)),
       (cachedBytes(checkpointed) / targetBytes + 1).toInt)
     val keyed = checkpointed.repartition(parts, keys: _*)
     val sorted = if (sortCols.isEmpty) keyed
@@ -132,6 +167,8 @@ object Checkpoints {
     release(checkpointed)
     re
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def rddOf(df: DataFrame)
       : Option[org.apache.spark.rdd.RDD[_]] =

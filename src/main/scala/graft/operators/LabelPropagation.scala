@@ -29,13 +29,14 @@ import org.apache.spark.sql.functions._
   * per iteration and superseded ones released (the Lloyd rule:
   * without truncation every iteration's consumer re-executes the
   * whole lineage; without release a long run pins O(iters · V)
-  * storage). Edge-checkpoint BLOCK SIZE is bounded via
-  * [[Checkpoints.boundBlocks]]: a task reading a cached block
-  * read-locks it, so fat blocks with partitions == cores pin the
-  * whole O(E) checkpoint at once (the 2 GB sf1 rehearsal's
-  * AGGREGATE_OUT_OF_MEMORY); bounding restores the partitions ≫
-  * concurrent-tasks shape a real cluster always has, at zero cost on
-  * the common (already-bounded) path.
+  * storage). Edge-checkpoint BLOCK SIZE is bounded inside the same
+  * [[Checkpoints.relayout]] pass that captures the hash layout: a
+  * task reading a cached block read-locks it, so fat blocks with
+  * partitions == cores pin the whole O(E) checkpoint at once (the
+  * 2 GB sf1 rehearsal's AGGREGATE_OUT_OF_MEMORY); sizing the
+  * re-layout from the measured footprint restores the partitions ≫
+  * concurrent-tasks shape a real cluster always has, folded into the
+  * exchange every run already pays for layout capture.
   *
   * Convergence: synchronous deterministic LPA reaches a FIXED POINT —
   * once no label changes, every later iteration recomputes the same

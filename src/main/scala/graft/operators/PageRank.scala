@@ -84,15 +84,6 @@ object PageRank {
               col("dst").cast("long").as("dst"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // laid out by the aggregation key up front: the repartition is one
-    // extra stage inside this same job, and it is exactly the layout
-    // the (common) broadcast regime wants — so that regime needs no
-    // second materialization pass at all. boundBlocks then re-layouts
-    // ONLY if the materialized blocks came out fatter than a reader
-    // can afford to have read-locked all at once (the 2 GB sf1
-    // rehearsal's AGGREGATE_OUT_OF_MEMORY — see Checkpoints) — on
-    // ample heaps it is a free driver-side stat check, so the common
-    // path pays nothing.
     // Two-phase materialization: the DERIVATION (join + distinct +
     // degree join) runs under AQE — runtime join re-planning and
     // coalescing matter there — into a plain checkpoint; then relayout
@@ -101,8 +92,13 @@ object PageRank {
     // localCheckpoint records Unknown partitioning under AQE and every
     // iteration re-exchanges O(E) for the contribution aggregate —
     // exactly the shuffle this layout exists to eliminate; see
-    // Checkpoints.checkpointKeepingLayout). relayout also bounds block
-    // sizes and releases the derivation copy.
+    // Checkpoints.checkpointKeepingLayout). Every run pays this second
+    // pure-exchange pass: it is what captures the dst hash layout the
+    // (common) broadcast regime iterates on exchange-free, and it
+    // doubles as the block-size bound (fat blocks get read-locked all
+    // at once when partitions == cores — the 2 GB sf1 rehearsal's
+    // AGGREGATE_OUT_OF_MEMORY; see Checkpoints.relayout) while
+    // releasing the superseded derivation copy.
     val withDegRaw = Checkpoints.relayout(
       e.join(deg, "src").localCheckpoint(), Seq(col("dst")))
     // one union+groupBy pass enumerates the nodes AND classifies each:
