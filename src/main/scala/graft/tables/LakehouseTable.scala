@@ -146,40 +146,168 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * implementation on purpose: the crash-recovery story depends on
     * every swap following exactly this sequence and naming. */
   private def swapIn(staged: Path, live: Path, tombstone: Path,
-                     token: String, op: String): Unit = {
-    assertEpochOwned(token, op)
+                     ticket: MutationTicket, op: String): Unit = {
+    resolveConflictsOrAbort(ticket, op)
+    writeCommitRecord(ticket)
     val hadLive = fs.exists(live)
     if (hadLive) renameOrFail(live, tombstone)
     renameOrFail(staged, live)
     if (hadLive) { step(s"delete:${tombstone.getName}"); fs.delete(tombstone, true) }
   }
 
-  /** Optimistic concurrent-writer TRIPWIRE (the Delta commit-conflict
-    * idea applied to the epoch marker). Every mutator stamps a fresh
-    * epoch token at its start; immediately before each publish rename
-    * it re-reads the marker — a different token means another mutator
-    * interleaved, and publishing would silently lose its update (the
-    * classic read-modify-write race two accidental writers hit). The
-    * mutation ABORTS instead: the live table keeps the other writer's
-    * generation intact, this writer's staged dir is left as a
-    * `*.staged-*` orphan for [[vacuum]], and a re-run applies the
-    * mutation on top of the current state. This is a tripwire, not a
-    * lock: a writer interleaving entirely inside the check-to-rename
-    * window is not detected (the contract remains single-writer) — it
-    * converts accidental contract violations from silent lost updates
-    * into loud, actionable failures, with no coordination cost in the
-    * single-writer case beyond one marker read per publish. */
-  private def assertEpochOwned(token: String, op: String): Unit = {
-    val cur = schemaEpoch()
-    if (cur != token)
-      throw new java.util.ConcurrentModificationException(
-        s"$op on $path: mutation epoch changed under this writer " +
-        s"($token -> $cur) — a concurrent mutator violated the " +
-        "single-writer contract. This mutation aborted BEFORE its " +
-        "publish rename: the live table holds the other writer's " +
-        "generation; this writer's staged data is an orphan for " +
-        "vacuum(). Re-run the mutation to apply it to the current state.")
+  // ── optimistic concurrency (Delta-style commit conflict detection) ─
+  // Round 11 shipped a TRIPWIRE: any interleaved mutator aborted the
+  // first writer loudly. Correct but strict — two appends, or upserts
+  // touching disjoint partitions, cannot actually conflict (their
+  // renames land in physically disjoint dirs and neither derives data
+  // the other changed). This generalizes the tripwire into bounded
+  // optimistic retry: every mutation publishes a tiny COMMIT RECORD
+  // (`<table>.commits/c-<token>`: op + touched partition set) before
+  // its renames; at publish time a writer classifies every record
+  // that appeared since its own begin-snapshot. All commuting →
+  // publish proceeds (append∥append; partition-scoped ops on disjoint
+  // sets — Delta's AddFile-disjointness check re-expressed on the dir
+  // protocol). Any non-commuting record → the loud abort, exactly as
+  // before. A marker token with no record yet is a writer still in
+  // flight with unknown intent: bounded retry waits for its record,
+  // then aborts loudly if it never publishes. The residual
+  // check-to-rename race window of the original tripwire remains and
+  // is unchanged in size — commuting ops are also PHYSICALLY disjoint
+  // (unique batch dirs, distinct partition dirs), so a racer slipping
+  // through the window can only be one that would have been allowed
+  // anyway; non-commuting racers keep the documented tripwire-not-
+  // lock tolerance.
+
+  /** Ownership + conflict-classification state for one mutation:
+    * the epoch token stamped at begin, the operation class, the
+    * partition dirs it touches (partition-scoped ops only), and the
+    * commit-record names already present at begin (anything beyond
+    * this set at publish time is an interleaver to classify). */
+  private final class MutationTicket(val op: String,
+                                     val parts: Set[String]) {
+    var token: String = _
+    var snapshot: Set[String] = _
+    var recorded = false
   }
+
+  /** Ops that add data without reading or replacing any live file:
+    * always commute with each other (each lands a uniquely-named
+    * batch dir / part files). */
+  private val AppendOps = Set("append", "appendBatch")
+  /** Ops whose effect is confined to an explicit partition-dir set:
+    * commute with each other iff the sets are disjoint. */
+  private val PartitionScopedOps =
+    Set("upsert", "replacePartitions", "dropPartitions")
+
+  private def commitLogPath = s"$path.commits"
+
+  private def listCommitNames(): Set[String] = {
+    val p = new Path(commitLogPath)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("c-")).toSet
+  }
+
+  /** Start a mutation: snapshot the commit log (BEFORE any live-state
+    * read — records appearing after this are interleavers), stamp the
+    * epoch token, fire the begin step. */
+  private def beginMutation(op: String,
+                            parts: Set[String] = Set.empty)
+      : MutationTicket = {
+    val t = new MutationTicket(op, parts)
+    t.snapshot = listCommitNames()
+    t.token = invalidateFileStats()
+    step(s"begin:$op")
+    t
+  }
+
+  private def readCommit(name: String): (String, Set[String]) = {
+    val in = fs.open(new Path(commitLogPath, name))
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val i = txt.indexOf('|')
+    val ps = txt.substring(i + 1).split(",").iterator.filter(_.nonEmpty)
+      .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+    (txt.substring(0, i), ps)
+  }
+
+  /** Publish this mutation's commit record — once, immediately after
+    * the conflict check and before the first rename, so a concurrent
+    * writer's classification window (record-to-rename) is as small as
+    * the protocol allows. A crash between record and rename leaves a
+    * record for a mutation that never landed: later OVERLAPPING
+    * writers inside the TTL window abort spuriously (conservative,
+    * loud), and the rerun — whose begin-snapshot includes the orphan —
+    * is unaffected. */
+  private def writeCommitRecord(t: MutationTicket): Unit =
+    if (!t.recorded) {
+      step(s"commit:${t.op}")
+      fs.mkdirs(new Path(commitLogPath))
+      val body = t.op + "|" +
+        t.parts.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+      val out = fs.create(new Path(commitLogPath, "c-" + t.token), false)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      t.recorded = true
+    }
+
+  private def commutes(t: MutationTicket, op: String,
+                       parts: Set[String]): Boolean =
+    (AppendOps(t.op) && AppendOps(op)) ||
+    (PartitionScopedOps(t.op) && PartitionScopedOps(op) &&
+      t.parts.intersect(parts).isEmpty)
+
+  /** Publish-time conflict resolution. Fast path (the overwhelmingly
+    * common sole-writer case): the epoch marker still holds our token
+    * — one marker read, no listing. Otherwise classify every commit
+    * record that appeared since begin: any non-commuting one aborts
+    * loudly (the tripwire contract); all-commuting with the marker
+    * explained (its writer's record present, or our own re-stamp)
+    * proceeds; an unexplained marker is an in-flight writer with
+    * unknown intent — bounded retry, then the loud abort. */
+  private def resolveConflictsOrAbort(t: MutationTicket,
+                                      op: String): Unit = {
+    var attempt = 0
+    while (true) {
+      val cur = schemaEpoch()
+      if (cur == t.token || cur == t.token + ":pub") return
+      val fresh = listCommitNames() - ("c-" + t.token) -- t.snapshot
+      fresh.foreach { name =>
+        val (otherOp, otherParts) = readCommit(name)
+        if (!commutes(t, otherOp, otherParts))
+          abortConflict(t, op,
+            s"a concurrent '$otherOp' committed" +
+            (if (otherParts.nonEmpty)
+               s" touching {${otherParts.mkString(", ")}}" else "") +
+            (if (t.parts.nonEmpty)
+               s" while this writer touches {${t.parts.mkString(", ")}}"
+             else ""))
+      }
+      // every completed interleaver commutes; is the marker's writer
+      // among them? (publish re-stamps as "<token>:pub", and a record
+      // is always written before any rename, so a finished — or
+      // mid-rename but already-validated — writer has its record
+      // visible by the time its token can be observed here)
+      if (fresh.contains("c-" + cur.stripSuffix(":pub"))) return
+      attempt += 1
+      if (attempt >= LakehouseTable.conflictRetries)
+        abortConflict(t, op,
+          s"a concurrent writer (epoch $cur) began but published no " +
+          "commit record within the retry window — unknown intent")
+      Thread.sleep(LakehouseTable.conflictRetrySleepMs)
+    }
+  }
+
+  private def abortConflict(t: MutationTicket, op: String,
+                            why: String): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"$op on $path: $why — non-commuting concurrent mutations " +
+      "violate the single-writer contract (only append∥append and " +
+      "disjoint-partition upsert/replace/drop are auto-merged). This " +
+      "mutation aborted BEFORE its publish rename: the live table " +
+      "holds the other writer's generation; this writer's staged " +
+      "data is an orphan for vacuum(). Re-run the mutation to apply " +
+      "it to the current state.")
 
   /** Atomic full replace: write staged, then tombstone-swap. Repairs
     * first — EVERY mutating entry point does (overwrite, upsert,
@@ -195,14 +323,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * layout); see [[write]]. */
   private def overwrite(df: DataFrame, preShaped: Boolean): Unit = {
     repairInterruptedSwaps()
-    val token = invalidateFileStats()
-    step("begin:overwrite")
+    val t = beginMutation("overwrite")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged, preShaped)
     swapIn(new Path(staged), new Path(path), new Path(s"$path.tombstone-$tag"),
-           token, "overwrite")
-    publishSchemaEpoch()
+           t, "overwrite")
+    publishSchemaEpoch(t)
   }
 
   /** Roll back swaps a crashed writer left half-done. A tombstone whose
@@ -219,6 +346,19 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val live = new Path(path)
     val parent = live.getParent
     if (parent == null || !fs.exists(parent)) return Nil
+    // commit-log hygiene (not a protocol step — no fault-injection
+    // seam): records only exist to classify interleavers inside a
+    // live mutation's begin-to-publish window, so anything older than
+    // the TTL (≫ any sane mutation duration) is dead weight. Pruning
+    // here bounds the log at O(mutations per TTL window) regardless
+    // of table lifetime.
+    val cl = new Path(commitLogPath)
+    if (fs.exists(cl)) {
+      val cutoff = System.currentTimeMillis() - LakehouseTable.commitTtlMs
+      fs.listStatus(cl).iterator
+        .filter(_.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
+    }
     val prefix = live.getName + ".tombstone-"
     val actions = fs.listStatus(parent).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(prefix))
@@ -257,15 +397,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // the crashed swap as completed and drop the tombstone — losing
     // the entire pre-crash table
     repairInterruptedSwaps()
-    val token = invalidateFileStats()
-    step("begin:append")
-    // blind append has no single publish rename; the tripwire check
+    val t = beginMutation("append")
+    // blind append has no single publish rename; the conflict check
     // runs at the last driver-side point before files land
-    assertEpochOwned(token, "append")
+    resolveConflictsOrAbort(t, "append")
+    writeCommitRecord(t)
     val w = df.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
-    publishSchemaEpoch()
+    publishSchemaEpoch(t)
   }
 
   /** Crash-safe append for unpartitioned append-only tables: the batch
@@ -288,17 +428,17 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // full-table tombstone would make a later repair treat the swap as
     // completed and drop the tombstone — losing the pre-crash rows
     repairInterruptedSwaps()
-    val token = invalidateFileStats()
-    step("begin:appendBatch")
+    val t = beginMutation("appendBatch")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.appendstage-$tag"
     write(df, staged)
     val parent = if (bucket.isEmpty) path else s"$path/$bucket"
     fs.mkdirs(new Path(parent))
     val batchDir = s"$parent/batch-$tag"
-    assertEpochOwned(token, "appendBatch")
+    resolveConflictsOrAbort(t, "appendBatch")
+    writeCommitRecord(t)
     renameOrFail(new Path(staged), new Path(batchDir))
-    publishSchemaEpoch()
+    publishSchemaEpoch(t)
     batchDir
   }
 
@@ -374,14 +514,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       s"replaceBucket is for unpartitioned tables; $path is partitioned " +
       s"by ${partitionCols.mkString(",")}")
     repairInterruptedSwaps()
-    val token = invalidateFileStats()
-    step("begin:replaceBucket")
+    val t = beginMutation("replaceBucket")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)
     swapIn(new Path(staged), new Path(s"$path/$bucket"),
-           new Path(s"$path.tombstone-$tag-$bucket"), token, "replaceBucket")
-    publishSchemaEpoch()
+           new Path(s"$path.tombstone-$tag-$bucket"), t, "replaceBucket")
+    publishSchemaEpoch(t)
   }
 
   /** Delta-MERGE parity (S6): dedup the batch on pk (reference
@@ -461,9 +600,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * by the batch's partition count (e.g. dates per delivery), not row
     * count. */
   private def upsertPartitions(deduped: DataFrame): Unit = {
-    val token = invalidateFileStats()
-    step("begin:upsert")
     val pc = partitionCols.head
+    // the affected-value collect reads only the BATCH (not the live
+    // table), so it runs BEFORE beginMutation — the values become the
+    // ticket's partition set, and the begin-snapshot still precedes
+    // every live-state read (the merge's `read` below), which is what
+    // makes the disjointness classification sound: any commit a
+    // concurrent writer lands after our snapshot is classified at our
+    // publish, and a disjoint one cannot have changed the partitions
+    // our merge read.
     val values = deduped.select(col(pc)).distinct().collect().map(_.get(0))
     // null AND empty-string partition values both land in
     // __HIVE_DEFAULT_PARTITION__ but never match the isInCollection
@@ -471,16 +616,28 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // instead of merging with it
     require(!values.contains(null) && !values.contains(""),
       s"partition-scoped upsert requires non-null, non-empty $pc values: $path")
+    val t = beginMutation("upsert", partitionDirNames(values.toSeq))
     val affected = read.filter(col(pc).isInCollection(values.toSeq))
     val merged = Upsert.merge(affected, deduped, pk) // pre-deduped by upsert()
-    swapStagedPartitions(merged, token, "upsert")
+    swapStagedPartitions(merged, t, "upsert")
+  }
+
+  /** Canonical `pc=value` dir-name set for a ticket's partition
+    * scope — the same escaping Spark's partitioned writer uses, so
+    * two writers' sets compare in dir-name space regardless of the
+    * value's runtime type. */
+  private def partitionDirNames(values: Seq[Any]): Set[String] = {
+    val pc = partitionCols.head
+    values.iterator.map(v => s"$pc=" + org.apache.spark.sql.catalyst
+      .catalog.ExternalCatalogUtils
+      .escapePathName(partitionValueString(v))).toSet
   }
 
   /** Stage `slice` partitioned, then tombstone-swap each of its
     * partition dirs into the live table. Shared by the merge path
     * ([[upsertPartitions]]) and the replace path
     * ([[replacePartitions]]); each partition's swap is atomic. */
-  private def swapStagedPartitions(slice: DataFrame, token: String,
+  private def swapStagedPartitions(slice: DataFrame, ticket: MutationTicket,
                                    op: String): Unit = {
     val pc = partitionCols.head
     val tag = UUID.randomUUID().toString.take(8)
@@ -489,14 +646,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val children = fs.listStatus(new Path(staged)).toSeq
       .map(_.getPath).filter(_.getName.startsWith(s"$pc="))
     children.foreach { child =>
-      // per-child ownership check: an interleaver mid-SEQUENCE aborts
-      // the remaining partition swaps too, not just the first
+      // per-child conflict check: a non-commuting interleaver
+      // mid-SEQUENCE aborts the remaining partition swaps too, not
+      // just the first (the common path is one marker read per child)
       swapIn(child, new Path(path, child.getName),
-             new Path(s"$path.tombstone-$tag-${child.getName}"), token, op)
+             new Path(s"$path.tombstone-$tag-${child.getName}"), ticket, op)
     }
     step(s"delete:staged-$tag")
     fs.delete(new Path(staged), true)
-    publishSchemaEpoch()
+    publishSchemaEpoch(ticket)
   }
 
   /** Partition-scoped REPLACE (Delta `replaceWhere` shape): every
@@ -512,20 +670,23 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       s"replacePartitions needs a single-column-partitioned table: $path")
     repairInterruptedSwaps()
     if (exists) assertPartitionedLayout()
-    val token = invalidateFileStats()
-    step("begin:replacePartitions")
     val pc = partitionCols.head
     // the slice is often an aggregation (summary refresh); persist it
     // across the two actions here (values collect + staged write) or
     // that aggregation runs twice
     val cached = slice.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // values from the caller's slice, not live state — collected
+      // before beginMutation so they seed the ticket's partition set
+      // (see upsertPartitions for the ordering argument)
       val values = cached.select(col(pc)).distinct().collect().map(_.get(0))
       require(!values.contains(null) && !values.contains(""),
         s"replacePartitions requires non-null, non-empty $pc values: $path")
       if (values.isEmpty) return
       if (!exists) { overwrite(cached); return }
-      swapStagedPartitions(cached, token, "replacePartitions")
+      val t = beginMutation("replacePartitions",
+                            partitionDirNames(values.toSeq))
+      swapStagedPartitions(cached, t, "replacePartitions")
     } finally { cached.unpersist(); () }
   }
 
@@ -546,17 +707,17 @@ final case class LakehouseTable(spark: SparkSession, path: String,
             !values.exists(v => String.valueOf(v).isEmpty),
       s"dropPartitions requires non-null, non-empty values: $path")
     repairInterruptedSwaps()
-    val token = invalidateFileStats()
-    step("begin:dropPartitions")
+    val t = beginMutation("dropPartitions", partitionDirNames(values))
     val pc = partitionCols.head
     values.foreach { v =>
       val dir = s"$pc=" + org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(partitionValueString(v))
-      assertEpochOwned(token, "dropPartitions")
+      resolveConflictsOrAbort(t, "dropPartitions")
+      writeCommitRecord(t)
       step(s"delete:$dir")
       fs.delete(new Path(path, dir), true)
     }
-    publishSchemaEpoch()
+    publishSchemaEpoch(t)
   }
 
   /** The string form Spark's partitioned writer used for the dir name.
@@ -776,13 +937,18 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   }
 
   /** Stamp a fresh epoch token and return it — the returned value is
-    * this mutation's OWNERSHIP token for [[assertEpochOwned]]. */
+    * this mutation's OWNERSHIP token for
+    * [[resolveConflictsOrAbort]]'s fast path. */
   private def stampSchemaEpoch(): String = {
     val token = UUID.randomUUID().toString
-    val out = fs.create(new Path(schemaEpochPath), true)
-    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    stampEpochValue(token)
     token
+  }
+
+  private def stampEpochValue(v: String): Unit = {
+    val out = fs.create(new Path(schemaEpochPath), true)
+    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Stats are DERIVED data: every mutating entry point deletes them
@@ -799,11 +965,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * stamps AGAIN after its publish rename: the post-swap epoch can
     * only ever be observed alongside the post-swap schema, so the
     * worst a racing reader caches is the pre-swap epoch + pre-swap
-    * schema, which the second stamp immediately invalidates. */
-  private def publishSchemaEpoch(): Unit = {
+    * schema, which the second stamp immediately invalidates.
+    *
+    * The re-stamp value is the mutation's own token suffixed `:pub`
+    * (not a fresh UUID): a concurrent commuting writer that observes
+    * the marker can then match it to this mutation's commit record
+    * and proceed, instead of burning its retry window on a token it
+    * cannot explain. */
+  private def publishSchemaEpoch(t: MutationTicket): Unit = {
     cachedSchema = null
-    stampSchemaEpoch()
-    ()
+    stampEpochValue(t.token + ":pub")
   }
 
   private def invalidateFileStats(): String = {
@@ -980,14 +1151,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     repairInterruptedSwaps() // every mutator repairs first — a stale
     // partition tombstone surviving into the NEXT generation would be
     // "restored" into it later, resurrecting old-generation rows
-    val token = invalidateFileStats() // a stale manifest would point at
+    val t = beginMutation("overwriteVersioned") // the epoch stamp also
+    // invalidates the manifests — a stale one would point at
     // part-files renamed into .versions/
-    step("begin:overwriteVersioned")
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
     write(df, staged)
     val live = new Path(path)
-    assertEpochOwned(token, "overwriteVersioned")
+    resolveConflictsOrAbort(t, "overwriteVersioned")
+    writeCommitRecord(t)
     if (fs.exists(live)) {
       // archive through the TOMBSTONE protocol, not a direct rename:
       // live→tombstone, staged→live, tombstone→archive. A crash before
@@ -1021,7 +1193,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       step(s"delete:v$v")
       fs.delete(new Path(versionsRoot, s"v$v"), true)
     }
-    publishSchemaEpoch()
+    publishSchemaEpoch(t)
   }
 
   /** TIME-based archive retention — the reference's vacuum windows
@@ -1134,4 +1306,16 @@ object LakehouseTable {
     * cannot trip each other. Production never sets it — the default is
     * a single volatile read per step. */
   @volatile private[graft] var globalFaultHook: (String, String) => Unit = null
+
+  /** Optimistic-concurrency knobs (process-wide; tests shrink them).
+    * `conflictRetries × conflictRetrySleepMs` bounds how long a
+    * publisher waits for an in-flight concurrent writer of unknown
+    * intent to publish its commit record before aborting loudly.
+    * `commitTtlMs` is the retention of commit records — it must
+    * exceed any real mutation's begin-to-publish duration, since a
+    * record pruned mid-window would hide a conflict from a concurrent
+    * writer that began before the record's mutation did. */
+  @volatile private[graft] var conflictRetries: Int = 25
+  @volatile private[graft] var conflictRetrySleepMs: Long = 200L
+  @volatile private[graft] var commitTtlMs: Long = 3600L * 1000
 }

@@ -186,8 +186,9 @@ class FaultScheduleSpec extends AnyFunSuite {
       s"${TestSpark.tmpDir("fs-upp-n")}/t", Seq("k"), Seq("part"))
     probe.overwrite(init.toSeq.toDF("k", "v", "part"))
     val steps = countSteps(probe)(probe.upsert(batch.toSeq.toDF("k", "v", "part")))
-    // begin + 2 partitions x (tombstone, promote, drop) + staged sweep
-    assert(steps == 8, s"expected 8 interruption points, got $steps")
+    // begin + commit record + 2 partitions x (tombstone, promote,
+    // drop) + staged sweep
+    assert(steps == 9, s"expected 9 interruption points, got $steps")
 
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-upp-$k")
@@ -225,7 +226,8 @@ class FaultScheduleSpec extends AnyFunSuite {
       s"${TestSpark.tmpDir("fs-dp-n")}/t", Seq("k"), Seq("part"))
     probe.overwrite(init.toSeq.toDF("k", "v", "part"))
     val steps = countSteps(probe)(probe.dropPartitions(Seq("p1", "p2")))
-    assert(steps == 3, s"expected begin + 2 per-partition deletes, got $steps")
+    assert(steps == 4,
+      s"expected begin + commit + 2 per-partition deletes, got $steps")
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-dp-$k")
       val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
@@ -253,8 +255,8 @@ class FaultScheduleSpec extends AnyFunSuite {
     val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-ab-n")}/t", Seq("k"))
     probe.appendBatch(first)
     val steps = countSteps(probe) { probe.appendBatch(second); () }
-    assert(steps == 2,
-      s"appendBatch must be begin + ONE publish rename, got $steps")
+    assert(steps == 3,
+      s"appendBatch must be begin + commit + ONE publish rename, got $steps")
 
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-ab-$k")
@@ -285,7 +287,8 @@ class FaultScheduleSpec extends AnyFunSuite {
     val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-rb-n")}/t", Seq("k"))
     probe.appendBatch(oldB.toSeq.toDF("k", "v"), bucket = "b")
     val steps = countSteps(probe)(probe.replaceBucket("b", newB.toSeq.toDF("k", "v")))
-    assert(steps == 4, s"expected begin + the 3 swap steps, got $steps")
+    assert(steps == 5,
+      s"expected begin + commit + the 3 swap steps, got $steps")
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-rb-$k")
       val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
@@ -341,9 +344,12 @@ class FaultScheduleSpec extends AnyFunSuite {
     a.overwrite(Seq((2, "mine")).toDF("k", "v"))
     assert(a.read.as[(Int, String)].collect().toSet == Set((2, "mine")))
 
-    // same contract on the partition-scoped upsert path: B completes a
-    // full upsert inside A's window; A aborts before ANY partition
+    // same contract on the partition-scoped upsert path when the two
+    // writers OVERLAP: B completes a full upsert touching p1 inside
+    // A's window; A (also touching p1) aborts before ANY partition
     // swap, so the table is exactly B's merge — then A's retry lands
+    // on top of it. (The disjoint-partition case now COMMUTES and
+    // both land — see the optimistic-concurrency test below.)
     val dir2 = TestSpark.tmpDir("tripwire2")
     val pa = LakehouseTable(spark, s"$dir2/t", Seq("k"), Seq("part"))
     pa.overwrite(Seq((1, "a", "p1"), (2, "b", "p2")).toDF("k", "v", "part"))
@@ -352,7 +358,7 @@ class FaultScheduleSpec extends AnyFunSuite {
     pa.faultHook = label =>
       if (label == "begin:upsert" && !injected2) {
         injected2 = true
-        pb.upsert(Seq((2, "B2", "p2")).toDF("k", "v", "part"))
+        pb.upsert(Seq((3, "B3", "p1")).toDF("k", "v", "part"))
       }
     intercept[java.util.ConcurrentModificationException] {
       pa.upsert(Seq((1, "A1", "p1")).toDF("k", "v", "part"))
@@ -360,10 +366,140 @@ class FaultScheduleSpec extends AnyFunSuite {
     pa.faultHook = null
     assert(injected2)
     assert(pa.read.as[(Int, String, String)].collect().toSet ==
-           Set((1, "a", "p1"), (2, "B2", "p2")), "B's merge not intact")
+           Set((1, "a", "p1"), (3, "B3", "p1"), (2, "b", "p2")),
+           "B's merge not intact")
     pa.upsert(Seq((1, "A1", "p1")).toDF("k", "v", "part"))
     assert(pa.read.as[(Int, String, String)].collect().toSet ==
-           Set((1, "A1", "p1"), (2, "B2", "p2")))
+           Set((1, "A1", "p1"), (3, "B3", "p1"), (2, "b", "p2")))
+  }
+
+  test("optimistic concurrency: commutative concurrent writers both " +
+       "land; non-commuting and unknown-intent writers abort loudly") {
+    import graft.tables.{LakehouseTable => LT}
+
+    // 1. append ∥ append (appendBatch, the crash-safe append path):
+    // B lands a COMPLETE batch inside A's begin-to-publish window —
+    // appends read no live state and land uniquely-named batch dirs,
+    // so A classifies B's commit record as commuting and publishes
+    // too. Both batches visible, nothing lost, no exception.
+    val dirA = TestSpark.tmpDir("occ-append")
+    val a1 = LakehouseTable(spark, s"$dirA/t", Seq("k"))
+    a1.appendBatch(Seq((0, "base")).toDF("k", "v"))
+    val a2 = LakehouseTable(spark, s"$dirA/t", Seq("k"))
+    var appended = false
+    a1.faultHook = label =>
+      if (label == "begin:appendBatch" && !appended) {
+        appended = true
+        a2.appendBatch(Seq((2, "from-B")).toDF("k", "v"))
+      }
+    a1.appendBatch(Seq((1, "from-A")).toDF("k", "v"))
+    a1.faultHook = null
+    assert(appended)
+    assert(a1.read.as[(Int, String)].collect().toSet ==
+           Set((0, "base"), (1, "from-A"), (2, "from-B")),
+           "concurrent appends lost a batch")
+
+    // 2. upsert ∥ upsert on DISJOINT partitions: B merges p2 inside
+    // A's p1 window. B's commit record carries {part=p2}; A touches
+    // {part=p1}; the sets are disjoint, so A's merge (which read only
+    // p1, unchanged by B) publishes. Both updates land.
+    val dirU = TestSpark.tmpDir("occ-upsert")
+    val u1 = LakehouseTable(spark, s"$dirU/t", Seq("k"), Seq("part"))
+    u1.overwrite(Seq((1, "a", "p1"), (2, "b", "p2")).toDF("k", "v", "part"))
+    val u2 = LakehouseTable(spark, s"$dirU/t", Seq("k"), Seq("part"))
+    var upserted = false
+    u1.faultHook = label =>
+      if (label == "begin:upsert" && !upserted) {
+        upserted = true
+        u2.upsert(Seq((2, "B2", "p2")).toDF("k", "v", "part"))
+      }
+    u1.upsert(Seq((1, "A1", "p1")).toDF("k", "v", "part"))
+    u1.faultHook = null
+    assert(upserted)
+    assert(u1.read.as[(Int, String, String)].collect().toSet ==
+           Set((1, "A1", "p1"), (2, "B2", "p2")),
+           "disjoint-partition upserts did not both land")
+
+    // 3. append ∥ overwrite does NOT commute: the overwrite's swap
+    // has no knowledge of the in-flight append's rows — the append
+    // must abort, the overwrite's generation stays intact, and the
+    // append's rerun lands on the new generation.
+    val dirX = TestSpark.tmpDir("occ-mixed")
+    val x1 = LakehouseTable(spark, s"$dirX/t", Seq("k"))
+    x1.appendBatch(Seq((0, "base")).toDF("k", "v"))
+    val x2 = LakehouseTable(spark, s"$dirX/t", Seq("k"))
+    var overwrote = false
+    x1.faultHook = label =>
+      if (label == "begin:appendBatch" && !overwrote) {
+        overwrote = true
+        x2.overwrite(Seq((9, "new-gen")).toDF("k", "v"))
+      }
+    intercept[java.util.ConcurrentModificationException] {
+      x1.appendBatch(Seq((1, "from-A")).toDF("k", "v"))
+    }
+    x1.faultHook = null
+    assert(overwrote)
+    assert(x1.read.as[(Int, String)].collect().toSet == Set((9, "new-gen")),
+           "overwrite generation damaged by aborted append")
+    x1.appendBatch(Seq((1, "from-A")).toDF("k", "v"))
+    assert(x1.read.as[(Int, String)].collect().toSet ==
+           Set((9, "new-gen"), (1, "from-A")))
+
+    // 4. in-flight writer of UNKNOWN intent (epoch stamped, no commit
+    // record — e.g. one that will turn out to be an overwrite): the
+    // publisher retries its bounded window, then aborts loudly
+    // instead of guessing. Simulated by stamping a foreign token
+    // directly (the one state a classifier cannot explain).
+    val (savedR, savedS) = (LT.conflictRetries, LT.conflictRetrySleepMs)
+    LT.conflictRetries = 2
+    LT.conflictRetrySleepMs = 10
+    try {
+      val dirF = TestSpark.tmpDir("occ-inflight")
+      val f1 = LakehouseTable(spark, s"$dirF/t", Seq("k"))
+      f1.appendBatch(Seq((0, "base")).toDF("k", "v"))
+      var stamped = false
+      f1.faultHook = label =>
+        if (label == "begin:appendBatch" && !stamped) {
+          stamped = true
+          // through the Hadoop FS (not raw java.io) so the local
+          // filesystem's checksum sidecar stays consistent
+          val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
+            spark.sparkContext.hadoopConfiguration)
+          val out = hfs.create(
+            new org.apache.hadoop.fs.Path(s"$dirF/t.schemaepoch"), true)
+          out.write("in-flight-foreign-token".getBytes("UTF-8"))
+          out.close()
+        }
+      val e = intercept[java.util.ConcurrentModificationException] {
+        f1.appendBatch(Seq((1, "mine")).toDF("k", "v"))
+      }
+      f1.faultHook = null
+      assert(stamped)
+      assert(e.getMessage.contains("unknown intent"), e.getMessage)
+      assert(f1.read.as[(Int, String)].collect().toSet == Set((0, "base")))
+    } finally {
+      LT.conflictRetries = savedR
+      LT.conflictRetrySleepMs = savedS
+    }
+
+    // 5. under the kill harness: a writer killed right after its
+    // commit record (before any rename) leaves an orphan record —
+    // the rerun (whose begin-snapshot includes the orphan) and later
+    // unrelated mutations are unaffected.
+    val dirK = TestSpark.tmpDir("occ-kill")
+    val k1 = LakehouseTable(spark, s"$dirK/t", Seq("k"))
+    k1.appendBatch(Seq((0, "base")).toDF("k", "v"))
+    // step 3 of appendBatch is the publish rename (begin, commit,
+    // rename) — killing there leaves the record with no batch dir
+    crashAt(k1, 3) { k1.appendBatch(Seq((1, "x")).toDF("k", "v")); () }
+    assert(new java.io.File(s"$dirK/t.commits").list()
+             .count(_.startsWith("c-")) >= 2,
+           "orphan commit record missing — kill landed elsewhere")
+    val k2 = LakehouseTable(spark, s"$dirK/t", Seq("k"))
+    k2.appendBatch(Seq((1, "x")).toDF("k", "v"))
+    k2.overwrite(Seq((9, "done")).toDF("k", "v"))
+    assert(k2.read.as[(Int, String)].collect().toSet == Set((9, "done")),
+           "stale commit record blocked a later mutation")
   }
 
   test("fault schedule: vacuumVersions — live and newest archive never touched") {
