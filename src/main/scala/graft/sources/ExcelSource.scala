@@ -921,43 +921,106 @@ object ExcelSource {
         r.toSeq
       }
       try write(header, rows, os) finally os.close()
-      // single-step commit — NO delete(out) first: with speculation, a
-      // zombie attempt's delete could remove the winner's committed
-      // part after the stage was marked complete (count() returns,
-      // _SUCCESS written, partition silently missing). A bare rename
-      // is safe both ways: POSIX rename atomically replaces the target
-      // (both attempts wrote complete workbooks for the same
-      // partition, either is correct); HDFS rename fails when the
-      // target exists, which IS the another-attempt-committed signal.
-      if (!fs.rename(tmp, out)) {
-        val lost = fs.exists(out) // another attempt already committed
-        fs.delete(tmp, false)
-        require(lost, s"rename $tmp -> $out failed with no committed part")
-      }
+      publishPart(fs, tmp, out,
+                  new Path(dir, f"part-$pid%05d.xlsx.claim"), attempt)
       Iterator.single(1)
     }.count()
     // failed/lost task attempts that died between create and rename
     // leave `*.xlsx.inprogress-<attempt>` tmps behind — invisible to
     // read() (its glob is *.xlsx) but accumulating forever. When
     // count() returns every partition has a COMMITTED part, so the
-    // sweep is correct to run — but it is best-effort, not a
-    // completeness proof: Spark kills zombie speculative attempts
-    // asynchronously, so a still-running twin can recreate an
-    // inprogress tmp after this sweep (harmless leftover) or rename
-    // its complete workbook over the winner's committed part (also
-    // harmless — both attempts wrote complete workbooks for the same
-    // partition, see the in-task commit note above; read() never sees
-    // a partial file because the rename is the only publish step).
-    // (Swept in-task instead, a speculative twin could delete a LIVE
-    // attempt's in-flight tmp — two racing attempts deleting each
-    // other would fail both renames.) Residuals are cleared by the
-    // next writeDir's unconditional part-*.xlsx* pre-sweep, which
-    // runs whether or not _SUCCESS exists; a crashed JOB leaves tmps
-    // but no _SUCCESS, handled the same way.
+    // sweep is correct to run. HARD CONTRACT (see [[publishPart]]):
+    // a committed part can never be replaced afterwards — a zombie
+    // speculative twin that Spark kills asynchronously finds the
+    // partition's claim file taken and its part committed, deletes
+    // its own tmp, and exits without ever renaming. The only residue
+    // a zombie can leave is an inprogress tmp recreated after this
+    // sweep (it creates its tmp at task start, before observing the
+    // claim) — invisible to read() and cleared by the next writeDir's
+    // unconditional part-*.xlsx* pre-sweep, which runs whether or not
+    // _SUCCESS exists; a crashed JOB leaves tmps but no _SUCCESS,
+    // handled the same way. (Swept in-task instead, a speculative
+    // twin could delete a LIVE attempt's in-flight tmp.) Claim files
+    // must PERSIST past this point: deleting them here would reopen
+    // the replace window for a zombie arriving later — the pre-sweep
+    // of the next export is their collector.
     Option(driverFs.globStatus(new Path(dirPath, "part-*.xlsx.inprogress-*")))
       .getOrElse(Array.empty).foreach(s => driverFs.delete(s.getPath, false))
     val ok = driverFs.create(new Path(dirPath, "_SUCCESS"), true)
     ok.close()
+  }
+
+  /** Commit one task attempt's complete workbook `tmp` as the
+    * partition's part file `out` — exactly-once publish under
+    * speculative execution, as a hard contract rather than a
+    * tolerated race.
+    *
+    * Speculation cannot be scoped off at runtime (`spark.speculation`
+    * is a scheduler conf fixed at context start — the
+    * checkpointKeepingLayout scoped-conf pattern does not apply), so
+    * the exclusivity is built from the one primitive every Hadoop
+    * filesystem makes atomic: `create(path, overwrite = false)`. The
+    * first attempt to create the partition's CLAIM file owns the
+    * publish and renames its tmp into place; every later attempt —
+    * including a zombie speculative twin still running after the
+    * stage completed — finds the claim taken and the part committed,
+    * deletes its own tmp, and exits WITHOUT renaming. A committed
+    * part is therefore never replaced (the pre-claim-protocol writer
+    * relied on "both workbooks are equivalent" to tolerate a late
+    * zombie's rename landing over the winner; now the rename cannot
+    * happen at all). Claim files persist until the next export's
+    * pre-sweep — deleting them sooner would reopen the window.
+    *
+    * Crash recovery: a claimer that dies between claim and rename
+    * leaves a claim with no part. Its retry (or a speculative twin)
+    * polls briefly for the part, then TAKES OVER: deletes the dead
+    * claim and loops back to claiming. Two concurrent stealers are
+    * possible only after a mid-window crash plus a full poll timeout
+    * in both — and even then each renames a complete workbook of the
+    * same rows, so the pathological outcome matches the old
+    * protocol's common case. Bounded takeovers fail loudly rather
+    * than spin. */
+  private[graft] def publishPart(fs: org.apache.hadoop.fs.FileSystem,
+                                   tmp: org.apache.hadoop.fs.Path,
+                                   out: org.apache.hadoop.fs.Path,
+                                   claim: org.apache.hadoop.fs.Path,
+                                   attempt: Long,
+                                   pollMs: Long = 100L,
+                                   polls: Int = 50): Unit = {
+    var takeovers = 0
+    while (true) {
+      val claimed =
+        try {
+          val s = fs.create(claim, false)
+          try s.write(java.lang.Long.toString(attempt)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally s.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (claimed) {
+        // sole owner: the target can only exist after a takeover of a
+        // crashed claimer that DID rename (we then re-publish the same
+        // rows — replace is correct); on filesystems whose rename
+        // refuses an existing target, that existing part is it
+        if (!fs.rename(tmp, out)) {
+          require(fs.exists(out),
+            s"rename $tmp -> $out failed with no committed part")
+          fs.delete(tmp, false)
+        }
+        return
+      }
+      // claim taken: winner committed, in flight, or dead mid-window
+      var waited = 0
+      while (!fs.exists(out) && waited < polls) {
+        Thread.sleep(pollMs); waited += 1
+      }
+      if (fs.exists(out)) { fs.delete(tmp, false); return } // lost cleanly
+      takeovers += 1
+      require(takeovers <= 3,
+        s"claim $claim held with no committed part after " +
+        s"${takeovers} takeover attempts — cannot publish $out")
+      fs.delete(claim, false)
+    }
   }
 
   private def colRef(i: Int): String = {

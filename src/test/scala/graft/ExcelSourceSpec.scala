@@ -431,6 +431,49 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(back2.count() == 100)
   }
 
+  test("publishPart: committed parts are never replaced — speculative " +
+       "zombies lose the claim; dead-claimer takeover converges") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = TestSpark.tmpDir("xlsx-claim")
+    def plant(name: String, content: String): Path = {
+      val p = new Path(dir, name)
+      val os = fs.create(p, true)
+      os.write(content.getBytes("UTF-8")); os.close(); p
+    }
+    def readOut(p: Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val out = new Path(dir, "part-00000.xlsx")
+    val claim = new Path(dir, "part-00000.xlsx.claim")
+
+    // 1. winner publishes: part committed, claim held, tmp gone
+    val t1 = plant("part-00000.xlsx.inprogress-1", "winner")
+    ExcelSource.publishPart(fs, t1, out, claim, 1, pollMs = 1, polls = 2)
+    assert(readOut(out) == "winner" && fs.exists(claim) && !fs.exists(t1))
+
+    // 2. the HARD contract: a late zombie twin (the attempt Spark
+    // kills asynchronously after the stage completed) must NOT rename
+    // over the committed part — old protocol tolerated that replace,
+    // the claim protocol forbids it
+    val t2 = plant("part-00000.xlsx.inprogress-2", "zombie")
+    ExcelSource.publishPart(fs, t2, out, claim, 2, pollMs = 1, polls = 2)
+    assert(readOut(out) == "winner", "zombie replaced a committed part")
+    assert(!fs.exists(t2), "loser left its tmp behind")
+
+    // 3. dead-claimer takeover: claim exists, no part (a claimer that
+    // crashed between claim and rename) — the retry polls out, steals
+    // the claim, and publishes
+    val out3 = new Path(dir, "part-00001.xlsx")
+    plant("part-00001.xlsx.claim", "99") // dead attempt's claim
+    val t3 = plant("part-00001.xlsx.inprogress-3", "retry")
+    ExcelSource.publishPart(fs, t3, out3,
+      new Path(dir, "part-00001.xlsx.claim"), 3, pollMs = 1, polls = 2)
+    assert(readOut(out3) == "retry", "takeover did not publish")
+  }
+
   test("writeSheets rejects sheet names Excel itself would refuse") {
     // >31 chars, and each forbidden character — a workbook with such a
     // name is a valid zip this library round-trips but Excel "repairs"
