@@ -53,6 +53,15 @@ object Tables {
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Reconstruct a warehouse's full table catalog in this session —
+    * see [[graft.tables.Catalog.attach]]. One call makes every table
+    * a writer session registered via [[graft.tables.Catalog.register]]
+    * SQL-queryable here (the multi-session surface the reference gets
+    * from the Glue Data Catalog + Athena). */
+  def attach(spark: SparkSession, warehouseRoot: String)
+      : Seq[(graft.tables.Catalog.Entry, String)] =
+    graft.tables.Catalog.attach(spark, warehouseRoot)
 }
 
 /** Per-query context: lazily bound tables for one scale-factor dir. */
