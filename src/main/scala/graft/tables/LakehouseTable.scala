@@ -1078,8 +1078,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       case Some(survivors) =>
         val files = survivors.collect().map(_.getString(0))
         if (files.isEmpty) emptyFrame.filter(col(c) === lit(value))
-        else filtered(spark.read.option("basePath", path)
-          .schema(liveSchema).parquet(files.toIndexedSeq: _*))
+        else filtered(readExplicit(files.toIndexedSeq))
     }
   }
 
@@ -1122,11 +1121,41 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty) emptyFrame
-    // basePath lets a partitioned table's explicit file list still
-    // recover its key=value partition columns from the paths
-    else filtered(spark.read.option("basePath", path)
-      .schema(liveSchema).parquet(files.toIndexedSeq: _*))
+    else filtered(readExplicit(files.toIndexedSeq))
   }
+
+  /** Assemble a read over an explicit survivor FILE list.
+    *
+    * DataFrameReader glob-checks every given path on the driver
+    * (milliseconds each, effectively sequential): 50k survivor paths
+    * cost ~15–30 s of driver time before any executor runs (measured
+    * — FileScaleSpec's prune-assemble leg). Survivors of a range
+    * prune on a clustered table are dir-contiguous, so every parent
+    * dir whose data files ALL survived collapses to the dir path
+    * itself: O(dirs) reader paths and one cheap listStatus per
+    * candidate dir instead of O(files) driver globs. Partially-
+    * covered dirs keep their per-file paths, so the assembled row set
+    * is EXACTLY the survivor files either way (a collapsed dir
+    * contributes precisely its surviving members; callers re-apply
+    * the exact predicate on top regardless). `basePath` keeps a
+    * partitioned table's key=value columns recoverable from either
+    * path form. */
+  private def readExplicit(files: Seq[String]): DataFrame = {
+    val byDir = files.groupBy(f => new Path(f).getParent)
+    val paths = byDir.iterator.flatMap { case (dir, members) =>
+      if (members.size >= 2 && countDataFiles(dir) == members.size)
+        Iterator.single(dir.toString)
+      else members.iterator
+    }.toIndexedSeq.sorted
+    spark.read.option("basePath", path)
+      .schema(liveSchema).parquet(paths: _*)
+  }
+
+  private def countDataFiles(dir: Path): Int =
+    fs.listStatus(dir).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
 
   // ── version retention (Delta time-travel parity, single-writer) ────
   // Instead of deleting the tombstone after a swap, versioned
