@@ -131,19 +131,16 @@ object Catalog {
         spark.catalog.refreshTable(e.name)
     }
 
-  /** The table's current mutation epoch, read from the same marker
-    * the table layer stamps ("absent" for never-mutated paths). */
-  private def currentEpoch(spark: SparkSession, path: String): String = {
-    val p = new Path(path + ".schemaepoch")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "absent"
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
-  }
+  /** The table's current mutation epoch, read through the table
+    * layer's torn-read-tolerant marker reader ("absent" for
+    * never-mutated paths) — a verifying read would throw
+    * ChecksumException whenever a concurrent stamper interleaved
+    * (see LakehouseTable.markerFs). */
+  private def currentEpoch(spark: SparkSession, path: String): String =
+    LakehouseTable.readMarker(
+      LakehouseTable.rawFs(new java.net.URI(path),
+                           spark.sparkContext.hadoopConfiguration),
+      path + ".schemaepoch")
 
   // minimal JSON codec — the entry shape is fixed and flat, and
   // json4s (on Spark's classpath) does the parsing; emission is a

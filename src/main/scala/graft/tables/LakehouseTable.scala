@@ -221,15 +221,22 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     t
   }
 
-  private def readCommit(name: String): (String, Set[String]) = {
-    val in = fs.open(new Path(commitLogPath, name))
-    val txt = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    val i = txt.indexOf('|')
-    val ps = txt.substring(i + 1).split(",").iterator.filter(_.nonEmpty)
-      .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
-    (txt.substring(0, i), ps)
-  }
+  private def readCommit(name: String): (String, Set[String]) =
+    LakehouseTable.retryTornRead() {
+      // commit records are create-once (never rewritten), so the only
+      // race is a reader slipping between a concurrent writer's
+      // create and close: verification-free read + shape check +
+      // bounded wait covers it (same discipline as the epoch marker)
+      val in = markerFs.open(new Path(commitLogPath, name))
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val i = txt.indexOf('|')
+      if (i < 0) throw new java.io.IOException(
+        s"torn commit record $name: '$txt'")
+      val ps = txt.substring(i + 1).split(",").iterator.filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+      (txt.substring(0, i), ps)
+    }
 
   /** Publish this mutation's commit record — once, immediately after
     * the conflict check and before the first rename, so a concurrent
@@ -925,16 +932,26 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * every mutation ([[invalidateFileStats]]). "absent" (pre-marker
     * tables, or a table never mutated through this API) behaves like
     * any other single value — the first mutation stamps a real one. */
-  private def schemaEpoch(): String = {
-    val p = new Path(schemaEpochPath)
-    if (!fs.exists(p)) "absent"
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
-  }
+  private def schemaEpoch(): String =
+    LakehouseTable.readMarker(markerFs, schemaEpochPath)
+
+  /** Marker reads go through a CHECKSUM-VERIFICATION-FREE FileSystem
+    * instance. The epoch marker is rewritten by concurrent stampers
+    * with create(overwrite), and on a checksummed filesystem (the
+    * Hadoop local FS) each rewrite lands the data file and its .crc
+    * sidecar as TWO operations — two interleaved stampers can leave
+    * writer A's bytes PERMANENTLY paired with writer B's .crc, and
+    * every verifying reader then throws ChecksumException until the
+    * next stamp (surfaced by the truly-parallel append spec: four
+    * concurrent writers all crashed on each other's stamps; retrying
+    * the verified read cannot help because the mismatch is at rest,
+    * not in flight). The markers are ~40-byte advisory values whose
+    * content is validated by shape and retried when torn
+    * ([[LakehouseTable.readMarker]]), and the next stamp rewrites
+    * both files — skipping crc verification for THESE reads loses
+    * nothing. Data files never go through this instance. */
+  private def markerFs = LakehouseTable.rawFs(
+    new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
   /** Stamp a fresh epoch token and return it — the returned value is
     * this mutation's OWNERSHIP token for
@@ -1347,4 +1364,63 @@ object LakehouseTable {
   @volatile private[graft] var conflictRetries: Int = 25
   @volatile private[graft] var conflictRetrySleepMs: Long = 200L
   @volatile private[graft] var commitTtlMs: Long = 3600L * 1000
+
+  /** Process-wide cache of checksum-verification-free FileSystem
+    * instances for marker reads (see the instance-side `markerFs`
+    * doc for why verification must be off there). `newInstance`
+    * bypasses Hadoop's FS cache so the flag cannot leak into data
+    * reads; one instance per scheme+authority, never closed (they
+    * live as long as the process, like Hadoop's own cache). */
+  private val rawFsCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.hadoop.fs.FileSystem]()
+
+  private[tables] def rawFs(uri: java.net.URI,
+                            conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.fs.FileSystem =
+    rawFsCache.computeIfAbsent(
+      uri.getScheme + "://" + Option(uri.getAuthority).getOrElse(""),
+      _ => {
+        val f = org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
+        f.setVerifyChecksum(false)
+        f
+      })
+
+  /** Read a tiny marker file's content through `mfs` (a [[rawFs]]
+    * instance), tolerating the create-to-close torn window of a
+    * concurrent stamper: empty content is a writer mid-flight, not a
+    * value — bounded wait, then loud. Absent marker = "absent". */
+  private[tables] def readMarker(
+      mfs: org.apache.hadoop.fs.FileSystem, markerPath: String): String =
+    retryTornRead() {
+      val p = new org.apache.hadoop.fs.Path(markerPath)
+      if (!mfs.exists(p)) "absent"
+      else {
+        val in = mfs.open(p)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        if (txt.isEmpty) throw new java.io.IOException(
+          s"torn marker $markerPath: empty")
+        txt
+      }
+    }
+
+  /** Bounded retry for marker reads racing a concurrent writer's
+    * create/close window. Persistent IOExceptions (a genuinely
+    * corrupt or perpetually-contended marker) propagate after the
+    * attempts are spent. */
+  private[tables] def retryTornRead[A](attempts: Int = 50)
+                                      (body: => A): A = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.IOException =>
+          i += 1
+          if (i >= attempts) throw e
+          Thread.sleep(5)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -502,6 +502,46 @@ class FaultScheduleSpec extends AnyFunSuite {
            "stale commit record blocked a later mutation")
   }
 
+  test("optimistic concurrency: TRULY parallel appendBatch writers all " +
+       "land (threads, not hook-serialized interleaving)") {
+    // the hook-based legs serialize the interleaver inside the
+    // writer's window; this one runs four real threads through the
+    // whole begin→stage→resolve→publish protocol simultaneously, so
+    // the unknown-intent retry path (marker holds a token whose
+    // record hasn't landed yet) is exercised by genuine in-flight
+    // writers rather than a planted marker. Appends commute, so ALL
+    // must land — any lost batch is a protocol hole, any abort here
+    // is a false conflict.
+    import graft.tables.{LakehouseTable => LT}
+    val (savedR, savedS) = (LT.conflictRetries, LT.conflictRetrySleepMs)
+    LT.conflictRetries = 150 // 30 s window: four concurrent Spark
+    LT.conflictRetrySleepMs = 200 // jobs on 4 cores stretch publishes
+    try {
+      val dir = TestSpark.tmpDir("occ-parallel")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          try {
+            val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+            t.appendBatch(Seq((i, s"writer-$i")).toDF("k", "v"))
+            ()
+          } catch { case e: Throwable => errs.add(e); () }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty,
+        s"parallel appends failed: ${errs.toArray.toSeq.map(_.toString)}")
+      val got = LakehouseTable(spark, s"$dir/t", Seq("k"))
+        .read.as[(Int, String)].collect().toSet
+      assert(got == (0 until 4).map(i => (i, s"writer-$i")).toSet,
+        s"lost batches: $got")
+    } finally {
+      LT.conflictRetries = savedR
+      LT.conflictRetrySleepMs = savedS
+    }
+  }
+
   test("fault schedule: vacuumVersions — live and newest archive never touched") {
     def setup(dir: String): LakehouseTable = {
       val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
