@@ -14,10 +14,44 @@ import java.util.UUID
   * rename: readers referencing the live path never observe a partial
   * write, and a crashed writer leaves only an orphaned staging dir.
   * Single-writer assumption documented, matching the reference's one
-  * scheduled Glue job. At cluster scale the same pattern works on any
-  * HDFS-compatible store with atomic dir rename; on S3 the swap step
-  * would move a prefix pointer (manifest) instead — the table API is
-  * the stable seam for that change.
+  * scheduled Glue job (commuting concurrent writers are auto-merged —
+  * see the optimistic-concurrency block below).
+  *
+  * ==Filesystem contract (deployment envelope)==
+  *
+  * The protocol is built from exactly TWO filesystem primitives, and
+  * which guarantees survive on a given store follows from which
+  * primitives that store makes atomic (FsContractSpec pins the
+  * assumed behaviors):
+  *
+  *   1. '''Atomic rename''' (`FileSystem.rename`, file or dir, fails
+  *      rather than clobbers): carries every swap — tombstone swaps
+  *      (overwrite / upsert / replacePartitions / replaceBucket /
+  *      versioned archive), appendBatch's batch-dir publish, blind
+  *      append's per-file moves, the fold rewrite's `compacted-<tag>`
+  *      landing, and batch acks. True on HDFS, POSIX local, ABFS,
+  *      and GCS; FALSE on raw S3 (rename = copy+delete, neither
+  *      atomic nor failing-on-existing). On S3, every swap-based
+  *      guarantee (old-or-new reader visibility, tombstone crash
+  *      recovery, batch all-or-nothing) degrades — deploy these
+  *      tables on a rename-capable store, or put a manifest/log layer
+  *      (Delta/Iceberg-style) in front; the table API is the stable
+  *      seam for that change.
+  *   2. '''Exclusive create''' (`FileSystem.create(path,
+  *      overwrite=false)`): carries the commit/intent records and the
+  *      Excel writer's claim files. Atomic on HDFS/local; S3 now
+  *      offers conditional PUT (If-None-Match), but Hadoop S3A
+  *      implements create-exclusive as check-then-create — two
+  *      racers can both win, so record-based conflict DETECTION
+  *      (loud aborts) weakens to best-effort there while the
+  *      physically-disjoint commuting writes stay safe.
+  *
+  * Marker files (schema epoch) are advisory rewrite-in-place values
+  * read through a checksum-free FS with shape-validated bounded
+  * retry; they need only read-after-write of small objects, which
+  * every store above provides. Listing consistency (commit-log and
+  * tombstone scans) is assumed — true everywhere since S3's 2020
+  * strong-consistency change.
   */
 final case class LakehouseTable(spark: SparkSession, path: String,
                                 pk: Seq[String],
@@ -160,23 +194,48 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   // first writer loudly. Correct but strict — two appends, or upserts
   // touching disjoint partitions, cannot actually conflict (their
   // renames land in physically disjoint dirs and neither derives data
-  // the other changed). This generalizes the tripwire into bounded
-  // optimistic retry: every mutation publishes a tiny COMMIT RECORD
-  // (`<table>.commits/c-<token>`: op + touched partition set) before
-  // its renames; at publish time a writer classifies every record
-  // that appeared since its own begin-snapshot. All commuting →
-  // publish proceeds (append∥append; partition-scoped ops on disjoint
-  // sets — Delta's AddFile-disjointness check re-expressed on the dir
-  // protocol). Any non-commuting record → the loud abort, exactly as
-  // before. A marker token with no record yet is a writer still in
-  // flight with unknown intent: bounded retry waits for its record,
-  // then aborts loudly if it never publishes. The residual
-  // check-to-rename race window of the original tripwire remains and
-  // is unchanged in size — commuting ops are also PHYSICALLY disjoint
-  // (unique batch dirs, distinct partition dirs), so a racer slipping
-  // through the window can only be one that would have been allowed
-  // anyway; non-commuting racers keep the documented tripwire-not-
-  // lock tolerance.
+  // the other changed). This generalizes the tripwire into two-phase
+  // records: every mutation writes an INTENT record
+  // (`<table>.commits/i-<token>`: op + touched partition set) at
+  // BEGIN — before it stamps the epoch marker, so an observed marker
+  // is always explainable — and a PUBLISH record (`c-<token>`, same
+  // body) immediately before its first rename. At publish time a
+  // writer classifies every record that appeared since its own
+  // begin-snapshot:
+  //
+  //   - non-commuting PUBLISH record → loud abort (the other writer
+  //     passed its own check and may have renamed);
+  //   - non-commuting INTENT (no publish yet) → loud abort too. One
+  //     winner is guaranteed: begin-stamps serialize on the marker,
+  //     the LAST beginner's publish takes the marker==own-token fast
+  //     path, and every earlier beginner either sees the later
+  //     intent/publish record here or — had it published first — is
+  //     seen by the later writer's classification. (Aborting on a
+  //     mere intent is what keeps the fast path sound: a non-
+  //     commuting writer may never slip past a live window
+  //     unpublished, or the fast-path holder would miss its record.)
+  //   - commuting records (intent or publish) → proceed immediately.
+  //     Intent-at-begin is what lets a commuting writer pass without
+  //     burning the retry window on a marker whose publish record
+  //     would only appear after the owner's whole staged write
+  //     (minutes on real data).
+  //
+  // Commuting = append∥append, partition-scoped ops on disjoint sets
+  // (Delta's AddFile-disjointness re-expressed on the dir protocol),
+  // and append∥compactFold (the rewrite's input snapshot predates any
+  // interleaved append's uniquely-named files). A marker token with
+  // NO record at all (legacy writer, foreign stamp) keeps the bounded
+  // retry + loud abort. The residual check-to-rename race window of
+  // the original tripwire remains and is unchanged in size; commuting
+  // ops are also PHYSICALLY disjoint (unique batch dirs / part-file
+  // names, distinct partition dirs), so a racer slipping through the
+  // window can only be one that would have been allowed anyway.
+  //
+  // A crashed writer leaves an orphan INTENT. Only records appearing
+  // AFTER a writer's begin-snapshot are classified, so a rerun (whose
+  // snapshot includes the orphan) is never blocked; only a
+  // non-commuting writer already in flight when the orphan appeared
+  // aborts spuriously — conservative and loud, TTL-bounded.
 
   /** Ownership + conflict-classification state for one mutation:
     * the epoch token stamped at begin, the operation class, the
@@ -191,13 +250,21 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   }
 
   /** Ops that add data without reading or replacing any live file:
-    * always commute with each other (each lands a uniquely-named
-    * batch dir / part files). */
+    * always commute with each other. [[appendBatch]] lands one
+    * uniquely-named batch dir; [[append]] stages and then renames
+    * part files whose names carry the write job's UUID — two appends
+    * can never touch the same path, and neither shares a
+    * `_temporary` dir (the staged write owns its own). */
   private val AppendOps = Set("append", "appendBatch")
   /** Ops whose effect is confined to an explicit partition-dir set:
     * commute with each other iff the sets are disjoint. */
   private val PartitionScopedOps =
     Set("upsert", "replacePartitions", "dropPartitions")
+  /** Content-preserving rewrites of a file snapshot taken at begin:
+    * commute with appends (an interleaved append's uniquely-named
+    * files are outside the snapshot, so the rewrite neither reads
+    * nor removes them) but NOT with each other or anything else. */
+  private val RewriteOps = Set("compactFold")
 
   private def commitLogPath = s"$path.commits"
 
@@ -205,18 +272,25 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val p = new Path(commitLogPath)
     if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("c-")).toSet
+      .filter(n => n.startsWith("c-") || n.startsWith("i-")).toSet
   }
 
   /** Start a mutation: snapshot the commit log (BEFORE any live-state
-    * read — records appearing after this are interleavers), stamp the
-    * epoch token, fire the begin step. */
+    * read — records appearing after this are interleavers), write the
+    * INTENT record, then stamp the epoch token. Intent-before-stamp
+    * means any writer that observes this mutation's marker token can
+    * already read its op + partition scope — a concurrent commuting
+    * writer proceeds immediately instead of waiting out a retry
+    * window that the owner's whole staged write sits inside. */
   private def beginMutation(op: String,
                             parts: Set[String] = Set.empty)
       : MutationTicket = {
     val t = new MutationTicket(op, parts)
     t.snapshot = listCommitNames()
-    t.token = invalidateFileStats()
+    t.token = UUID.randomUUID().toString
+    step(s"intent:$op")
+    writeRecord("i-" + t.token, t.op, t.parts)
+    invalidateFileStats(t.token)
     step(s"begin:$op")
     t
   }
@@ -238,6 +312,17 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       (txt.substring(0, i), ps)
     }
 
+  /** Write one record file (create-once, never rewritten). */
+  private def writeRecord(name: String, op: String,
+                          parts: Set[String]): Unit = {
+    fs.mkdirs(new Path(commitLogPath))
+    val body = op + "|" +
+      parts.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+    val out = fs.create(new Path(commitLogPath, name), false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Publish this mutation's commit record — once, immediately after
     * the conflict check and before the first rename, so a concurrent
     * writer's classification window (record-to-rename) is as small as
@@ -245,16 +330,28 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * record for a mutation that never landed: later OVERLAPPING
     * writers inside the TTL window abort spuriously (conservative,
     * loud), and the rerun — whose begin-snapshot includes the orphan —
-    * is unaffected. */
+    * is unaffected.
+    *
+    * SELF-CHECK: the mutation's own intent record must still exist.
+    * TTL pruning can never remove a record a within-TTL mutation
+    * still needs (every record it must classify appeared after its
+    * own begin, so it expires later) — the ONE hole is a mutation
+    * whose begin-to-publish exceeds commitTtlMs: its conflict history
+    * may have been pruned out from under it, and publishing anyway
+    * could silently overwrite a pruned non-commuting writer's
+    * generation. Its own intent record ages on exactly the same
+    * clock, so "my intent is gone" detects the hole precisely, and
+    * the abort is loud instead of the lost update being silent. */
   private def writeCommitRecord(t: MutationTicket): Unit =
     if (!t.recorded) {
       step(s"commit:${t.op}")
-      fs.mkdirs(new Path(commitLogPath))
-      val body = t.op + "|" +
-        t.parts.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
-      val out = fs.create(new Path(commitLogPath, "c-" + t.token), false)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      if (!fs.exists(new Path(commitLogPath, "i-" + t.token)))
+        abortConflict(t, t.op,
+          s"this mutation's begin-to-publish window outlived " +
+          s"commitTtlMs (${LakehouseTable.commitTtlMs} ms) and its " +
+          "conflict history may have been pruned — publishing could " +
+          "silently overwrite a concurrent writer's generation")
+      writeRecord("c-" + t.token, t.op, t.parts)
       t.recorded = true
     }
 
@@ -262,40 +359,52 @@ final case class LakehouseTable(spark: SparkSession, path: String,
                        parts: Set[String]): Boolean =
     (AppendOps(t.op) && AppendOps(op)) ||
     (PartitionScopedOps(t.op) && PartitionScopedOps(op) &&
-      t.parts.intersect(parts).isEmpty)
+      t.parts.intersect(parts).isEmpty) ||
+    (RewriteOps(t.op) && AppendOps(op)) ||
+    (AppendOps(t.op) && RewriteOps(op))
 
   /** Publish-time conflict resolution. Fast path (the overwhelmingly
     * common sole-writer case): the epoch marker still holds our token
-    * — one marker read, no listing. Otherwise classify every commit
-    * record that appeared since begin: any non-commuting one aborts
-    * loudly (the tripwire contract); all-commuting with the marker
-    * explained (its writer's record present, or our own re-stamp)
-    * proceeds; an unexplained marker is an in-flight writer with
-    * unknown intent — bounded retry, then the loud abort. */
+    * — one marker read, no listing. Otherwise classify every record
+    * (intent or publish) that appeared since begin: any non-commuting
+    * one aborts loudly (see the block comment above for why a mere
+    * non-commuting INTENT must abort too); all-commuting with the
+    * marker explained (its writer's intent or publish record present)
+    * proceeds; an unexplained marker is a writer that predates the
+    * record protocol or a foreign stamp — bounded retry, then the
+    * loud abort. */
   private def resolveConflictsOrAbort(t: MutationTicket,
                                       op: String): Unit = {
     var attempt = 0
     while (true) {
       val cur = schemaEpoch()
       if (cur == t.token || cur == t.token + ":pub") return
-      val fresh = listCommitNames() - ("c-" + t.token) -- t.snapshot
-      fresh.foreach { name =>
+      val fresh = listCommitNames() - ("c-" + t.token) - ("i-" + t.token) --
+        t.snapshot
+      // classify each interleaved TOKEN once (its intent and publish
+      // records carry the same body)
+      fresh.map(_.drop(2)).foreach { tok =>
+        val name = if (fresh.contains("c-" + tok)) "c-" + tok else "i-" + tok
         val (otherOp, otherParts) = readCommit(name)
         if (!commutes(t, otherOp, otherParts))
           abortConflict(t, op,
-            s"a concurrent '$otherOp' committed" +
+            s"a concurrent '$otherOp' " +
+            (if (name.startsWith("c-")) "committed"
+             else "is in flight (intent recorded)") +
             (if (otherParts.nonEmpty)
                s" touching {${otherParts.mkString(", ")}}" else "") +
             (if (t.parts.nonEmpty)
                s" while this writer touches {${t.parts.mkString(", ")}}"
              else ""))
       }
-      // every completed interleaver commutes; is the marker's writer
-      // among them? (publish re-stamps as "<token>:pub", and a record
-      // is always written before any rename, so a finished — or
-      // mid-rename but already-validated — writer has its record
-      // visible by the time its token can be observed here)
-      if (fresh.contains("c-" + cur.stripSuffix(":pub"))) return
+      // every interleaver commutes; is the marker's writer among
+      // them? (the intent record is written before the begin stamp
+      // and the publish record before any rename, so any token
+      // observable here has its record visible — modulo the record
+      // create/close window the bounded retry absorbs)
+      val curTok = cur.stripSuffix(":pub")
+      if (fresh.contains("i-" + curTok) || fresh.contains("c-" + curTok))
+        return
       attempt += 1
       if (attempt >= LakehouseTable.conflictRetries)
         abortConflict(t, op,
@@ -358,14 +467,25 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // live mutation's begin-to-publish window, so anything older than
     // the TTL (≫ any sane mutation duration) is dead weight. Pruning
     // here bounds the log at O(mutations per TTL window) regardless
-    // of table lifetime.
+    // of table lifetime. Pruning is SAFE for any within-TTL mutation:
+    // every record it must classify appeared after its own begin, so
+    // it expires later than the mutation's own intent record — and a
+    // mutation that outlives the TTL detects its pruned intent at
+    // publish and aborts loudly ([[writeCommitRecord]]'s self-check)
+    // instead of merging over a hidden conflict. Fold rewrite
+    // records (`rw-`) are exempt: they are deleted explicitly when
+    // the fold completes, and a crash-orphaned one is consumed by
+    // [[repairFoldRewrites]] below — TTL-pruning one mid-crash would
+    // strand duplicate input files forever.
     val cl = new Path(commitLogPath)
     if (fs.exists(cl)) {
       val cutoff = System.currentTimeMillis() - LakehouseTable.commitTtlMs
       fs.listStatus(cl).iterator
+        .filter(s => !s.getPath.getName.startsWith("rw-"))
         .filter(_.getModificationTime < cutoff)
         .foreach(s => fs.delete(s.getPath, false))
     }
+    val foldActions = repairFoldRewrites()
     val prefix = live.getName + ".tombstone-"
     val actions = fs.listStatus(parent).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(prefix))
@@ -389,30 +509,96 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // mutators do, or readPruned/readBloomFiltered silently drop the
     // restored rows. Dropped (superseded) tombstones change nothing
     // live, so they skip the invalidation.
-    if (actions.exists(_.startsWith("restored:"))) { invalidateFileStats(); () }
-    actions
+    if ((actions ++ foldActions).exists(_.startsWith("restored:")))
+      { invalidateFileStats(); () }
+    foldActions ++ actions
   }
 
-  /** Blind append (reference S5 semantics). Not atomic across files —
-    * a crash mid-write leaves a partial batch visible. Kept for
-    * reference parity; the pipeline's append-only tables (bronze
-    * landing, quarantine) use [[appendBatch]] instead. */
+  /** Recover crash-interrupted [[rewriteFold]] mutations from their
+    * `rw-<tag>` records. The fold's commit point is the rename that
+    * lands `compacted-<tag>` into the live dir:
+    *
+    *   - landed → roll FORWARD: delete any recorded input entry still
+    *     present (the crashed writer died mid-delete-loop; its rows
+    *     live on inside the compacted dir), then drop the record. A
+    *     reader between the crash and this repair sees those inputs
+    *     TWICE — the fold's documented duplicate window.
+    *   - not landed → roll BACK: nothing visible ever changed (the
+    *     staged rewrite is an orphan for [[vacuum]]); drop the record.
+    *
+    * Both paths are idempotent under a crash mid-repair. */
+  private def repairFoldRewrites(): Seq[String] = {
+    val cl = new Path(commitLogPath)
+    if (!fs.exists(cl)) return Nil
+    fs.listStatus(cl).toSeq.filter(_.getPath.getName.startsWith("rw-"))
+      .flatMap { st =>
+        val tag = st.getPath.getName.drop(3)
+        val (_, inputs) = readCommit(st.getPath.getName)
+        val acts =
+          if (fs.exists(new Path(path, s"compacted-$tag"))) {
+            val dels = inputs.toSeq.filter(n => fs.exists(new Path(path, n)))
+            dels.foreach { n =>
+              step(s"delete:$n")
+              fs.delete(new Path(path, n), true)
+            }
+            // a completed delete changes the visible file set relative
+            // to anything derived mid-crash — same invalidation rule
+            // as a tombstone restore
+            dels.map(n => s"restored:fold-dedup-$n") :+ s"completedFold:$tag"
+          } else Seq(s"rolledBackFold:$tag")
+        step(s"delete:rw-$tag")
+        fs.delete(st.getPath, false)
+        acts
+      }
+  }
+
+  /** Blind append (reference S5 semantics): stage the batch to a
+    * sibling dir, then rename each staged part file into the live
+    * tree (creating partition dirs as needed). Not atomic across
+    * files — a crash mid-rename leaves a partial batch visible and a
+    * blind rerun duplicates rows; the pipeline's append-only tables
+    * (bronze landing, quarantine) use [[appendBatch]] instead. The
+    * staging is what makes concurrent appends actually commute: a
+    * direct `mode("append")` write would share `path/_temporary`
+    * between two concurrent FileOutputCommitter jobs, and the first
+    * job's commitJob deletes `_temporary` recursively — wiping the
+    * second job's committed task outputs, which then "succeeds"
+    * having appended nothing. Staged writes each own their staging
+    * dir, and the renamed part files carry the write job's UUID in
+    * their names, so two appends can never touch the same path. */
   def append(df: DataFrame): Unit = {
-    // repair FIRST, like every other mutator: a parquet append-mode
-    // write re-creates a missing live dir, so appending over an
-    // unrepaired full-table tombstone would make the next repair treat
-    // the crashed swap as completed and drop the tombstone — losing
-    // the entire pre-crash table
+    // repair FIRST, like every other mutator: the per-file renames
+    // re-create a missing live dir, so appending over an unrepaired
+    // full-table tombstone would make the next repair treat the
+    // crashed swap as completed and drop the tombstone — losing the
+    // entire pre-crash table
     repairInterruptedSwaps()
     val t = beginMutation("append")
-    // blind append has no single publish rename; the conflict check
-    // runs at the last driver-side point before files land
+    val tag = UUID.randomUUID().toString.take(8)
+    val staged = s"$path.staged-$tag"
+    write(df, staged)
+    // the conflict check runs at the last driver-side point before
+    // files land
     resolveConflictsOrAbort(t, "append")
     writeCommitRecord(t)
-    val w = df.write.mode("append")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(path)
+    moveTreeInto(new Path(staged), new Path(path))
+    step(s"delete:staged-$tag")
+    fs.delete(new Path(staged), true)
     publishSchemaEpoch(t)
+  }
+
+  /** Rename every data file under `src` to the same relative path
+    * under `dst`, creating intermediate (partition) dirs. `_SUCCESS`
+    * and other hidden entries stay behind for the staging-dir
+    * delete. */
+  private def moveTreeInto(src: Path, dst: Path): Unit = {
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) ()
+      else if (st.isDirectory) moveTreeInto(st.getPath, new Path(dst, n))
+      else renameOrFail(st.getPath, new Path(dst, n))
+    }
   }
 
   /** Crash-safe append for unpartitioned append-only tables: the batch
@@ -799,17 +985,76 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // partition still sitting in a tombstone would be absent from the
     // rewrite and the later swap would silently delete it for good
     repairInterruptedSwaps()
+    if (!exists) return
     val live = new Path(path)
     val bytes = fs.getContentSummary(live).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // partitioned tables cluster on the partition key so each task
-    // holds whole partitions — a plain repartition(n) before the
-    // partitionBy write would scatter every partition across n tasks
-    // and emit up to n files PER partition, the opposite of compaction
-    val df = if (partitionCols.isEmpty) read.repartition(nFiles)
-             else read.repartition(nFiles,
-                                   partitionCols.map(org.apache.spark.sql.functions.col): _*)
-    overwrite(df, preShaped = true)
+    if (partitionCols.isEmpty)
+      // the fold protocol: commutes with concurrent appends (the
+      // reference's autoCompact runs beside its scheduled appends by
+      // design, config/settings.py:124-127)
+      rewriteFold("compact", _.repartition(nFiles))
+    else
+      // partitioned tables keep the strict whole-table swap (a
+      // concurrent mutator aborts loudly): their compaction rewrites
+      // partition DIRS in place, which the fold's flat
+      // `compacted-<tag>` landing cannot express. They also cluster
+      // on the partition key so each task holds whole partitions — a
+      // plain repartition(n) before the partitionBy write would
+      // scatter every partition across n tasks and emit up to n
+      // files PER partition, the opposite of compaction.
+      overwrite(read.repartition(nFiles,
+                  partitionCols.map(org.apache.spark.sql.functions.col): _*),
+                preShaped = true)
+  }
+
+  /** Append-commuting content-preserving rewrite for UNPARTITIONED
+    * tables — Delta's OPTIMIZE-beside-appends reality without a
+    * transaction log. The rewrite's INPUT is a file snapshot taken at
+    * begin; an interleaved append's uniquely-named batch dir / part
+    * files are outside it, so the fold neither reads nor removes them
+    * (see [[RewriteOps]] and the conflict-classification block).
+    *
+    * Protocol: stage the shaped rewrite of exactly the snapshot, then
+    * (1) write a durable `rw-<tag>` record naming the input entries,
+    * (2) rename the staged dir into the live tree as
+    * `compacted-<tag>` — the COMMIT POINT; the live dir itself is
+    * never renamed away, which is what makes a concurrent
+    * appendBatch's mkdirs+rename race-free against this — and
+    * (3) delete each input entry. Readers between (2) and the end of
+    * (3) may observe input rows TWICE (every row stays visible at
+    * least once; nothing is ever hidden or lost — chosen over a
+    * hide-first ordering whose crash would leave rows invisible until
+    * repair). A crash anywhere resolves through
+    * [[repairFoldRewrites]]: forward past the commit point (finish
+    * the deletes), backward before it (nothing visible ever changed).
+    * Cross-entry visibility is sequential, the same contract as the
+    * per-partition swap sequence. */
+  private def rewriteFold(what: String,
+                          shape: DataFrame => DataFrame): Unit = {
+    val t = beginMutation("compactFold")
+    // input snapshot AFTER begin (the begin-snapshot must precede
+    // every live-state read): root-level visible entries
+    val inputNames = fs.listStatus(new Path(path)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    val tag = t.token.take(8)
+    val staged = s"$path.staged-$tag"
+    val snapshotDf = spark.read.option("recursiveFileLookup", "true")
+      .schema(liveSchema)
+      .parquet(inputNames.map(n => s"$path/$n"): _*)
+    write(shape(snapshotDf), staged, preShaped = true)
+    resolveConflictsOrAbort(t, what)
+    writeCommitRecord(t)
+    writeRecord(s"rw-$tag", "compactFold", inputNames.toSet)
+    renameOrFail(new Path(staged), new Path(path, s"compacted-$tag"))
+    inputNames.foreach { n =>
+      step(s"delete:$n")
+      fs.delete(new Path(path, n), true)
+    }
+    step(s"delete:rw-$tag")
+    fs.delete(new Path(commitLogPath, s"rw-$tag"), false)
+    publishSchemaEpoch(t)
   }
 
   /** Spark-native approximation of OPTIMIZE ZORDER BY
@@ -818,7 +1063,8 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * stats become selective — the same data-skipping intent, no Delta
     * required. */
   def optimizeClustered(cols: Seq[String]): Unit = {
-    repairInterruptedSwaps() // before the eager `read` snapshot — see compact
+    repairInterruptedSwaps() // before the eager snapshot — see compact
+    if (!exists) return
     // On a dir-partitioned table the partition key LEADS the range
     // keys: each task then holds a contiguous (partition, cols) slice,
     // so a partition's files cover disjoint col ranges and a task
@@ -828,8 +1074,12 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // files a compaction just merged.
     val cs = (partitionCols ++ cols.filterNot(partitionCols.contains))
       .map(org.apache.spark.sql.functions.col)
-    overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*),
-              preShaped = true)
+    if (partitionCols.isEmpty)
+      rewriteFold("optimizeClustered",
+        _.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*))
+    else
+      overwrite(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*),
+                preShaped = true)
   }
 
   /** TRUE multi-column Z-order (Delta `OPTIMIZE ZORDER BY` semantics,
@@ -862,33 +1112,37 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     require(bits >= 1 && bits * cols.size <= 30,
       s"bits*cols must fit an int z-key, got $bits*${cols.size}")
     val d = cols.size
-    repairInterruptedSwaps() // before the eager `read` snapshot — see compact
-    val snapshot = read
-    val boundaries: Seq[Array[Double]] = cols.map { c =>
-      val probs = (1 until (1 << bits)).map(_ / (1 << bits).toDouble)
-      snapshot.select(col(c).cast("double").as("v"))
-        .stat.approxQuantile("v", probs.toArray, 0.001)
-    }
-    val zkey = cols.zipWithIndex.map { case (c, i) =>
-      // rank ∈ [0, 2^bits): count of boundaries ≤ value (nulls rank 0)
-      val rank = aggregate(lit(boundaries(i)), lit(0),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
-      // spread rank's bits to positions j*d + i of the z-key
-      (0 until bits).map { j =>
-        shiftleft(shiftright(rank, j).bitwiseAND(lit(1)), j * d + i)
+    repairInterruptedSwaps() // before the eager snapshot — see compact
+    if (!this.exists) return
+    def shape(snapshot: DataFrame): DataFrame = {
+      val boundaries: Seq[Array[Double]] = cols.map { c =>
+        val probs = (1 until (1 << bits)).map(_ / (1 << bits).toDouble)
+        snapshot.select(col(c).cast("double").as("v"))
+          .stat.approxQuantile("v", probs.toArray, 0.001)
+      }
+      val zkey = cols.zipWithIndex.map { case (c, i) =>
+        // rank ∈ [0, 2^bits): count of boundaries ≤ value (nulls rank 0)
+        val rank = aggregate(lit(boundaries(i)), lit(0),
+          (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        // spread rank's bits to positions j*d + i of the z-key
+        (0 until bits).map { j =>
+          shiftleft(shiftright(rank, j).bitwiseAND(lit(1)), j * d + i)
+        }.reduce[Column](_ + _)
       }.reduce[Column](_ + _)
-    }.reduce[Column](_ + _)
-    // explicit file count pins the skipping granularity — with AQE on,
-    // an unpinned repartitionByRange coalesces small tables to one
-    // file and the z-order silently buys zero skipping. Default: the
-    // compaction target, so z-ordering IS the compaction pass (one
-    // rewrite, never compact-then-zorder twice).
-    val n = numFiles.getOrElse {
-      val bytes = fs.getContentSummary(new Path(path)).getLength
-      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      // explicit file count pins the skipping granularity — with AQE
+      // on, an unpinned repartitionByRange coalesces small tables to
+      // one file and the z-order silently buys zero skipping.
+      // Default: the compaction target, so z-ordering IS the
+      // compaction pass (one rewrite, never compact-then-zorder
+      // twice).
+      val n = numFiles.getOrElse {
+        val bytes = fs.getContentSummary(new Path(path)).getLength
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      }
+      snapshot.repartitionByRange(n, zkey).sortWithinPartitions(zkey)
     }
-    overwrite(snapshot.repartitionByRange(n, zkey).sortWithinPartitions(zkey),
-              preShaped = true)
+    if (partitionCols.isEmpty) rewriteFold("optimizeZOrder", shape)
+    else overwrite(shape(read), preShaped = true)
   }
 
   /** Delta-VACUUM parity for the staged-write protocol: first repair
@@ -953,15 +1207,6 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def markerFs = LakehouseTable.rawFs(
     new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  /** Stamp a fresh epoch token and return it — the returned value is
-    * this mutation's OWNERSHIP token for
-    * [[resolveConflictsOrAbort]]'s fast path. */
-  private def stampSchemaEpoch(): String = {
-    val token = UUID.randomUUID().toString
-    stampEpochValue(token)
-    token
-  }
-
   private def stampEpochValue(v: String): Unit = {
     val out = fs.create(new Path(schemaEpochPath), true)
     try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -994,10 +1239,12 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     stampEpochValue(t.token + ":pub")
   }
 
-  private def invalidateFileStats(): String = {
+  private def invalidateFileStats(
+      token: String = UUID.randomUUID().toString): String = {
     cachedSchema = null // the mutation may evolve the live schema
-    val token = stampSchemaEpoch() // ...and sibling instances must see it;
-    // the token is the caller's publish-time ownership proof
+    stampEpochValue(token) // ...and sibling instances must see it; the
+    // token is the caller's publish-time ownership proof (repair-side
+    // callers pass no token and stamp a fresh anonymous one)
     fs.delete(new Path(fileStatsPath), true)
     fs.delete(new Path(bloomStatsPath), true)
     // same discipline for the MV registry: a summary registered over
@@ -1160,7 +1407,7 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   private def readExplicit(files: Seq[String]): DataFrame = {
     val byDir = files.groupBy(f => new Path(f).getParent)
     val paths = byDir.iterator.flatMap { case (dir, members) =>
-      if (members.size >= 2 && countDataFiles(dir) == members.size)
+      if (members.size >= 2 && fullyCovered(dir, members.size))
         Iterator.single(dir.toString)
       else members.iterator
     }.toIndexedSeq.sorted
@@ -1168,11 +1415,27 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       .schema(liveSchema).parquet(paths: _*)
   }
 
-  private def countDataFiles(dir: Path): Int =
-    fs.listStatus(dir).count { st =>
+  /** A dir collapses to its own path only when its DIRECT data files
+    * are exactly the survivors AND it holds no visible subdirectory —
+    * a mixed layout (root part files beside later batch-* dirs, after
+    * layout changes or mixed writers) collapsed to the parent would
+    * pull subdir files not in the survivor list into the read and can
+    * trip partition-structure inference. */
+  private def fullyCovered(dir: Path, nMembers: Int): Boolean = {
+    var files = 0
+    val sts = fs.listStatus(dir)
+    var i = 0
+    while (i < sts.length) {
+      val st = sts(i)
       val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) return false
+        files += 1
+      }
+      i += 1
     }
+    files == nMembers
+  }
 
   // ── version retention (Delta time-travel parity, single-writer) ────
   // Instead of deleting the tombstone after a swap, versioned

@@ -123,12 +123,108 @@ class FaultScheduleSpec extends AnyFunSuite {
       finalRows = merged)
   }
 
-  test("fault schedule: compact (content-preserving rewrite)") {
+  test("fault schedule: compact (fold rewrite — row SET never changes, " +
+       "repair resolves any duplicate window)") {
+    // the unpartitioned fold protocol may leave input rows visible
+    // TWICE between its commit point and the delete loop's end (never
+    // fewer — nothing is hidden or lost); set-equality holds at every
+    // kill point, and repair + rerun converge to the exact multiset.
+    val all = oldGen + ((21, "old21"))
     fullTableSchedule("compact",
       t => { t.overwrite(oldDf); t.append(Seq((21, "old21")).toDF("k", "v")) },
       t => t.compact(512L * 1024 * 1024),
-      validLive = Set(oldGen + ((21, "old21"))), // rows never change
-      finalRows = oldGen + ((21, "old21")))
+      validLive = Set(all), // rows never change set-wise
+      finalRows = all)
+    // duplicate-window bound + exact-count convergence at each kill
+    val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-cfd-n")}/t", Seq("k"))
+    probe.overwrite(oldDf)
+    val steps = countSteps(probe)(probe.compact(512L * 1024 * 1024))
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"fs-cfd-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      t.overwrite(oldDf)
+      val label = crashAt(t, k)(t.compact(512L * 1024 * 1024))
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      val n = r.read.count()
+      assert(n >= oldGen.size && n <= 2L * oldGen.size,
+        s"compact-fold step $k ($label): count $n outside [20, 40]")
+      r.repairInterruptedSwaps()
+      assert(r.read.count() == oldGen.size,
+        s"compact-fold step $k ($label): repair left duplicates/losses")
+      r.compact(512L * 1024 * 1024)
+      assert(r.read.count() == oldGen.size &&
+             r.read.as[(Int, String)].collect().toSet == oldGen,
+        s"compact-fold step $k ($label): rerun did not converge")
+    }
+  }
+
+  test("optimistic concurrency: an appendBatch lands DURING a compact " +
+       "and both survive — including at every compact kill point") {
+    // the reference's autoCompact-beside-appends reality
+    // (config/settings.py:124-127): compaction's input snapshot
+    // predates the interleaved batch, so the fold neither reads nor
+    // deletes it. The batch rows and the compacted rows must BOTH be
+    // visible afterwards, with no duplicates once the fold completes.
+    val base = (1 to 20).map(i => (i, s"old$i")).toSet
+    val late = Set((99, "landed-mid-compact"))
+
+    // no-crash leg: inject a COMPLETE concurrent appendBatch inside
+    // the compact's window (after its input snapshot is taken — the
+    // commit step precedes the landing rename and the delete loop)
+    val dir0 = TestSpark.tmpDir("occ-cfa-n")
+    val c0 = LakehouseTable(spark, s"$dir0/t", Seq("k"))
+    base.grouped(5).foreach(g => { c0.appendBatch(g.toSeq.toDF("k", "v")); () })
+    val sib0 = LakehouseTable(spark, s"$dir0/t", Seq("k"))
+    var landed = false
+    c0.faultHook = label =>
+      if (label == "commit:compactFold" && !landed) {
+        landed = true
+        sib0.appendBatch(late.toSeq.toDF("k", "v"))
+        ()
+      }
+    c0.compact(512L * 1024 * 1024)
+    c0.faultHook = null
+    assert(landed, "concurrent append never ran")
+    assert(c0.read.count() == base.size + late.size,
+      "append-during-compact lost or duplicated rows")
+    assert(c0.read.as[(Int, String)].collect().toSet == base ++ late)
+
+    // kill harness: compact crashes at EVERY step with the same
+    // concurrent append injected at its commit step; after repair +
+    // compact rerun, both generations are intact and exact
+    val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("occ-cfa-p")}/t", Seq("k"))
+    base.grouped(5).foreach(g => { probe.appendBatch(g.toSeq.toDF("k", "v")); () })
+    val steps = countSteps(probe)(probe.compact(512L * 1024 * 1024))
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"occ-cfa-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      base.grouped(5).foreach(g => { t.appendBatch(g.toSeq.toDF("k", "v")); () })
+      val sib = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      var mid = false
+      var n2 = 0
+      var hit = ""
+      t.faultHook = label => {
+        if (label == "commit:compactFold" && !mid) {
+          mid = true
+          sib.appendBatch(late.toSeq.toDF("k", "v"))
+          ()
+        }
+        n2 += 1
+        if (n2 == k) { hit = label; throw new RuntimeException(s"kill@$k") }
+      }
+      try { t.compact(512L * 1024 * 1024); () } catch { case _: RuntimeException => () }
+      t.faultHook = null
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      r.repairInterruptedSwaps()
+      // the interleaved batch may not have run for kills before the
+      // commit step; land it now if not (the writer would retry)
+      if (!mid) { sib.appendBatch(late.toSeq.toDF("k", "v")); () }
+      assert(r.read.as[(Int, String)].collect().toSet == base ++ late,
+        s"append-during-compact kill@$k ($hit): rows lost")
+      r.compact(512L * 1024 * 1024)
+      assert(r.read.count() == (base.size + late.size).toLong,
+        s"append-during-compact kill@$k ($hit): duplicates after rerun")
+    }
   }
 
   test("fault schedule: optimizeClustered and optimizeZOrder") {
@@ -186,9 +282,9 @@ class FaultScheduleSpec extends AnyFunSuite {
       s"${TestSpark.tmpDir("fs-upp-n")}/t", Seq("k"), Seq("part"))
     probe.overwrite(init.toSeq.toDF("k", "v", "part"))
     val steps = countSteps(probe)(probe.upsert(batch.toSeq.toDF("k", "v", "part")))
-    // begin + commit record + 2 partitions x (tombstone, promote,
-    // drop) + staged sweep
-    assert(steps == 9, s"expected 9 interruption points, got $steps")
+    // intent + begin + commit record + 2 partitions x (tombstone,
+    // promote, drop) + staged sweep
+    assert(steps == 10, s"expected 10 interruption points, got $steps")
 
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-upp-$k")
@@ -226,8 +322,8 @@ class FaultScheduleSpec extends AnyFunSuite {
       s"${TestSpark.tmpDir("fs-dp-n")}/t", Seq("k"), Seq("part"))
     probe.overwrite(init.toSeq.toDF("k", "v", "part"))
     val steps = countSteps(probe)(probe.dropPartitions(Seq("p1", "p2")))
-    assert(steps == 4,
-      s"expected begin + commit + 2 per-partition deletes, got $steps")
+    assert(steps == 5,
+      s"expected intent + begin + commit + 2 per-partition deletes, got $steps")
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-dp-$k")
       val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
@@ -255,8 +351,8 @@ class FaultScheduleSpec extends AnyFunSuite {
     val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-ab-n")}/t", Seq("k"))
     probe.appendBatch(first)
     val steps = countSteps(probe) { probe.appendBatch(second); () }
-    assert(steps == 3,
-      s"appendBatch must be begin + commit + ONE publish rename, got $steps")
+    assert(steps == 4,
+      s"appendBatch must be intent + begin + commit + ONE publish rename, got $steps")
 
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-ab-$k")
@@ -287,8 +383,8 @@ class FaultScheduleSpec extends AnyFunSuite {
     val probe = LakehouseTable(spark, s"${TestSpark.tmpDir("fs-rb-n")}/t", Seq("k"))
     probe.appendBatch(oldB.toSeq.toDF("k", "v"), bucket = "b")
     val steps = countSteps(probe)(probe.replaceBucket("b", newB.toSeq.toDF("k", "v")))
-    assert(steps == 5,
-      s"expected begin + commit + the 3 swap steps, got $steps")
+    assert(steps == 6,
+      s"expected intent + begin + commit + the 3 swap steps, got $steps")
     (1 to steps).foreach { k =>
       val dir = TestSpark.tmpDir(s"fs-rb-$k")
       val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
@@ -489,9 +585,9 @@ class FaultScheduleSpec extends AnyFunSuite {
     val dirK = TestSpark.tmpDir("occ-kill")
     val k1 = LakehouseTable(spark, s"$dirK/t", Seq("k"))
     k1.appendBatch(Seq((0, "base")).toDF("k", "v"))
-    // step 3 of appendBatch is the publish rename (begin, commit,
-    // rename) — killing there leaves the record with no batch dir
-    crashAt(k1, 3) { k1.appendBatch(Seq((1, "x")).toDF("k", "v")); () }
+    // step 4 of appendBatch is the publish rename (intent, begin,
+    // commit, rename) — killing there leaves the record with no batch dir
+    crashAt(k1, 4) { k1.appendBatch(Seq((1, "x")).toDF("k", "v")); () }
     assert(new java.io.File(s"$dirK/t.commits").list()
              .count(_.startsWith("c-")) >= 2,
            "orphan commit record missing — kill landed elsewhere")
@@ -540,6 +636,74 @@ class FaultScheduleSpec extends AnyFunSuite {
       LT.conflictRetries = savedR
       LT.conflictRetrySleepMs = savedS
     }
+  }
+
+  test("optimistic concurrency: a non-commuting IN-FLIGHT intent aborts " +
+       "the later publisher — no retry window burned, one winner") {
+    // writer B (an overwrite) begins and is killed before its publish
+    // record: only its INTENT exists. A concurrent appendBatch must
+    // abort on the intent alone — waiting cannot help (the ops cannot
+    // both land), and aborting on intents is what keeps the
+    // marker-fast-path sound (a non-commuting writer can never slip
+    // past a live window unpublished). B's rerun — whose begin
+    // snapshot includes the orphan intent — is unaffected.
+    val dir = TestSpark.tmpDir("occ-intent")
+    val a = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    a.appendBatch(Seq((0, "base")).toDF("k", "v"))
+    val b = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    var killed = false
+    a.faultHook = label =>
+      if (label == "begin:appendBatch" && !killed) {
+        killed = true
+        // B runs up to (not including) its commit step: intent written,
+        // epoch stamped, staged write done — then dies
+        crashAt(b, 3)(b.overwrite(Seq((9, "B")).toDF("k", "v")))
+      }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      a.appendBatch(Seq((1, "mine")).toDF("k", "v"))
+    }
+    a.faultHook = null
+    assert(killed)
+    assert(e.getMessage.contains("in flight (intent recorded)"), e.getMessage)
+    // nothing landed from either writer
+    assert(a.read.as[(Int, String)].collect().toSet == Set((0, "base")))
+    // both reruns apply cleanly (snapshots include the orphan intent)
+    b.overwrite(Seq((9, "B")).toDF("k", "v"))
+    a.appendBatch(Seq((1, "mine")).toDF("k", "v"))
+    assert(a.read.as[(Int, String)].collect().toSet ==
+           Set((9, "B"), (1, "mine")))
+  }
+
+  test("optimistic concurrency: a mutation that outlives commitTtlMs " +
+       "aborts loudly at publish instead of merging over pruned history") {
+    // simulate the TTL hole directly: another writer's repair prunes
+    // this mutation's own intent record mid-window (which can only
+    // happen once begin-to-publish exceeds the TTL — every record the
+    // mutation must classify is younger than its own intent, so its
+    // intent is always the first casualty). The publish self-check
+    // turns the potential silent lost-update into a loud abort.
+    val dir = TestSpark.tmpDir("occ-ttl")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.appendBatch(Seq((0, "base")).toDF("k", "v"))
+    var pruned = false
+    t.faultHook = label =>
+      if (label.startsWith("commit:") && !pruned) {
+        pruned = true
+        val cl = new java.io.File(s"$dir/t.commits")
+        cl.listFiles().filter(_.getName.startsWith("i-"))
+          .foreach(f => assert(f.delete()))
+      }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.appendBatch(Seq((1, "slow")).toDF("k", "v"))
+    }
+    t.faultHook = null
+    assert(pruned)
+    assert(e.getMessage.contains("outlived"), e.getMessage)
+    assert(t.read.as[(Int, String)].collect().toSet == Set((0, "base")))
+    // the rerun (a fresh, fast mutation) applies cleanly
+    t.appendBatch(Seq((1, "slow")).toDF("k", "v"))
+    assert(t.read.as[(Int, String)].collect().toSet ==
+           Set((0, "base"), (1, "slow")))
   }
 
   test("fault schedule: vacuumVersions — live and newest archive never touched") {

@@ -33,12 +33,23 @@ class LakehouseTableSpec extends AnyFunSuite {
     val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
     // 20 appends -> many small files
     (1 to 20).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
-    def dataFiles = new java.io.File(s"$dir/t").listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    def dataFiles = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$dir/t"))
+    }
     assert(dataFiles >= 20)
     t.compact(targetFileBytes = 512L * 1024 * 1024)
     assert(dataFiles == 1, s"expected 1 file, got $dataFiles")
     assert(t.read.count() == 20)
+    // the fold rewrite left no input entries or protocol residue
+    val rootNames = new java.io.File(s"$dir/t").list().toSeq
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(rootNames.size == 1 && rootNames.head.startsWith("compacted-"),
+      s"unexpected root entries after fold compact: $rootNames")
+    assert(!new java.io.File(s"$dir/t.commits").list().exists(_.startsWith("rw-")),
+      "fold rewrite record not cleaned up")
 
     // PARTITIONED compaction: fragmented per-partition files collapse
     // to one file per partition, never nFiles × partitions
