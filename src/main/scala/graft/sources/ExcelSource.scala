@@ -958,8 +958,17 @@ object ExcelSource {
     * Speculation cannot be scoped off at runtime (`spark.speculation`
     * is a scheduler conf fixed at context start — the
     * checkpointKeepingLayout scoped-conf pattern does not apply), so
-    * the exclusivity is built from the one primitive every Hadoop
-    * filesystem makes atomic: `create(path, overwrite = false)`. The
+    * the exclusivity is built from `create(path, overwrite = false)`.
+    * SCOPE: that create is atomic on HDFS, POSIX-local, ABFS, and GCS
+    * — there the never-replaced contract below is hard. Hadoop S3A
+    * implements it as check-then-create (S3's native conditional PUT
+    * is not wired through), so on S3A two racers can both win a claim
+    * and the guarantee degrades to the old protocol's tolerance: both
+    * rename complete, equivalent workbooks and last-writer-wins —
+    * rows are never lost or mixed, only the "rename cannot happen at
+    * all" property is local/HDFS-only (same envelope as the table
+    * layer's commit records; see LakehouseTable's filesystem
+    * contract doc and FsContractSpec). The
     * first attempt to create the partition's CLAIM file owns the
     * publish and renames its tmp into place; every later attempt —
     * including a zombie speculative twin still running after the

@@ -61,15 +61,26 @@ object Catalog {
     * Re-registering a name replaces its entry atomically. */
   def register(spark: SparkSession, warehouseRoot: String,
                name: String, table: LakehouseTable): Entry = {
-    table.registerAs(name)
+    // the session-catalog side (DROP + CREATE) is not atomic, so two
+    // threads registering one name in THIS process could race it into
+    // a spurious TableAlreadyExists; serialize in-process (separate
+    // processes own separate session catalogs and contend only on the
+    // manifest, which stages privately and publishes by rename)
+    Catalog.synchronized { table.registerAs(name) }
     val e = Entry(name, table.path, table.pk, table.partitionCols,
                   currentEpoch(spark, table.path),
                   System.currentTimeMillis())
     val fs = fsOf(spark, warehouseRoot)
     fs.mkdirs(dir(warehouseRoot))
     val target = new Path(dir(warehouseRoot), fileOf(name))
+    // UUID tmp suffix, not the timestamp: two same-millisecond
+    // registrations of one name (two sessions racing) would collide
+    // on the tmp path and interleave their writes into it — each
+    // publish must stage privately so the rename-race is
+    // last-writer-wins over COMPLETE manifests only
     val tmp = new Path(dir(warehouseRoot),
-                       fileOf(name) + ".tmp-" + e.updatedAtMs)
+                       fileOf(name) + ".tmp-" +
+                       java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try out.write(toJson(e).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -92,20 +103,53 @@ object Catalog {
     fsOf(spark, warehouseRoot)
       .delete(new Path(dir(warehouseRoot), fileOf(name)), false)
 
-  /** All persisted entries, name-sorted. */
+  /** All persisted entries, name-sorted.
+    *
+    * Reads go through the table layer's CHECKSUM-FREE FileSystem
+    * (same reason as the epoch markers): a manifest replace lands the
+    * data file and its .crc sidecar as TWO operations on a
+    * checksummed store, so two racing registers can leave writer A's
+    * bytes permanently paired with writer B's .crc — a verifying
+    * reader would then throw ChecksumException until the next
+    * register. Content integrity comes from the rename discipline
+    * (readers see one writer's complete bytes) plus the JSON shape
+    * check. A file that VANISHES between the listing and its open
+    * lost a replace race on a store whose rename refuses existing
+    * destinations (the register fallback deletes first) or was
+    * concurrently unregistered — either way "skip" is the correct
+    * answer; transient read errors get the marker reader's bounded
+    * retry. */
   def entries(spark: SparkSession, warehouseRoot: String): Seq[Entry] = {
     val fs = fsOf(spark, warehouseRoot)
     val d = dir(warehouseRoot)
     if (!fs.exists(d)) return Nil
+    val raw = LakehouseTable.rawFs(
+      d.toUri, spark.sparkContext.hadoopConfiguration)
     fs.listStatus(d).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".json"))
-      .map { p =>
-        val in = fs.open(p)
+      .flatMap(readEntry(raw, _))
+      .sortBy(_.name)
+  }
+
+  private def readEntry(raw: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Option[Entry] = {
+    var attempt = 0
+    while (true) {
+      if (!raw.exists(p)) return None // unregistered or mid-replace
+      try {
+        val in = raw.open(p)
         val txt = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        fromJson(txt)
+        return Some(fromJson(txt))
+      } catch {
+        case _: java.io.FileNotFoundException => () // raced a replace
+        case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+          attempt += 1
+          if (attempt >= 20) throw e
       }
-      .sortBy(_.name)
+      Thread.sleep(5)
+    }
+    None // unreachable
   }
 
   /** Reconstruct the full catalog in `spark` — one call in a fresh

@@ -123,4 +123,52 @@ class CatalogSpec extends AnyFunSuite {
     assert(b.sql("SELECT count(*) FROM cat_swap_t WHERE v = 'new'")
              .collect()(0).getLong(0) == 100L)
   }
+
+  test("concurrent registers of one name: one complete winner, manifests " +
+       "parseable at all times (including register-during-attach)") {
+    // two sessions registering the same name simultaneously used to be
+    // able to collide on a same-millisecond tmp path and interleave
+    // writes into one file; the UUID tmp suffix makes each publish
+    // stage privately, so the rename race is last-writer-wins over
+    // COMPLETE manifests. A third thread attaches in a loop the whole
+    // time: every listing must parse (no torn manifest ever visible).
+    val root = TestSpark.tmpDir("cat-race")
+    val dirT = TestSpark.tmpDir("cat-race-t")
+    val t = LakehouseTable(spark, s"$dirT/t", Seq("k"))
+    t.overwrite(Seq((1, "x")).toDF("k", "v"))
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val attacher = new Thread(() => {
+      try while (!stop.get()) {
+        Catalog.entries(spark, root).foreach { e =>
+          assert(e.name == "cat_race_t" && e.path == s"$dirT/t")
+        }
+      } catch { case e: Throwable => errs.add(e); () }
+    })
+    attacher.start()
+    val writers = (0 until 4).map { _ =>
+      new Thread(() => {
+        try (1 to 10).foreach { _ =>
+          Catalog.register(spark, root, "cat_race_t", t); ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join(120000))
+    stop.set(true)
+    attacher.join(120000)
+    assert(errs.isEmpty,
+      s"concurrent register/list failed: ${errs.toArray.toSeq.map(_.toString)}")
+    // exactly one winner remains and it attaches in a fresh session
+    val es = Catalog.entries(spark, root)
+    assert(es.map(_.name) == Seq("cat_race_t"), es.toString)
+    val b = spark.newSession()
+    Catalog.attach(b, root)
+    assert(b.sql("SELECT count(*) FROM cat_race_t").collect()(0).getLong(0) == 1L)
+    // no tmp residue grows without bound (crashed stages are the only
+    // legitimate leftovers; a clean race leaves none)
+    val resid = new java.io.File(s"$root/_catalog").list().count(_.contains(".tmp-"))
+    assert(resid == 0, s"$resid tmp files left behind")
+  }
 }

@@ -112,6 +112,53 @@ class FileScaleSpec extends AnyFunSuite {
       s"driver heap grew ${l("heapMB")} MB assembling a 50k-file prune")
   }
 
+  test("dirs-heavy third point: prune assembly stays ~O(dirs) from 50k " +
+       "to 200k files (2,000 dirs x 100) (slow)") {
+    // the 5k->50k decade pins every move; this leg extends ONLY the
+    // DRIVER-side prune assembly (survivor collect + covered-dir
+    // collapse + reader-path globs — the move the collapse fix made
+    // O(dirs)) one more 4x step, to where the 400k-file extrapolation
+    // lives. The stats manifest is synthesized directly (one row per
+    // file, every file surviving — the same worst-case unselective
+    // shape writeFileStats builds; the distributed build itself is
+    // executor-bound and already pinned), so the leg isolates the
+    // driver constant instead of re-paying a 200k-file scan.
+    def synthManifest(t: LakehouseTable): Int = {
+      import org.apache.spark.sql.functions.lit
+      val files = t.read.inputFiles
+      files.toSeq.toDF("file")
+        .withColumn("min_k", lit(0)).withColumn("max_k", lit(1))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"${t.path}.filestats")
+      files.length
+    }
+    def measurePrune(dirs: Int): (Double, Long, Int) = {
+      val t = buildTable(dirs, 100)
+      val n = synthManifest(t)
+      assert(n == dirs * 100, s"expected ${dirs * 100} files, got $n")
+      val heap0 = usedHeap()
+      val (pruned, tPrune) = timed(t.readPruned("k", 0, 10))
+      val heapGrowth = (usedHeap() - heap0) / (1 << 20)
+      // exactness: the assembled plan covers every survivor file
+      val (got, tResolve) = timed(pruned.inputFiles.length)
+      assert(got == n, s"assembled plan covers $got of $n survivors")
+      info(f"${dirs * 100}%6d files ($dirs dirs): " +
+           f"prune-assemble=$tPrune%5.2fs resolve=$tResolve%5.2fs " +
+           f"heapGrowth=$heapGrowth%4d MB")
+      (tPrune, heapGrowth, n)
+    }
+    val (t50, _, _) = measurePrune(500)    //  50,000 files
+    val (t200, heap200, _) = measurePrune(2000) // 200,000 files
+    val ratio = t200 / math.max(t50, 0.5)
+    info(f"prune-assemble 50k->200k ratio=$ratio%5.1fx")
+    // 4x the files (and dirs): linear lands ~4x; 12x tolerates host
+    // noise while still failing a quadratic assemble (~16x+) or a
+    // return of the per-file driver glob storm (~40x)
+    assert(ratio < 12.0,
+      f"prune assembly scaled $ratio%.1fx across a 4x dirs-heavy step")
+    assert(heap200 < 512, s"driver heap grew $heap200 MB at 200k files")
+  }
+
   private def usedHeap(): Long = {
     System.gc()
     val r = Runtime.getRuntime
