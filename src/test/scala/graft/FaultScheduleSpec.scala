@@ -676,34 +676,55 @@ class FaultScheduleSpec extends AnyFunSuite {
 
   test("optimistic concurrency: a mutation that outlives commitTtlMs " +
        "aborts loudly at publish instead of merging over pruned history") {
-    // simulate the TTL hole directly: another writer's repair prunes
-    // this mutation's own intent record mid-window (which can only
-    // happen once begin-to-publish exceeds the TTL — every record the
-    // mutation must classify is younger than its own intent, so its
-    // intent is always the first casualty). The publish self-check
-    // turns the potential silent lost-update into a loud abort.
-    val dir = TestSpark.tmpDir("occ-ttl")
-    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
-    t.appendBatch(Seq((0, "base")).toDF("k", "v"))
-    var pruned = false
-    t.faultHook = label =>
-      if (label.startsWith("commit:") && !pruned) {
-        pruned = true
-        val cl = new java.io.File(s"$dir/t.commits")
-        cl.listFiles().filter(_.getName.startsWith("i-"))
-          .foreach(f => assert(f.delete()))
+    // the one TTL hole is a mutation whose begin-to-publish exceeds
+    // commitTtlMs: every record it must classify appeared after its
+    // own begin (so expires later), which makes its OWN intent record
+    // always the first casualty of a concurrent repair's pruning —
+    // and the publish self-check turns the potential silent
+    // lost-update into a loud abort. Reproduced with the REAL pruning
+    // path: the TTL is shrunk, the mutation is fault-hook-delayed
+    // past it, and a sibling writer's vacuum-repair prunes mid-window.
+    import graft.tables.{LakehouseTable => LT}
+    val savedTtl = LT.commitTtlMs
+    LT.commitTtlMs = 150
+    try {
+      val dir = TestSpark.tmpDir("occ-ttl")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      t.appendBatch(Seq((0, "base")).toDF("k", "v"))
+      val sibling = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      var delayed = false
+      t.faultHook = label =>
+        if (label.startsWith("commit:") && !delayed) {
+          delayed = true
+          Thread.sleep(400) // begin-to-publish now exceeds the TTL
+          sibling.vacuum(maxAgeMs = Long.MaxValue) // repair prunes the
+          () // expired records (vacuum itself touches nothing else)
+        }
+      val e = intercept[java.util.ConcurrentModificationException] {
+        t.appendBatch(Seq((1, "slow")).toDF("k", "v"))
       }
-    val e = intercept[java.util.ConcurrentModificationException] {
-      t.appendBatch(Seq((1, "slow")).toDF("k", "v"))
-    }
-    t.faultHook = null
-    assert(pruned)
-    assert(e.getMessage.contains("outlived"), e.getMessage)
-    assert(t.read.as[(Int, String)].collect().toSet == Set((0, "base")))
-    // the rerun (a fresh, fast mutation) applies cleanly
-    t.appendBatch(Seq((1, "slow")).toDF("k", "v"))
-    assert(t.read.as[(Int, String)].collect().toSet ==
-           Set((0, "base"), (1, "slow")))
+      t.faultHook = null
+      assert(delayed)
+      assert(e.getMessage.contains("outlived"), e.getMessage)
+      assert(t.read.as[(Int, String)].collect().toSet == Set((0, "base")))
+      // a WITHIN-TTL mutation is never prunable mid-flight: the same
+      // interleaved repair with a sane TTL leaves the intent alone and
+      // the mutation publishes
+      LT.commitTtlMs = 3600L * 1000
+      val t2 = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      var repaired = false
+      t2.faultHook = label =>
+        if (label.startsWith("commit:") && !repaired) {
+          repaired = true
+          sibling.vacuum(maxAgeMs = Long.MaxValue)
+          ()
+        }
+      t2.appendBatch(Seq((1, "slow")).toDF("k", "v"))
+      t2.faultHook = null
+      assert(repaired)
+      assert(t2.read.as[(Int, String)].collect().toSet ==
+             Set((0, "base"), (1, "slow")))
+    } finally LT.commitTtlMs = savedTtl
   }
 
   test("fault schedule: vacuumVersions — live and newest archive never touched") {
