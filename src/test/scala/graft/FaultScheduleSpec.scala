@@ -638,6 +638,38 @@ class FaultScheduleSpec extends AnyFunSuite {
     }
   }
 
+  test("fold rewrite reader visibility: a concurrent reader NEVER loses " +
+       "a row mid-compact — the duplicate window is its only artifact") {
+    // the fold's documented visibility contract: between the
+    // compacted-<tag> landing and the end of the input delete loop a
+    // reader may see input rows twice, but every row stays visible at
+    // least once at EVERY protocol step — chosen over a hide-first
+    // ordering whose mid-crash state would leave rows invisible until
+    // repair. A fresh reader instance lists at each step and pins it.
+    val base = (1 to 20).map(i => (i, s"r$i")).toSet
+    val dir = TestSpark.tmpDir("fold-reader")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    base.grouped(4).foreach(g => { t.appendBatch(g.toSeq.toDF("k", "v")); () })
+    val observed = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+    t.faultHook = label => {
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k")).read
+      val rows = r.as[(Int, String)].collect()
+      observed += ((label, rows.length.toLong, rows.toSet == base))
+    }
+    t.compact(512L * 1024 * 1024)
+    t.faultHook = null
+    assert(observed.size >= 8, s"too few steps observed: $observed")
+    observed.foreach { case (label, n, setOk) =>
+      assert(setOk, s"mid-fold reader at '$label' lost or gained row VALUES")
+      assert(n >= base.size && n <= 2L * base.size,
+        s"mid-fold reader at '$label' saw $n rows (expected 20..40)")
+    }
+    // the window is real: at least one step shows the duplicates
+    assert(observed.exists(_._2 > base.size),
+      s"duplicate window never observed — steps: $observed")
+    assert(t.read.count() == base.size)
+  }
+
   test("optimistic concurrency: a non-commuting IN-FLIGHT intent aborts " +
        "the later publisher — no retry window burned, one winner") {
     // writer B (an overwrite) begins and is killed before its publish
