@@ -522,33 +522,53 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     *     present (the crashed writer died mid-delete-loop; its rows
     *     live on inside the compacted dir), then drop the record. A
     *     reader between the crash and this repair sees those inputs
-    *     TWICE — the fold's documented duplicate window.
-    *   - not landed → roll BACK: nothing visible ever changed (the
-    *     staged rewrite is an orphan for [[vacuum]]); drop the record.
+    *     TWICE — the fold's documented duplicate window. Safe to run
+    *     beside a LIVE fold: it performs exactly the deletes the fold
+    *     itself is performing (idempotent).
+    *   - not landed AND the record is older than commitTtlMs → roll
+    *     BACK: nothing visible ever changed (the staged rewrite is an
+    *     orphan for [[vacuum]]); drop the record.
+    *   - not landed and YOUNG → leave the record alone. A commuting
+    *     concurrent writer repairs before ITS mutation while a fold
+    *     is live, and the fold's record-to-landing window (one
+    *     rename; the staged write precedes the record) must not have
+    *     its crash protection stolen: dropping the record and then
+    *     having the fold crash after landing would strand the
+    *     duplicate inputs with nothing left to clean them. A
+    *     crash-orphaned young record holds nothing visible — it ages
+    *     out and the NEXT repair past the TTL rolls it back.
     *
-    * Both paths are idempotent under a crash mid-repair. */
+    * All paths are idempotent under a crash mid-repair. */
   private def repairFoldRewrites(): Seq[String] = {
     val cl = new Path(commitLogPath)
     if (!fs.exists(cl)) return Nil
     fs.listStatus(cl).toSeq.filter(_.getPath.getName.startsWith("rw-"))
       .flatMap { st =>
         val tag = st.getPath.getName.drop(3)
-        val (_, inputs) = readCommit(st.getPath.getName)
-        val acts =
-          if (fs.exists(new Path(path, s"compacted-$tag"))) {
-            val dels = inputs.toSeq.filter(n => fs.exists(new Path(path, n)))
-            dels.foreach { n =>
-              step(s"delete:$n")
-              fs.delete(new Path(path, n), true)
-            }
-            // a completed delete changes the visible file set relative
-            // to anything derived mid-crash — same invalidation rule
-            // as a tombstone restore
-            dels.map(n => s"restored:fold-dedup-$n") :+ s"completedFold:$tag"
-          } else Seq(s"rolledBackFold:$tag")
-        step(s"delete:rw-$tag")
-        fs.delete(st.getPath, false)
-        acts
+        // the owning fold deletes its record on completion — a record
+        // listed but gone by the read lost that race, nothing to do
+        val inputs =
+          try Some(readCommit(st.getPath.getName)._2)
+          catch { case _: java.io.FileNotFoundException => None }
+        if (inputs.isEmpty) Nil
+        else if (fs.exists(new Path(path, s"compacted-$tag"))) {
+          val dels = inputs.get.toSeq.filter(n => fs.exists(new Path(path, n)))
+          dels.foreach { n =>
+            step(s"delete:$n")
+            fs.delete(new Path(path, n), true)
+          }
+          step(s"delete:rw-$tag")
+          fs.delete(st.getPath, false)
+          // a completed delete changes the visible file set relative
+          // to anything derived mid-crash — same invalidation rule
+          // as a tombstone restore
+          dels.map(n => s"restored:fold-dedup-$n") :+ s"completedFold:$tag"
+        } else if (st.getModificationTime <
+                   System.currentTimeMillis() - LakehouseTable.commitTtlMs) {
+          step(s"delete:rw-$tag")
+          fs.delete(st.getPath, false)
+          Seq(s"rolledBackFold:$tag")
+        } else Nil // young land-less record: a live fold owns it
       }
   }
 

@@ -638,6 +638,55 @@ class FaultScheduleSpec extends AnyFunSuite {
     }
   }
 
+  test("a concurrent writer's repair cannot steal a LIVE fold's crash " +
+       "protection: young land-less rw-records are left alone") {
+    // every mutator repairs before its own mutation — including the
+    // commuting appends that legitimately interleave a fold. A repair
+    // running inside the fold's record-to-landing window must NOT
+    // roll the record back: if the fold then crashed right after
+    // landing, nothing would remain to clean the duplicate inputs.
+    // Young land-less records are a live fold's property; only
+    // TTL-aged ones (a genuinely dead fold) roll back.
+    val base = (1 to 12).map(i => (i, s"v$i")).toSet
+    val dir = TestSpark.tmpDir("fold-steal")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    base.grouped(3).foreach(g => { t.appendBatch(g.toSeq.toDF("k", "v")); () })
+    val sibling = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    var checked = false
+    t.faultHook = label =>
+      // the step before the landing rename: the rw-record exists, the
+      // compacted dir does not — exactly the stealable window
+      if (label.startsWith("rename:") && label.contains("compacted-") &&
+          !checked) {
+        checked = true
+        val rwBefore = new java.io.File(s"$dir/t.commits").list()
+          .count(_.startsWith("rw-"))
+        assert(rwBefore == 1, s"expected the live fold's record, got $rwBefore")
+        sibling.repairInterruptedSwaps()
+        val rwAfter = new java.io.File(s"$dir/t.commits").list()
+          .count(_.startsWith("rw-"))
+        assert(rwAfter == 1,
+          "concurrent repair rolled back a LIVE fold's rw-record")
+      }
+    t.compact(512L * 1024 * 1024)
+    t.faultHook = null
+    assert(checked, "fold landing step never observed")
+    assert(t.read.count() == base.size)
+    assert(t.read.as[(Int, String)].collect().toSet == base)
+    // ...and a genuinely dead fold's record DOES roll back once aged:
+    // plant a land-less record older than the TTL, repair, gone
+    import graft.tables.{LakehouseTable => LT}
+    val savedTtl = LT.commitTtlMs
+    LT.commitTtlMs = 50
+    try {
+      val planted = new java.io.File(s"$dir/t.commits/rw-deadfold")
+      val w = new java.io.FileWriter(planted); w.write("compactFold|gone"); w.close()
+      Thread.sleep(120)
+      sibling.repairInterruptedSwaps()
+      assert(!planted.exists(), "aged land-less rw-record not rolled back")
+    } finally LT.commitTtlMs = savedTtl
+  }
+
   test("fold rewrite reader visibility: a concurrent reader NEVER loses " +
        "a row mid-compact — the duplicate window is its only artifact") {
     // the fold's documented visibility contract: between the
