@@ -257,9 +257,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * `_temporary` dir (the staged write owns its own). */
   private val AppendOps = Set("append", "appendBatch")
   /** Ops whose effect is confined to an explicit partition-dir set:
-    * commute with each other iff the sets are disjoint. */
+    * commute with each other iff the sets are disjoint.
+    * `compactPartitions` belongs here — a content-preserving rewrite
+    * of named partition dirs is just a replace whose payload equals
+    * its input, so disjoint-set commutation is exactly as sound. */
   private val PartitionScopedOps =
-    Set("upsert", "replacePartitions", "dropPartitions")
+    Set("upsert", "replacePartitions", "dropPartitions",
+        "compactPartitions")
   /** Content-preserving rewrites of a file snapshot taken at begin:
     * commute with appends (an interleaved append's uniquely-named
     * files are outside the snapshot, so the rewrite neither reads
@@ -848,14 +852,16 @@ final case class LakehouseTable(spark: SparkSession, path: String,
 
   /** Stage `slice` partitioned, then tombstone-swap each of its
     * partition dirs into the live table. Shared by the merge path
-    * ([[upsertPartitions]]) and the replace path
-    * ([[replacePartitions]]); each partition's swap is atomic. */
+    * ([[upsertPartitions]]), the replace path ([[replacePartitions]])
+    * and the partition-scoped compaction ([[compactPartitions]],
+    * which pre-shapes its slice); each partition's swap is atomic. */
   private def swapStagedPartitions(slice: DataFrame, ticket: MutationTicket,
-                                   op: String): Unit = {
+                                   op: String,
+                                   preShaped: Boolean = false): Unit = {
     val pc = partitionCols.head
     val tag = UUID.randomUUID().toString.take(8)
     val staged = s"$path.staged-$tag"
-    write(slice, staged)
+    write(slice, staged, preShaped)
     val children = fs.listStatus(new Path(staged)).toSeq
       .map(_.getPath).filter(_.getName.startsWith(s"$pc="))
     children.foreach { child =>
@@ -1026,6 +1032,47 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       overwrite(read.repartition(nFiles,
                   partitionCols.map(org.apache.spark.sql.functions.col): _*),
                 preShaped = true)
+  }
+
+  /** Partition-SCOPED compaction: rewrite only the named partitions
+    * toward the target file size, each swapped atomically through the
+    * same tombstone protocol as [[replacePartitions]] — the
+    * maintenance move an INGESTING date-partitioned table actually
+    * runs (compact yesterday's fragmented partitions while today's
+    * merges land; the reference's autoCompact runs beside its
+    * scheduled writes, config/settings.py:124-127). Classified
+    * partition-scoped, so it COMMUTES with upsert / replacePartitions
+    * / dropPartitions on DISJOINT partition sets and aborts loudly on
+    * overlap or a whole-table op — content preservation makes the
+    * disjoint-set argument identical to a replace's. Work is
+    * O(named partitions), never O(table). */
+  def compactPartitions(values: Seq[Any],
+                        targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+    require(partitionCols.size == 1,
+      s"compactPartitions needs a single-column-partitioned table: $path")
+    require(values.nonEmpty, "compactPartitions: no partitions named")
+    require(!values.contains(null) &&
+            !values.exists(v => String.valueOf(v).isEmpty),
+      s"compactPartitions requires non-null, non-empty values: $path")
+    repairInterruptedSwaps()
+    assertPartitionedLayout()
+    val pc = partitionCols.head
+    val dirNames = partitionDirNames(values)
+    // size the rewrite from the named dirs only (missing dirs weigh 0
+    // and simply write no slice rows — a no-op swap set)
+    val bytes = dirNames.iterator.map { d =>
+      val p = new Path(path, d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    if (bytes == 0L) return
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val t = beginMutation("compactPartitions", dirNames)
+    // cluster on the partition key so each task holds whole
+    // partitions — same argument as whole-table compact: a plain
+    // repartition(n) would emit up to n files PER partition
+    val slice = read.filter(col(pc).isInCollection(values))
+      .repartition(nFiles, col(pc))
+    swapStagedPartitions(slice, t, "compactPartitions", preShaped = true)
   }
 
   /** Append-commuting content-preserving rewrite for UNPARTITIONED

@@ -638,6 +638,84 @@ class FaultScheduleSpec extends AnyFunSuite {
     }
   }
 
+  test("fault schedule + OCC: compactPartitions — per-partition swap " +
+       "schedule; commutes with a DISJOINT upsert, aborts on overlap") {
+    val init = (1 to 10).map(i => (i, s"v$i", s"p${i % 2}")).toSet
+    def freshTable(dir: String): LakehouseTable = {
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+      // fragmented: one append per row
+      init.toSeq.sortBy(_._1).foreach(r =>
+        t.append(Seq(r).toDF("k", "v", "part")))
+      t
+    }
+
+    // crash schedule: content-preserving, so the row SET never changes
+    // at any kill point; repair + rerun converge and compact for real
+    val probe = freshTable(TestSpark.tmpDir("fs-cp-n"))
+    val steps = countSteps(probe)(probe.compactPartitions(Seq("p1")))
+    assert(steps >= 5, s"expected the partition-swap schedule, got $steps")
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"fs-cp-$k")
+      val t = freshTable(dir)
+      val label = crashAt(t, k)(t.compactPartitions(Seq("p1")))
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+      val seen = r.read.as[(Int, String, String)].collect().toSet
+      if (seen != init)
+        // the one permitted intermediate: p1 absent WITH its tombstone
+        assert(seen == init.filter(_._3 == "p0") &&
+               tombstones(dir).exists(_.endsWith("part=p1")),
+          s"compactPartitions step $k ($label): partial state: $seen")
+      r.repairInterruptedSwaps()
+      r.compactPartitions(Seq("p1"))
+      assert(r.read.as[(Int, String, String)].collect().toSet == init,
+        s"compactPartitions step $k ($label): rerun did not converge")
+      assert(new java.io.File(s"$dir/t/part=p1").listFiles()
+               .count(_.getName.endsWith(".parquet")) == 1,
+        s"compactPartitions step $k: p1 not compacted after rerun")
+    }
+
+    // DISJOINT interleave: an upsert into p0 lands INSIDE the p1
+    // compaction's window — both effects visible, nothing lost
+    val dirD = TestSpark.tmpDir("fs-cp-disjoint")
+    val cd = freshTable(dirD)
+    val sib = LakehouseTable(spark, s"$dirD/t", Seq("k"), Seq("part"))
+    var landed = false
+    cd.faultHook = label =>
+      if (label == "begin:compactPartitions" && !landed) {
+        landed = true
+        sib.upsert(Seq((100, "mid", "p0")).toDF("k", "v", "part"))
+      }
+    cd.compactPartitions(Seq("p1"))
+    cd.faultHook = null
+    assert(landed)
+    assert(cd.read.as[(Int, String, String)].collect().toSet ==
+           init + ((100, "mid", "p0")),
+      "disjoint upsert-during-compactPartitions lost an effect")
+
+    // OVERLAP aborts loudly: the same interleave into p1
+    val dirO = TestSpark.tmpDir("fs-cp-overlap")
+    val co = freshTable(dirO)
+    val sibO = LakehouseTable(spark, s"$dirO/t", Seq("k"), Seq("part"))
+    var hit = false
+    co.faultHook = label =>
+      if (label == "begin:compactPartitions" && !hit) {
+        hit = true
+        sibO.upsert(Seq((100, "mid", "p1")).toDF("k", "v", "part"))
+      }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      co.compactPartitions(Seq("p1"))
+    }
+    co.faultHook = null
+    assert(hit)
+    assert(e.getMessage.contains("part=p1"), e.getMessage)
+    // the upsert's merge is intact; the compaction rerun applies
+    assert(co.read.as[(Int, String, String)].collect().toSet ==
+           init + ((100, "mid", "p1")))
+    co.compactPartitions(Seq("p1"))
+    assert(co.read.as[(Int, String, String)].collect().toSet ==
+           init + ((100, "mid", "p1")))
+  }
+
   test("a concurrent writer's repair cannot steal a LIVE fold's crash " +
        "protection: young land-less rw-records are left alone") {
     // every mutator repairs before its own mutation — including the

@@ -63,6 +63,24 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(partFiles("p0") == 1 && partFiles("p1") == 1,
       s"p0=${partFiles("p0")} p1=${partFiles("p1")}")
     assert(p.read.count() == 10)
+
+    // partition-SCOPED compaction: only the named partitions are
+    // rewritten; the others keep their (fragmented) files untouched
+    val q = LakehouseTable(spark, s"$dir/q", Seq("k"), Seq("part"))
+    (1 to 10).foreach(i =>
+      q.append(Seq((i, s"v$i", s"p${i % 2}")).toDF("k", "v", "part")))
+    def qFiles(sub: String) = new java.io.File(s"$dir/q/part=$sub")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val p1Before = qFiles("p1")
+    assert(qFiles("p0") >= 5 && p1Before >= 5)
+    q.compactPartitions(Seq("p0"))
+    assert(qFiles("p0") == 1, s"p0=${qFiles("p0")}")
+    assert(qFiles("p1") == p1Before, "untouched partition was rewritten")
+    assert(q.read.as[(Int, String, String)].collect().toSet ==
+           (1 to 10).map(i => (i, s"v$i", s"p${i % 2}")).toSet)
+    // naming a missing partition is a no-op, not an error
+    q.compactPartitions(Seq("p9"))
+    assert(q.read.count() == 10)
   }
 
   test("appendBatch: batches land atomically as dirs, read sees all rows") {
