@@ -27,6 +27,8 @@ import org.apache.spark.sql.SparkSession
   *     parent touches a disjoint partition.
   *   - `overwriter <table> <syncDir>`: one full overwrite to
   *     (999, "xproc-overwrite") — the non-commuting side.
+  *   - `compactor <table> <syncDir>`: one whole-table fold compaction
+  *     — commutes with the parent's concurrent appends.
   */
 object CrossProcessWriter {
   def main(args: Array[String]): Unit = {
@@ -72,6 +74,10 @@ object CrossProcessWriter {
           case "overwriter" =>
             val t = LakehouseTable(spark, table, Seq("k"))
             t.overwrite(Seq((999, "xproc-overwrite")).toDF("k", "v"))
+            0
+          case "compactor" =>
+            val t = LakehouseTable(spark, table, Seq("k"))
+            t.compact(512L * 1024 * 1024)
             0
           case other =>
             System.err.println(s"unknown mode $other"); 1

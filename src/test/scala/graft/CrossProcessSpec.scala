@@ -125,6 +125,38 @@ class CrossProcessSpec extends AnyFunSuite {
       s"disjoint cross-process upserts did not both land: $got")
   }
 
+  test("cross-process: a fold compaction in another JVM runs BESIDE " +
+       "this writer's appends — all rows land exactly once") {
+    assume(canFork, "no forkable java binary")
+    val dir = TestSpark.tmpDir("xproc-compact")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    val base = (1 to 20).map(i => (i, s"frag-$i"))
+    base.foreach(r => { t.appendBatch(Seq(r).toDF("k", "v")); () })
+
+    val (child, sync) = spawn("compactor", s"$dir/t")
+    go(sync)
+    // race the child's compact with fresh appends from this JVM —
+    // some land before its input snapshot (compacted in), some after
+    // (left beside the compacted dir); either way exactly once
+    val late = (21 to 26).map(i => (i, s"late-$i"))
+    late.foreach(r => { t.appendBatch(Seq(r).toDF("k", "v")); () })
+    val exit = waitExit(child)
+    assert(exit == 0, s"child compactor failed with exit $exit")
+
+    val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    val rows = r.read.as[(Int, String)].collect()
+    assert(rows.length == base.size + late.size,
+      s"append-beside-compact duplicated or lost rows: ${rows.length}")
+    assert(rows.toSet == (base ++ late).toSet)
+    // the compaction actually happened (fragmented batch dirs folded)
+    assert(new java.io.File(s"$dir/t").list()
+             .exists(_.startsWith("compacted-")),
+      "child compaction left no compacted dir")
+    assert(!new java.io.File(s"$dir/t.commits").list()
+             .exists(_.startsWith("rw-")),
+      "fold record not cleaned up after cross-process compact")
+  }
+
   test("cross-process: an overwrite from another JVM aborts this " +
        "writer's append loudly; the overwrite generation is intact") {
     assume(canFork, "no forkable java binary")
