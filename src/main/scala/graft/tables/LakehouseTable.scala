@@ -1685,12 +1685,17 @@ object LakehouseTable {
 
   /** Optimistic-concurrency knobs (process-wide; tests shrink them).
     * `conflictRetries × conflictRetrySleepMs` bounds how long a
-    * publisher waits for an in-flight concurrent writer of unknown
-    * intent to publish its commit record before aborting loudly.
-    * `commitTtlMs` is the retention of commit records — it must
-    * exceed any real mutation's begin-to-publish duration, since a
-    * record pruned mid-window would hide a conflict from a concurrent
-    * writer that began before the record's mutation did. */
+    * publisher waits on an epoch marker with NO record at all (a
+    * legacy writer or foreign stamp) before aborting loudly — writers
+    * on the record protocol are classified from their intent record
+    * immediately, no waiting. `commitTtlMs` is the retention of
+    * commit/intent records AND the rollback age-gate for fold
+    * rewrite records. Sizing is not load-bearing for correctness:
+    * a mutation that outlives it aborts loudly at publish (its own
+    * intent record — always the first casualty of pruning, since
+    * every record it must classify is younger — is checked before
+    * the publish record lands), so an undersized TTL costs retries,
+    * never silent lost updates. */
   @volatile private[graft] var conflictRetries: Int = 25
   @volatile private[graft] var conflictRetrySleepMs: Long = 200L
   @volatile private[graft] var commitTtlMs: Long = 3600L * 1000
