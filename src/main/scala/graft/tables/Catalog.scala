@@ -142,7 +142,14 @@ object Catalog {
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
         return Some(fromJson(txt))
       } catch {
-        case _: java.io.FileNotFoundException => () // raced a replace
+        // FileNotFoundException (raced a replace) deliberately counts
+        // toward the same bounded cap as every other error: a path
+        // where exists() stays true while open() keeps throwing FNF
+        // (e.g. a stray DIRECTORY named <x>.json — the local FS opens
+        // dirs with FileNotFoundException("Is a directory")) would
+        // otherwise spin this loop forever; a genuine replace race
+        // resolves via the exists() probe on the next iteration long
+        // before 20 attempts
         case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
           attempt += 1
           if (attempt >= 20) throw e

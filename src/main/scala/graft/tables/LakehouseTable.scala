@@ -205,15 +205,22 @@ final case class LakehouseTable(spark: SparkSession, path: String,
   //
   //   - non-commuting PUBLISH record → loud abort (the other writer
   //     passed its own check and may have renamed);
-  //   - non-commuting INTENT (no publish yet) → loud abort too. One
-  //     winner is guaranteed: begin-stamps serialize on the marker,
-  //     the LAST beginner's publish takes the marker==own-token fast
-  //     path, and every earlier beginner either sees the later
-  //     intent/publish record here or — had it published first — is
-  //     seen by the later writer's classification. (Aborting on a
-  //     mere intent is what keeps the fast path sound: a non-
-  //     commuting writer may never slip past a live window
-  //     unpublished, or the fast-path holder would miss its record.)
+  //   - non-commuting INTENT (no publish yet) → loud abort too. When
+  //     only the two writers interleave, one winner is guaranteed:
+  //     begin-stamps serialize on the marker, the LAST beginner's
+  //     publish takes the marker==own-token fast path, and every
+  //     earlier beginner either sees the later intent/publish record
+  //     here or — had it published first — is seen by the later
+  //     writer's classification. (Aborting on a mere intent is what
+  //     keeps the fast path sound: a non-commuting writer may never
+  //     slip past a live window unpublished, or the fast-path holder
+  //     would miss its record.) A THIRD stamp landing between the
+  //     pair's begins and publishes (a commuting writer, a repair's
+  //     anonymous invalidateFileStats) defeats the last-beginner fast
+  //     path, and BOTH non-commuting writers can then abort — safe
+  //     (loud, nothing renamed, reruns apply) but zero-winner: the
+  //     guarantee is "at most one", not "exactly one", under ≥3-way
+  //     interleaving.
   //   - commuting records (intent or publish) → proceed immediately.
   //     Intent-at-begin is what lets a commuting writer pass without
   //     burning the retry window on a marker whose publish record
@@ -266,9 +273,22 @@ final case class LakehouseTable(spark: SparkSession, path: String,
         "compactPartitions")
   /** Content-preserving rewrites of a file snapshot taken at begin:
     * commute with appends (an interleaved append's uniquely-named
-    * files are outside the snapshot, so the rewrite neither reads
-    * nor removes them) but NOT with each other or anything else. */
+    * files and batch dirs are outside the snapshot, and the fold's
+    * input filter additionally excludes every dir a concurrent
+    * writer can create files INSIDE — bucket dirs — so the rewrite
+    * neither reads nor removes concurrent data) but NOT with each
+    * other or anything else. In particular NOT with [[ackBatch]]:
+    * an ack renames a batch dir the fold may have snapshotted, and
+    * folding it would leave the renamed `done-` copy holding rows
+    * that also live in the fold output — the classification turns
+    * that silent duplication into a loud abort of whichever side
+    * publishes second. */
   private val RewriteOps = Set("compactFold")
+  /** [[ackBatch]]: a one-rename handshake move. Commutes with appends
+    * (an append never touches an existing batch dir) and with other
+    * acks on DISJOINT batch dirs; everything else — rewrites,
+    * overwrites, partition ops — conflicts loudly. */
+  private val AckOps = Set("ackBatch")
 
   private def commitLogPath = s"$path.commits"
 
@@ -365,7 +385,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     (PartitionScopedOps(t.op) && PartitionScopedOps(op) &&
       t.parts.intersect(parts).isEmpty) ||
     (RewriteOps(t.op) && AppendOps(op)) ||
-    (AppendOps(t.op) && RewriteOps(op))
+    (AppendOps(t.op) && RewriteOps(op)) ||
+    (AckOps(t.op) && AckOps(op) && t.parts.intersect(parts).isEmpty) ||
+    (AckOps(t.op) && AppendOps(op)) ||
+    (AppendOps(t.op) && AckOps(op))
 
   /** Publish-time conflict resolution. Fast path (the overwhelmingly
     * common sole-writer case): the epoch marker still holds our token
@@ -389,7 +412,25 @@ final case class LakehouseTable(spark: SparkSession, path: String,
       // records carry the same body)
       fresh.map(_.drop(2)).foreach { tok =>
         val name = if (fresh.contains("c-" + tok)) "c-" + tok else "i-" + tok
-        val (otherOp, otherParts) = readCommit(name)
+        step(s"classify:$name")
+        val (otherOp, otherParts) =
+          try readCommit(name)
+          catch {
+            // the record appeared AFTER our begin yet is already gone:
+            // only TTL pruning removes records, so it — and therefore
+            // our own begin-to-publish window — outlived commitTtlMs.
+            // Same hole writeCommitRecord's self-check guards; abort
+            // with the same explanation instead of dying on a raw
+            // FileNotFoundException from the commit-log path.
+            case _: java.io.FileNotFoundException =>
+              abortConflict(t, op,
+                s"interleaved record $name was TTL-pruned before this " +
+                s"writer could classify it — this mutation's " +
+                s"begin-to-publish window outlived commitTtlMs " +
+                s"(${LakehouseTable.commitTtlMs} ms) and its conflict " +
+                "history is incomplete; publishing could silently " +
+                "overwrite a concurrent writer's generation")
+          }
         if (!commutes(t, otherOp, otherParts))
           abortConflict(t, op,
             s"a concurrent '$otherOp' " +
@@ -556,7 +597,19 @@ final case class LakehouseTable(spark: SparkSession, path: String,
           catch { case _: java.io.FileNotFoundException => None }
         if (inputs.isEmpty) Nil
         else if (fs.exists(new Path(path, s"compacted-$tag"))) {
-          val dels = inputs.get.toSeq.filter(n => fs.exists(new Path(path, n)))
+          // same ack-twin backstop as the live fold's delete loop: a
+          // recorded input batch whose `done-` twin exists (and was
+          // not itself recorded) was renamed by an ack AFTER the
+          // fold's snapshot — the twin duplicates rows already inside
+          // compacted-<tag>, whether the crashed fold deleted the
+          // batch name first or not
+          val twins = inputs.get.toSeq
+            .filter(_.startsWith("batch-"))
+            .map(n => "done-" + n.drop(6))
+            .filter(d => !inputs.get.contains(d) &&
+                         fs.exists(new Path(path, d)))
+          val dels = inputs.get.toSeq.filter(n =>
+            fs.exists(new Path(path, n))) ++ twins
           dels.foreach { n =>
             step(s"delete:$n")
             fs.delete(new Path(path, n), true)
@@ -683,13 +736,53 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * listing forgets the batch. Ack AFTER the downstream effects are
     * durable: a crash before the ack reprocesses the batch (safe when
     * downstream is idempotent — upserts, dedup-tolerant appends); a
-    * crash after it never loses data, only the handshake. Compaction
-    * flattens batch/done dirs alike, so ack everything before
-    * compacting an append-only landing table. */
+    * crash after it never loses data, only the handshake.
+    *
+    * A full OCC mutation, not a bare rename, for two reasons:
+    * (1) the rename MOVES every file in the batch, so any cached
+    * file-stats / bloom manifest written while the batch was live
+    * points at paths that no longer exist — the begin-stamp's
+    * [[invalidateFileStats]] is load-bearing, exactly as for every
+    * other mutator; (2) it must conflict LOUDLY with a concurrent
+    * fold rewrite ([[compact]]): the fold's snapshot may hold this
+    * batch, and racing the rename against the fold's delete loop
+    * silently duplicates the batch's rows (rename wins → the `done-`
+    * copy survives beside the fold output) or strands the handshake
+    * (delete wins → the ack crashes mid-protocol). Under OCC the
+    * later beginner proceeds and the earlier publisher aborts —
+    * always loud, never silent. Acks commute with appends and with
+    * acks of other batches.
+    *
+    * A MISSING batch dir is a silent no-op, not an error: the only
+    * protocol moves that remove a batch dir are a completed fold
+    * (rows preserved inside `compacted-*`) and a prior ack's rename —
+    * in both the ack's goal (never re-present the batch) already
+    * holds, and the at-least-once consumer retrying its ack after a
+    * crash must not die on it. */
   def ackBatch(batchDir: String): Unit = {
     val p = new Path(batchDir)
     require(p.getName.startsWith("batch-"), s"not a batch dir: $batchDir")
-    renameOrFail(p, new Path(p.getParent, "done-" + p.getName.drop(6)))
+    repairInterruptedSwaps()
+    // scope = the batch's table-root-relative path, so same-batch acks
+    // conflict while different buckets' same-tag batches stay disjoint
+    val rel =
+      if (p.getParent.toString.stripSuffix("/") ==
+          new Path(path).toString.stripSuffix("/")) p.getName
+      else s"${p.getParent.getName}/${p.getName}"
+    val t = beginMutation("ackBatch", Set(rel))
+    resolveConflictsOrAbort(t, "ackBatch")
+    writeCommitRecord(t)
+    if (fs.exists(p)) {
+      step(s"rename:${p.getName}->done-${p.getName.drop(6)}")
+      if (!fs.rename(p, new Path(p.getParent, "done-" + p.getName.drop(6))))
+        // the one benign failure: a fold that slipped past our begin
+        // committed and removed the batch between the exists check and
+        // the rename (its delete loop also swallows our `done-` copy
+        // had WE won the race) — anything else is a real error
+        require(!fs.exists(p),
+          s"rename $p -> done-${p.getName.drop(6)} failed")
+    }
+    publishSchemaEpoch(t)
   }
 
   // ── buckets: protocol-level partitioning for appendBatch tables ────
@@ -1003,9 +1096,13 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * staged swap. Run after many small appends (bronze batch dirs) or
     * fine-grained upsert batches. Flattens batch-dir layout (the
     * source_file lineage lives in a DATA column, so bronze's
-    * file-level idempotence survives); tables using [[readBucket]]
-    * buckets should compact per bucket with [[replaceBucket]] instead
-    * — a whole-table compact would flatten the bucket dirs away. */
+    * file-level idempotence survives — and on a handshake table,
+    * ack everything first: folding a not-yet-acked batch removes it
+    * from [[unackedBatches]], and a RACING ack is excluded loudly by
+    * the OCC classification, never merged silently). Tables using
+    * [[readBucket]] buckets should compact per bucket with
+    * [[replaceBucket]] instead — the fold SKIPS bucket dirs (see
+    * [[foldEligible]]), so a whole-table compact leaves them as-is. */
   def compact(targetFileBytes: Long): Unit = {
     // repair BEFORE snapshotting: `read` lists files eagerly, so a
     // partition still sitting in a tombstone would be absent from the
@@ -1013,7 +1110,15 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     repairInterruptedSwaps()
     if (!exists) return
     val live = new Path(path)
-    val bytes = fs.getContentSummary(live).getLength
+    // size from the entries the fold will actually consume (buckets
+    // are skipped), falling back to the whole tree for the
+    // partitioned (strict-overwrite) path below
+    val bytes =
+      if (partitionCols.isEmpty)
+        fs.listStatus(live).iterator.filter(foldEligible)
+          .map(st => if (st.isFile) st.getLen
+                     else fs.getContentSummary(st.getPath).getLength).sum
+      else fs.getContentSummary(live).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (partitionCols.isEmpty)
       // the fold protocol: commutes with concurrent appends (the
@@ -1055,6 +1160,10 @@ final case class LakehouseTable(spark: SparkSession, path: String,
             !values.exists(v => String.valueOf(v).isEmpty),
       s"compactPartitions requires non-null, non-empty values: $path")
     repairInterruptedSwaps()
+    // same no-op-on-missing contract as compact/optimize*: a
+    // never-written table has nothing to compact (and
+    // assertPartitionedLayout would throw on the missing dir)
+    if (!exists) return
     assertPartitionedLayout()
     val pc = partitionCols.head
     val dirNames = partitionDirNames(values)
@@ -1097,14 +1206,39 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * the deletes), backward before it (nothing visible ever changed).
     * Cross-entry visibility is sequential, the same contract as the
     * per-partition swap sequence. */
+  /** A root entry the fold may consume: any plain FILE, or a dir the
+    * protocol FREEZES once created — `batch-*` / `done-*`
+    * (appendBatch renames them in whole; nothing ever writes files
+    * INSIDE an existing one) and `compacted-*` (written once by a
+    * previous fold). Every other dir is a BUCKET ([[appendBatch]]'s
+    * bucket layout): a concurrent bucketed append lands new batch
+    * dirs inside it, so a recursive delete of the bucket as one
+    * snapshot entry would destroy batches that postdate the snapshot
+    * — silent data loss under the fold's own append∥fold auto-merge.
+    * Buckets are therefore skipped (left intact, still readable);
+    * bucket-scoped rewrites are [[replaceBucket]]'s job, per its
+    * contract. */
+  private def foldEligible(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val n = st.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".") &&
+    (st.isFile || n.startsWith("batch-") || n.startsWith("done-") ||
+     n.startsWith("compacted-"))
+  }
+
   private def rewriteFold(what: String,
                           shape: DataFrame => DataFrame): Unit = {
+    // pre-check OUTSIDE the mutation: a table whose root holds no
+    // eligible entry (freshly created, or buckets-only) has nothing
+    // to fold — return without burning an intent record, and without
+    // handing Spark an empty path list to choke on
+    if (!fs.listStatus(new Path(path)).exists(foldEligible)) return
     val t = beginMutation("compactFold")
     // input snapshot AFTER begin (the begin-snapshot must precede
     // every live-state read): root-level visible entries
     val inputNames = fs.listStatus(new Path(path)).toSeq
+      .filter(foldEligible)
       .map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    if (inputNames.isEmpty) return // raced away; intent ages out
     val tag = t.token.take(8)
     val staged = s"$path.staged-$tag"
     val snapshotDf = spark.read.option("recursiveFileLookup", "true")
@@ -1118,6 +1252,22 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     inputNames.foreach { n =>
       step(s"delete:$n")
       fs.delete(new Path(path, n), true)
+      // backstop for an ack that slipped through the residual
+      // check-to-rename window: a `done-` twin of an input batch that
+      // was NOT itself in the snapshot can only be that batch renamed
+      // AFTER our snapshot (tags are unique, and an earlier ack would
+      // have put the done- name in the snapshot instead) — its rows
+      // are inside compacted-<tag>, so the twin is a pure duplicate
+      if (n.startsWith("batch-")) {
+        val twin = "done-" + n.drop(6)
+        if (!inputNames.contains(twin)) {
+          val tp = new Path(path, twin)
+          if (fs.exists(tp)) {
+            step(s"delete:$twin")
+            fs.delete(tp, true)
+          }
+        }
+      }
     }
     step(s"delete:rw-$tag")
     fs.delete(new Path(commitLogPath, s"rw-$tag"), false)

@@ -171,4 +171,25 @@ class CatalogSpec extends AnyFunSuite {
     val resid = new java.io.File(s"$root/_catalog").list().count(_.contains(".tmp-"))
     assert(resid == 0, s"$resid tmp files left behind")
   }
+
+  test("a stray non-manifest entry under _catalog fails BOUNDED, not " +
+       "by spinning the torn-read loop forever") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("cat-stray")
+    val t = LakehouseTable(spark, s"$root/t", Seq("k"))
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    Catalog.register(spark, root, "cat_stray_t", t)
+    // a stray DIRECTORY named like a manifest: exists() stays true
+    // while open() keeps failing — the FNF branch must count toward
+    // the bounded retry cap instead of looping on it
+    val stray = new java.io.File(s"$root/_catalog/junk.json")
+    assert(stray.mkdirs())
+    val t0 = System.nanoTime()
+    intercept[Exception] { Catalog.entries(spark, root) }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 30000, s"entries() took ${elapsedMs}ms — unbounded retry")
+    // removing the stray restores the catalog
+    assert(stray.delete())
+    assert(Catalog.entries(spark, root).map(_.name) == Seq("cat_stray_t"))
+  }
 }

@@ -907,4 +907,187 @@ class FaultScheduleSpec extends AnyFunSuite {
     r.vacuumVersions(0.0, force = true)
     assert(r.versions == Seq(2L), "vacuum rerun did not converge")
   }
+
+  test("optimistic concurrency: an ackBatch racing a fold is never " +
+       "silent — early ack aborts the fold, late ack's duplicate is " +
+       "swallowed by the delete-loop backstop") {
+    import spark.implicits._
+    val b1Rows = Set((1, "a"), (2, "b"))
+    val b2Rows = Set((3, "c"))
+
+    // EARLY leg: the ack lands before the fold's input listing (hook
+    // at begin:compactFold). The fold snapshots the already-renamed
+    // done- dir, but its publish-time classification still sees the
+    // ack's fresh records → conservative loud abort; nothing renamed
+    // or deleted, and the rerun converges.
+    val dirE = TestSpark.tmpDir("occ-ackfold-e")
+    val tE = LakehouseTable(spark, s"$dirE/t", Seq("k"))
+    val b1 = tE.appendBatch(b1Rows.toSeq.toDF("k", "v"))
+    tE.appendBatch(b2Rows.toSeq.toDF("k", "v"))
+    val sibE = LakehouseTable(spark, s"$dirE/t", Seq("k"))
+    var ackedE = false
+    tE.faultHook = label =>
+      if (label == "begin:compactFold" && !ackedE) {
+        ackedE = true
+        sibE.ackBatch(b1)
+      }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      tE.compact(512L * 1024 * 1024)
+    }
+    tE.faultHook = null
+    assert(ackedE && e.getMessage.contains("ackBatch"), e.getMessage)
+    assert(tE.read.as[(Int, String)].collect().toSet == b1Rows ++ b2Rows)
+    assert(tE.unackedBatches().size == 1, "ack lost by the aborted fold")
+    tE.compact(512L * 1024 * 1024) // rerun (new snapshot) converges
+    assert(tE.read.as[(Int, String)].collect().toSet == b1Rows ++ b2Rows)
+    assert(tE.unackedBatches().isEmpty)
+
+    // LATE leg: the ack slips through the residual check-to-rename
+    // window (hook at commit:compactFold — after the fold's
+    // classification passed). The rename wins the race against the
+    // delete loop, but the loop's done-twin backstop removes the
+    // duplicate copy: rows exact, handshake satisfied (the batch can
+    // never be re-presented), nothing silent.
+    val dirL = TestSpark.tmpDir("occ-ackfold-l")
+    val tL = LakehouseTable(spark, s"$dirL/t", Seq("k"))
+    val lb1 = tL.appendBatch(b1Rows.toSeq.toDF("k", "v"))
+    tL.appendBatch(b2Rows.toSeq.toDF("k", "v"))
+    val sibL = LakehouseTable(spark, s"$dirL/t", Seq("k"))
+    var ackedL = false
+    tL.faultHook = label =>
+      if (label == "commit:compactFold" && !ackedL) {
+        ackedL = true
+        sibL.ackBatch(lb1)
+      }
+    tL.compact(512L * 1024 * 1024)
+    tL.faultHook = null
+    assert(ackedL, "late ack never ran")
+    assert(tL.read.as[(Int, String)].collect().toSet == b1Rows ++ b2Rows,
+      "late ack duplicated or lost rows through the fold")
+    assert(tL.read.count() == (b1Rows.size + b2Rows.size).toLong)
+    assert(tL.unackedBatches().isEmpty)
+
+    // and the crash side of the LATE leg: kill the fold at every step
+    // with the same slipped ack injected; repair + rerun must converge
+    // on the exact row set with the duplicate twin gone
+    val pDir = TestSpark.tmpDir("occ-ackfold-p")
+    val probe = LakehouseTable(spark, s"$pDir/t", Seq("k"))
+    val pb1 = probe.appendBatch(b1Rows.toSeq.toDF("k", "v"))
+    probe.appendBatch(b2Rows.toSeq.toDF("k", "v"))
+    val pSib = LakehouseTable(spark, s"$pDir/t", Seq("k"))
+    // hand-rolled counting pass (countSteps would overwrite the
+    // injecting hook): count the fold's steps WITH the slipped ack
+    var pN = 0
+    var pAcked = false
+    probe.faultHook = label => {
+      if (label == "commit:compactFold" && !pAcked) {
+        pAcked = true; pSib.ackBatch(pb1)
+      }
+      pN += 1
+    }
+    try probe.compact(512L * 1024 * 1024)
+    finally probe.faultHook = null
+    assert(pAcked, "probe ack never ran")
+    val steps = pN
+    (1 to steps).foreach { k =>
+      val dir = TestSpark.tmpDir(s"occ-ackfold-$k")
+      val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      val kb1 = t.appendBatch(b1Rows.toSeq.toDF("k", "v"))
+      t.appendBatch(b2Rows.toSeq.toDF("k", "v"))
+      val sib = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      var acked = false
+      var n2 = 0
+      var hit = ""
+      t.faultHook = label => {
+        if (label == "commit:compactFold" && !acked) {
+          acked = true
+          sib.ackBatch(kb1)
+        }
+        n2 += 1
+        if (n2 == k) { hit = label; throw new RuntimeException(s"kill@$k") }
+      }
+      try { t.compact(512L * 1024 * 1024); () }
+      catch { case _: RuntimeException => () }
+      t.faultHook = null
+      val r = LakehouseTable(spark, s"$dir/t", Seq("k"))
+      r.repairInterruptedSwaps()
+      if (!acked) sib.ackBatch(kb1) // pre-commit kills: ack runs now
+      r.compact(512L * 1024 * 1024)
+      assert(r.read.as[(Int, String)].collect().toSet == b1Rows ++ b2Rows,
+        s"ack-vs-fold kill@$k ($hit): rows wrong after repair+rerun")
+      assert(r.read.count() == (b1Rows.size + b2Rows.size).toLong,
+        s"ack-vs-fold kill@$k ($hit): duplicate rows survived")
+    }
+  }
+
+  test("fold skips bucket dirs: a bucketed append landing INSIDE an " +
+       "existing bucket mid-compact survives, and the bucket layout " +
+       "stays intact") {
+    import spark.implicits._
+    val loose = Set((1, "root"))
+    val inBucket = Set((2, "bucketed"))
+    val late = Set((3, "landed-mid-compact"))
+    val dir = TestSpark.tmpDir("occ-cfb")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.appendBatch(loose.toSeq.toDF("k", "v"))
+    t.appendBatch(inBucket.toSeq.toDF("k", "v"), bucket = "srcA")
+    val sib = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    var landed = false
+    t.faultHook = label =>
+      if (label == "commit:compactFold" && !landed) {
+        landed = true
+        // lands a NEW batch dir inside the existing srcA bucket —
+        // exactly the nested write a recursive snapshot delete of the
+        // bucket entry would have destroyed
+        sib.appendBatch(late.toSeq.toDF("k", "v"), bucket = "srcA")
+        ()
+      }
+    t.compact(512L * 1024 * 1024)
+    t.faultHook = null
+    assert(landed, "bucketed append never ran")
+    assert(t.read.as[(Int, String)].collect().toSet == loose ++ inBucket ++ late,
+      "fold destroyed a bucket-nested batch")
+    // the bucket dir itself must be untouched — both its batches
+    // still individually visible to the handshake
+    assert(t.unackedBatches("srcA").size == 2,
+      "bucket batch dirs were flattened by the fold")
+    assert(t.readBucket("srcA").get.count() == 2L)
+  }
+
+  test("optimistic concurrency: an interleaved record TTL-pruned " +
+       "mid-classification aborts loudly, not with a raw " +
+       "FileNotFoundException") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("occ-fnf")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    t.appendBatch(Seq((0, "base")).toDF("k", "v"))
+    val sibling = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    val commitLog = new java.io.File(s"$dir/t.commits")
+    var interleaved = false
+    t.faultHook = label => {
+      if (label == "begin:appendBatch" && !interleaved) {
+        interleaved = true
+        sibling.appendBatch(Seq((1, "other")).toDF("k", "v"))
+        ()
+      }
+      if (label.startsWith("classify:")) {
+        // simulate a concurrent repair's TTL prune landing between the
+        // classifier's listing and its record read: every record file
+        // vanishes (the classifier reads the named one first)
+        Option(commitLog.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("c-") || f.getName.startsWith("i-"))
+          .foreach(f => { f.delete(); () })
+      }
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.appendBatch(Seq((2, "me")).toDF("k", "v"))
+    }
+    t.faultHook = null
+    assert(interleaved)
+    assert(e.getMessage.contains("TTL-pruned") &&
+           e.getMessage.contains("outlived"), e.getMessage)
+    // nothing renamed: the base row and the sibling's batch are intact
+    assert(t.read.as[(Int, String)].collect().toSet ==
+           Set((0, "base"), (1, "other")))
+  }
 }

@@ -766,4 +766,42 @@ class LakehouseTableSpec extends AnyFunSuite {
     assert(t.readPruned("k", 0, 10).select("k").as[Int].collect().toSet ==
       Set(1, 2))
   }
+
+  test("ackBatch is an OCC mutation: manifests invalidate, acks are " +
+       "idempotent, and an ack after a fold consumed the batch is a no-op") {
+    val dir = TestSpark.tmpDir("ackocc")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    val b = t.appendBatch((1 to 100).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.writeFileStats(Seq("k"))
+    assert(new java.io.File(s"$dir/t.filestats").exists)
+    // the ack RENAMES every file in the batch — a manifest written
+    // before it points at dead paths, so the ack must invalidate it
+    // exactly like any other mutator (the pruned read then degrades
+    // to a full filtered scan instead of failing on missing files)
+    t.ackBatch(b)
+    assert(!new java.io.File(s"$dir/t.filestats").exists,
+      "ack left a stale manifest pointing at pre-rename paths")
+    assert(t.readPruned("k", 10, 20).count() == 11)
+    assert(t.unackedBatches().isEmpty)
+    // idempotent: re-acking (consumer crashed after its first ack)
+    // finds no batch dir and succeeds silently
+    t.ackBatch(b)
+    assert(t.read.count() == 100)
+    // a fold can consume a batch between process and ack-retry: the
+    // late ack is a no-op (the dir is gone; it can never be
+    // re-presented — the ack's goal already holds)
+    val b2 = t.appendBatch(Seq((101, "x")).toDF("k", "v"))
+    t.compact(512L * 1024 * 1024)
+    assert(t.unackedBatches().isEmpty) // folded away
+    t.ackBatch(b2)
+    assert(t.read.count() == 101)
+  }
+
+  test("compactPartitions on a never-written table is a no-op, like " +
+       "every other maintenance entry point") {
+    val dir = TestSpark.tmpDir("cpnoop")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"), Seq("part"))
+    t.compactPartitions(Seq("p1")) // must not throw on the missing dir
+    assert(!new java.io.File(s"$dir/t").exists)
+  }
 }
