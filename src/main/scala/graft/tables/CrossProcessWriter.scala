@@ -29,6 +29,11 @@ import org.apache.spark.sql.SparkSession
   *     (999, "xproc-overwrite") — the non-commuting side.
   *   - `compactor <table> <syncDir>`: one whole-table fold compaction
   *     — commutes with the parent's concurrent appends.
+  *   - `acker <table> <batchDir> <syncDir>`: one ackBatch handshake
+  *     rename — commutes with appends, conflicts with a fold (the
+  *     later beginner proceeds; the earlier publisher aborts, or the
+  *     fold's done-twin backstop swallows a rename that slipped the
+  *     residual window).
   */
 object CrossProcessWriter {
   def main(args: Array[String]): Unit = {
@@ -78,6 +83,10 @@ object CrossProcessWriter {
           case "compactor" =>
             val t = LakehouseTable(spark, table, Seq("k"))
             t.compact(512L * 1024 * 1024)
+            0
+          case "acker" =>
+            val t = LakehouseTable(spark, table, Seq("k"))
+            t.ackBatch(args(2))
             0
           case other =>
             System.err.println(s"unknown mode $other"); 1

@@ -187,4 +187,65 @@ class CrossProcessSpec extends AnyFunSuite {
     assert(r.read.as[(Int, String)].collect().toSet ==
            Set((999, "xproc-overwrite"), (1, "mine")))
   }
+
+  test("cross-process: an ackBatch from another JVM racing this " +
+       "writer's fold is never silent — early ack aborts the fold") {
+    assume(canFork, "no forkable java binary")
+    val dir = TestSpark.tmpDir("xproc-ackfold-e")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    val b1 = t.appendBatch(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.appendBatch(Seq((3, "c")).toDF("k", "v"))
+
+    // the child's ack lands between this fold's begin and its input
+    // listing: the fold snapshots the renamed done- dir, and its
+    // publish-time classification still sees the foreign ack records
+    // → conservative loud abort, nothing renamed or deleted
+    val (child, sync) = spawn("acker", s"$dir/t", b1)
+    var acked = false
+    t.faultHook = label =>
+      if (label == "begin:compactFold" && !acked) {
+        acked = true
+        go(sync)
+        assert(waitExit(child) == 0, "child acker failed")
+      }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.compact(512L * 1024 * 1024)
+    }
+    t.faultHook = null
+    assert(acked && e.getMessage.contains("ackBatch"), e.getMessage)
+    assert(t.read.as[(Int, String)].collect().toSet ==
+           Set((1, "a"), (2, "b"), (3, "c")))
+    assert(t.unackedBatches().size == 1)
+    t.compact(512L * 1024 * 1024) // rerun converges
+    assert(t.read.count() == 3 && t.unackedBatches().isEmpty)
+  }
+
+  test("cross-process: an ackBatch from another JVM slipping the fold's " +
+       "residual window is deduplicated by the done-twin backstop") {
+    assume(canFork, "no forkable java binary")
+    val dir = TestSpark.tmpDir("xproc-ackfold-l")
+    val t = LakehouseTable(spark, s"$dir/t", Seq("k"))
+    val b1 = t.appendBatch(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.appendBatch(Seq((3, "c")).toDF("k", "v"))
+
+    // the child's ack lands AFTER this fold's classification passed
+    // (hook at the commit step): the rename beats the delete loop,
+    // and the loop's backstop swallows the duplicate done- copy
+    val (child, sync) = spawn("acker", s"$dir/t", b1)
+    var acked = false
+    t.faultHook = label =>
+      if (label == "commit:compactFold" && !acked) {
+        acked = true
+        go(sync)
+        assert(waitExit(child) == 0, "child acker failed")
+      }
+    t.compact(512L * 1024 * 1024)
+    t.faultHook = null
+    assert(acked, "child ack never ran")
+    val rows = t.read.as[(Int, String)].collect()
+    assert(rows.toSet == Set((1, "a"), (2, "b"), (3, "c")) &&
+           rows.length == 3,
+      s"cross-process ack duplicated or lost rows: ${rows.length}")
+    assert(t.unackedBatches().isEmpty)
+  }
 }
