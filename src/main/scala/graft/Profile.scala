@@ -6,6 +6,14 @@ import org.apache.spark.sql.SparkSession
   * with the same session config as Bench; SPARK_GRAFT_EXPLAIN=1 also
   * prints the formatted physical plan. Not part of the driver contract —
   * this is the local feedback loop for plan iteration.
+  *
+  * Per-query scheduler metrics (jobs / stages / tasks / task time /
+  * shuffle bytes, from a SparkListener) separate the two cost regimes
+  * the optimization guide cares about: a query whose wall time is much
+  * larger than its summed task time is *scheduling/driver-bound* (too
+  * many jobs or stages — collect-driven loops, per-iteration
+  * checkpoints), while one whose task time dominates is genuinely
+  * *compute/shuffle-bound* and worth plan surgery.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -23,6 +31,38 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // listener counters — reset per measured run, read after waiting
+    // for the listener bus to drain
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val shufR = new java.util.concurrent.atomic.AtomicLong
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(e.stageInfo.numTasks.toLong)
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            taskMs.addAndGet(m.executorRunTime)
+            shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def resetCounters(): Unit = {
+      // listener bus drain is asynchronous and its waitUntilEmpty is
+      // private[spark]; a short sleep suffices for a dev profiler
+      Thread.sleep(300)
+      Seq(jobs, stages, tasks, taskMs, shufR, shufW).foreach(_.set(0L))
+    }
+
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -33,12 +73,18 @@ object Profile {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { i =>
+        if (i == 3) resetCounters() // metrics from the last (warmed) run
         val t0 = System.nanoTime()
         run(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[profile] $name%-28s min=${times.min}%7.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      Thread.sleep(300)
+      println(f"[profile] $name%-28s min=${times.min}%7.3f  " +
+        f"runs=${times.map(t => f"$t%.3f").mkString(",")}  " +
+        f"jobs=${jobs.get}%3d stages=${stages.get}%3d tasks=${tasks.get}%4d " +
+        f"taskSec=${taskMs.get / 1e3}%7.2f " +
+        f"shufMB=${(shufR.get + shufW.get) / 1e6}%8.2f")
     }
     spark.stop()
   }

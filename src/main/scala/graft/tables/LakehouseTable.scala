@@ -66,14 +66,20 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     * every later read ('Unable to infer schema') until hand-cleaned.
     * The listing short-circuits at the first data file. */
   private def hasDataFiles(p: Path): Boolean =
-    fs.exists(p) && {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) found = true
+    // retryVanishedRead: the recursive listing iterator is lazy — a
+    // subdir a concurrent fold deletes between the parent listing and
+    // the iterator's descent throws FileNotFoundException mid-walk;
+    // re-listing resolves it (rows stay visible by the fold contract)
+    LakehouseTable.retryVanishedRead() {
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val n = it.next().getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) found = true
+        }
+        found
       }
-      found
     }
 
   def exists: Boolean = hasDataFiles(new Path(path))
@@ -112,7 +118,11 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     val epoch = schemaEpoch()
     val cached = cachedSchema
     if (cached == null || cached._1 != epoch)
-      cachedSchema = (epoch, read.schema)
+      // retryVanishedRead: inference lists the live tree and then reads
+      // footers — a concurrent fold's delete loop can remove a listed
+      // file in between (the soak surfaced exactly this); re-running
+      // re-lists, and the schema is identical either way
+      cachedSchema = (epoch, LakehouseTable.retryVanishedRead()(read.schema))
     cachedSchema._2
   }
 
@@ -1113,12 +1123,17 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     // size from the entries the fold will actually consume (buckets
     // are skipped), falling back to the whole tree for the
     // partitioned (strict-overwrite) path below
-    val bytes =
+    // retryVanishedRead: getContentSummary on an entry a concurrent
+    // fold deletes between the listing and the summary call throws
+    // FileNotFoundException; re-listing sizes the surviving entries
+    // (the sizing is advisory — it only picks the output file count)
+    val bytes = LakehouseTable.retryVanishedRead() {
       if (partitionCols.isEmpty)
         fs.listStatus(live).iterator.filter(foldEligible)
           .map(st => if (st.isFile) st.getLen
                      else fs.getContentSummary(st.getPath).getLength).sum
       else fs.getContentSummary(live).getLength
+    }
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (partitionCols.isEmpty)
       // the fold protocol: commutes with concurrent appends (the
@@ -1241,10 +1256,27 @@ final case class LakehouseTable(spark: SparkSession, path: String,
     if (inputNames.isEmpty) return // raced away; intent ages out
     val tag = t.token.take(8)
     val staged = s"$path.staged-$tag"
-    val snapshotDf = spark.read.option("recursiveFileLookup", "true")
-      .schema(liveSchema)
-      .parquet(inputNames.map(n => s"$path/$n"): _*)
-    write(shape(snapshotDf), staged, preShaped = true)
+    // vanished-input abort: between the snapshot listing above and the
+    // staged write's execution, a concurrent rewrite (fold∥fold) or ack
+    // can remove a snapshotted input — the staged job then dies with a
+    // vanished-file error. That racer is a genuine non-commuting
+    // interleaver this fold would have aborted on at publish time
+    // anyway; surface the SAME loud ConcurrentModificationException
+    // here instead of a raw Spark read failure (the OCC contract:
+    // conflicting mutations abort loudly and contribute nothing).
+    try {
+      val snapshotDf = spark.read.option("recursiveFileLookup", "true")
+        .schema(liveSchema)
+        .parquet(inputNames.map(n => s"$path/$n"): _*)
+      write(shape(snapshotDf), staged, preShaped = true)
+    } catch {
+      case e: Throwable if LakehouseTable.isVanishedFileRace(e) =>
+        fs.delete(new Path(staged), true)
+        abortConflict(t, what,
+          "a concurrent rewrite or ack consumed part of this fold's " +
+          "input snapshot mid-stage (the land-then-delete visibility " +
+          "window) — the interleaver is non-commuting with a fold")
+    }
     resolveConflictsOrAbort(t, what)
     writeCommitRecord(t)
     writeRecord(s"rw-$tag", "compactFold", inputNames.toSet)
@@ -1849,6 +1881,56 @@ object LakehouseTable {
   @volatile private[graft] var conflictRetries: Int = 25
   @volatile private[graft] var conflictRetrySleepMs: Long = 200L
   @volatile private[graft] var commitTtlMs: Long = 3600L * 1000
+
+  /** The fold rewrite's land-then-delete ordering means a read job
+    * that LISTED the table before a concurrent fold's delete loop can
+    * try to OPEN a file the fold has since removed — every row stays
+    * visible throughout (the compacted copy landed first), but that
+    * one read attempt dies with a vanished-file error. Spark surfaces
+    * it as FAILED_READ_FILE.FILE_NOT_EXIST from a scan task or as a
+    * FileNotFoundException from the driver-side footer/listing path;
+    * both wrap the root cause several layers deep, so classification
+    * walks the cause chain and the flattened task-failure message. */
+  private[graft] def isVanishedFileRace(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = c.getMessage
+          if (m != null && (m.contains("FAILED_READ_FILE") ||
+              m.contains("FileNotFoundException") ||
+              m.contains("does not exist"))) return true
+      }
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Bounded retry for METADATA reads (listings, schema inference)
+    * racing a fold's delete loop: re-running re-lists, and the fold's
+    * visibility contract guarantees the re-list sees every row's file
+    * (original or compacted). Only the vanished-file class retries —
+    * anything else propagates on the first throw. Not for row-reading
+    * jobs inside a mutation: those must abort loudly instead (a
+    * half-executed Spark job cannot be resumed, and the racing writer
+    * is a genuine interleaver the OCC layer should classify). */
+  private[graft] def retryVanishedRead[T](attempts: Int = 5,
+                                           sleepMs: Long = 100L)
+      (body: => T): T = {
+    var i = 1
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if isVanishedFileRace(e) && i < attempts =>
+          i += 1
+          Thread.sleep(sleepMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Process-wide cache of checksum-verification-free FileSystem
     * instances for marker reads (see the instance-side `markerFs`

@@ -797,6 +797,53 @@ class FaultScheduleSpec extends AnyFunSuite {
     assert(t.read.count() == base.size)
   }
 
+  test("vanished-file race classification + bounded metadata-read retry " +
+       "(the fold's land-then-delete window, SoakScheduleSpec's failure)") {
+    import graft.tables.{LakehouseTable => LT}
+    // classification walks the cause chain and flattened task messages
+    assert(LT.isVanishedFileRace(new java.io.FileNotFoundException("x")))
+    assert(LT.isVanishedFileRace(new RuntimeException("outer",
+      new IllegalStateException("mid",
+        new java.io.FileNotFoundException("gone")))))
+    // driver-side surface: the remote task failure arrives flattened
+    // into the message, no typed cause
+    assert(LT.isVanishedFileRace(new org.apache.spark.SparkException(
+      "Job aborted due to stage failure: ... " +
+      "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while reading")))
+    assert(!LT.isVanishedFileRace(new RuntimeException("boom")))
+    // a cause CYCLE (JVM forbids direct self-cause) must not loop: the
+    // walk is depth-bounded
+    val a1 = new RuntimeException("a")
+    val b1 = new RuntimeException("b", a1)
+    a1.initCause(b1)
+    assert(!LT.isVanishedFileRace(a1))
+
+    // retry: transient vanished-file throws are absorbed, the re-list
+    // (re-run body) wins; non-matching errors propagate on throw one
+    var calls = 0
+    val got = LT.retryVanishedRead(attempts = 5, sleepMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new java.io.FileNotFoundException("transient")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    var once = 0
+    val e = intercept[RuntimeException] {
+      LT.retryVanishedRead(attempts = 5, sleepMs = 1L) {
+        once += 1; throw new RuntimeException("not transient")
+      }
+    }
+    assert(e.getMessage == "not transient" && once == 1)
+    // exhausted attempts propagate the (still transient) last error
+    var worn = 0
+    intercept[java.io.FileNotFoundException] {
+      LT.retryVanishedRead(attempts = 3, sleepMs = 1L) {
+        worn += 1; throw new java.io.FileNotFoundException("persistent")
+      }
+    }
+    assert(worn == 3)
+  }
+
   test("optimistic concurrency: a non-commuting IN-FLIGHT intent aborts " +
        "the later publisher — no retry window burned, one winner") {
     // writer B (an overwrite) begins and is killed before its publish
