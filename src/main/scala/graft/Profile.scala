@@ -39,6 +39,7 @@ object Profile {
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     val shufR = new java.util.concurrent.atomic.AtomicLong
     val shufW = new java.util.concurrent.atomic.AtomicLong
+    val stageDump = sys.env.contains("SPARK_GRAFT_STAGES")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -53,6 +54,16 @@ object Profile {
             taskMs.addAndGet(m.executorRunTime)
             shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
             shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            if (stageDump)
+              println(f"[stage] id=${e.stageInfo.stageId}%4d " +
+                f"tasks=${e.stageInfo.numTasks}%3d " +
+                f"runMs=${m.executorRunTime}%7d " +
+                f"cpuMs=${m.executorCpuTime / 1000000}%7d " +
+                f"gcMs=${m.jvmGCTime}%6d " +
+                f"inMB=${m.inputMetrics.bytesRead / 1e6}%7.1f " +
+                f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%7.1f " +
+                f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.1f  " +
+                e.stageInfo.name.take(90))
           }
         }
       })

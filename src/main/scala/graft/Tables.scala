@@ -15,6 +15,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema cache, keyed by file path. A bare
+    * `spark.read.parquet(path)` runs schema inference on EVERY call —
+    * a listing plus a footer-reading Spark job — measured at ~100 ms
+    * per call on this host vs ~9 ms with an explicit schema (guide
+    * §6: file listing/footer work is driver-side, O(files), and pure
+    * overhead when the schema is already known). The fixture files are
+    * immutable for the life of a bench/verify JVM, so one inference
+    * per (path) serves every later read; at 100 TB this is exactly
+    * the role a table catalog plays (the lakehouse layer's
+    * [[graft.tables.LakehouseTable.liveSchema]] does the same with an
+    * epoch-keyed cache). Results are unchanged: the cached schema IS
+    * the file's inferred schema. Never persisted across JVMs. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
@@ -33,7 +54,7 @@ object Tables {
       // nanos-generation file gets an actionable error instead of a
       // silent session-wide conf flip (r8 verdict watch item).
       val df =
-        try spark.read.parquet(s"$dir/$name.parquet")
+        try readCached(spark, s"$dir/$name.parquet")
         catch {
           case e: Throwable
             if Option(e.getMessage).exists(_.contains("NANOS")) =>
@@ -51,7 +72,7 @@ object Tables {
         case TimestampType => df
         case _ => df.withColumn("ts", col("ts").cast(TimestampType))
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readCached(spark, s"$dir/$name.parquet")
   }
 
   /** Reconstruct a warehouse's full table catalog in this session —

@@ -142,23 +142,32 @@ object Checkpoints {
     * measured footprint (same rows, same bytes), avoiding a
     * materialize-then-widen double pass.
     *
-    * Width: bytes/targetBytes when the data is big, floored at the
-    * SMALLER of the session's shuffle parallelism and the input's own
-    * partition count — so a tiny edge table AQE already coalesced
-    * narrow stays narrow (widening a 14-edge graph to full shuffle
-    * parallelism would cache hundreds of near-empty blocks and, in
-    * the broadcast regime, launch that many tasks per iteration),
-    * while a full-parallelism input keeps its width even when its
-    * bytes alone would suggest fewer blocks. */
+    * Width: PROPORTIONAL TO THE MEASURED BYTES at both ends of the
+    * scale (guide §2: partitioning must be scale-adaptive, not a
+    * constant tuned for one deployment). Big data: bytes/targetBytes
+    * blocks, far above any session parallelism — unchanged. Small
+    * data: bytes/(targetBytes/8) capped at the session's shuffle
+    * parallelism, so a graph with ≥ cores × 4 MB of edges gets FULL
+    * parallelism for its per-iteration passes while a tiny edge table
+    * stays narrow (widening a 14-edge graph to full shuffle
+    * parallelism would cache dozens of near-empty blocks and launch
+    * that many tasks per iteration). The earlier floor — the input's
+    * own partition count — capped iteration parallelism at whatever
+    * AQE had coalesced the DERIVATION to (sized for ~64 MB shuffle
+    * partitions): a 134 MB sf0.1 edge checkpoint ran every PageRank
+    * contribution pass on 10 of 32 cores; bytes-proportional width
+    * keeps the tiny-graph behavior AND restores cores-wide iteration
+    * parallelism (measured 10 → 32 partitions, per-iteration stage
+    * time ~330 ms → ~120 ms). */
   def relayout(checkpointed: DataFrame, keys: Seq[Column],
                sortCols: Seq[String] = Nil,
                targetBytes: Long = 32L << 20): DataFrame = {
-    val inParts = rddOf(checkpointed).map(_.getNumPartitions).getOrElse(1)
+    val bytes = cachedBytes(checkpointed)
     val parts = math.max(
       math.min(
         checkpointed.sparkSession.sessionState.conf.numShufflePartitions,
-        math.max(inParts, 1)),
-      (cachedBytes(checkpointed) / targetBytes + 1).toInt)
+        (bytes / math.max(targetBytes / 8, 1L) + 1).toInt),
+      (bytes / targetBytes + 1).toInt)
     val keyed = checkpointed.repartition(parts, keys: _*)
     val sorted = if (sortCols.isEmpty) keyed
                  else keyed.sortWithinPartitions(sortCols.head,

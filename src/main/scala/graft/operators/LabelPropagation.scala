@@ -92,8 +92,10 @@ object LabelPropagation {
     // on a directed input — nodes silently vanishing from the output
     // despite the one-row-per-node contract. (On undirected inputs —
     // both directions present — the two formulations are identical.)
-    var labels = edgesM.select(col("src").as("node"))
-      .union(edgesM.select(col("dst").as("node"))).distinct()
+    // explode, not a two-branch union: one pass over the cached O(E)
+    // checkpoint instead of one per branch (PageRank's nodeTab note)
+    var labels = edgesM
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .withColumn("label", col("node"))
       .transform(Checkpoints.checkpointKeepingLayout)
     // regime choice on an exact driver-side statistic, made ONCE

@@ -101,15 +101,21 @@ object PageRank {
     // releasing the superseded derivation copy.
     val withDegRaw = Checkpoints.relayout(
       e.join(deg, "src").localCheckpoint(), Seq(col("dst")))
-    // one union+groupBy pass enumerates the nodes AND classifies each:
-    // has_out=0 → dangling (needs mass redistribution), has_in=0 →
-    // unreachable (needs the left-outer completion join). Folding the
+    // one explode+groupBy pass enumerates the nodes AND classifies
+    // each: has_out=0 → dangling (needs mass redistribution), has_in=0
+    // → unreachable (needs the left-outer completion join). Folding the
     // classification in here means no separate distinct / anti-join
-    // jobs over the O(E) table.
+    // jobs over the O(E) table — and the explode (vs a two-branch
+    // union) reads the cached O(E) checkpoint ONCE, not once per
+    // branch (guide §2.3: the union scanned 2 × 134 MB of cached edge
+    // blocks at sf0.1 where one 134 MB pass carries both endpoints).
     val nodeTab = withDegRaw
-      .select(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i"))
-      .union(withDegRaw
-        .select(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i")))
+      .select(explode(array(
+          struct(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i")),
+          struct(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i"))))
+        .as("__e"))
+      .select(col("__e.node").as("node"), col("__e.o").as("o"),
+              col("__e.i").as("i"))
       .groupBy("node")
       .agg(max("o").as("has_out"), max("i").as("has_in"))
       .transform(Checkpoints.checkpointKeepingLayout)

@@ -256,14 +256,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(wide.count() == 20000)
     assert(Checkpoints.cachedBytes(df) == 0L,
       "superseded fat checkpoint must be released")
-    // relayout: keyed + sorted second layout, floored at shuffle
-    // parallelism, original released only after materialization
+    // relayout: keyed + sorted second layout, width PROPORTIONAL to
+    // the measured bytes (a tiny checkpoint stays narrow instead of
+    // being widened to session parallelism — and, the other way, a
+    // data-rich one is no longer capped at the derivation's
+    // AQE-coalesced width; see the relayout scaladoc), original
+    // released only after materialization
     val re = Checkpoints.relayout(wide, Seq(col("k")), Seq("v"))
-    assert(re.rdd.getNumPartitions >=
-      spark.sessionState.conf.numShufflePartitions)
+    assert(re.rdd.getNumPartitions >= 1 &&
+      re.rdd.getNumPartitions <=
+        spark.sessionState.conf.numShufflePartitions,
+      s"tiny checkpoint widened to ${re.rdd.getNumPartitions}")
     assert(re.count() == 20000)
     assert(Checkpoints.cachedBytes(wide) == 0L,
       "relayout must release the superseded layout")
     assert(Checkpoints.cachedBytes(re) > 0L)
+    // bytes-rich relative to the target: full session parallelism is
+    // reached (min(parallelism, bytes/(target/8)+1)) and the big-data
+    // term bytes/target can exceed it
+    val re2 = Checkpoints.relayout(re, Seq(col("k")), Nil,
+                                   targetBytes = 8L << 10)
+    assert(re2.rdd.getNumPartitions >=
+      spark.sessionState.conf.numShufflePartitions,
+      s"data-rich relayout stayed at ${re2.rdd.getNumPartitions}")
+    assert(re2.count() == 20000)
+    assert(Checkpoints.cachedBytes(re) == 0L)
+    Checkpoints.release(re2)
   }
 }
