@@ -43,8 +43,15 @@ object Profile {
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          if (stageDump)
+            println(s"[job] start id=${e.jobId} t=${e.time % 1000000}")
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (stageDump)
+            println(s"[job] end   id=${e.jobId} t=${e.time % 1000000}")
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()

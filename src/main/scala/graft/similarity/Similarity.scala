@@ -433,11 +433,21 @@ object Similarity {
     // MLlib keeps k-means centers. Encoding is then ONE codegen'd
     // PqArgmin loop per subvector instead of a |codebook|-way join +
     // argmax aggregation (the former 10M-row blowup per encode pass).
-    val seed = cu
+    // ONE collect job fetches BOTH driver-side model artifacts — the
+    // md5-sampled codebook seed AND the unit-normalized query vectors
+    // (both model-scale by contract). They were two separate collect
+    // jobs before; each job is pure fixed overhead at this size, and
+    // the union costs nothing extra (the subplans run inside the one
+    // job).
+    val bothRows = cu
       .join(corpus
         .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
         .limit(codebookSize).select("id"), "id")
-      .collect().sortBy(_.getAs[Number](0).longValue) // int/short ids too
+      .withColumn("__role", lit(0))
+      .unionByName(unit(queries).withColumn("__role", lit(1)))
+      .collect()
+    val seed = bothRows.filter(_.getInt(2) == 0)
+      .sortBy(_.getAs[Number](0).longValue) // int/short ids too
       .map(_.getSeq[Double](1).toArray)
       // a degenerate (zero-norm) sample is all-NaN after unit
       // normalization: as a codeword it can never win an argmin (NaN
@@ -454,7 +464,14 @@ object Similarity {
     require(seed.isEmpty || cb.forall(_.nonEmpty),
       s"every subspace needs at least one full-length ($dim) seed vector")
 
-    def codeCols(cbArr: Array[Array[Double]]): Seq[Column] =
+    // codebooks/ADC tables ride as broadcast-carried constants, not
+    // literals: a lit() of these arrays lands in EVERY stage's task
+    // binary (2.4 MiB measured for the ADC tables) and Catalyst
+    // hashes the payload — see NativeFunctions.ConstDoubleArray
+    val sess = corpus.sparkSession
+    def codeCols(cbArr: Array[Array[Double]]): Seq[Column] = {
+      val cbCols = cbArr.map(a =>
+        graft.functions.NativeFunctions.constDoubleArray(sess, a))
       (0 until m).map { j =>
         // ragged corpus vectors: a short slice would make PqArgmin
         // parse the codebook at the wrong stride and return a
@@ -463,10 +480,11 @@ object Similarity {
         // Emit the explicit no-codeword sentinel instead.
         when(size(col("u")) >= (j + 1) * sub,
           graft.functions.NativeFunctions
-            .pqArgmin(slice(col("u"), j * sub + 1, sub), lit(cbArr(j))))
+            .pqArgmin(slice(col("u"), j * sub + 1, sub), cbCols(j)))
           .otherwise(lit(-1))
           .as(s"code_$j")
       }
+    }
 
     for (_ <- 1 to kmeansIters) cb = refineSubspaceCodebooks(seed, cb, sub)
 
@@ -483,7 +501,7 @@ object Similarity {
     // joined formulation this replaces dragged each query's tables
     // (~16 KB) through every join-output row — GBs of UnsafeRow
     // materialization just to read m doubles per row.
-    val qRows = unit(queries).collect()
+    val qRows = bothRows.filter(_.getInt(2) == 1)
       .sortBy(_.getAs[Number](0).longValue) // int/short ids too
     val qIds = qRows.map(_.getAs[Number](0).longValue)
     val qVecs = qRows.map(_.getSeq[Double](1).toArray)
@@ -513,7 +531,9 @@ object Similarity {
     val scored = codes
       .select(col("vec_id"),
         posexplode(graft.functions.NativeFunctions.adcScores(
-          col("codes"), lit(tables), lit(offsets.toArray)))
+          col("codes"),
+          graft.functions.NativeFunctions.constDoubleArray(sess, tables),
+          lit(offsets.toArray)))
           .as(Seq("__qi", "score")))
       .select(element_at(lit(qIds), col("__qi") + 1).as("query_id"),
               col("vec_id"), roundedScore(col("score")).as("score_r"))

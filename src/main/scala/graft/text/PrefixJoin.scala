@@ -56,16 +56,23 @@ object PrefixJoin {
     *    one doc-keyed shuffle reassembles the sorted rank sets. The
     *    rank assignment never single-threads either way (see below). */
   def encodeDfAscending(docs: DataFrame, idCol: String, toksCol: String,
-                        literalVocabLimit: Int = 1 << 16): DataFrame = {
+                        literalVocabLimit: Int = 1 << 16,
+                        carryCols: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     // explode_outer + isNotNull on the GENERATED attribute: a plain
     // explode of a derived array lets InferFiltersFromGenerate re-inline
     // the array expression below the projection (see verify SKILL.md)
     // distinct (doc, tok): callers may pass RAW token arrays — without
     // this, duplicate tokens inflate n/ws (wrong Jaccard denominators)
-    // and df becomes an occurrence count instead of document frequency
+    // and df becomes an occurrence count instead of document frequency.
+    // carryCols (per-doc attributes, functionally dependent on idCol —
+    // the blocking columns) ride along through both paths so callers
+    // never join the corpus back on itself just to re-attach them
+    // (guide §2.4: that join was a whole extra exchange pair in
+    // joinAll's plan).
     val toks = docs
-      .select(col(idCol), explode_outer(col(toksCol)).as("tok"))
+      .select(col(idCol) +: carryCols.map(col) :+
+              explode_outer(col(toksCol)).as("tok"): _*)
       .filter(col("tok").isNotNull)
       .distinct()
     val dfCounts = toks.groupBy("tok").agg(count("*").as("df"))
@@ -83,10 +90,10 @@ object PrefixJoin {
       // parity with the distributed path: drop null tokens, and drop
       // docs with no valid tokens at all (null/empty arrays) — the
       // explode/groupBy route never emits those rows
-      docs.select(col(idCol),
+      docs.select(col(idCol) +: carryCols.map(col) :+
           array_sort(transform(
             array_distinct(filter(col(toksCol), t => t.isNotNull)),
-            t => element_at(dict, t))).as("ws"))
+            t => element_at(dict, t))).as("ws"): _*)
         .filter(col("ws").isNotNull && size(col("ws")) > 0)
         .withColumn("n", size(col("ws")))
     } else {
@@ -112,8 +119,10 @@ object PrefixJoin {
           .map { case (r, i) => Row(r.getString(0), i) },
         StructType(Seq(StructField("tok", StringType, nullable = false),
                        StructField("rank", LongType, nullable = false))))
+      // carryCols join the grouping key: functionally dependent on
+      // idCol, so the groups are identical and the attributes ride out
       toksC.join(dict, "tok")
-        .groupBy(idCol)
+        .groupBy(col(idCol) +: carryCols.map(col): _*)
         .agg(sort_array(collect_list(col("rank"))).as("ws"))
         .withColumn("n", size(col("ws")))
     }
@@ -168,11 +177,11 @@ object PrefixJoin {
     NativeFunctions.register(docs.sparkSession)
     // the encoded corpus feeds three consumers (prefix self-join + two
     // verify joins); checkpoint so the dictionary build runs ONCE
-    // instead of once per consumer (the DedupClusters pattern)
-    val enc = encodeDfAscending(docs, idCol, toksCol, literalVocabLimit)
-    val encB = (if (blockCols.isEmpty) enc
-                else enc.join(
-                  docs.select((idCol +: blockCols).map(col): _*), idCol))
+    // instead of once per consumer (the DedupClusters pattern).
+    // blockCols are carried THROUGH the encode (not re-attached with a
+    // corpus self-join — that join cost an extra exchange pair here)
+    val encB = encodeDfAscending(docs, idCol, toksCol, literalVocabLimit,
+                                 carryCols = blockCols)
       .localCheckpoint()
     // EXACT-duplicate collapse (the Lee et al. dedup-pipeline
     // convention: exact dedup before near-dup): identical token sets
