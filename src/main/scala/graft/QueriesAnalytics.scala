@@ -121,7 +121,13 @@ object QueriesAnalytics {
             col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
               (col("l_partkey") * 2 + 1).as("dst"))
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize with ONE explode pass, not a two-branch union — the
+    // union executed the orders⋈lineitem join once per branch when the
+    // consumer materialized the edge list (guide §2.3)
+    e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
   }
 
   /** Shared unrolled-CTE prefix for the PageRank oracle twins: the

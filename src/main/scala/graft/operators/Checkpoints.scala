@@ -142,32 +142,26 @@ object Checkpoints {
     * measured footprint (same rows, same bytes), avoiding a
     * materialize-then-widen double pass.
     *
-    * Width: PROPORTIONAL TO THE MEASURED BYTES at both ends of the
-    * scale (guide §2: partitioning must be scale-adaptive, not a
-    * constant tuned for one deployment). Big data: bytes/targetBytes
-    * blocks, far above any session parallelism — unchanged. Small
-    * data: bytes/(targetBytes/8) capped at the session's shuffle
-    * parallelism, so a graph with ≥ cores × 4 MB of edges gets FULL
-    * parallelism for its per-iteration passes while a tiny edge table
-    * stays narrow (widening a 14-edge graph to full shuffle
-    * parallelism would cache dozens of near-empty blocks and launch
-    * that many tasks per iteration). The earlier floor — the input's
-    * own partition count — capped iteration parallelism at whatever
-    * AQE had coalesced the DERIVATION to (sized for ~64 MB shuffle
-    * partitions): a 134 MB sf0.1 edge checkpoint ran every PageRank
-    * contribution pass on 10 of 32 cores; bytes-proportional width
-    * keeps the tiny-graph behavior AND restores cores-wide iteration
-    * parallelism (measured 10 → 32 partitions, per-iteration stage
-    * time ~330 ms → ~120 ms). */
+    * Width: bytes/targetBytes, PERIOD — proportional to the measured
+    * bytes, never to a core-count constant (guide §2: scale-adaptive
+    * partitioning). At real scale the term is the same whatever the
+    * session parallelism. At bench scale the round-13 variant
+    * additionally widened mid-size checkpoints up to session
+    * parallelism (134 MB → 32 partitions on local[32]); the driver's
+    * round-13 runs regressed the whole PageRank family at BOTH core
+    * counts on that change, and the round-14 same-window interleaved
+    * A/B (wide vs input-partition floor vs this formula, 2 reps × 2
+    * core counts, min-of-3 each) measured this formula fastest at 32
+    * cores and tied-or-better at 8 (q_pagerank min 3.92 vs 4.73/4.43
+    * at 32c) — per-iteration stage TIME shrank with the wide layout
+    * but per-task scheduling overhead ate the win, exactly the
+    * "32-task stages of sub-KB work" regime the round-13 verdict
+    * called out. Target-sized blocks also keep the read-locked set
+    * minimal on memory-tight executors. */
   def relayout(checkpointed: DataFrame, keys: Seq[Column],
                sortCols: Seq[String] = Nil,
                targetBytes: Long = 32L << 20): DataFrame = {
-    val bytes = cachedBytes(checkpointed)
-    val parts = math.max(
-      math.min(
-        checkpointed.sparkSession.sessionState.conf.numShufflePartitions,
-        (bytes / math.max(targetBytes / 8, 1L) + 1).toInt),
-      (bytes / targetBytes + 1).toInt)
+    val parts = (cachedBytes(checkpointed) / targetBytes + 1).toInt
     val keyed = checkpointed.repartition(parts, keys: _*)
     val sorted = if (sortCols.isEmpty) keyed
                  else keyed.sortWithinPartitions(sortCols.head,

@@ -36,11 +36,16 @@ object CoPurchase {
       .filter(col(cntCol) >= minCo)
 
   /** Undirected edge list (both directions) of [[pairs]], materialized
-    * for iteration loops. */
-  def undirectedEdges(items: DataFrame): DataFrame = {
-    val und = pairs(items)
-    und.select(col("p_a").as("src"), col("p_b").as("dst"))
-      .union(und.select(col("p_b").as("src"), col("p_a").as("dst")))
+    * for iteration loops. Symmetrized by a single explode, not a
+    * two-branch union — the union shape executed the whole pair
+    * pipeline (self-join + aggregation) once PER BRANCH inside this
+    * materialization (guide §2.3: one pass can carry both
+    * directions). */
+  def undirectedEdges(items: DataFrame): DataFrame =
+    pairs(items)
+      .select(explode(array(
+          struct(col("p_a").as("src"), col("p_b").as("dst")),
+          struct(col("p_b").as("src"), col("p_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .localCheckpoint()
-  }
 }

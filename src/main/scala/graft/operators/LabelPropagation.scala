@@ -93,11 +93,19 @@ object LabelPropagation {
     // despite the one-row-per-node contract. (On undirected inputs —
     // both directions present — the two formulations are identical.)
     // explode, not a two-branch union: one pass over the cached O(E)
-    // checkpoint instead of one per branch (PageRank's nodeTab note)
-    var labels = edgesM
-      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
-      .withColumn("label", col("node"))
-      .transform(Checkpoints.checkpointKeepingLayout)
+    // checkpoint instead of one per branch (PageRank's nodeTab note).
+    // Two-phase like the edges: the distinct materializes under AQE
+    // (coalesced exchange), relayout then captures a
+    // bytes-proportional node-hash layout — every per-iteration
+    // broadcast build and checkpoint of the label vector inherits
+    // that narrow width instead of 32 near-empty blocks (PageRank's
+    // nodeTab note, same measurement)
+    var labels = Checkpoints.relayout(
+      edgesM
+        .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(),
+      Seq(col("node")))
     // regime choice on an exact driver-side statistic, made ONCE
     // (checkpointed vectors are LogicalRDDs — AQE never sees their
     // size, so compile-time stats would force shuffles even for a

@@ -73,16 +73,22 @@ object PageRank {
     val iters = maxIters
     require(iters >= 1, "iters must be >= 1")
     require(checkEvery >= 1, "checkEvery must be >= 1")
-    // ONE job materializes the degree-annotated edge list: e appears
-    // twice in the plan (once raw, once under the degree groupBy) but
-    // its exchange is computed once and reused (ReuseExchange — the
-    // two subplans canonicalize identically). Everything downstream
-    // (nodes, dangling set, iterations) reads this materialized
-    // narrow table, never the caller's edge-construction lineage.
+    // ONE exchange materializes the degree-annotated edge list: the
+    // explicit src repartition clusters the edges once, and every
+    // later keyed operator in the derivation is satisfied by that
+    // subset clustering — dropDuplicates groups on (src, dst), the
+    // degree groupBy on src, and the e⋈deg join on src all run
+    // partition-local (the r13 shape paid three O(E) exchanges here:
+    // distinct on (src,dst), then re-exchanges for the degree groupBy
+    // and the join — measured ~1.6 s of task time each at sf0.1).
+    // Everything downstream (nodes, dangling set, iterations) reads
+    // the materialized narrow table, never the caller's
+    // edge-construction lineage.
     val e = edges
       .select(col("src").cast("long").as("src"),
               col("dst").cast("long").as("dst"))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // Two-phase materialization: the DERIVATION (join + distinct +
     // degree join) runs under AQE — runtime join re-planning and
@@ -109,21 +115,36 @@ object PageRank {
     // union) reads the cached O(E) checkpoint ONCE, not once per
     // branch (guide §2.3: the union scanned 2 × 134 MB of cached edge
     // blocks at sf0.1 where one 134 MB pass carries both endpoints).
-    val nodeTab = withDegRaw
-      .select(explode(array(
-          struct(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i")),
-          struct(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i"))))
-        .as("__e"))
-      .select(col("__e.node").as("node"), col("__e.o").as("o"),
-              col("__e.i").as("i"))
-      .groupBy("node")
-      .agg(max("o").as("has_out"), max("i").as("has_in"))
-      .transform(Checkpoints.checkpointKeepingLayout)
-    val n = nodeTab.count()
+    // two-phase like the edges: the aggregate materializes under AQE
+    // (partial map-side aggregation + a coalesced exchange), then
+    // relayout captures a bytes-proportional node-hash layout — the
+    // r13 shape materialized this under the AQE-off checkpoint and got
+    // a 32-partition layout whose every downstream pass (count, flags,
+    // per-iteration broadcast builds) ran 32 near-empty tasks
+    // (~1.5 s of task time for 3 500 nodes in the r14 profile)
+    val nodeTab = Checkpoints.relayout(
+      withDegRaw
+        .select(explode(array(
+            struct(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i")),
+            struct(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i"))))
+          .as("__e"))
+        .select(col("__e.node").as("node"), col("__e.o").as("o"),
+                col("__e.i").as("i"))
+        .groupBy("node")
+        .agg(max("o").as("has_out"), max("i").as("has_in"))
+        .localCheckpoint(),
+      Seq(col("node")))
+    // ONE job answers |V| and both structural flags (the r13 shape
+    // paid a count job plus a separate min/min aggregate job)
+    val nf = nodeTab
+      .agg(count(lit(1)).as("n"), min("has_out").as("mo"),
+           min("has_in").as("mi"))
+      .collect()(0)
+    val n = nf.getLong(0)
     // fail here, not three lines down: an empty edge set would compute
-    // base = (1-d)/0 = Infinity without complaint and then NPE on the
-    // all-NULL min/min aggregate row — a confusing crash far from the
-    // cause
+    // base = (1-d)/0 = Infinity without complaint — and the mo/mi
+    // reads below would NPE on the all-NULL aggregate row — a
+    // confusing crash far from the cause
     require(n > 0, "PageRank needs a non-empty edge list")
     val nodes = nodeTab.select("node")
     // Join-strategy choice, made ONCE on an exact driver-side statistic
@@ -156,19 +177,34 @@ object PageRank {
         Checkpoints.relayout(withDegRaw, Seq(col("src")), Seq("src"))
     val base = (1.0 - damping) / n
     // Both structural facts are STATIC (graph shape, not rank state),
-    // so they are resolved once, driver-side, from the tiny node
-    // table. When there are no dangling nodes — every undirected
-    // graph — the per-iteration dangling-mass job disappears and the
-    // retained formula is bit-identical (c + 0.0 == c in IEEE); when
-    // every node has an in-edge, the contribution table already covers
-    // all nodes and the left-outer completion join disappears too.
-    val flags = nodeTab
-      .agg(min("has_out").as("mo"), min("has_in").as("mi")).collect()(0)
-    val hasDangling = flags.getLong(0) == 0
-    val allHaveIn   = flags.getLong(1) == 1
+    // resolved in the fused aggregate above. When there are no
+    // dangling nodes — every undirected graph — the per-iteration
+    // dangling-mass job disappears and the retained formula is
+    // bit-identical (c + 0.0 == c in IEEE); when every node has an
+    // in-edge, the contribution table already covers all nodes and
+    // the left-outer completion join disappears too.
+    val hasDangling = nf.getLong(1) == 0
+    val allHaveIn   = nf.getLong(2) == 1
     val danglingNodes = nodeTab.filter(col("has_out") === 0).select("node")
 
     val effTol: Option[Double] = tol.orElse(tolScaled.map(_ / n))
+    // Convergence check FUSED into the iteration's materialization job
+    // (guide §1.2/§2: the binding cost at bench scale is per-query JOB
+    // COUNT, and the old shape paid one extra join+collect job per
+    // checked iteration). The L∞ delta is a MAX — order-independent
+    // and idempotent under task retries — so it rides an accumulator
+    // updated by a pass-through UDF on the new rank column while the
+    // checkpoint job computes the rows it had to compute anyway: the
+    // prev-rank join moves INSIDE the checkpointed plan (both sides
+    // node-hashed, exchange-free) and the separate delta job
+    // disappears. The value read is the exact same max(|r_new −
+    // r_old|) the join-aggregate produced — bit-identical stopping
+    // rule (q_pagerank_converged's oracle pins K).
+    val deltaAcc = new MaxDoubleAccumulator
+    edges.sparkSession.sparkContext.register(deltaAcc, "pagerank_delta")
+    val trackDelta = udf((rn: Double, ro: Double) => {
+      deltaAcc.add(math.abs(rn - ro)); rn
+    }).asNondeterministic() // exactly-once per row: no reorder/duplication
     var rank = nodes.withColumn("r", lit(1.0 / n))
     // superseded rank vectors must be RELEASED, not just replaced: a
     // 10-iteration run would otherwise pin 10 O(V) checkpoint vectors
@@ -207,23 +243,29 @@ object PageRank {
           withAll.select(col("node"),
             (lit(base) + lit(damping) * cexpr).as("r"))
         }
+      // On iterations whose delta will be read, the prev-rank join +
+      // delta tracking are folded into the plan materialized below
+      // (see deltaAcc above); both vectors are complete node sets, so
+      // the inner join preserves the row set and r passes through the
+      // tracking UDF unchanged.
+      val willCheck =
+        effTol.isDefined && it + 1 < iters && (it + 1) % checkEvery == 0
+      val tracked =
+        if (willCheck) {
+          deltaAcc.reset()
+          next.join(rank.select(col("node"), col("r").as("__ro")),
+                    Seq("node"))
+            .select(col("node"),
+                    trackDelta(col("r"), col("__ro")).as("r"))
+        } else next
       // eager localCheckpoint: materialized HERE (before the previous
       // vector is released — this plan reads it, and its own lineage
       // is truncated, so a later recompute would be impossible)
-      // keepingLayout: the delta-check join below pairs two
-      // consecutive node-hashed vectors — preserved layouts make it
-      // exchange-free
-      val checkpointed = Checkpoints.checkpointKeepingLayout(next)
+      // keepingLayout: consecutive node-hashed vectors keep the fused
+      // delta join and the next contribution pass exchange-free
+      val checkpointed = Checkpoints.checkpointKeepingLayout(tracked)
       it += 1
-      if (effTol.isDefined && it < iters && it % checkEvery == 0) {
-        // L∞ delta between consecutive checkpointed vectors: one O(V)
-        // join + aggregate, no O(E) work
-        val delta = checkpointed.withColumnRenamed("r", "rn")
-          .join(rank.withColumnRenamed("r", "ro"), Seq("node"))
-          .agg(max(abs(col("rn") - col("ro"))).as("d"))
-          .collect()(0).getDouble(0)
-        converged = delta <= effTol.get
-      }
+      if (willCheck) converged = deltaAcc.value <= effTol.get
       prevCheckpoint.foreach(Checkpoints.release)
       prevCheckpoint = Some(checkpointed)
       rank = checkpointed
@@ -240,4 +282,24 @@ object PageRank {
     Checkpoints.release(nodeTab)
     (rank, it)
   }
+}
+
+/** Max-of-doubles accumulator: the L∞ convergence delta is a MAX, so
+  * it is order-independent AND idempotent under task retries (a
+  * re-applied update can never raise the max past the true value) —
+  * the one aggregate shape that is safe to read off an accumulator
+  * from a transformation. */
+private[operators] final class MaxDoubleAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Double, Double] {
+  private var m = Double.NegativeInfinity
+  override def isZero: Boolean = m == Double.NegativeInfinity
+  override def copy(): MaxDoubleAccumulator = {
+    val c = new MaxDoubleAccumulator; c.m = m; c
+  }
+  override def reset(): Unit = m = Double.NegativeInfinity
+  override def add(v: Double): Unit = if (v > m) m = v
+  override def merge(
+      other: org.apache.spark.util.AccumulatorV2[Double, Double]): Unit =
+    add(other.value)
+  override def value: Double = m
 }

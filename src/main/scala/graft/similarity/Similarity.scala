@@ -94,10 +94,23 @@ object Similarity {
       .agg(max_by(payload, struct(score, -col("cid"))).as("best"))
 
   def refineCentroids(all: DataFrame, centroids: DataFrame,
-                      iters: Int): DataFrame =
-    (1 to iters).foldLeft(centroids) { (cent, _) =>
+                      iters: Int): DataFrame = {
+    if (iters <= 0) return centroids
+    val spark = centroids.sparkSession
+    // Centroid sets are MODEL-SCALE by contract (K·dim doubles — the
+    // same bounded-driver-artifact contract as pqTopK's codebooks), so
+    // the Lloyd loop iterates them DRIVER-side: each pass is exactly
+    // ONE job (assignment + per-centroid mean, K rows collected) and
+    // the next pass's crossJoin broadcasts a LocalRelation job-free.
+    // The old shape (localCheckpoint per pass) paid a checkpoint job
+    // PLUS a broadcast-build job per iteration and a final broadcast
+    // build in the caller. Values are bit-identical: the collect reads
+    // the same aggregate output the checkpoint would have stored
+    // (q_kmeans_replay / q_ivf_refined_replay hash-match pins this).
+    var cur = centroids
+    for (_ <- 1 to iters) {
       val assigned = argmaxByCos(
-          all.crossJoin(broadcast(cent)),
+          all.crossJoin(broadcast(cur)),
           struct(col("cid"), col("v")),
           cosine(col("cv"), col("v"), col("cn"), col("nrm")))
         .select(col("best.cid").as("cid"), col("best.v").as("v"))
@@ -110,12 +123,13 @@ object Similarity {
              count(lit(1)).as("cnt"))
         .select(col("cid"),
                 transform(col("vs"), x => x / col("cnt")).as("cv"))
-      // localCheckpoint per iteration: centroids are K tiny rows, but
-      // without truncation each fold step embeds the previous one's
-      // full corpus-assignment plan — Catalyst re-plans (and can
-      // re-execute) a plan that grows with iteration count
-      means.withColumn("cn", norm(col("cv"))).localCheckpoint()
+        .withColumn("cn", norm(col("cv")))
+      val rows = means.collect() // K rows — bounded by the centroid cap
+      cur = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), means.schema)
     }
+    cur
+  }
 
   /** IVF (inverted-file) approximate top-k: centroids start as a
     * deterministic subsample (id % centroidEvery == 0), optionally

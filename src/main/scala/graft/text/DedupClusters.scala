@@ -1,40 +1,53 @@
 package graft.text
 
-import org.apache.spark.graphx.{Edge, Graph}
+import graft.operators.Checkpoints
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a near-duplicate pair graph → dedup
   * clusters (beyond-reference; the step after MinHash/SimHash pair
   * generation in a real training-data dedup pipeline: each cluster
   * keeps one representative).
   *
-  * Default path: GraphX's Pregel connected components — the canonical
-  * distributed CC. It hash-partitions the edge list once, then each
-  * round only ships CHANGED labels (Pregel activates only vertices
-  * that received a message), unpersists the previous round's RDDs as
-  * it goes, and converges in O(diameter) rounds. Near-dup clusters
-  * are dense, so diameter (and round count) is tiny. The result (min
-  * vertex id per component) is the unique fixpoint — deterministic
-  * regardless of execution order.
+  * Algorithm: synchronous min-label propagation, BATCHED — K gather
+  * rounds (label(v) ← min over v's in-neighbors ∪ v of their labels)
+  * are composed into ONE lazy Catalyst plan per materialization, then
+  * a single fixpoint check (every edge's endpoints share a label)
+  * decides whether another batch is needed. Each round references the
+  * previous labels exactly once (no self-join), so the batched plan
+  * grows LINEARLY in K and the whole batch runs as one job; near-dup
+  * graphs are dense with tiny diameter, so the first batch almost
+  * always converges and a full run is pairs-materialize + one batch
+  * job + one check job — versus one-job-per-Pregel-round shapes whose
+  * per-query job count dominates at bench scale (guide §1.2). The
+  * result (min vertex id per component) is the unique fixpoint —
+  * deterministic regardless of execution order, and the explicit
+  * fixpoint check makes the batching exact on ANY diameter (a
+  * 30-node chain just takes more batches).
   *
-  * [[connectedComponentsDF]] keeps the pure-DataFrame label
-  * propagation (min-id + pointer jumping) for plans that must stay in
-  * Catalyst; GraphX is faster per round because the per-iteration
-  * DataFrame variant re-plans, re-shuffles every label (not just
-  * changed ones), and accumulates checkpoint blocks.
+  * Scale shape: the edge checkpoint is laid out ONCE by the gather
+  * join key `src` (PageRank's two-phase materialization); each round
+  * then reshuffles only the O(V) label vector to the join plus the
+  * unavoidable O(E) gather aggregation — the same per-iteration
+  * exchange budget as the PageRank large-V regime.
   */
 object DedupClusters {
+  /** Gather rounds composed per lazy plan before each materialization
+    * + fixpoint check. Near-dup components converge in 1-3 rounds
+    * (min-propagation needs the min node's eccentricity); 4 keeps the
+    * common case one-batch without paying unbounded passes on the
+    * rare deep-chain graph. */
+  private val batchRounds = 4
+
   /** pairs: (id_a, id_b) undirected near-dup edges. Returns
     * (id, cluster_id) for every node that appears in a pair, where
     * cluster_id = min node id of its component. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // fail fast on the id contract: a non-numeric string id casts to
-    // NULL and crashes the Dataset decode deep inside the GraphX job
-    // with no hint the id type was the problem; ids past 2^53 would
-    // later mis-compare through a double cast in survivorsBy. Map
-    // string ids to longs (xxhash64, a dictionary) before clustering.
+    // NULL and silently drops from the label joins with no hint the id
+    // type was the problem; ids past 2^53 would later mis-compare
+    // through a double cast in survivorsBy. Map string ids to longs
+    // (xxhash64, a dictionary) before clustering.
     Seq("id_a", "id_b").foreach { c =>
       val dt = pairs.schema(c).dataType
       require(Seq(org.apache.spark.sql.types.LongType,
@@ -43,93 +56,60 @@ object DedupClusters {
                   org.apache.spark.sql.types.ByteType).contains(dt),
         s"DedupClusters needs integral pair ids; '$c' is $dt")
     }
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .as[(Long, Long)]
-      .rdd.map { case (a, b) => Edge(a, b, ()) }
-    val graph = Graph.fromEdges(edges, (),
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
-    val out = cc.vertices.map { case (id, label) => (id, label) }
-      .toDF("id", "cluster_id")
-      // materialize before unpersisting the lineage we built it from
-      .localCheckpoint(true)
-    graph.unpersist(blocking = false)
-    cc.unpersist(blocking = false)
-    out
-  }
+    val a = col("id_a").cast("long")
+    val b = col("id_b").cast("long")
+    // ONE pass over the (expensive, derived) pair pipeline emits the
+    // gather edge list: both directions PLUS a self-loop per endpoint
+    // — the self-loop is what lets a round be a plain join+min with no
+    // "keep your own label" second branch, and min-aggregation
+    // tolerates the duplicate self-loops, so no distinct pass either.
+    // Two-phase materialization (PageRank's shape): derivation under
+    // AQE into a plain checkpoint, then relayout captures the src hash
+    // layout so every round's gather join leaves the O(E) side put.
+    val edges = pairs.select(explode(array(
+        struct(a.as("src"), b.as("dst")),
+        struct(b.as("src"), a.as("dst")),
+        struct(a.as("src"), a.as("dst")),
+        struct(b.as("src"), b.as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+    val edgesM = Checkpoints.relayout(edges.localCheckpoint(),
+                                      Seq(col("src")))
 
-  /** DataFrame-only label propagation (see class doc). */
-  def connectedComponentsDF(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .cache()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("cluster_id", col("id"))
-      .cache()
+    // one gather round; references `lbl` exactly once → linear plans
+    def round(lbl: DataFrame): DataFrame =
+      edgesM.join(lbl.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("cluster_id").as("cluster_id"))
+    // round 1 fused: with label(u) = u the gather is a plain groupBy
+    val round1 = edgesM.groupBy(col("dst").as("id"))
+      .agg(min("src").as("cluster_id"))
+    // fixpoint ⟺ labels constant per component ⟺ per-edge label
+    // equality (self-loops compare trivially equal); one tiny job
+    def atFixpoint(lbl: DataFrame): Boolean =
+      edgesM
+        .join(lbl.select(col("id").as("src"), col("cluster_id").as("la")),
+              Seq("src"))
+        .join(lbl.select(col("id").as("dst"), col("cluster_id").as("lb")),
+              Seq("dst"))
+        .filter(col("la") =!= col("lb"))
+        .isEmpty
 
-    // labels only ever decrease (min propagation), so the label sum is a
-    // strictly-monotone convergence witness — one cheap aggregate per
-    // iteration instead of a change-detection join. coalesce: an empty
-    // graph (no near-dup pairs is a legitimate state) sums to NULL.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
-
-    var prevSum = labelSum(labels)
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      // each node's candidate label: min of its own and its neighbors'
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst")
-                    .withColumnRenamed("cluster_id", "nl"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("nl").as("min_neighbor"))
-      val hop = labels.join(neighborLabels, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("cluster_id"),
-                coalesce(col("min_neighbor"), col("cluster_id")))
-            .as("cluster_id"))
-        .cache()
-      // pointer jumping: adopt the label of your label — turns O(diameter)
-      // propagation into O(log diameter)
-      val next = hop
-        .join(hop.select(col("id").as("cluster_id"), col("cluster_id").as("ll")),
-              Seq("cluster_id"), "left_outer")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("ll"), col("cluster_id")))
-            .as("cluster_id"))
-      // localCheckpoint truncates the LOGICAL plan — without it each
-      // iteration's plan nests the previous one's and Catalyst analysis
-      // time grows exponentially (cache only truncates execution
-      // lineage). On a multi-node cluster use checkpoint(dir) instead.
-      // Keep the checkpointed RDD handle so the PREVIOUS iteration's
-      // blocks can be dropped — localCheckpoint persists its RDD and a
-      // DataFrame.unpersist() won't release it, so without this the
-      // block manager accumulates one labels copy per iteration.
-      val matRdd = next.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mat = pairs.sparkSession.createDataFrame(matRdd, next.schema)
-      val s = labelSum(mat)
-      hop.unpersist()
-      labels.unpersist()
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = Some(matRdd)
-      labels = mat
-      converged = s == prevSum
-      prevSum = s
-      i += 1
+    var labels = Checkpoints.checkpointKeepingLayout(
+      (2 to batchRounds).foldLeft(round1)((l, _) => round(l)))
+    while (!atFixpoint(labels)) {
+      val next = Checkpoints.checkpointKeepingLayout(
+        (1 to batchRounds).foldLeft(labels)((l, _) => round(l)))
+      Checkpoints.release(labels)
+      labels = next
     }
-    edges.unpersist()
-    // the final labels RDD stays persisted (it's the result); callers
-    // consume it immediately
-    labels
+    // the coalesces are identities (labels are never null) that mark
+    // both columns non-nullable — the schema the downstream parquet
+    // dumps have always carried for this operator
+    val out = labels.select(
+      coalesce(col("id"), lit(0L)).as("id"),
+      coalesce(col("cluster_id"), lit(0L)).as("cluster_id"))
+    Checkpoints.release(edgesM)
+    out
   }
 
   /** Full dedup: near-dup pairs → components → survivors = one

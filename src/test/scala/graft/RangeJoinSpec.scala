@@ -52,7 +52,6 @@ class RangeJoinSpec extends AnyFunSuite {
   test("connected components on an empty pair set returns empty, survivors keep all") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(DedupClusters.connectedComponents(pairs).count() == 0)
-    assert(DedupClusters.connectedComponentsDF(pairs).count() == 0)
     val all = Seq(1L, 2L, 3L).toDF("doc_id")
     val surv = DedupClusters.survivors(all, "doc_id", pairs)
       .as[Long].collect().toSet
